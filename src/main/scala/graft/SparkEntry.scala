@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.SemiStreamJoin
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates the per-module query packs; every entry that is
+  * ANSI-SQL-expressible has a DuckDB oracle in `oracleSql` with identical
+  * output column names (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the DS-Join semi-stream equi-join path on sf0.001 —
+    * hits-from-cache ∪ fetched-misses, aggregated by brand.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
+    val part = Tables(spark, dir, "part")
+    val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
+    val (out, _) = SemiStreamJoin.joinWithStore(li, cache, part, "p_partkey")
+    out.groupBy("p_brand").agg(count(lit(1)).as("n"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.RelationalQueries.defs
+
+  /** DuckDB-equivalent SQL per query (same parquet tables, same column names). */
+  def oracleSql: Map[String, String] =
+    graft.queries.RelationalQueries.oracles
 }

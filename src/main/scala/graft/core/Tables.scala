@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders over the driver-generated testdata layout
+  * (`TESTDATA.md`): one parquet file per table under a scale-factor dir.
+  *
+  * Scans stay fully declarative so Catalyst pushes filters/column pruning
+  * into the parquet reader — at 100 TB the scan is the dominant cost and
+  * `PushedFilters`/`ReadSchema` pruning is what keeps it bounded.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`: the
+    * `events` table carries TIMESTAMP(NANOS) which Spark 4 only reads as a
+    * long; we convert back to a µs TimestampType here so downstream
+    * operators see a real timestamp column.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      else d
+    }
+  }
+}

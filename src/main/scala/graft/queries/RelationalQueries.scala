@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.SemiStreamJoin
+
+/** Relational operator coverage (SURVEY §2.2–§2.5, §2.9): scans, filters,
+  * equi/semi/anti joins, the semi-stream hit/miss join, aggregations,
+  * window functions, sorts/limits, set ops, sessionization and the
+  * time-series delta/rolling-mean transforms (SURVEY M1/M2).
+  *
+  * Every query aliases output columns identically to its DuckDB oracle and
+  * rounds floating aggregates (both sides) so the driver's hash compare is
+  * stable across summation orders.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: single wide scan, partial aggregation
+    // (map-side combine) then one shuffle on the tiny group key space.
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Fact × small-dim join: `part` is broadcast — no shuffle of lineitem.
+    "q2_join_revenue_by_brand" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }),
+
+    // TPC-H Q5-shaped snowflake join: all dims broadcast, lineitem never
+    // shuffled until the final tiny aggregation.
+    "q3_revenue_by_region_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Left-semi join (EXISTS): SURVEY S5's semi-join reduction shape.
+    "q4_semi_join_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Left-anti join (NOT EXISTS): SURVEY J4/J5 miss-side shape.
+    "q5_anti_join_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // The DS-Join semi-stream path as a batch query: cache = 30% of `part`;
+    // hits ∪ (misses ⋈ fetched) must equal the plain join (oracle).
+    "q6_semistream_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
+      val part = t(s, dir, "part")
+      val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
+      val (out, _) = SemiStreamJoin.joinWithStore(li, cache, part, "p_partkey")
+      out.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
+    // Distinct keys (SURVEY A4).
+    "q7_distinct_keys" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_partkey").distinct().orderBy("l_partkey")),
+
+    // Per-group top-k via window function (SURVEY W5 shape).
+    "q8_topk_per_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderpriority", "rk")
+    }),
+
+    // Bag union of two slices (SURVEY U1/J7).
+    "q9_union_slices" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_quantity") < 3)
+      val b = li.filter(col("l_returnflag") === "R" && col("l_discount") > 0.09)
+      a.unionByName(b)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // groupBy + HAVING (SURVEY A2/P8 frequency-table shape).
+    "q10_brand_freq" -> ((s, dir) =>
+      t(s, dir, "part")
+        .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 10)
+        .orderBy("p_brand")),
+
+    // Tumbling event-time window aggregation (streaming W1 batch analogue).
+    "q11_events_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("hour", "event_type")),
+
+    // Global sort + limit (SURVEY W2): Spark plans TakeOrderedAndProject —
+    // no full sort materialization.
+    "q12_global_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)),
+
+    // Scalar function surface (SURVEY §2.6): string/math built-ins only —
+    // everything stays inside whole-stage codegen.
+    "q13_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          length(col("p_name")).as("name_len"),
+          upper(col("p_brand")).as("brand_uc"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          size(split(col("p_name"), " ")).as("n_tokens"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          pmod(col("p_size"), lit(5)).as("size_mod"))
+        .orderBy("p_partkey")),
+
+    // Sessionization: gap > 30 min starts a new session (lag window).
+    "q14_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      t(s, dir, "events")
+        .withColumn("gap_s",
+          col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+        .withColumn("brk", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+        .filter(col("brk") === 1)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
+    // Rate-of-change transform (SURVEY M1): value − lag(value) per series.
+    "q15_delta_transform" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      t(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 4))
+        .filter(col("delta").isNotNull)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("delta"))
+        .orderBy("user_id", "ts_s")
+    }),
+
+    // Multi-width rolling mean (SURVEY M2 mean-index shape).
+    "q16_rolling_mean" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-4, 0)
+      val wn = Window.partitionBy("user_id").orderBy("ts")
+      t(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .withColumn("rn", row_number().over(wn))
+        .withColumn("mean5", round(avg(col("value")).over(w), 4))
+        .filter(col("rn") >= 5)
+        .select("user_id", "rn", "mean5")
+        .orderBy("user_id", "rn")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_join_revenue_by_brand" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q3_revenue_by_region_nation" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q4_semi_join_priority" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q5_anti_join_customers" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q6_semistream_join" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q7_distinct_keys" ->
+      "SELECT DISTINCT l_partkey FROM lineitem ORDER BY 1",
+
+    "q8_topk_per_priority" ->
+      """SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q9_union_slices" ->
+      """SELECT l_returnflag, count(*) AS n FROM (
+        |  SELECT * FROM lineitem WHERE l_quantity < 3
+        |  UNION ALL
+        |  SELECT * FROM lineitem WHERE l_returnflag = 'R' AND l_discount > 0.09
+        |) u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_brand_freq" ->
+      """SELECT p_brand, count(*) AS cnt FROM part
+        |GROUP BY 1 HAVING count(*) > 10 ORDER BY 1""".stripMargin,
+
+    "q11_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q12_global_topk" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "q13_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  length(p_name) AS name_len,
+        |  upper(p_brand) AS brand_uc,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  len(string_split(p_name, ' ')) AS n_tokens,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  p_size % 5 AS size_mod
+        |FROM part ORDER BY 1""".stripMargin,
+
+    "q14_sessionize" ->
+      """SELECT user_id, count(*) AS n_sessions FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events) t
+        |WHERE brk = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_delta_transform" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts), 4) AS delta
+        |FROM events WHERE user_id < 10
+        |QUALIFY delta IS NOT NULL
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q16_rolling_mean" ->
+      """SELECT user_id, rn, mean5 FROM (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+        |    round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mean5
+        |  FROM events WHERE user_id < 10) t
+        |WHERE rn >= 5 ORDER BY 1, 2""".stripMargin
+  )
+}

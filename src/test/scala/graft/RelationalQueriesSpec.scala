@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.SemiStreamJoin
+import graft.queries.RelationalQueries
+
+class RelationalQueriesSpec extends SparkSpec {
+  init()
+
+  test("every relational query runs and returns rows on sf0.001") {
+    RelationalQueries.defs.foreach { case (name, fn) =>
+      val n = fn(spark, sfSmoke).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has an oracle") {
+    assert(RelationalQueries.defs.keySet == RelationalQueries.oracles.keySet)
+  }
+
+  test("semi-stream join (hits ∪ fetched misses) equals the plain join") {
+    val li = Tables(spark, sfSmoke, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
+    val part = Tables(spark, sfSmoke, "part")
+    val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
+    val (out, fetched) = SemiStreamJoin.joinWithStore(li, cache, part, "p_partkey")
+    val plain = li.join(part, "p_partkey")
+    assert(out.count() == plain.count())
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+    // fetched = stored rows for keys absent from the cache but present in the batch
+    val missedKeys = li.join(cache, Seq("p_partkey"), "left_anti")
+      .select("p_partkey").distinct().count()
+    assert(fetched.count() == missedKeys) // p_partkey is unique in part
+  }
+
+  test("hit/miss split partitions the batch") {
+    val li = Tables(spark, sfSmoke, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"))
+    val part = Tables(spark, sfSmoke, "part")
+    val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3).select("p_partkey")
+    val s = SemiStreamJoin.split(li, cache, "p_partkey")
+    assert(s.hits.count() + s.misses.count() == li.count())
+  }
+}
