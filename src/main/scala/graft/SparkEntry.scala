@@ -23,8 +23,8 @@ object SparkEntry {
       .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
     val part = Tables(spark, dir, "part")
     val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
-    val (out, _) = SemiStreamJoin.joinWithStore(li, cache, part, "p_partkey")
-    out.groupBy("p_brand").agg(count(lit(1)).as("n"))
+    val r = SemiStreamJoin.joinWithStore(li, cache, part, "p_partkey")
+    r.out.groupBy("p_brand").agg(count(lit(1)).as("n"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -21,10 +21,15 @@ object Tables {
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      else d
-    }
+    // Scoped to `events` only: it is the one table written with
+    // TIMESTAMP(NANOS). A generic by-name rewrite would silently corrupt any
+    // future table with a genuine long `ts` column (e.g. epoch millis).
+    if (name == "events")
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+          d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        else d
+      }
+    else df
   }
 }

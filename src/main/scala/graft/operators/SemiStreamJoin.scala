@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Semi-stream equi-join: join a (micro-)batch of streamed rows against a
   * large stored relation through a bounded cache, fetching only cache-missed
@@ -39,20 +39,41 @@ object SemiStreamJoin {
       hits = batch.join(cache, Seq(key), "inner"),
       misses = batch.join(cache, Seq(key), "left_anti"))
 
+  /** Result of [[joinWithStore]]: `out` is the joined batch, `fetched` is
+    * what a cache manager admits for the next batch (reference `:543-567`).
+    * Call `release()` once both have been consumed — the operator persists
+    * the batch (consumed by the inner AND anti join) and `fetched` (consumed
+    * by the output join AND the cache admission) so neither recomputes; each
+    * recompute of `fetched` would be a fresh stored-side scan, which at
+    * 100 TB is the whole cost of the operator (reference caches exactly
+    * these, `streaming.scala:237,400`).
+    */
+  final case class JoinResult(out: DataFrame, fetched: DataFrame, release: () => Unit)
+
   /** Full semi-stream join (SURVEY J1–J7): hits served from cache, missed
     * keys fetched from the stored relation by semi-join reduction, output is
-    * the bag union. Returns `(output, fetched)` — `fetched` is what a cache
-    * manager admits for the next batch (reference `:543-567`).
+    * the bag union.
+    *
+    * Invariant: `cache` rows must be complete copies of `stored` rows for
+    * their keys (same schema) — a projected or partial cache would silently
+    * undercount hits or break the union. Asserted at entry.
     */
   def joinWithStore(
       batch: DataFrame,
       cache: DataFrame,
       stored: DataFrame,
-      key: String): (DataFrame, DataFrame) = {
-    val s = split(batch, cache, key)
+      key: String): JoinResult = {
+    require(
+      cache.columns.sameElements(stored.columns),
+      s"cache schema ${cache.columns.mkString(",")} must equal stored schema " +
+        s"${stored.columns.mkString(",")} — the cache holds verbatim stored rows")
+    val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    val s = split(b, cache, key)
     val missedKeys = s.misses.select(key).distinct()
-    val fetched = stored.join(missedKeys, Seq(key), "left_semi")
+    val fetched = stored
+      .join(missedKeys, Seq(key), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val out = s.hits.unionByName(s.misses.join(fetched, Seq(key), "inner"))
-    (out, fetched)
+    JoinResult(out, fetched, () => { b.unpersist(); fetched.unpersist() })
   }
 }

@@ -49,16 +49,18 @@ object RelationalQueries {
         .orderBy("p_brand")
     }),
 
-    // TPC-H Q5-shaped snowflake join: all dims broadcast, lineitem never
-    // shuffled until the final tiny aggregation.
+    // TPC-H Q5-shaped snowflake join. Only the true dimensions
+    // (nation/region — bounded, tiny) get a broadcast hint; orders and
+    // customer are fact-scale (unbounded at 100 TB) and join on the shuffle
+    // spine — AQE may still broadcast them at small SF, but never by decree.
     "q3_revenue_by_region_nation" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
-      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -93,8 +95,8 @@ object RelationalQueries {
         .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
       val part = t(s, dir, "part")
       val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
-      val (out, _) = SemiStreamJoin.joinWithStore(li, cache, part, "p_partkey")
-      out.groupBy("p_brand")
+      val r = SemiStreamJoin.joinWithStore(li, cache, part, "p_partkey")
+      r.out.groupBy("p_brand")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
         .orderBy("p_brand")
     }),
@@ -103,13 +105,14 @@ object RelationalQueries {
     "q7_distinct_keys" -> ((s, dir) =>
       t(s, dir, "lineitem").select("l_partkey").distinct().orderBy("l_partkey")),
 
-    // Per-group top-k via window function (SURVEY W5 shape).
+    // Per-group top-k (SURVEY W5): two-phase TopK — a plain
+    // Window.partitionBy("o_orderpriority") would funnel all orders into 5
+    // tasks; TopK shards phase 1 across the cluster.
     "q8_topk_per_priority" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      o.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
+      graft.operators.TopK
+        .perGroup(o, Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
         .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderpriority", "rk")
@@ -166,8 +169,11 @@ object RelationalQueries {
         .orderBy("p_partkey")),
 
     // Sessionization: gap > 30 min starts a new session (lag window).
+    // event_id tiebreaks the window order — ts is µs-truncated on the Spark
+    // side but ns-precise in DuckDB, so same-µs events need a deterministic
+    // secondary key on both sides.
     "q14_sessionize" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       t(s, dir, "events")
         .withColumn("gap_s",
           col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
@@ -180,21 +186,21 @@ object RelationalQueries {
 
     // Rate-of-change transform (SURVEY M1): value − lag(value) per series.
     "q15_delta_transform" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       t(s, dir, "events")
         .filter(col("user_id") < 10)
         .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 4))
         .filter(col("delta").isNotNull)
-        .select(col("user_id"),
+        .select(col("user_id"), col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           col("delta"))
-        .orderBy("user_id", "ts_s")
+        .orderBy("user_id", "event_id")
     }),
 
     // Multi-width rolling mean (SURVEY M2 mean-index shape).
     "q16_rolling_mean" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-4, 0)
-      val wn = Window.partitionBy("user_id").orderBy("ts")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+      val wn = Window.partitionBy("user_id").orderBy("ts", "event_id")
       t(s, dir, "events")
         .filter(col("user_id") < 10)
         .withColumn("rn", row_number().over(wn))
@@ -296,24 +302,24 @@ object RelationalQueries {
     "q14_sessionize" ->
       """SELECT user_id, count(*) AS n_sessions FROM (
         |  SELECT user_id,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |           OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id) IS NULL
+        |           OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id), ts) > 1800
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events) t
         |WHERE brk = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q15_delta_transform" ->
-      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-        |  round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts), 4) AS delta
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  round(value - lag(value) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id), 4) AS delta
         |FROM events WHERE user_id < 10
         |QUALIFY delta IS NOT NULL
-        |ORDER BY 1, 2""".stripMargin,
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q16_rolling_mean" ->
       """SELECT user_id, rn, mean5 FROM (
         |  SELECT user_id,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
-        |    round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    row_number() OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id) AS rn,
+        |    round(avg(value) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id
         |                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mean5
         |  FROM events WHERE user_id < 10) t
         |WHERE rn >= 5 ORDER BY 1, 2""".stripMargin

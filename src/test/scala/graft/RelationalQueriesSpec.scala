@@ -25,14 +25,15 @@ class RelationalQueriesSpec extends SparkSpec {
       .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
     val part = Tables(spark, sfSmoke, "part")
     val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
-    val (out, fetched) = SemiStreamJoin.joinWithStore(li, cache, part, "p_partkey")
+    val r = SemiStreamJoin.joinWithStore(li, cache, part, "p_partkey")
     val plain = li.join(part, "p_partkey")
-    assert(out.count() == plain.count())
-    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+    assert(r.out.count() == plain.count())
+    assert(r.out.exceptAll(plain).isEmpty && plain.exceptAll(r.out).isEmpty)
     // fetched = stored rows for keys absent from the cache but present in the batch
     val missedKeys = li.join(cache, Seq("p_partkey"), "left_anti")
       .select("p_partkey").distinct().count()
-    assert(fetched.count() == missedKeys) // p_partkey is unique in part
+    assert(r.fetched.count() == missedKeys) // p_partkey is unique in part
+    r.release()
   }
 
   test("hit/miss split partitions the batch") {
