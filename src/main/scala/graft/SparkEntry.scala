@@ -29,9 +29,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalQueries.defs
+    graft.queries.RelationalQueries.defs ++
+      graft.queries.StreamingQueries.defs
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column names). */
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracles
+    graft.queries.RelationalQueries.oracles ++
+      graft.queries.StreamingQueries.oracles
 }

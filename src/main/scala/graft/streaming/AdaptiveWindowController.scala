@@ -1,0 +1,107 @@
+package graft.streaming
+
+/** Adaptive caching-window controller — the papers' core contribution,
+  * re-expressed as a pure function over batch timings.
+  *
+  * The caching window `w` is the number of recent micro-batches a stored-side
+  * row must have been touched in to stay cached; eviction drops rows whose
+  * last touch is older than `batchId − w`. The controller hill-climbs `w`
+  * each batch on the total stage time, mirroring the reference's feedback
+  * loop (`DS-Join/DS_join_step4/src/main/scala/streaming.scala:462-540`):
+  *
+  *   - no misses this batch → grow (cache is winning; reference `:486-489`);
+  *   - still warming up → grow and save (reference `:521-524`);
+  *   - total time rose vs the previous batch → revert to the saved best
+  *     window (reference `:495-498`);
+  *   - total time fell → save this window as best, then steer by the
+  *     dominant cost: fetch-dominated → grow (cache more), cache-maintenance-
+  *     dominated → shrink (reference `:500-515`);
+  *   - hard cap: `w > cap` resets to `capTo` (reference `:517-520`).
+  *
+  * Cache-update cost enters the comparison one batch late (`pCache` joins
+  * the current cog+fetch sum) because the reference applies a batch's cache
+  * mutation concurrently with the next batch — the lag is part of the
+  * algorithm, not an accident.
+  *
+  * All state is in the immutable [[AdaptiveWindowController.State]], so the
+  * policy unit-tests with synthetic timings and the streaming runtime just
+  * folds batches through [[AdaptiveWindowController.advance]].
+  */
+object AdaptiveWindowController {
+
+  /** Per-batch stage costs, milliseconds. `cog` = hit/miss split, `fetch` =
+    * stored-side fetch of missed keys, `cache` = state (cache+LRU) update.
+    */
+  final case class Timings(cogMs: Double, fetchMs: Double, cacheMs: Double)
+
+  object Timings { val zero: Timings = Timings(0, 0, 0) }
+
+  final case class Config(
+      initialWindow: Int = 4,
+      warmupBatches: Int = 3,
+      cap: Int = 140,
+      capTo: Int = 130)
+
+  /** `window` = current caching window; `saved` = best-known window the
+    * controller reverts to on regression; `prev`/`prev2` = the timing
+    * registers of the last two completed batches (the reference's p/pp
+    * shift registers, `streaming.scala:636-659`).
+    */
+  final case class State(
+      window: Int,
+      saved: Int,
+      prev: Timings,
+      prev2: Timings)
+
+  def initial(config: Config): State =
+    State(config.initialWindow, config.initialWindow, Timings.zero, Timings.zero)
+
+  /** One controller step. `curr` carries this batch's cog+fetch cost (its
+    * cache cost is not yet known — pass it via the register shift below),
+    * `missedEmpty` = the batch had no cache misses.
+    */
+  def advance(
+      state: State,
+      config: Config,
+      batchId: Long,
+      curr: Timings,
+      missedEmpty: Boolean): State = {
+    val pAll = curr.cogMs + curr.fetchMs + state.prev.cacheMs
+    val ppAll = state.prev.cogMs + state.prev.fetchMs + state.prev2.cacheMs
+
+    var window = state.window
+    var saved = state.saved
+
+    if (missedEmpty) {
+      window += 1
+      saved = window
+    } else if (batchId > config.warmupBatches) {
+      if (pAll > ppAll) {
+        window = saved
+      } else if (pAll < ppAll) {
+        saved = window
+        if (curr.fetchMs > curr.cogMs + state.prev.cacheMs) window += 1
+        else if (curr.fetchMs < curr.cogMs + state.prev.cacheMs && window > 1)
+          window -= 1
+      }
+    } else {
+      window += 1
+      saved = window
+    }
+
+    if (window > config.cap) {
+      window = config.capTo
+      saved = config.capTo - 1
+    }
+
+    // Shift registers: current batch becomes prev; its cache cost is filled
+    // in by the caller once measured (recordCacheTime).
+    State(window, saved, curr, state.prev)
+  }
+
+  /** Record the cache-update cost of the batch just advanced over — the
+    * reference measures it after the controller ran (`:543-587` vs `:462`).
+    */
+  def recordCacheTime(state: State, cacheMs: Double): State =
+    state.copy(prev = state.prev.copy(cacheMs = cacheMs))
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming driver for the semi-stream join (SURVEY S1/S2):
+  * `readStream` file source → `foreachBatch` → [[CacheManager.processBatch]]
+  * → parquet sink, the Spark-4 restatement of the reference's
+  * socket-DStream + `foreachRDD` loop
+  * (`DS-Join/DS_join_step4/src/main/scala/streaming.scala:135-211`).
+  *
+  * The reference feeds 4–8 socket streams; deterministic tests can't, so
+  * [[stage]] spools a batch DataFrame into N single-file parquet chunks and
+  * the stream replays them one file per micro-batch
+  * (`maxFilesPerTrigger=1` + `Trigger.AvailableNow`). In production the
+  * source swaps for kafka/socket with no change to the per-batch logic —
+  * `foreachBatch` sees the same (DataFrame, batchId) contract.
+  */
+object SemiStreamRuntime {
+
+  /** Spool `df` into `n` deterministic single-file parquet chunks under a
+    * fresh temp dir, ordered chunk_00000…chunk_n; rows are assigned by
+    * hash of `chunkKey` so replay order (file mtime = write order) is
+    * stable across runs.
+    */
+  def stage(df: DataFrame, chunkKey: String, n: Int): Path = {
+    val dir = Files.createTempDirectory("graft-stream-")
+    (0 until n).foreach { i =>
+      val scratch = dir.resolve(s"scratch_$i")
+      df.filter(pmod(xxhash64(col(chunkKey)), lit(n)) === i)
+        .coalesce(1)
+        .write
+        .parquet(scratch.toString)
+      val part = Files
+        .list(scratch)
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst()
+        .orElseThrow(() => new IllegalStateException(s"no parquet part in $scratch"))
+      Files.move(part, dir.resolve(f"chunk_$i%05d.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(scratch)
+    }
+    dir
+  }
+
+  /** Run the full streaming semi-stream join over a staged chunk dir:
+    * one micro-batch per chunk through `manager`, outputs appended to a
+    * parquet sink. Returns the accumulated output. Bag-semantics invariant:
+    * the accumulated output equals the plain `input ⋈ stored` join no matter
+    * how the stream was chunked — caching only changes WHERE rows are served
+    * from, never the join result (the correctness oracle relies on this).
+    */
+  def run(
+      spark: SparkSession,
+      staged: Path,
+      schema: org.apache.spark.sql.types.StructType,
+      manager: CacheManager): DataFrame = {
+    val outDir = Files.createTempDirectory("graft-stream-out-").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+
+    val perBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
+      manager.processBatch(batch) { out =>
+        out.write.mode("append").parquet(outDir)
+      }
+      ()
+    }
+
+    val query = stream.writeStream
+      .foreachBatch(perBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    spark.read.parquet(outDir)
+  }
+
+  /** Convenience: stage `input`, seed the cache, run the stream, return the
+    * accumulated join output. `chunks` micro-batches; cache/controller knobs
+    * via `config`. `chunkKey` controls batch assignment — chunk by a key
+    * OTHER than the join key so join keys recur across batches and the cache
+    * actually serves hits (chunking by the join key itself would make every
+    * batch all-miss).
+    */
+  def semiStreamJoin(
+      input: DataFrame,
+      stored: DataFrame,
+      cacheSeed: DataFrame,
+      key: String,
+      chunkKey: String,
+      chunks: Int = 8,
+      config: AdaptiveWindowController.Config = AdaptiveWindowController.Config(),
+      checkpointEvery: Int = 4): (DataFrame, Seq[CacheManager.BatchStats]) = {
+    val spark = input.sparkSession
+    val staged = stage(input, chunkKey, chunks)
+    val manager = new CacheManager(stored, cacheSeed, key, config, checkpointEvery)
+    try {
+      val out = run(spark, staged, input.schema, manager)
+      (out, manager.stats.toList)
+    } finally manager.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRecursively(_))
+    Files.deleteIfExists(p)
+    ()
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.streaming.{AdaptiveWindowController, CacheManager, SemiStreamRuntime}
+
+/** End-to-end Structured Streaming semi-stream join on sf0.001: the
+  * accumulated micro-batch output must equal the plain join (bag
+  * semantics), and the cache/controller state must actually move.
+  */
+class SemiStreamRuntimeSpec extends SparkSpec {
+  init()
+
+  test("streaming semi-stream join accumulates to the plain join") {
+    val li = Tables(spark, sfSmoke, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
+    val part = Tables(spark, sfSmoke, "part")
+    val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
+
+    val (out, stats) = SemiStreamRuntime.semiStreamJoin(
+      li, part, cache,
+      key = "p_partkey", chunkKey = "l_orderkey", chunks = 4,
+      config = AdaptiveWindowController.Config(initialWindow = 2, warmupBatches = 1),
+      checkpointEvery = 2)
+
+    val plain = li.join(part, "p_partkey")
+    assert(out.count() == plain.count())
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+
+    // 4 chunks → 4 micro-batches, each produced stats
+    assert(stats.map(_.id) == Seq(1L, 2L, 3L, 4L))
+    // first batch must have missed (cache seeded with only ~30% of keys)
+    assert(stats.head.missed > 0)
+  }
+
+  test("cache admission makes later batches hit: misses shrink after batch 1") {
+    val li = Tables(spark, sfSmoke, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"))
+    val part = Tables(spark, sfSmoke, "part")
+    // empty seed: batch 1 is all-miss; admitted rows should serve later batches
+    val emptySeed = part.limit(0)
+
+    val manager = new CacheManager(
+      part, emptySeed, "p_partkey",
+      AdaptiveWindowController.Config(initialWindow = 8, warmupBatches = 1),
+      checkpointEvery = 0)
+    try {
+      // batches chunked by l_orderkey → partkeys recur across batches
+      val batches = (0 until 3).map(i =>
+        li.filter(pmod(xxhash64(col("l_orderkey")), lit(3)) === i))
+      val counts = batches.map { b =>
+        manager.processBatch(b)(_.count())
+        manager.stats.last
+      }
+      // batch 1 fetched many keys; batches 2-3 re-see most of those partkeys
+      // (600 parts, ~2000 orders/chunk) so fetch counts must drop sharply
+      assert(counts(0).missed > 0)
+      assert(counts(1).missed < counts(0).missed / 2,
+        s"expected cache hits to cut misses: ${counts.map(_.missed)}")
+      assert(counts(2).missed < counts(0).missed / 2)
+    } finally manager.close()
+  }
+
+  test("LRU eviction bounds the cache under a tiny window") {
+    val li = Tables(spark, sfSmoke, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"))
+    val part = Tables(spark, sfSmoke, "part")
+    val emptySeed = part.limit(0)
+
+    // window capped at 1: only keys touched in the last batch stay cached
+    val manager = new CacheManager(
+      part, emptySeed, "p_partkey",
+      AdaptiveWindowController.Config(initialWindow = 1, warmupBatches = 1000, cap = 1, capTo = 1),
+      checkpointEvery = 0)
+    try {
+      // each batch touches a DISJOINT partkey range so earlier ranges go
+      // stale and must be evicted (a chunk-by-order workload touches every
+      // key every batch — nothing would ever age out)
+      val n = part.count()
+      val span = (n / 4).toInt
+      (0 until 4).foreach { i =>
+        val b = li.filter(
+          col("p_partkey") >= i * span && col("p_partkey") < (i + 1) * span)
+        manager.processBatch(b)(_.count())
+      }
+      val cacheKeys = manager.cacheSnapshot.count()
+      // with window 1 only the last two ranges can remain (threshold at
+      // batch 4 = 3 → lastSeen ∈ {3,4} survive); an unbounded cache would
+      // hold ~all touched keys
+      assert(cacheKeys <= 2L * span,
+        s"cache never evicted: $cacheKeys keys cached, expected <= ${2 * span}")
+      assert(manager.currentWindow == 1)
+    } finally manager.close()
+  }
+}
