@@ -30,10 +30,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.defs ++
-      graft.queries.StreamingQueries.defs
+      graft.queries.StreamingQueries.defs ++
+      graft.queries.DocumentQueries.defs
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column names). */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
-      graft.queries.StreamingQueries.oracles
+      graft.queries.StreamingQueries.oracles ++
+      graft.queries.DocumentQueries.oracles
 }

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed set-similarity join: all pairs (x, y) with
+  * `Jaccard(tokens(x), tokens(y)) ≥ τ`, computed without any cross join via
+  * partition-based segment signatures — the DSim-Join capability
+  * (`DSim-Join/src/main/scala/ds_join/BuildSig.scala:98-325`,
+  * `DimaJoin.scala:481-574`, `JaccardIndex.scala:27-109`) re-expressed as
+  * DataFrame transforms.
+  *
+  * Scheme (same structure as the reference, simplified bound):
+  *
+  *   - Records are tokenized to distinct token sets and length-grouped by
+  *     the reference's multigroup rule: groups `[lo, ⌊lo/α⌋]` covering
+  *     [minLen, maxLen] (`BuildSig.scala:125-137`).
+  *   - Tokens are assigned to `H` segments by token-hash mod `H`
+  *     (reference `segNum`, `BuildSig.scala:60-68`); a record's signature
+  *     for segment `i` is the hash of its (sorted) tokens in that segment,
+  *     keyed by (group, segment) — reference `createInverse`
+  *     (`BuildSig.scala:70-95`).
+  *   - Per group we take `H = ⌊(1−τ)/(1+τ)·(hi + ⌊hi/τ⌋)⌋ + 1`. Any match
+  *     (J ≥ τ, index side in the group, probe length ≤ ⌊hi/τ⌋) has
+  *     `|x△y| ≤ (1−τ)/(1+τ)·(|x|+|y|) ≤ H−1`, so by pigeonhole some
+  *     segment contains no symmetric-difference token — on that segment the
+  *     two token subsets are identical and the signatures collide.
+  *     Completeness therefore needs segment signatures only; the
+  *     reference's 1-deletion signatures (`createDeletion`) buy a smaller
+  *     `H` at the cost of ~len extra signatures per segment — at 100 TB the
+  *     signature table is the dominant shuffle, so fewer-but-wider segments
+  *     win.
+  *   - Probe side mirrors the index side over every group overlapping the
+  *     probe's admissible length range `[⌈τ·s⌉, ⌊s/τ⌋]` (reference
+  *     `DimaJoin.scala:500-503`).
+  *   - Candidates = equi-join on the signature hash (Catalyst
+  *     shuffle/broadcast hash join replaces the reference's hand-built
+  *     inverted index and zip-merge, `DimaJoin.scala:872-893`), deduped per
+  *     pair (the reference's compareSimilarity gate,
+  *     `JaccardIndex.scala:99-109`, exists to suppress duplicate verify
+  *     work; `dropDuplicates` on the pair id is the declarative form).
+  *   - Verify = exact Jaccard with built-in `array_intersect`/`size`
+  *     (codegen'd; no UDF), replacing the reference's positional-overlap
+  *     merge count (`JaccardIndex.scala:27-97`).
+  *
+  * Scale notes: the only shuffles are the signature equi-join and the pair
+  * dedup, both keyed by hash — AQE handles skewed signatures (the
+  * reference's `SimilarityQueryPartitioner` load balancing). The frequency
+  * table (`BuildSig.scala:294-301`) is exposed via [[signatureFrequencies]]
+  * for cache-admission policies (reference `DS_SimJoin_stream.scala:838`).
+  */
+object SimilarityJoin {
+
+  /** Length groups `[lo, ⌊lo/α⌋]` covering [minLen, maxLen]
+    * (reference multigroup, `BuildSig.scala:125-137`).
+    */
+  def multigroup(minLen: Int, maxLen: Int, alpha: Double): Seq[(Int, Int, Int)] = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val out = Seq.newBuilder[(Int, Int, Int)]
+    var lo = math.max(minLen, 1)
+    var gid = 0
+    while (lo <= maxLen) {
+      val hi = math.floor(lo / alpha + 1e-4).toInt
+      out += ((gid, lo, hi))
+      gid += 1
+      lo = hi + 1
+    }
+    out.result()
+  }
+
+  /** Segment count for a group with max indexed length `hi`: covers the
+    * worst-case symmetric difference of any admissible match (see scheme
+    * note above).
+    */
+  def segmentCount(hi: Int, tau: Double): Int =
+    (math.floor((1 - tau) / (1 + tau) * (hi + math.floor(hi / tau + Eps)) + Eps) + 1).toInt
+
+  /** Float guard on length/τ arithmetic (the reference's `+0.0001`,
+    * `BuildSig.scala:57,140`): `8/0.8 = 9.999…` would otherwise floor to 9
+    * and silently drop exact-boundary matches (J = τ subset pairs).
+    */
+  private val Eps = 1e-4
+
+  /** Tokenize to distinct token sets: split on single spaces, drop empties,
+    * dedupe (Jaccard is over SETS). Output: (`sid`, `toks`, `slen`).
+    * Mirrors the reference's tokenize + canonicalize
+    * (`BuildSig.scala:75`, `sortByValue :38-53`) — we sort lazily inside
+    * the signature hash instead of materializing a canonical string.
+    */
+  def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+        col(idCol).as("sid"),
+        array_distinct(filter(split(col(textCol), " "), t => length(t) > 0)).as("toks"))
+      .withColumn("slen", size(col("toks")))
+      .filter(col("slen") > 0)
+
+  /** Small broadcastable group table (gid, lo, hi, h) for the given token
+    * table; the min/max scan is the reference's stats pass
+    * (`BuildSig.scala:245-253`, SURVEY A5).
+    */
+  def groupTable(spark: SparkSession, tokens: DataFrame, tau: Double, alpha: Double): DataFrame = {
+    val stats = tokens.agg(min("slen"), max("slen")).head()
+    val rows =
+      if (stats.isNullAt(0)) Seq.empty // empty index → empty group table
+      else multigroup(stats.getInt(0), stats.getInt(1), alpha).map { case (g, lo, hi) =>
+        (g, lo, hi, segmentCount(hi, tau))
+      }
+    spark.createDataFrame(rows).toDF("gid", "lo", "hi", "h")
+  }
+
+  /** Per-segment signature: hash of the (gid, seg, sorted tokens falling in
+    * the segment). Collisions only add candidates — verify removes them.
+    */
+  private def segSig(toks: Column, gid: Column, h: Column, seg: Column): Column =
+    xxhash64(
+      gid,
+      seg,
+      concat_ws(" ", array_sort(filter(toks, t => pmod(xxhash64(t), h) === seg))))
+
+  /** Index-side signatures: each record lands in ITS length group and emits
+    * one signature per segment (reference `createInverse` + explode,
+    * SURVEY J17). Output: (sid, slen, sig).
+    */
+  def indexSignatures(tokens: DataFrame, groups: DataFrame): DataFrame =
+    tokens
+      .join(broadcast(groups), col("slen").between(col("lo"), col("hi")))
+      .withColumn("seg", explode(sequence(lit(0), col("h") - 1)))
+      .select(
+        col("sid"),
+        col("slen"),
+        segSig(col("toks"), col("gid"), col("h"), col("seg")).as("sig"))
+
+  /** Probe-side signatures: each record probes EVERY group overlapping its
+    * admissible match-length range (reference `createInverseForquery` +
+    * `partition_r`, SURVEY J16/J18). Output: (sid, slen, sig).
+    */
+  def probeSignatures(tokens: DataFrame, groups: DataFrame, tau: Double): DataFrame =
+    tokens
+      .join(
+        broadcast(groups),
+        col("hi") >= ceil(col("slen") * tau - Eps) &&
+          col("lo") <= floor(col("slen") / tau + Eps))
+      .withColumn("seg", explode(sequence(lit(0), col("h") - 1)))
+      .select(
+        col("sid"),
+        col("slen"),
+        segSig(col("toks"), col("gid"), col("h"), col("seg")).as("sig"))
+
+  /** Signature frequency table (reference `BuildSig.scala:294-301`,
+    * SURVEY A2/P8): sigs occurring more than once, for admission policies
+    * and hot-key diagnostics.
+    */
+  def signatureFrequencies(indexSigs: DataFrame): DataFrame =
+    indexSigs.groupBy("sig").count().filter(col("count") > 1)
+
+  /** All pairs of (probe x, index y) with Jaccard ≥ τ.
+    * Output: (x_id, y_id, inter, uni, jacc). `selfJoin=true` keeps only
+    * x_id < y_id (each unordered pair once, no self-pairs).
+    */
+  def joinSets(
+      probe: DataFrame,
+      index: DataFrame,
+      tau: Double,
+      alpha: Double = 0.95,
+      selfJoin: Boolean = false): DataFrame = {
+    val spark = index.sparkSession
+    val groups = groupTable(spark, index, tau, alpha)
+
+    val iSigs = indexSignatures(index, groups)
+      .select(col("sid").as("y_id"), col("slen").as("y_len"), col("sig"))
+    val pSigs = probeSignatures(probe, groups, tau)
+      .select(col("sid").as("x_id"), col("slen").as("x_len"), col("sig"))
+
+    val pairFilter =
+      if (selfJoin) col("x_id") < col("y_id")
+      else lit(true)
+
+    // Candidate pairs: sig equality + exact length window; dedup before the
+    // (more expensive) verify — the reference's compareSimilarity gate.
+    val candidates = pSigs
+      .join(iSigs, "sig")
+      .filter(
+        col("y_len") >= ceil(col("x_len") * tau - Eps) &&
+          col("y_len") <= floor(col("x_len") / tau + Eps) &&
+          pairFilter)
+      .select("x_id", "y_id")
+      .dropDuplicates("x_id", "y_id")
+
+    // Verify: exact Jaccard over the token sets (built-ins, codegen'd).
+    val xT = probe.select(col("sid").as("x_id"), col("toks").as("x_toks"))
+    val yT = index.select(col("sid").as("y_id"), col("toks").as("y_toks"))
+    candidates
+      .join(xT, "x_id")
+      .join(yT, "y_id")
+      .withColumn("inter", size(array_intersect(col("x_toks"), col("y_toks"))))
+      .withColumn("uni", size(col("x_toks")) + size(col("y_toks")) - col("inter"))
+      .withColumn("jacc", col("inter").cast("double") / col("uni"))
+      .filter(col("jacc") >= tau)
+      .select("x_id", "y_id", "inter", "uni", "jacc")
+  }
+
+  /** Self-join convenience over a raw document table. */
+  def selfJoin(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
+    val toks = tokenize(docs, idCol, textCol)
+    joinSets(toks, toks, tau, selfJoin = true)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+
+import graft.core.Tables
+import graft.operators.SimilarityJoin
+
+class SimilarityJoinSpec extends SparkSpec {
+  init()
+
+  private def check(prop: Prop, minTests: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("multigroup covers [min,max] with contiguous non-overlapping ranges") {
+    val gs = SimilarityJoin.multigroup(3, 200, 0.95)
+    assert(gs.head._2 == 3)
+    assert(gs.last._3 >= 200)
+    gs.sliding(2).foreach {
+      case Seq((_, _, hi1), (_, lo2, _)) => assert(lo2 == hi1 + 1)
+      case _                             =>
+    }
+  }
+
+  test("signature completeness property: J >= tau implies a shared signature") {
+    // Pure re-implementation of the signature logic for arbitrary token
+    // sets: mirrors segSig (hash-mod segment partition, per-group H).
+    val tau = 0.8
+    val alpha = 0.95
+    def sigs(toks: Set[String], gid: Int, h: Int): Set[(Int, Int, String)] =
+      (0 until h).map { seg =>
+        val sub = toks.filter(t => math.floorMod(scala.util.hashing.MurmurHash3.stringHash(t), h) == seg)
+        (gid, seg, sub.toSeq.sorted.mkString(" "))
+      }.toSet
+
+    val tokenGen = Gen.choose(5, 60).flatMap { n =>
+      Gen.listOfN(n, Gen.choose(0, 500).map(i => s"t$i")).map(_.toSet)
+    }
+    // generate near-duplicate pairs: y = x minus a few plus a few
+    val pairGen = for {
+      x <- tokenGen
+      nDrop <- Gen.choose(0, math.max(1, x.size / 8))
+      nAdd <- Gen.choose(0, math.max(1, x.size / 8))
+      dropped <- Gen.pick(math.min(nDrop, x.size), x.toSeq)
+      added <- Gen.listOfN(nAdd, Gen.choose(501, 600).map(i => s"t$i"))
+    } yield (x, x -- dropped ++ added)
+
+    check(forAll(pairGen) { case (x, y) =>
+      val inter = (x intersect y).size
+      val uni = (x union y).size
+      val j = if (uni == 0) 0.0 else inter.toDouble / uni
+      if (j >= tau && x.nonEmpty && y.nonEmpty) {
+        // index y in its group; probe x over overlapping groups (both use
+        // the group table built over both lengths, as in a self-join)
+        val lens = Seq(x.size, y.size)
+        val groups = SimilarityJoin.multigroup(lens.min, lens.max, alpha)
+        val yGroup = groups.find { case (_, lo, hi) => y.size >= lo && y.size <= hi }.get
+        val h = SimilarityJoin.segmentCount(yGroup._3, tau)
+        val ySigs = sigs(y, yGroup._1, h)
+        // probe x against y's group (x's admissible range must include it)
+        val xSigs = sigs(x, yGroup._1, h)
+        Prop(xSigs.intersect(ySigs).nonEmpty) :| s"|x|=${x.size} |y|=${y.size} J=$j h=$h"
+      } else Prop(true)
+    })
+  }
+
+  test("similarity self-join on documents matches the brute-force oracle at sf0.001") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val got = SimilarityJoin.selfJoin(docs, "doc_id", "text", 0.8)
+
+    val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+    val a = toks.select(col("sid").as("x_id"), col("toks").as("x_toks"))
+    val b = toks.select(col("sid").as("y_id"), col("toks").as("y_toks"))
+    val brute = a.crossJoin(b)
+      .filter(col("x_id") < col("y_id"))
+      .withColumn("inter", size(array_intersect(col("x_toks"), col("y_toks"))))
+      .withColumn("uni", size(col("x_toks")) + size(col("y_toks")) - col("inter"))
+      .withColumn("jacc", col("inter").cast("double") / col("uni"))
+      .filter(col("jacc") >= 0.8)
+      .select("x_id", "y_id", "inter", "uni", "jacc")
+
+    assert(got.count() == brute.count())
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
+  test("similarity join plan contains no cartesian product") {
+    // (BroadcastNestedLoopJoin against the ~45-row group table is intended —
+    // it's the length-range assignment, not an all-pairs join.)
+    val docs = Tables(spark, sfSmoke, "documents")
+    val plan = SimilarityJoin.selfJoin(docs, "doc_id", "text", 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"similarity join must not cross join:\n$plan")
+  }
+}
