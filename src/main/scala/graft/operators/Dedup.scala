@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Large-scale document deduplication: exact, MinHash+LSH, and SimHash —
+  * the LLM-pipeline dedup family, built on the same tokenize/verify core as
+  * [[SimilarityJoin]] (the reference's signature machinery is the natural
+  * substrate for MinHash dedup; see DSim-Join, `BuildSig.scala`).
+  *
+  * Every path is bucketed — candidates come from `groupBy`-shaped
+  * equi-joins on band/block signatures, never an all-pairs comparison. At
+  * 100 TB the only shuffles are: the signature explode-join (k·n rows of a
+  * few longs), the pair dedup, and the iterative min-label propagation for
+  * connected components (each iteration one shuffle of the label table;
+  * iteration count = cluster diameter, small for near-dup graphs).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: survivors keep the minimum id per identical normalized
+    * text (whitespace-collapsed). Output: (sid, rep) for every input row.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = regexp_replace(trim(col(textCol)), " +", " ")
+    df.select(col(idCol).as("sid"), xxhash64(norm).as("thash"))
+      .withColumn("rep", min("sid").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("thash")))
+      .select("sid", "rep")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** k = bands·rowsPerBand MinHash values per record:
+    * `mh[j] = min over tokens of xxhash64(j, token)` — k independent
+    * permutation approximations from one seeded hash, computed in a single
+    * codegen'd expression (no UDF).
+    */
+  def minhashColumn(toks: Column, bands: Int, rowsPerBand: Int): Column = {
+    val k = bands * rowsPerBand
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(toks, t => xxhash64(j, t))))
+  }
+
+  /** Banded LSH signatures: one row per (record, band) with the band's
+    * signature = hash of its `rowsPerBand` MinHash slice. Two records with
+    * Jaccard J share a band with probability 1−(1−J^r)^b.
+    * Output: (sid, band, bsig).
+    */
+  def bandSignatures(
+      tokens: DataFrame,
+      bands: Int,
+      rowsPerBand: Int): DataFrame =
+    tokens
+      .withColumn("mh", minhashColumn(col("toks"), bands, rowsPerBand))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .select(
+        col("sid"),
+        col("band"),
+        xxhash64(col("band"), slice(col("mh"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
+          .as("bsig"))
+
+  /** Candidate pairs: records sharing any LSH bucket (`groupBy(band, sig)`
+    * shape — the bucket self-join IS the groupBy clustering; no cross
+    * join). Output: (x_id, y_id) with x_id < y_id, deduped.
+    */
+  def lshCandidates(tokens: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = bandSignatures(tokens, bands, rowsPerBand)
+    val a = sigs.select(col("sid").as("x_id"), col("band"), col("bsig"))
+    val b = sigs.select(col("sid").as("y_id"), col("band"), col("bsig"))
+    a.join(b, Seq("band", "bsig"))
+      .filter(col("x_id") < col("y_id"))
+      .select("x_id", "y_id")
+      .dropDuplicates("x_id", "y_id")
+  }
+
+  /** MinHash duplicate pairs, verified with EXACT Jaccard ≥ τ (verification
+    * removes LSH false positives; false-negative rate is set by b/r — at
+    * b=32, r=3 the miss probability at J=0.8 is (1−0.8³)^32 ≈ 1e-10).
+    * Output: (x_id, y_id, jacc).
+    */
+  def minhashDuplicatePairs(
+      tokens: DataFrame,
+      tau: Double,
+      bands: Int = 32,
+      rowsPerBand: Int = 3): DataFrame = {
+    val cand = lshCandidates(tokens, bands, rowsPerBand)
+    val xT = tokens.select(col("sid").as("x_id"), col("toks").as("x_toks"))
+    val yT = tokens.select(col("sid").as("y_id"), col("toks").as("y_toks"))
+    cand
+      .join(xT, "x_id")
+      .join(yT, "y_id")
+      .withColumn("inter", size(array_intersect(col("x_toks"), col("y_toks"))))
+      .withColumn(
+        "jacc",
+        col("inter").cast("double") /
+          (size(col("x_toks")) + size(col("y_toks")) - col("inter")))
+      .filter(col("jacc") >= tau)
+      .select("x_id", "y_id", "jacc")
+  }
+
+  // ------------------------------------------------ connected components
+
+  /** Connected components by iterative min-label propagation: every node's
+    * label converges to the minimum id reachable through `edges`. One
+    * shuffle per iteration; iterations = graph diameter. State is
+    * checkpointed each round to truncate lineage (same discipline as the
+    * streaming cache state).
+    * Input: `nodes(id)`, `edges(a, b)` undirected pairs. Output: (id, rep).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+
+    var labels = nodes.select(col("id"), col("id").as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = und
+        .join(labels, und("b") === labels("id"))
+        .select(und("a").as("id"), col("rep"))
+      val next = labels.select("id", "rep").unionByName(viaNeighbor)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint(true)
+      changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.rep") =!= col("o.rep"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** Full MinHash dedup: every record labeled with its duplicate-cluster
+    * representative (minimum reachable id through verified J ≥ τ pairs;
+    * singletons map to themselves). Output: (sid, rep).
+    */
+  def minhashDedup(
+      tokens: DataFrame,
+      tau: Double,
+      bands: Int = 32,
+      rowsPerBand: Int = 3): DataFrame = {
+    val pairs = minhashDuplicatePairs(tokens, tau, bands, rowsPerBand)
+      .select(col("x_id").as("a"), col("y_id").as("b"))
+    connectedComponents(tokens.select(col("sid").as("id")), pairs)
+      .select(col("id").as("sid"), col("rep"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash fingerprint: bit j is set iff the sum over tokens of
+    * ±1 (sign of bit j of the token hash) is positive. Computed as one
+    * aggregate-free expression per record.
+    */
+  def simhashColumn(toks: Column): Column = {
+    // (the Scala-DSL shiftright/shiftleft take Int shift amounts; the SQL
+    // functions accept a column — call_function reaches those)
+    def shr(x: Column, n: Column) = call_function("shiftright", x, n)
+    def shl(x: Column, n: Column) = call_function("shiftleft", x, n)
+    // per-bit weighted sums via fold over tokens
+    val sums = transform(
+      sequence(lit(0), lit(63)),
+      j =>
+        aggregate(
+          toks,
+          lit(0),
+          (acc, t) =>
+            acc + when(shr(xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, j) =>
+        acc + when(element_at(sums, j + 1) > 0, shl(lit(1L), j)).otherwise(0L))
+  }
+
+  /** Near-duplicate pairs by SimHash: fingerprints within Hamming distance
+    * ≤ `maxHamming`. Candidates by the block-pigeonhole trick: split 64
+    * bits into maxHamming+1 blocks — pairs within distance d agree on at
+    * least one block — then filter on exact `bit_count(xor)`.
+    * Output: (x_id, y_id, hamming).
+    */
+  def simhashPairs(tokens: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val blockBits = 64 / nBlocks
+    val fp = tokens.select(col("sid"), simhashColumn(col("toks")).as("fp"))
+    val blocks = fp.withColumn("bi", explode(sequence(lit(0), lit(nBlocks - 1))))
+      .withColumn(
+        "bv",
+        call_function("shiftright", col("fp"), col("bi") * blockBits)
+          .bitwiseAND(lit((1L << blockBits) - 1)))
+    val a = blocks.select(col("sid").as("x_id"), col("fp").as("x_fp"), col("bi"), col("bv"))
+    val b = blocks.select(col("sid").as("y_id"), col("fp").as("y_fp"), col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("x_id") < col("y_id"))
+      .select(
+        col("x_id"),
+        col("y_id"),
+        bit_count(col("x_fp").bitwiseXOR(col("y_fp"))).as("hamming"))
+      .dropDuplicates("x_id", "y_id")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------- n-grams
+
+  /** Word n-gram (shingle) token sets: consecutive n-token windows joined
+    * with '_'. Feed to [[SimilarityJoin.joinSets]] or
+    * [[minhashDuplicatePairs]] for shingle-Jaccard dedup.
+    * Output: (sid, toks, slen) like [[SimilarityJoin.tokenize]].
+    */
+  def ngramTokens(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = filter(split(col(textCol), " "), t => length(t) > 0)
+    df.select(col(idCol).as("sid"), words.as("w"))
+      .filter(size(col("w")) >= n)
+      .withColumn(
+        "toks",
+        array_distinct(transform(
+          sequence(lit(0), size(col("w")) - n),
+          i => concat_ws("_", slice(col("w"), i + 1, lit(n))))))
+      .withColumn("slen", size(col("toks")))
+      .select("sid", "toks", "slen")
+  }
+}

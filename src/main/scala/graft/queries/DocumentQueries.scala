@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.SimilarityJoin
+import graft.operators.{Dedup, SimilarityJoin}
 
 /** Document/LLM-pipeline query pack over the `documents` table: similarity
   * join (DSim-Join capability), dedup, and text analysis. Oracles are
@@ -31,6 +31,42 @@ object DocumentQueries {
           col("inter").cast("long").as("inter"),
           col("uni").cast("long").as("uni"))
         .orderBy("x_id", "y_id")
+    }),
+
+    // MinHash+LSH dedup (LLM op #1): banded buckets → verified pairs →
+    // min-id connected components. Oracle = transitive closure over the
+    // brute-force exact-Jaccard dup graph (recursive CTE): LSH recall at
+    // b=32,r=3,τ=0.8 has miss probability ~1e-10 per pair, so the verified
+    // candidate graph equals the exact graph on deterministic data.
+    "q19_dedup_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      Dedup.minhashDedup(toks, tau = 0.8)
+        .select(col("sid").as("doc_id"), col("rep"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup (hash groupBy): survivors keep min doc_id per identical
+    // normalized text.
+    "q20_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.exactDedup(docs, "doc_id", "text")
+        .select(col("sid").as("doc_id"), col("rep"))
+        .orderBy("doc_id")
+    }),
+
+    // Word-bigram shingle similarity join (n-gram Jaccard dedup variant):
+    // same signature machinery over 2-gram token sets, τ=0.6.
+    "q21_simjoin_ngram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grams = Dedup.ngramTokens(docs, "doc_id", "text", 2)
+      SimilarityJoin.joinSets(grams, grams, tau = 0.6, selfJoin = true)
+        .select(
+          col("x_id"),
+          col("y_id"),
+          col("inter").cast("long").as("inter"),
+          col("uni").cast("long").as("uni"))
+        .orderBy("x_id", "y_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -45,5 +81,48 @@ object DocumentQueries {
         |FROM tok a JOIN tok b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q19_dedup_minhash" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |edges AS (SELECT x AS a, y AS b FROM pairs UNION SELECT y, x FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT d.doc_id,
+        |       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT doc_id,
+        |       min(doc_id) OVER (PARTITION BY regexp_replace(trim(text), ' +', ' ', 'g')) AS rep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_simjoin_ngram" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(w)),
+        |           i -> w[i] || '_' || w[i+1])) AS toks
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 2)
+        |SELECT a.doc_id AS x_id, b.doc_id AS y_id,
+        |       len(list_intersect(a.toks, b.toks)) AS inter,
+        |       len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
+        |FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6
         |ORDER BY 1, 2""".stripMargin)
 }

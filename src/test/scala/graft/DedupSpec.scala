@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, SimilarityJoin}
+
+class DedupSpec extends SparkSpec {
+  init()
+
+  private lazy val docs = Tables(spark, sfSmoke, "documents")
+  private lazy val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+
+  test("minhash verified pairs equal the brute-force Jaccard pairs at sf0.001") {
+    val got = Dedup.minhashDuplicatePairs(toks, tau = 0.8).select("x_id", "y_id")
+    val a = toks.select(col("sid").as("x_id"), col("toks").as("x_toks"))
+    val b = toks.select(col("sid").as("y_id"), col("toks").as("y_toks"))
+    val brute = a.crossJoin(b).filter(col("x_id") < col("y_id"))
+      .withColumn("inter", size(array_intersect(col("x_toks"), col("y_toks"))))
+      .filter(
+        col("inter").cast("double") /
+          (size(col("x_toks")) + size(col("y_toks")) - col("inter")) >= 0.8)
+      .select("x_id", "y_id")
+    assert(got.count() == brute.count())
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
+  test("connected components: min label reaches across chains") {
+    import spark.implicits._
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3, pair 5-6, singletons 4 and 7
+    val edges = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L), (7L, 7L)))
+  }
+
+  test("exact dedup groups byte-identical texts only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a  b c"), (4L, "different")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(df, "doc_id", "text")
+      .orderBy("sid").as[(Long, Long)].collect().toSeq
+    // whitespace-normalized: 1,2,3 identical; 4 alone
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)))
+  }
+
+  test("simhash: near-duplicates land within small hamming distance, pairs found by block join") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " extra1 extra2"
+    val other = (100 to 160).map(i => s"zz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val t = SimilarityJoin.tokenize(df, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(t, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L), s"near-dup pair not found: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), s"unrelated doc matched: $pairs")
+  }
+
+  test("ngram tokens build consecutive shingles") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.ngramTokens(df, "doc_id", "text", 2)
+      .select("toks").as[Seq[String]].head()
+    assert(got == Seq("a_b", "b_c", "c_d"))
+  }
+
+  test("minhash dedup plan has no cartesian product") {
+    val plan = Dedup.minhashDuplicatePairs(toks, 0.8).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
