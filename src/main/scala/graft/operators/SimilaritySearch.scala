@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path — the
+  * LLM-pipeline similarity-search family.
+  *
+  * Everything is built from codegen'd array expressions (`zip_with` /
+  * `aggregate`), no UDFs. The brute-force path broadcasts the (small) query
+  * set against the corpus — corpus-parallel, no corpus×corpus pairing. The
+  * LSH path reduces each query to `tables` bucket lookups: candidates come
+  * from an equi-join on (table, bucket), so the corpus is never scanned per
+  * query — at 100 TB the bucket join is the only shuffle and AQE handles
+  * hot buckets.
+  */
+object SimilaritySearch {
+
+  /** Sequential-fold dot product in double precision (deterministic
+    * left-to-right order — important for cross-engine comparisons).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact cosine top-k: for each query vector, the `k` nearest corpus
+    * vectors (excluding identical ids). Queries are broadcast (the query
+    * set must be small — that is the baseline's contract); the per-query
+    * top-k runs through the two-phase [[TopK]] so no single query funnels
+    * the corpus into one task.
+    * Output: (q_id, n_id, rank, sim).
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // (q_id, q_emb)
+      corpus: DataFrame, // (n_id, n_emb)
+      k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+    TopK
+      .perGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("n_id")), k, rankCol = "rank")
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Rademacher (±1) hyperplane sign: deterministic from (plane, dim) via
+    * seeded hash — reproducible across runs and engines.
+    */
+  private def planeSign(plane: Int, d: Column): Column =
+    when(pmod(xxhash64(lit(plane), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** LSH bucket id for one table: `bits` sign-bits of dot products with
+    * deterministic ±1 hyperplanes, packed into a long.
+    */
+  def lshBucket(emb: Column, table: Int, bits: Int, dim: Int): Column = {
+    val idx = sequence(lit(0), lit(dim - 1))
+    val bitCols = (0 until bits).map { j =>
+      val plane = table * 97 + j
+      val d = aggregate(
+        zip_with(emb, idx, (x, i) => x.cast("double") * planeSign(plane, i)),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** (id, table, bucket) rows: one per vector per table. */
+  def bucketize(df: DataFrame, idCol: String, embCol: String, tables: Int, bits: Int, dim: Int): DataFrame = {
+    val buckets = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(col(embCol), t, bits, dim).as("bucket"))
+    }: _*)
+    df.select(col(idCol), explode(buckets).as("tb"))
+      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates are corpus vectors sharing
+    * any (table, bucket) with the query; exact cosine re-ranks them.
+    * Recall is governed by (tables, bits) — more tables/fewer bits = higher
+    * recall, more candidates. Output: (q_id, n_id, rank, sim).
+    */
+  def lshTopK(
+      queries: DataFrame, // (q_id, q_emb)
+      corpus: DataFrame, // (n_id, n_emb)
+      k: Int,
+      tables: Int = 16,
+      bits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val qB = bucketize(queries, "q_id", "q_emb", tables, bits, dim)
+    val cB = bucketize(corpus, "n_id", "n_emb", tables, bits, dim)
+    val cand = qB.join(cB, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+      .dropDuplicates("q_id", "n_id")
+    val scored = cand
+      .join(queries, "q_id")
+      .join(corpus, "n_id")
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+    TopK
+      .perGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("n_id")), k, rankCol = "rank")
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with
+    * cosine ≥ τ, candidates from shared LSH buckets (never all-pairs).
+    * Output: (x_id, y_id, sim) with x_id < y_id.
+    */
+  def nearDupPairs(
+      vectors: DataFrame, // (vid, emb)
+      tau: Double,
+      tables: Int = 16,
+      bits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val b = bucketize(vectors, "vid", "emb", tables, bits, dim)
+    val cand = b.select(col("vid").as("x_id"), col("tbl"), col("bucket"))
+      .join(b.select(col("vid").as("y_id"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("x_id") < col("y_id"))
+      .select("x_id", "y_id")
+      .dropDuplicates("x_id", "y_id")
+    cand
+      .join(vectors.select(col("vid").as("x_id"), col("emb").as("x_emb")), "x_id")
+      .join(vectors.select(col("vid").as("y_id"), col("emb").as("y_emb")), "y_id")
+      .withColumn("sim", cosine(col("x_emb"), col("y_emb")))
+      .filter(col("sim") >= tau)
+      .select("x_id", "y_id", "sim")
+  }
+}

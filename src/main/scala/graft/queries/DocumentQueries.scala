@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, SimilarityJoin}
+import graft.operators.{Dedup, SimilarityJoin, SimilaritySearch}
 
 /** Document/LLM-pipeline query pack over the `documents` table: similarity
   * join (DSim-Join capability), dedup, and text analysis. Oracles are
@@ -67,9 +67,98 @@ object DocumentQueries {
           col("inter").cast("long").as("inter"),
           col("uni").cast("long").as("uni"))
         .orderBy("x_id", "y_id")
+    }),
+
+    // Brute-force cosine top-10 (ANN baseline, LLM op #2): queries are the
+    // first 10 vectors broadcast against the corpus; exact answer, oracled.
+    "q22_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val corpus = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      SimilaritySearch.bruteForceTopK(queries, corpus, 10)
+        .select(
+          col("q_id"),
+          col("n_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // LSH-bucketed approximate top-10 (the 100 TB scale path): same shape,
+    // candidates from shared random-hyperplane buckets only. Approximate by
+    // design → no SQL oracle (driver rows-only check); recall vs the
+    // brute-force baseline is asserted in SimilaritySearchSpec.
+    "q23_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val corpus = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      SimilaritySearch.lshTopK(queries, corpus, 10)
+        .select(
+          col("q_id"),
+          col("n_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Embedding-cosine near-dup pairs (dedup family): LSH-bucketed
+    // candidates, exact cosine ≥ τ. The synthetic embeddings are
+    // structureless (max natural pairwise cosine ≈ 0.48), so the query
+    // plants deterministic near-copies (vec_id + 10000, ±0.003 per dim — a
+    // construction both engines express identically): the answer is exactly
+    // the planted (v, v+10000) pairs, found through the REAL scale-path LSH
+    // (8-bit buckets × 32 tables), and the oracle is the brute-force
+    // definition over the augmented table.
+    "q24_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.select(col("vec_id").as("vid"), col("embedding").as("emb"))
+      val planted = base.select(
+        (col("vid") + 10000).as("vid"),
+        zip_with(
+          col("emb"),
+          sequence(lit(0), lit(63)),
+          (x, i) =>
+            (x.cast("double") +
+              when(pmod(i, lit(2)) === 0, lit(0.003)).otherwise(lit(-0.003)))
+              .cast("float")).as("emb"))
+      val vecs = base.unionByName(planted)
+      SimilaritySearch.nearDupPairs(vecs, tau = 0.99, tables = 32)
+        .select(col("x_id"), col("y_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("x_id", "y_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q22_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id AS n_id,
+        |         list_cosine_similarity(q.q_emb, c.embedding) AS sim
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.q_id)
+        |SELECT q_id, n_id,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank,
+        |       round(sim, 4) AS sim
+        |FROM scored
+        |QUALIFY rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "q24_embed_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id AS vid, embedding AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |         [CAST(CAST(embedding[i] AS DOUBLE) +
+        |            (CASE WHEN (i-1)%2 = 0 THEN 0.003 ELSE -0.003 END) AS FLOAT)
+        |          FOR i IN range(1, 65)]
+        |  FROM embeddings)
+        |SELECT a.vid AS x_id, b.vid AS y_id,
+        |       round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+        |FROM base a JOIN base b ON a.vid < b.vid
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99
+        |ORDER BY 1, 2""".stripMargin,
+
     "q18_simjoin_documents" ->
       """WITH tok AS (
         |  SELECT doc_id,

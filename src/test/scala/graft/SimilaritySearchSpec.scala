@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.SimilaritySearch
+
+class SimilaritySearchSpec extends SparkSpec {
+  init()
+
+  private lazy val emb = Tables(spark, sfSmoke, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 20)
+    .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+  private lazy val corpus = emb
+    .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+
+  test("cosine expression matches a driver-side computation") {
+    import spark.implicits._
+    val rows = emb.filter(col("vec_id") < 2)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val expected = {
+      val a = rows(0)._2.map(_.toDouble)
+      val b = rows(1)._2.map(_.toDouble)
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = emb.filter(col("vec_id") === 0)
+      .crossJoin(emb.filter(col("vec_id") === 1).select(col("embedding").as("e2")))
+      .select(SimilaritySearch.cosine(col("embedding"), col("e2")).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  // The synthetic embeddings are structureless (max natural pairwise cosine
+  // ≈ 0.48; nearest neighbors sit at θ ≈ 70°), so recall tests use PLANTED
+  // near-copies — the regime approximate search exists for. Natural-data
+  // behavior is covered by the soundness (subset) check.
+  private lazy val planted = {
+    val base = emb.select(col("vec_id").as("vid"), col("embedding").as("emb"))
+    val copies = base.select(
+      (col("vid") + 10000).as("vid"),
+      zip_with(
+        col("emb"),
+        sequence(lit(0), lit(63)),
+        (x, i) =>
+          (x.cast("double") +
+            when(pmod(i, lit(2)) === 0, lit(0.003)).otherwise(lit(-0.003)))
+            .cast("float")).as("emb"))
+    base.unionByName(copies)
+  }
+
+  test("LSH top-1 retrieves each planted near-copy at scale params (8 bits x 16 tables)") {
+    val qs = planted.filter(col("vid") >= 10000 && col("vid") < 10020)
+      .select(col("vid").as("q_id"), col("emb").as("q_emb"))
+    val corp = planted.filter(col("vid") < 10000)
+      .select(col("vid").as("n_id"), col("emb").as("n_emb"))
+    val top1 = SimilaritySearch.lshTopK(qs, corp, 1)
+    import spark.implicits._
+    val got = top1.select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    (10000L until 10020L).foreach { q =>
+      assert(got.get(q).contains(q - 10000), s"query $q retrieved ${got.get(q)}")
+    }
+  }
+
+  test("LSH candidate generation prunes on the planted corpus") {
+    val b = SimilaritySearch.bucketize(planted, "vid", "emb", 16, 8, 64)
+    val cand = b.select(col("vid").as("x_id"), col("tbl"), col("bucket"))
+      .join(b.select(col("vid").as("y_id"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("x_id") < col("y_id"))
+      .select("x_id", "y_id").dropDuplicates().count()
+    val n = planted.count()
+    val all = n * (n - 1) / 2
+    assert(cand < all / 2, s"LSH barely prunes: $cand of $all")
+  }
+
+  test("near-dup pairs: sound (subset of brute force) and complete on planted pairs") {
+    val got = SimilaritySearch.nearDupPairs(planted, tau = 0.99, tables = 32)
+      .select("x_id", "y_id")
+    val a = planted.select(col("vid").as("x_id"), col("emb").as("x_emb"))
+    val b = planted.select(col("vid").as("y_id"), col("emb").as("y_emb"))
+    val brute = a.crossJoin(b).filter(col("x_id") < col("y_id"))
+      .withColumn("sim", SimilaritySearch.cosine(col("x_emb"), col("y_emb")))
+      .filter(col("sim") >= 0.99)
+      .select("x_id", "y_id")
+    assert(got.exceptAll(brute).isEmpty, "reported a pair brute force rejects")
+    assert(brute.exceptAll(got).isEmpty, "missed a planted pair")
+    assert(got.count() == emb.count()) // exactly one pair per planted copy
+  }
+}
