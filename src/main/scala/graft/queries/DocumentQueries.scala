@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, SimilarityJoin, SimilaritySearch}
+import graft.operators.{Dedup, SimilarityJoin, SimilaritySearch, TextAnalysis}
 
 /** Document/LLM-pipeline query pack over the `documents` table: similarity
   * join (DSim-Join capability), dedup, and text analysis. Oracles are
@@ -127,7 +127,24 @@ object DocumentQueries {
       SimilaritySearch.nearDupPairs(vecs, tau = 0.99, tables = 32)
         .select(col("x_id"), col("y_id"), round(col("sim"), 4).as("sim"))
         .orderBy("x_id", "y_id")
-    }))
+    }),
+
+    // Text statistics + quality scoring (LLM op #4).
+    "q25_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Stopword-profile language ID.
+    "q26_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // 3-shingle fingerprint counts (rolling-hash fingerprint shape; counts
+    // are engine-neutral, hash values stay library-side).
+    "q27_fingerprint_shingles" -> ((s, dir) =>
+      TextAnalysis.shingleFingerprints(t(s, dir, "documents"), "doc_id", "text", 3)
+        .select("doc_id", "n_shingles", "n_distinct_shingles")
+        .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
     "q22_ann_bruteforce" ->
@@ -158,6 +175,59 @@ object DocumentQueries {
         |FROM base a JOIN base b ON a.vid < b.vid
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99
         |ORDER BY 1, 2""".stripMargin,
+
+    "q25_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_uniq,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens,
+        |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4) AS avg_tok_len,
+        |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS digit_ratio,
+        |  round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
+        |  round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |        + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3
+        |        + CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(toks) * 0.3,
+        |        4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q26_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','zu','ist','ein','nicht'))) AS DOUBLE) / len(toks) AS r_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(toks) AS r_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','en','es','un','que'))) AS DOUBLE) / len(toks) AS r_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','en','est','un','que'))) AS DOUBLE) / len(toks) AS r_fr
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN r_de >= r_en AND r_de >= r_es AND r_de >= r_fr THEN 'de'
+        |       WHEN r_en >= r_es AND r_en >= r_fr THEN 'en'
+        |       WHEN r_es >= r_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred,
+        |  round(greatest(r_de, r_en, r_es, r_fr), 4) AS lang_score
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q27_fingerprint_shingles" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)] AS sh
+        |  FROM t)
+        |SELECT doc_id, len(sh) AS n_shingles,
+        |       len(list_distinct(sh)) AS n_distinct_shingles
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q18_simjoin_documents" ->
       """WITH tok AS (

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  init()
+
+  test("stats on a hand-computed document") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat, the hat 99!")).toDF("doc_id", "text")
+    val r = TextAnalysis.stats(df, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_chars") == 20)
+    assert(r.getAs[Long]("n_tokens") == 5) // the cat, the hat 99!
+    assert(r.getAs[Long]("n_uniq") == 4)
+    // subtokens: the|cat|,|the|hat|99|! = 7
+    assert(r.getAs[Long]("n_subtokens") == 7)
+    // punct: ',' '!' → 2/20
+    assert(r.getAs[Double]("punct_ratio") == 0.1)
+    // digits: '99' → 2/20
+    assert(r.getAs[Double]("digit_ratio") == 0.1)
+    // stopwords(en): 'the','the' → 2/5
+    assert(r.getAs[Double]("stop_ratio") == 0.4)
+  }
+
+  test("language id picks the profile with the densest stopwords") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is on the mat and a dog"),
+      (2L, "el gato es un animal y la casa que vive en"),
+      (3L, "xyz qrs tuv")).toDF("doc_id", "text")
+    val r = TextAnalysis.languageId(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "en")
+    assert(r(1).getString(1) == "es")
+    assert(r(2).getString(1) == "de") // all-zero tie resolves to first profile
+    assert(r(2).getDouble(2) == 0.0)
+  }
+
+  test("shingle fingerprints count consecutive 3-gram windows") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.shingleFingerprints(df, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_shingles") == 3) // abc bcd cde
+    assert(r(0).getAs[scala.collection.Seq[Long]]("fingerprints").length == 3)
+    assert(r(1).getAs[Long]("n_shingles") == 0) // shorter than w
+  }
+
+  test("repeated shingles collapse in the distinct count") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.shingleFingerprints(df, "doc_id", "text", 2).head()
+    assert(r.getAs[Long]("n_shingles") == 5)
+    assert(r.getAs[Long]("n_distinct_shingles") == 2) // "a b", "b a"
+  }
+
+  test("stats run over the documents table without nulls") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val s = TextAnalysis.stats(docs, "doc_id", "text")
+    assert(s.count() == docs.count())
+    val nullCount = s.select(
+      s.columns.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(c)): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).sum
+    assert(nullCount == 0)
+  }
+}
