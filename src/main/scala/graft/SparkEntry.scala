@@ -31,11 +31,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.defs ++
       graft.queries.StreamingQueries.defs ++
-      graft.queries.DocumentQueries.defs
+      graft.queries.DocumentQueries.defs ++
+      graft.queries.SeqMatchQueries.defs
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column names). */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
       graft.queries.StreamingQueries.oracles ++
-      graft.queries.DocumentQueries.oracles
+      graft.queries.DocumentQueries.oracles ++
+      graft.queries.SeqMatchQueries.oracles
 }

@@ -1,0 +1,277 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Subsequence matching over a stored time series — the S3M/KV-match
+  * capability (`S3M/src/main/java/kvmatch/IndexBuilder.java:46-96`,
+  * `QueryEngine.java:74-335`, `QueryEngineDtw.java`, `NormQueryEngine.java`)
+  * re-expressed as DataFrame transforms:
+  *
+  *   - [[meanIndex]] — the multi-width sliding-mean index (reference index
+  *     widths Σ = {25,50,100,200,400}), built from DISTRIBUTED prefix sums:
+  *     per-block partial sums → tiny block-prefix roll-up → within-block
+  *     scan, then `mean(o,w) = (prefix(o+w−1) − prefix(o−1))/w` by two
+  *     idx-equi-joins. No global-ordering window over the full series — a
+  *     `Window.orderBy(idx)` would funnel 100 TB through one task.
+  *   - [[matchED]] — phase 1: greedy cover of the query by indexed widths
+  *     (reference `determineQueryPlan`), per-segment mean-range probe with
+  *     the Cauchy–Schwarz bound `|mean_w(q)−mean_w(s)| ≤ ε/√w`, offsets
+  *     intersected across segments; phase 2: exact squared ED by exploding
+  *     each candidate into (start, pos) rows and equi-joining the series —
+  *     never a range join.
+  *   - [[matchDTW]] — same phase 1 with the band-widened probe (a
+  *     candidate survives if ANY offset shift within ±ρ puts a window mean
+  *     in range — the reference's widened index probe,
+  *     `QueryEngineDtw.java`), then exact Sakoe–Chiba banded DTW on the
+  *     gathered candidate windows.
+  *   - [[matchNormED]] — z-normalized ED under the reference's amplitude
+  *     constraints (`NormQueryEngine.java`): phase 1 probes
+  *     `|mean_w(s) − mean_w(q)| ≤ α` (the mean-shift tolerance is part of
+  *     the query semantics), phase 2 normalizes each window by its own
+  *     mean/std and verifies.
+  *   - [[matchSubsequence]] — the `sel ∈ {ed, dtw, normed}` dispatch
+  *     (reference `test.java:35-55`).
+  *
+  * The query sequence is a driver-side array (the reference holds it on
+  * the driver too — it is one live window, thousands of points at most).
+  */
+object SubsequenceMatch {
+
+  val DefaultWidths: Seq[Int] = Seq(25, 50, 100, 200, 400)
+
+  /** Attach inclusive prefix sums to (idx, v) without a global-order
+    * window: block partial sums, block-level prefix (tiny), within-block
+    * running sum.
+    */
+  def withPrefixSum(series: DataFrame, blockSize: Int = 4096): DataFrame = {
+    val withBlk = series.withColumn("blk", (col("idx") / blockSize).cast("long"))
+    val blockSums = withBlk.groupBy("blk").agg(sum("v").as("bsum"))
+    // block-level prefix: one partition over n/blockSize rows — fine even
+    // at very large n (recurse if it ever isn't)
+    val blockPrefix = blockSums
+      .withColumn(
+        "before",
+        coalesce(
+          sum("bsum").over(Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0.0)))
+      .select("blk", "before")
+    val withinW = Window.partitionBy("blk").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withBlk
+      .withColumn("within", sum("v").over(withinW))
+      .join(blockPrefix, "blk")
+      .select(col("idx"), col("v"), (col("within") + col("before")).as("prefix"))
+  }
+
+  /** Multi-width sliding-mean index: (w, offset, mean) for every complete
+    * window of every width. Materialize (write to parquet) for reuse — the
+    * reference persists its index files the same way.
+    */
+  def meanIndex(series: DataFrame, widths: Seq[Int] = DefaultWidths): DataFrame = {
+    val n = series.count()
+    val p = withPrefixSum(series).persist()
+    p.count()
+    val parts = widths.filter(_ <= n).map { w =>
+      val hi = p.select((col("idx") - (w - 1)).as("offset"), col("prefix").as("hiP"))
+      val lo = p.select((col("idx") + 1).as("offset"), col("prefix").as("loP"))
+      hi.join(lo, Seq("offset"), "left")
+        .filter(col("offset") >= 0)
+        .select(
+          lit(w).as("w"),
+          col("offset"),
+          ((col("hiP") - coalesce(col("loP"), lit(0.0))) / w).as("mean"))
+    }
+    val out = parts.reduce(_ unionByName _)
+    out
+  }
+
+  /** Greedy cover of a length-m query by indexed widths (largest first).
+    * Returns (queryOffset, width) segments; the tail shorter than the
+    * smallest width stays uncovered (verified in phase 2 regardless).
+    */
+  def segments(m: Int, widths: Seq[Int] = DefaultWidths): Seq[(Int, Int)] = {
+    val sorted = widths.sorted.reverse
+    val out = Seq.newBuilder[(Int, Int)]
+    var off = 0
+    while (m - off >= sorted.last) {
+      val w = sorted.find(_ <= m - off).get
+      out += ((off, w))
+      off += w
+    }
+    out.result()
+  }
+
+  /** Numerical slack for prefix-sum means vs exact means. */
+  private val MeanSlack = 1e-6
+
+  /** Phase 1: candidate starts whose every query-segment window mean is
+    * within the ED bound (band > 0 widens each probe to ±band offset
+    * shifts — the DTW form).
+    */
+  def candidateStarts(
+      index: DataFrame,
+      q: Array[Double],
+      eps: Double,
+      widths: Seq[Int],
+      band: Int): DataFrame = {
+    val segs = segments(q.length, widths)
+    require(segs.nonEmpty, s"query of ${q.length} shorter than every index width")
+    val perSeg = segs.map { case (qoff, w) =>
+      val mu = q.slice(qoff, qoff + w).sum / w
+      val bound = eps / math.sqrt(w) + MeanSlack
+      val base = index
+        .filter(col("w") === w && abs(col("mean") - mu) <= lit(bound))
+      // band-widened probe: any shift in [-band, band] may host the segment
+      val shifted =
+        if (band == 0) base.select((col("offset") - qoff).as("start"))
+        else
+          base
+            .withColumn("shift", explode(sequence(lit(-band), lit(band))))
+            .select((col("offset") - qoff - col("shift")).as("start"))
+      shifted.filter(col("start") >= 0).distinct()
+    }
+    perSeg.reduce((a, b) => a.join(b, Seq("start")))
+  }
+
+  /** Gather candidate windows: (start, pos, v, qv) via explode + equi-join
+    * (pos = start + qi). HAVING count = m drops incomplete tail windows.
+    */
+  private def gather(series: DataFrame, starts: DataFrame, q: Array[Double]): DataFrame = {
+    val spark = series.sparkSession
+    val qDf = spark
+      .createDataFrame(q.toSeq.zipWithIndex.map { case (v, i) => (i, v) })
+      .toDF("qi", "qv")
+    starts
+      .crossJoin(broadcast(qDf))
+      .withColumn("pos", col("start") + col("qi"))
+      .join(series.select(col("idx").as("pos"), col("v")), "pos")
+  }
+
+  /** Exact subsequence match under squared Euclidean distance ≤ eps². */
+  def matchED(
+      series: DataFrame,
+      index: DataFrame,
+      q: Array[Double],
+      eps: Double,
+      widths: Seq[Int] = DefaultWidths): DataFrame = {
+    val starts = candidateStarts(index, q, eps, widths, band = 0)
+    gather(series, starts, q)
+      .groupBy("start")
+      .agg(sum(pow(col("v") - col("qv"), 2)).as("d2"), count(lit(1)).as("c"))
+      .filter(col("c") === q.length && col("d2") <= eps * eps)
+      .select("start", "d2")
+  }
+
+  /** Sakoe–Chiba banded DTW distance (squared-cost formulation), exact DP
+    * on the gathered candidate windows. The window array arrives sorted by
+    * position.
+    */
+  private val dtwBanded = udf { (s: Seq[Double], q: Seq[Double], band: Int) =>
+    val n = q.length
+    val m = s.length
+    val INF = Double.MaxValue / 4
+    val prev = Array.fill(m + 1)(INF)
+    val curr = Array.fill(m + 1)(INF)
+    prev(0) = 0.0
+    for (i <- 1 to n) {
+      java.util.Arrays.fill(curr, INF)
+      val jLo = math.max(1, i - band)
+      val jHi = math.min(m, i + band)
+      for (j <- jLo to jHi) {
+        val cost = (q(i - 1) - s(j - 1)) * (q(i - 1) - s(j - 1))
+        val best = math.min(prev(j), math.min(prev(j - 1), curr(j - 1)))
+        curr(j) = cost + best
+      }
+      System.arraycopy(curr, 0, prev, 0, m + 1)
+    }
+    prev(m)
+  }
+
+  /** Subsequence match under banded DTW ≤ eps². Candidates from the
+    * band-widened mean probe; exact banded-DTW verify (UDF — the DP has no
+    * SQL shape; candidates are few after phase 1, reference runs the same
+    * DP per candidate).
+    */
+  def matchDTW(
+      series: DataFrame,
+      index: DataFrame,
+      q: Array[Double],
+      eps: Double,
+      band: Int,
+      widths: Seq[Int] = DefaultWidths): DataFrame = {
+    val starts = candidateStarts(index, q, eps, widths, band)
+    val windows = gather(series, starts, q)
+      .groupBy("start")
+      .agg(
+        sort_array(collect_list(struct(col("qi"), col("v")))).as("w"),
+        count(lit(1)).as("c"))
+      .filter(col("c") === q.length)
+      .select(col("start"), col("w.v").as("svals"))
+    val qLit = typedLit(q.toSeq)
+    windows
+      .withColumn("d2", dtwBanded(col("svals"), qLit, lit(band)))
+      .filter(col("d2") <= eps * eps)
+      .select("start", "d2")
+  }
+
+  /** Z-normalized ED with the reference's amplitude constraints: matches
+    * must ALSO satisfy |mean(s) − mean(q)| ≤ alpha (phase-1 probe). The
+    * normalized distance uses each window's own mean/std.
+    */
+  def matchNormED(
+      series: DataFrame,
+      index: DataFrame,
+      q: Array[Double],
+      eps: Double,
+      alpha: Double,
+      widths: Seq[Int] = DefaultWidths): DataFrame = {
+    val m = q.length
+    val muQ = q.sum / m
+    val sdQ = math.sqrt(q.map(x => (x - muQ) * (x - muQ)).sum / m)
+    require(sdQ > 0, "constant query has no normalized form")
+    val qn = q.map(x => (x - muQ) / sdQ)
+
+    // phase 1: window mean within alpha of the query mean (index width
+    // covering the whole query if available, else the largest segment)
+    val w0 = widths.sorted.reverse.find(_ <= m)
+      .getOrElse(throw new IllegalArgumentException("query shorter than every width"))
+    val starts = index
+      .filter(col("w") === w0 && abs(col("mean") - muQ) <= alpha + MeanSlack)
+      .select(col("offset").as("start"))
+      .filter(col("start") >= 0)
+      .distinct()
+
+    gather(series, starts, qn)
+      .groupBy("start")
+      .agg(
+        count(lit(1)).as("c"),
+        avg("v").as("mu"),
+        sqrt(avg(pow(col("v"), 2)) - pow(avg(col("v")), 2)).as("sd"),
+        sum(col("v") * col("qv")).as("dotNq"),
+        sum(col("v")).as("sumS"))
+      .filter(col("c") === m && col("sd") > 0)
+      // normED² = Σ((s−μ)/σ − qn)² = m + m − 2/σ·(Σ s·qn − μ·Σ qn)
+      //         = 2m − 2·dotNq/σ   (Σ qn = 0)
+      .withColumn("d2", lit(2.0 * m) - lit(2.0) * col("dotNq") / col("sd"))
+      .filter(col("d2") <= eps * eps && abs(col("mu") - muQ) <= alpha)
+      .select("start", "d2")
+  }
+
+  /** Query-mode dispatch (reference `test.java:35-55`). */
+  def matchSubsequence(
+      mode: String,
+      series: DataFrame,
+      index: DataFrame,
+      q: Array[Double],
+      eps: Double,
+      band: Int = 5,
+      alpha: Double = 10.0,
+      widths: Seq[Int] = DefaultWidths): DataFrame = mode match {
+    case "ed"     => matchED(series, index, q, eps, widths)
+    case "dtw"    => matchDTW(series, index, q, eps, band, widths)
+    case "normed" => matchNormED(series, index, q, eps, alpha, widths)
+    case other    => throw new IllegalArgumentException(s"unknown match mode: $other")
+  }
+}

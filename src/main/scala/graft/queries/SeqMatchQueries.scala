@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.SubsequenceMatch
+
+/** Subsequence-matching query pack (S3M/KV-match capability) over the
+  * events table. The stored series is the global event sequence —
+  * `event_id` is dense 0..n−1, so index assignment and the delta transform
+  * are equi-joins (`v(i) = value(i+1) − value(i)`), never a global-order
+  * window. The query sequence is the series' own window [500, 600) — its
+  * matches (including the exact self-match at 500) are well-separated in
+  * distance, so thresholds sit in wide gaps.
+  */
+object SeqMatchQueries {
+
+  /** Delta series (idx, v), idx ∈ [0, n−2]: SURVEY M1 as an equi-join. */
+  def deltaSeries(events: DataFrame): DataFrame = {
+    val a = events.select(col("event_id").as("idx"), col("value"))
+    val b = events.select((col("event_id") - 1).as("idx"), col("value").as("nv"))
+    a.join(b, "idx").select(col("idx"), (col("nv") - col("value")).as("v"))
+  }
+
+  private def queryWindow(series: DataFrame, from: Long, len: Int): Array[Double] = {
+    val rows = series
+      .filter(col("idx") >= from && col("idx") < from + len)
+      .orderBy("idx")
+      .select("v")
+      .collect()
+    require(rows.length == len, s"query window [$from,${from + len}) incomplete")
+    rows.map(_.getDouble(0))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact ED subsequence match (SURVEY M2/M3): multi-width mean index →
+    // segment mean probe → exact verify. Oracle = brute-force sliding ED.
+    "q28_seqmatch_ed" -> ((s, dir) => {
+      val series = deltaSeries(Tables(s, dir, "events"))
+      val q = queryWindow(series, 500, 100)
+      val index = SubsequenceMatch.meanIndex(series)
+      SubsequenceMatch.matchED(series, index, q, math.sqrt(430000.0))
+        .select(col("start"), round(col("d2"), 2).as("d2"))
+        .orderBy("start")
+    }),
+
+    // Banded DTW match (SURVEY M4): band-widened probe + exact DP verify.
+    // DTW's DP has no SQL form → rows-only check; SubsequenceMatchSpec
+    // compares against a naive full-scan DTW.
+    "q29_seqmatch_dtw" -> ((s, dir) => {
+      val series = deltaSeries(Tables(s, dir, "events"))
+      val q = queryWindow(series, 500, 100)
+      val index = SubsequenceMatch.meanIndex(series)
+      SubsequenceMatch.matchDTW(series, index, q, math.sqrt(25000.0), band = 5)
+        .select(col("start"), round(col("d2"), 2).as("d2"))
+        .orderBy("start")
+    }),
+
+    // Z-normalized ED with amplitude constraint (SURVEY M5): rows-only
+    // (spec holds the naive-equality check).
+    "q30_seqmatch_normed" -> ((s, dir) => {
+      val series = deltaSeries(Tables(s, dir, "events"))
+      val q = queryWindow(series, 500, 100)
+      val index = SubsequenceMatch.meanIndex(series)
+      SubsequenceMatch.matchNormED(series, index, q, eps = math.sqrt(117.0), alpha = 5.0)
+        .select(col("start"), round(col("d2"), 2).as("d2"))
+        .orderBy("start")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q28_seqmatch_ed" ->
+      """WITH d AS (
+        |  SELECT a.event_id AS idx, b.value - a.value AS v
+        |  FROM events a JOIN events b ON b.event_id = a.event_id + 1),
+        |q AS (SELECT idx - 500 AS qi, v AS qv FROM d WHERE idx >= 500 AND idx < 600)
+        |SELECT s.idx - q.qi AS start, round(sum(pow(s.v - q.qv, 2)), 2) AS d2
+        |FROM d s JOIN q ON true
+        |GROUP BY 1
+        |HAVING count(*) = 100 AND sum(pow(s.v - q.qv, 2)) <= 430000
+        |ORDER BY 1""".stripMargin)
+}

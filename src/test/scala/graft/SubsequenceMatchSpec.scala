@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.SubsequenceMatch
+import graft.queries.SeqMatchQueries
+
+/** SubsequenceMatch vs driver-side naive full scans on the sf0.001 events
+  * series (~1000 points — collectable).
+  */
+class SubsequenceMatchSpec extends SparkSpec {
+  init()
+
+  private lazy val series = SeqMatchQueries.deltaSeries(Tables(spark, sfSmoke, "events"))
+  private lazy val vals: Array[Double] = series.orderBy("idx").select("v")
+    .collect().map(_.getDouble(0))
+  private lazy val index = SubsequenceMatch.meanIndex(series).persist()
+  private val m = 50
+  private lazy val q: Array[Double] = vals.slice(200, 200 + m)
+
+  private def naiveEd2(o: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < m) { val d = vals(o + i) - q(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def naiveDtw2(o: Int, band: Int): Double = {
+    val s = vals.slice(o, o + m)
+    val INF = Double.MaxValue / 4
+    val prev = Array.fill(m + 1)(INF)
+    val curr = Array.fill(m + 1)(INF)
+    prev(0) = 0.0
+    for (i <- 1 to m) {
+      java.util.Arrays.fill(curr, INF)
+      for (j <- math.max(1, i - band) to math.min(m, i + band)) {
+        val c = (q(i - 1) - s(j - 1)) * (q(i - 1) - s(j - 1))
+        curr(j) = c + math.min(prev(j), math.min(prev(j - 1), curr(j - 1)))
+      }
+      System.arraycopy(curr, 0, prev, 0, m + 1)
+    }
+    prev(m)
+  }
+
+  test("prefix-sum mean index equals exact window means") {
+    val idx50 = index.filter(col("w") === 50).orderBy("offset")
+      .select("offset", "mean").collect()
+    assert(idx50.length == vals.length - 50 + 1)
+    idx50.take(200).foreach { r =>
+      val o = r.getLong(0).toInt
+      val exact = vals.slice(o, o + 50).sum / 50
+      assert(math.abs(r.getDouble(1) - exact) < 1e-9, s"offset $o")
+    }
+  }
+
+  test("matchED equals the naive full-scan result") {
+    val distances = (0 to vals.length - m).map(naiveEd2)
+    // pick an eps covering ~8 offsets, in the middle of a wide gap
+    val sorted = distances.sorted
+    val eps2 = (sorted(7) + sorted(8)) / 2
+    val expected = (0 to vals.length - m).filter(o => naiveEd2(o) <= eps2).toSet
+    val got = SubsequenceMatch.matchED(series, index, q, math.sqrt(eps2))
+      .select("start").collect().map(_.getLong(0).toInt).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("matchED phase-1 prunes at tight eps") {
+    val starts = SubsequenceMatch.candidateStarts(
+      index, q, eps = 2.0, SubsequenceMatch.DefaultWidths, band = 0)
+    val n = vals.length - m + 1
+    val c = starts.count()
+    assert(c < n / 2, s"mean probe barely prunes: $c of $n")
+    // and the surviving set still contains the self-match
+    assert(starts.filter(col("start") === 200).count() == 1)
+  }
+
+  test("matchDTW equals the naive banded DTW full scan") {
+    val band = 3
+    val distances = (0 to vals.length - m).map(o => naiveDtw2(o, band))
+    val sorted = distances.sorted
+    val eps2 = (sorted(5) + sorted(6)) / 2
+    val expected = (0 to vals.length - m).filter(o => naiveDtw2(o, band) <= eps2).toSet
+    val got = SubsequenceMatch.matchDTW(series, index, q, math.sqrt(eps2), band)
+      .select("start").collect().map(_.getLong(0).toInt).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("matchNormED equals the naive z-normalized scan under the alpha constraint") {
+    val muQ = q.sum / m
+    val sdQ = math.sqrt(q.map(x => (x - muQ) * (x - muQ)).sum / m)
+    val qn = q.map(x => (x - muQ) / sdQ)
+    val alpha = 5.0
+    def naiveNorm(o: Int): Option[Double] = {
+      val s = vals.slice(o, o + m)
+      val mu = s.sum / m
+      val sd = math.sqrt(s.map(x => (x - mu) * (x - mu)).sum / m)
+      if (sd == 0 || math.abs(mu - muQ) > alpha) None
+      else Some(s.zip(qn).map { case (x, z) => { val d = (x - mu) / sd - z; d * d } }.sum)
+    }
+    val all = (0 to vals.length - m).flatMap(o => naiveNorm(o).map(o -> _))
+    val sorted = all.map(_._2).sorted
+    val eps2 = (sorted(5) + sorted(6)) / 2
+    val expected = all.filter(_._2 <= eps2).map(_._1).toSet
+    val got = SubsequenceMatch.matchNormED(series, index, q, math.sqrt(eps2), alpha)
+      .select("start").collect().map(_.getLong(0).toInt).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("segments greedily cover with the largest widths") {
+    assert(SubsequenceMatch.segments(100, Seq(25, 50, 100)) == Seq((0, 100)))
+    assert(SubsequenceMatch.segments(130, Seq(25, 50, 100)) == Seq((0, 100), (100, 25)))
+    assert(SubsequenceMatch.segments(60, Seq(25, 50, 100)) == Seq((0, 50)))
+    assert(SubsequenceMatch.segments(10, Seq(25, 50)).isEmpty)
+  }
+}
