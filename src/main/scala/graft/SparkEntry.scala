@@ -32,12 +32,14 @@ object SparkEntry {
     graft.queries.RelationalQueries.defs ++
       graft.queries.StreamingQueries.defs ++
       graft.queries.DocumentQueries.defs ++
-      graft.queries.SeqMatchQueries.defs
+      graft.queries.SeqMatchQueries.defs ++
+      graft.queries.MlQueries.defs
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column names). */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
       graft.queries.StreamingQueries.oracles ++
       graft.queries.DocumentQueries.oracles ++
-      graft.queries.SeqMatchQueries.oracles
+      graft.queries.SeqMatchQueries.oracles ++
+      graft.queries.MlQueries.oracles
 }
