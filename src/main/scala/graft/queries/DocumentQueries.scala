@@ -144,7 +144,25 @@ object DocumentQueries {
     "q27_fingerprint_shingles" -> ((s, dir) =>
       TextAnalysis.shingleFingerprints(t(s, dir, "documents"), "doc_id", "text", 3)
         .select("doc_id", "n_shingles", "n_distinct_shingles")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Signature-index persist sink (SURVEY S8, reference
+    // `BuildSig_save.scala:27-60`): build the similarity-join signature
+    // index, persist it to parquet, read it back, report per-document
+    // signature counts (= the document's group segment count H — the
+    // oracle re-derives multigroup + H arithmetic in SQL).
+    "q35_sig_index_persist" -> ((s, dir) => {
+      val toks = SimilarityJoin.tokenize(t(s, dir, "documents"), "doc_id", "text")
+      val groups = SimilarityJoin.groupTable(s, toks, 0.8, 0.95)
+      val sigs = SimilarityJoin.indexSignatures(toks, groups)
+      val out = java.nio.file.Files.createTempDirectory("graft-sigidx-").toString
+      sigs.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("sid")
+        .agg(count(lit(1)).as("n_sigs"))
+        .select(col("sid").as("doc_id"), col("n_sigs"))
+        .orderBy("doc_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q22_ann_bruteforce" ->
@@ -215,6 +233,23 @@ object DocumentQueries {
         |       ELSE 'fr' END AS lang_pred,
         |  round(greatest(r_de, r_en, r_es, r_fr), 4) AS lang_score
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q35_sig_index_persist" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id,
+        |         len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS slen
+        |  FROM documents),
+        |bounds AS (SELECT min(slen) AS mn, max(slen) AS mx FROM tok),
+        |grp(lo, hi) AS (
+        |  SELECT mn, CAST(floor(mn / 0.95 + 0.0001) AS BIGINT) FROM bounds
+        |  UNION ALL
+        |  SELECT hi + 1, CAST(floor((hi + 1) / 0.95 + 0.0001) AS BIGINT)
+        |  FROM grp, bounds WHERE hi + 1 <= mx)
+        |SELECT t.doc_id,
+        |       CAST(floor((1 - 0.8) / (1 + 0.8) * (g.hi + floor(g.hi / 0.8 + 0.0001)) + 0.0001) + 1
+        |            AS BIGINT) AS n_sigs
+        |FROM tok t JOIN grp g ON t.slen BETWEEN g.lo AND g.hi
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q27_fingerprint_shingles" ->
       """WITH t AS (

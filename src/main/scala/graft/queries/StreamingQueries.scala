@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.streaming.{AdaptiveWindowController, SemiStreamRuntime}
+import graft.streaming.{AdaptiveWindowController, EventTimeWindows, SemiStreamRuntime}
 
 /** Streaming query pack: the semi-stream join run through the REAL
   * Structured Streaming runtime (readStream → foreachBatch → CacheManager),
@@ -36,11 +36,66 @@ object StreamingQueries {
       out.groupBy("p_brand")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
         .orderBy("p_brand")
-    }))
+    }),
+
+    // Event-time TUMBLING windows through the real streaming runtime
+    // (SURVEY §2.7 — the capability the processing-time-only reference
+    // lacks): watermarked streaming aggregation in complete mode equals
+    // the batch hourly rollup.
+    "q32_stream_event_windows" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+      val staged = SemiStreamRuntime.stage(ev, "event_id", 6)
+      EventTimeWindows.completeCounts(s, staged, ev.schema, "1 hour")
+        .orderBy("ws", "event_type")
+    }),
+
+    // Event-time SLIDING windows (1 h window, 30 min slide): every event
+    // lands in exactly two windows.
+    "q33_stream_sliding_windows" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+      val staged = SemiStreamRuntime.stage(ev, "event_id", 6)
+      EventTimeWindows.completeCounts(s, staged, ev.schema, "1 hour", Some("30 minutes"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // JSON ingest (SURVEY S7): parse the props JSON column with an
+    // explicit schema, aggregate by the extracted key.
+    "q34_json_ingest" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k"),
+          col("value"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("k")))
 
   val oracles: Map[String, String] = Map(
     "q17_stream_semistream_join" ->
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_stream_event_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q33_stream_sliding_windows" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |           - s.shift * INTERVAL '30 minutes' AS ws,
+        |         event_type, value
+        |  FROM events, (VALUES (0), (1)) s(shift))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q34_json_ingest" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -26,11 +26,23 @@ object SemiStreamRuntime {
     * hash of `chunkKey` so replay order (file mtime = write order) is
     * stable across runs.
     */
-  def stage(df: DataFrame, chunkKey: String, n: Int): Path = {
+  def stage(df: DataFrame, chunkKey: String, n: Int): Path =
+    stageByColumn(
+      df.withColumn("__chunk", pmod(xxhash64(col(chunkKey)), lit(n))),
+      "__chunk",
+      n)
+
+  /** Spool with EXPLICIT chunk assignment: chunk i = rows whose `chunkCol`
+    * equals i (the column is dropped from the staged files). Lets tests
+    * control arrival order — e.g. delivering late events after the
+    * watermark has advanced.
+    */
+  def stageByColumn(df: DataFrame, chunkCol: String, n: Int): Path = {
     val dir = Files.createTempDirectory("graft-stream-")
     (0 until n).foreach { i =>
       val scratch = dir.resolve(s"scratch_$i")
-      df.filter(pmod(xxhash64(col(chunkKey)), lit(n)) === i)
+      df.filter(col(chunkCol) === i)
+        .drop(chunkCol)
         .coalesce(1)
         .write
         .parquet(scratch.toString)
@@ -39,7 +51,15 @@ object SemiStreamRuntime {
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
         .findFirst()
         .orElseThrow(() => new IllegalStateException(s"no parquet part in $scratch"))
-      Files.move(part, dir.resolve(f"chunk_$i%05d.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      val target = dir.resolve(f"chunk_$i%05d.parquet")
+      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+      // FileStreamSource replays in modification-time order and the moved
+      // part keeps its scratch mtime (ties ⇒ nondeterministic batch
+      // order, which breaks watermark tests) — stamp strictly increasing
+      // times so chunk i is always micro-batch i
+      Files.setLastModifiedTime(
+        target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       deleteRecursively(scratch)
     }
     dir
