@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for LLM data pipelines: image/audio/video
+  * payloads ride as opaque `binary` columns with a typed metadata struct;
+  * decode / feature-extraction / resize / frame-sampling are per-partition
+  * BATCHED transforms (the Scala analogue of `mapInPandas` — rows are
+  * processed in bounded batches so a real decoder amortizes model/codec
+  * setup per batch, not per row).
+  *
+  * DECODE IS A STUB: this container has no image/audio codecs, so
+  * [[decodeStub]] produces a deterministic fake feature vector from the
+  * payload bytes (clearly marked — swap in a real decoder at the single
+  * call site). Everything AROUND the stub — schema, metadata propagation,
+  * batch shape, frame explosion, partitioning — is real and tested.
+  *
+  * Scale notes: payloads never shuffle except where the caller asks
+  * (repartition by id range for decode balance); frame sampling is a
+  * generator (`explode`) so Catalyst prunes payload bytes when downstream
+  * selects only metadata.
+  */
+object Multimodal {
+
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", IntegerType))))))
+
+  val FeatureDim = 16
+  val DecodeBatchSize = 64
+
+  /** Deterministic fake "decode": FeatureDim floats derived from payload
+    * bytes by a rolling hash. STAND-IN for a real image/audio decoder —
+    * the contract a real decoder must keep: pure function of the payload,
+    * fixed output dim.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) {
+      h = 31 * h + payload(i)
+      out(i % FeatureDim) += ((h % 1000) / 1000.0f)
+      i += 1
+    }
+    out
+  }
+
+  /** Per-partition BATCHED feature extraction (mapInPandas shape): rows
+    * stream through in [[DecodeBatchSize]] groups; a real decoder would
+    * initialize once per batch. Output: (media_id, kind, features).
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("features", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val ds: Dataset[Row] = media
+      .select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap { batch =>
+          // per-batch setup would go here (codec/model init)
+          batch.iterator.map { r =>
+            Row(r.getLong(0), r.getString(1), decodeStub(r.getAs[Array[Byte]](2)).toSeq)
+          }
+        }
+      }(enc)
+    ds.toDF()
+  }
+
+  /** Metadata-true resize: updates width/height in the typed meta and
+    * "re-encodes" the payload (stub: deterministic truncation proportional
+    * to the area change — a real implementation swaps the byte transform).
+    */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val oldArea = greatest(col("meta.width").cast("long") * col("meta.height"), lit(1L))
+    val newLen = greatest(
+      lit(1),
+      (length(col("payload")).cast("long") * width * height / oldArea).cast("int"))
+    media
+      .withColumn("payload", col("payload").substr(lit(1), newLen))
+      .withColumn(
+        "meta",
+        struct(
+          col("meta.mime").as("mime"),
+          lit(width).as("width"),
+          lit(height).as("height"),
+          col("meta.duration_ms").as("duration_ms")))
+  }
+
+  /** Frame sampling (video/audio): one row per sampled frame — frame count
+    * is `1 + len(payload) div frameBytes`, capped; each frame's payload is
+    * the corresponding byte slice. A generator transform: Catalyst prunes
+    * `frame_payload` if the consumer only reads counts.
+    * Output: (media_id, kind, frame_idx, frame_bytes, frame_payload).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 200, maxFrames: Int = 8): DataFrame = {
+    val nFrames = least(
+      lit(maxFrames),
+      lit(1) + (length(col("payload")) / frameBytes).cast("int"))
+    val slice = col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+    media
+      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .select(
+        col("media_id"),
+        col("kind"),
+        col("frame_idx"),
+        length(slice).as("frame_bytes"),
+        slice.as("frame_payload"))
+  }
+
+  /** Deterministic media table derived from the documents testdata:
+    * payload = UTF-8 text bytes, kind cycles by doc_id, meta from n_chars.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        col("n_chars").cast("int").as("width"),
+        lit(1).as("height"),
+        (col("n_chars") * 10).cast("int").as("duration_ms")).as("meta"))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, SimilarityJoin, SimilaritySearch, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, SimilarityJoin, SimilaritySearch, TextAnalysis}
 
 /** Document/LLM-pipeline query pack over the `documents` table: similarity
   * join (DSim-Join capability), dedup, and text analysis. Oracles are
@@ -162,6 +162,35 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_sigs"))
         .select(col("sid").as("doc_id"), col("n_sigs"))
         .orderBy("doc_id")
+    }),
+
+    // Multimodal frame sampling (LLM op #3): documents as opaque binary
+    // payloads with typed metadata; frame explosion is pure structural
+    // plumbing, so byte counts are oracle-able.
+    "q36_multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      Multimodal.sampleFrames(media)
+        .select(
+          col("media_id"),
+          col("kind"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_bytes").cast("long").as("frame_bytes"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // Multimodal decode (stubbed) + batched feature extraction: the decode
+    // itself is a deterministic fake (no codecs in this container), so the
+    // driver records rows-only; MultimodalSpec pins batch shape and
+    // determinism.
+    "q37_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      Multimodal.extractFeatures(Multimodal.resize(media, 64, 64))
+        .select(
+          col("media_id"),
+          col("kind"),
+          size(col("features")).cast("long").as("feat_dim"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 3).as("feat_l1"))
+        .orderBy("media_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -250,6 +279,17 @@ object DocumentQueries {
         |            AS BIGINT) AS n_sigs
         |FROM tok t JOIN grp g ON t.slen BETWEEN g.lo AND g.hi
         |ORDER BY t.doc_id""".stripMargin,
+
+    "q36_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+        |         octet_length(encode(text)) AS n FROM documents)
+        |SELECT media_id, kind, r.i AS frame_idx,
+        |       greatest(0, least(200, n - r.i * 200)) AS frame_bytes
+        |FROM m, range(0, 8) r(i)
+        |WHERE r.i < least(8, 1 + n // 200)
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "q27_fingerprint_shingles" ->
       """WITH t AS (
