@@ -30,6 +30,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.defs ++
+      graft.queries.RelationalQueries.gapDefs ++
       graft.queries.StreamingQueries.defs ++
       graft.queries.DocumentQueries.defs ++
       graft.queries.SeqMatchQueries.defs ++
@@ -38,6 +39,7 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (same parquet tables, same column names). */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
+      graft.queries.RelationalQueries.gapOracles ++
       graft.queries.StreamingQueries.oracles ++
       graft.queries.DocumentQueries.oracles ++
       graft.queries.SeqMatchQueries.oracles ++

@@ -211,6 +211,83 @@ object RelationalQueries {
     })
   )
 
+  /** Gap-fill pack: small reference aggregates with direct SQL oracles. */
+  val gapDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // min/max/count/avg stats (SURVEY A5 — the multigroup stats pass as a
+    // first-class query) + MSE between value and the global mean (A8).
+    "q38_table_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // double sums are partition-order-dependent and can flip the last
+      // rounded digit between engines (observed: 208.4444 vs 208.4443) —
+      // aggregate exactly in DECIMAL, convert once at the end
+      val qDec = col("l_quantity").cast("decimal(20,6)")
+      val sqDec = pow(col("l_quantity") - lit(25.0), 2).cast("decimal(25,6)")
+      li.agg(
+          count(lit(1)).as("n"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          sum(qDec).as("sq"),
+          sum(sqDec).as("ssq"))
+        .select(
+          col("n"),
+          col("min_qty"),
+          col("max_qty"),
+          // exact sums, no division: ssq/n here is EXACTLY 208.44435 — a
+          // perfect tie at the 4-decimal boundary, and engines break
+          // rounding ties differently; the mean/MSE derive from (sum, n)
+          col("sq").cast("double").as("sum_qty"),
+          col("ssq").cast("double").as("sse_vs_25"))
+    }),
+
+    // Token canonicalization (SURVEY P6): sorted-token normal form, the
+    // reference's `sortByValue` quicksort as one expression.
+    "q39_canonicalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          concat_ws(" ",
+            array_sort(filter(split(col("text"), " "), x => length(x) > 0)))
+            .as("canonical"))
+        .orderBy("doc_id")),
+
+    // Java String.hashCode-compatible hash (SURVEY §2.6/§2.10): the
+    // reference keys signatures by `(seg,i,l).hashCode`
+    // (`BuildSig.scala:280`); this exposes the same 32-bit rolling hash as
+    // an engine function so a migrating user gets identical keys. The
+    // oracle re-implements the wrap-around arithmetic in SQL over
+    // codepoints — identical to Java's UTF-16 units for all BMP text
+    // (verified incl. accented chars); only surrogate pairs (non-BMP)
+    // would diverge.
+    "q40_java_hash" -> ((s, dir) => {
+      val javaHash = udf((s: String) => s.hashCode)
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), javaHash(col("text")).cast("long").as("jhash"))
+        .orderBy("doc_id")
+    }))
+
+  val gapOracles: Map[String, String] = Map(
+    "q38_table_stats" ->
+      """SELECT count(*) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(pow(l_quantity - 25.0, 2) AS DECIMAL(25,6))) AS DOUBLE) AS sse_vs_25
+        |FROM lineitem""".stripMargin,
+
+    "q39_canonicalize" ->
+      """SELECT doc_id,
+        |       array_to_string(list_sort(list_filter(string_split(text, ' '), x -> x <> '')), ' ')
+        |         AS canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_java_hash" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |         (h, c) -> ((h * 31 + c + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648)
+        |         AS jhash
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
