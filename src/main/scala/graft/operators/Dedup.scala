@@ -65,16 +65,39 @@ object Dedup {
 
   /** Candidate pairs: records sharing any LSH bucket (`groupBy(band, sig)`
     * shape — the bucket self-join IS the groupBy clustering; no cross
-    * join). Output: (x_id, y_id) with x_id < y_id, deduped.
+    * join). Buckets up to `maxQuadBucket` members emit all pairs; MEGA
+    * buckets (near-identical content clusters — on dup-dense corpora a
+    * bucket can hold thousands of docs, making the self-join quadratic)
+    * emit star edges to the bucket minimum instead: linear in bucket size
+    * and connectivity-equivalent for duplicate CLUSTERING, with the b-band
+    * redundancy still generating direct pairs through any smaller bucket.
+    * Output: (x_id, y_id) with x_id < y_id, deduped.
     */
-  def lshCandidates(tokens: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(
+      tokens: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      maxQuadBucket: Int = 64): DataFrame = {
     val sigs = bandSignatures(tokens, bands, rowsPerBand)
-    val a = sigs.select(col("sid").as("x_id"), col("band"), col("bsig"))
-    val b = sigs.select(col("sid").as("y_id"), col("band"), col("bsig"))
-    a.join(b, Seq("band", "bsig"))
-      .filter(col("x_id") < col("y_id"))
-      .select("x_id", "y_id")
-      .dropDuplicates("x_id", "y_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bsig")
+    val annotated = sigs
+      .withColumn("bmin", min("sid").over(w))
+      .withColumn("bcount", count(lit(1)).over(w))
+
+    val small = annotated.filter(col("bcount") <= maxQuadBucket)
+      .select(col("sid"), col("band"), col("bsig"))
+    val smallPairs = small
+      .join(
+        small.select(col("sid").as("y_id"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .filter(col("sid") < col("y_id"))
+      .select(col("sid").as("x_id"), col("y_id"))
+
+    val starPairs = annotated
+      .filter(col("bcount") > maxQuadBucket && col("sid") =!= col("bmin"))
+      .select(col("bmin").as("x_id"), col("sid").as("y_id"))
+
+    smallPairs.unionByName(starPairs).dropDuplicates("x_id", "y_id")
   }
 
   /** MinHash duplicate pairs, verified with EXACT Jaccard ≥ τ (verification
@@ -86,8 +109,9 @@ object Dedup {
       tokens: DataFrame,
       tau: Double,
       bands: Int = 32,
-      rowsPerBand: Int = 3): DataFrame = {
-    val cand = lshCandidates(tokens, bands, rowsPerBand)
+      rowsPerBand: Int = 3,
+      maxQuadBucket: Int = 64): DataFrame = {
+    val cand = lshCandidates(tokens, bands, rowsPerBand, maxQuadBucket)
     val xT = tokens.select(col("sid").as("x_id"), col("toks").as("x_toks"))
     val yT = tokens.select(col("sid").as("y_id"), col("toks").as("y_toks"))
     cand
@@ -119,19 +143,22 @@ object Dedup {
 
     var labels = nodes.select(col("id"), col("id").as("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // convergence check: the sum of labels strictly decreases while any
+    // label can still shrink (min-propagation is monotone), so one cheap
+    // agg per iteration replaces a join+filter+count
+    var prevSum = labels.agg(sum("rep")).head().getLong(0)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val viaNeighbor = und
         .join(labels, und("b") === labels("id"))
         .select(und("a").as("id"), col("rep"))
       val next = labels.select("id", "rep").unionByName(viaNeighbor)
         .groupBy("id").agg(min("rep").as("rep"))
-        .localCheckpoint(true)
-      changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.rep") =!= col("o.rep"))
-        .count()
+        .localCheckpoint(true) // truncate lineage every round
+      val s = next.agg(sum("rep")).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1

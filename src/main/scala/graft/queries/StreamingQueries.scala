@@ -60,6 +60,25 @@ object StreamingQueries {
         .orderBy("ws", "event_type")
     }),
 
+    // Semi-stream SIMILARITY join (SURVEY S6/J10-J12, the DSim-Join
+    // streaming capability): documents replayed as micro-batches probe the
+    // signature index through a sig-keyed LRU cache with frequency
+    // admission; per-batch exact-Jaccard verify. Accumulated pairs equal
+    // the batch similarity join in both directions (every doc streams once
+    // and is also stored).
+    "q41_stream_simjoin" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val r = graft.streaming.SemiStreamSimilarityJoin.run(
+        docs, "doc_id", "text", tau = 0.8, chunks = 4)
+      r.pairs
+        .select(
+          col("x_id"),
+          col("y_id"),
+          col("inter").cast("long").as("inter"),
+          col("uni").cast("long").as("uni"))
+        .orderBy("x_id", "y_id")
+    }),
+
     // JSON ingest (SURVEY S7): parse the props JSON column with an
     // explicit schema, aggregate by the extracted key.
     "q34_json_ingest" -> ((s, dir) =>
@@ -97,5 +116,18 @@ object StreamingQueries {
     "q34_json_ingest" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q41_stream_simjoin" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS x_id, b.doc_id AS y_id,
+        |       len(list_intersect(a.toks, b.toks)) AS inter,
+        |       len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
+        |FROM tok a JOIN tok b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        |ORDER BY 1, 2""".stripMargin)
 }

@@ -36,32 +36,44 @@ object SemiStreamRuntime {
     * equals i (the column is dropped from the staged files). Lets tests
     * control arrival order — e.g. delivering late events after the
     * watermark has advanced.
+    *
+    * One `partitionBy` pass writes every chunk (repartitioned so each
+    * chunk lands in one task → one file) instead of n sequential filtered
+    * writes; files then get strictly increasing mtimes — FileStreamSource
+    * replays in modification-time order, and ties would make batch order
+    * nondeterministic (observed breaking watermark tests).
     */
   def stageByColumn(df: DataFrame, chunkCol: String, n: Int): Path = {
     val dir = Files.createTempDirectory("graft-stream-")
+    val scratch = dir.resolve("scratch")
+    df.repartition(n, col(chunkCol))
+      .write
+      .partitionBy(chunkCol)
+      .parquet(scratch.toString)
     (0 until n).foreach { i =>
-      val scratch = dir.resolve(s"scratch_$i")
-      df.filter(col(chunkCol) === i)
-        .drop(chunkCol)
-        .coalesce(1)
-        .write
-        .parquet(scratch.toString)
-      val part = Files
-        .list(scratch)
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst()
-        .orElseThrow(() => new IllegalStateException(s"no parquet part in $scratch"))
       val target = dir.resolve(f"chunk_$i%05d.parquet")
-      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
-      // FileStreamSource replays in modification-time order and the moved
-      // part keeps its scratch mtime (ties ⇒ nondeterministic batch
-      // order, which breaks watermark tests) — stamp strictly increasing
-      // times so chunk i is always micro-batch i
+      val chunkDir = scratch.resolve(s"$chunkCol=$i")
+      if (Files.isDirectory(chunkDir)) {
+        val part = Files
+          .list(chunkDir)
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst()
+          .orElseThrow(() => new IllegalStateException(s"no parquet part in $chunkDir"))
+        Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        // empty chunk: still emit a file so batch numbering stays stable
+        df.drop(chunkCol).limit(0).coalesce(1).write.parquet(target.toString + ".tmp")
+        val part = Files.list(dir.resolve(target.getFileName.toString + ".tmp"))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(dir.resolve(target.getFileName.toString + ".tmp"))
+      }
       Files.setLastModifiedTime(
         target,
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      deleteRecursively(scratch)
     }
+    deleteRecursively(scratch)
     dir
   }
 

@@ -12,7 +12,12 @@ class DedupSpec extends SparkSpec {
   private lazy val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
 
   test("minhash verified pairs equal the brute-force Jaccard pairs at sf0.001") {
-    val got = Dedup.minhashDuplicatePairs(toks, tau = 0.8).select("x_id", "y_id")
+    // all-pairs mode (no star buckets): the pair-COMPLETE contract; the
+    // default star mode trades pair completeness for linear mega-bucket
+    // cost and is covered by the clustering-oracle query (q19)
+    val got = Dedup
+      .minhashDuplicatePairs(toks, tau = 0.8, maxQuadBucket = Int.MaxValue)
+      .select("x_id", "y_id")
     val a = toks.select(col("sid").as("x_id"), col("toks").as("x_toks"))
     val b = toks.select(col("sid").as("y_id"), col("toks").as("y_toks"))
     val brute = a.crossJoin(b).filter(col("x_id") < col("y_id"))

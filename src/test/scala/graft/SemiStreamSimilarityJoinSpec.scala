@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.SimilarityJoin
+import graft.streaming.SemiStreamSimilarityJoin
+
+class SemiStreamSimilarityJoinSpec extends SparkSpec {
+  init()
+
+  test("streaming similarity join accumulates to the batch similarity join (both directions)") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val r = SemiStreamSimilarityJoin.run(docs, "doc_id", "text", tau = 0.8, chunks = 3)
+
+    val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+    val expected = SimilarityJoin.joinSets(toks, toks, 0.8)
+      .filter(col("x_id") =!= col("y_id"))
+      .select("x_id", "y_id")
+    val got = r.pairs.select("x_id", "y_id")
+    assert(got.count() == expected.count(),
+      s"stream=${got.count()} batch=${expected.count()}")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+
+    // later batches must hit the sig cache: total missed sigs shrink
+    assert(r.stats.size == 3)
+    assert(r.stats.head.missed > 0)
+  }
+
+  test("hot signatures are never admitted to the cache (frequency rule)") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    // maxSigFrequency=1: NOTHING with >1 index row may be cached
+    val r = SemiStreamSimilarityJoin.run(
+      docs, "doc_id", "text", tau = 0.8, chunks = 2, maxSigFrequency = 1)
+    // correctness must hold regardless — hot sigs are simply fetched every
+    // time instead of cached
+    val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+    val expected = SimilarityJoin.joinSets(toks, toks, 0.8)
+      .filter(col("x_id") =!= col("y_id")).count()
+    assert(r.pairs.count() == expected)
+  }
+}
