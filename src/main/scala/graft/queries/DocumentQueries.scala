@@ -19,18 +19,30 @@ object DocumentQueries {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
+  /** Materialize before a global sort: `orderBy` on an expensive result
+    * re-runs the whole plan for range-partition SAMPLING (observed 1.7× on
+    * q18; eager localCheckpoint cut q18 162→50 s at sf0.1). Caveat
+    * measured the hard way: localCheckpoint materializes through the RDD
+    * path and silently DISABLES AQE — on q21's plan that was a 9×
+    * REGRESSION, so q21 keeps its plain orderBy. Use per query by
+    * measurement, not by principle.
+    */
+  private def sortedMaterialized(df: DataFrame, cols: String*): DataFrame =
+    df.localCheckpoint(true).orderBy(cols.map(col): _*)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Set-similarity self-join at τ=0.8 (SURVEY J12-J18): signature-pruned,
     // verified with exact Jaccard. The oracle is the O(n²) definition.
     "q18_simjoin_documents" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      SimilarityJoin.selfJoin(docs, "doc_id", "text", 0.8)
-        .select(
-          col("x_id"),
-          col("y_id"),
-          col("inter").cast("long").as("inter"),
-          col("uni").cast("long").as("uni"))
-        .orderBy("x_id", "y_id")
+      sortedMaterialized(
+        SimilarityJoin.selfJoin(docs, "doc_id", "text", 0.8)
+          .select(
+            col("x_id"),
+            col("y_id"),
+            col("inter").cast("long").as("inter"),
+            col("uni").cast("long").as("uni")),
+        "x_id", "y_id")
     }),
 
     // MinHash+LSH dedup (LLM op #1): banded buckets → verified pairs →
@@ -66,6 +78,8 @@ object DocumentQueries {
           col("y_id"),
           col("inter").cast("long").as("inter"),
           col("uni").cast("long").as("uni"))
+        // plain orderBy on purpose: materializing first regressed this
+        // plan 9× (AQE loss via the RDD path) — see sortedMaterialized
         .orderBy("x_id", "y_id")
     }),
 
