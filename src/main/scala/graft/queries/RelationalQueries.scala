@@ -259,10 +259,12 @@ object RelationalQueries {
     // (verified incl. accented chars); only surrogate pairs (non-BMP)
     // would diverge.
     "q40_java_hash" -> ((s, dir) => {
-      val javaHash = udf((s: String) => s.hashCode)
+      graft.functions.JavaStringHash.register(s)
       t(s, dir, "documents")
         .filter(col("doc_id") < 100)
-        .select(col("doc_id"), javaHash(col("text")).cast("long").as("jhash"))
+        .select(
+          col("doc_id"),
+          graft.functions.JavaStringHash.java_hash(col("text")).cast("long").as("jhash"))
         .orderBy("doc_id")
     }))
 
