@@ -186,7 +186,18 @@ object SimilarityJoin {
       .select("x_id", "y_id")
       .dropDuplicates("x_id", "y_id")
 
-    // Verify: exact Jaccard over the token sets (built-ins, codegen'd).
+    verifyPairs(candidates, probe, index, tau)
+  }
+
+  /** Verify candidate pairs with exact Jaccard over the token sets
+    * (built-ins, codegen'd; no UDF) — the reference's positional-overlap
+    * merge count (`JaccardIndex.scala:27-97`).
+    */
+  private def verifyPairs(
+      candidates: DataFrame,
+      probe: DataFrame,
+      index: DataFrame,
+      tau: Double): DataFrame = {
     val xT = probe.select(col("sid").as("x_id"), col("toks").as("x_toks"))
     val yT = index.select(col("sid").as("y_id"), col("toks").as("y_toks"))
     candidates
@@ -199,9 +210,105 @@ object SimilarityJoin {
       .select("x_id", "y_id", "inter", "uni", "jacc")
   }
 
+  // ------------------------------------------------------ prefix filtering
+
+  /** Index-side token document frequencies — the canonical token order for
+    * prefix filtering (AllPairs/PPJoin: Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08). Output: (tok, df).
+    */
+  def tokenFrequencies(index: DataFrame): DataFrame =
+    index.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
+  /** Reorder each record's token set rarest-first by (df asc, token asc) —
+    * the same total order on both sides (probe tokens absent from the index
+    * get df 0). Output: (sid, slen, otoks).
+    */
+  def orderByFrequency(tokens: DataFrame, freq: DataFrame): DataFrame =
+    tokens
+      .select(col("sid"), col("slen"), explode(col("toks")).as("tok"))
+      .join(freq, Seq("tok"), "left")
+      .groupBy("sid", "slen")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(coalesce(col("df"), lit(0L)).as("df"), col("tok")))),
+          s => s.getField("tok")).as("otoks"))
+
+  /** All pairs with Jaccard ≥ τ via PPJoin-style prefix filtering — the
+    * low-τ batch path where the segment scheme's `H ≈ (1−τ)/(1+τ)·2·hi/τ`
+    * signature count explodes (the reference buys this back with deletion
+    * signatures, `BuildSig.scala:187-200`; prefix filtering is the
+    * published alternative with strictly smaller emission).
+    *
+    * Scheme: tokens sorted rarest-first under one global order; a record of
+    * length s emits only its first `s − ⌈τ·s⌉ + 1` tokens. Any pair with
+    * J ≥ τ (and therefore overlap ≥ ⌈τ·max(|x|,|y|)⌉) must share a prefix
+    * token under the common order, so the token equi-join is complete.
+    * Candidates are then pruned by the exact length window and the PPJoin
+    * positional bound `min(i−1,j−1) + 1 + min(|x|−i, |y|−j) ≥
+    * ⌈τ/(1+τ)·(|x|+|y|)⌉` (a valid overlap upper bound for every shared
+    * token occurrence, so per-row filtering never drops a true match),
+    * deduped, and verified with exact Jaccard.
+    *
+    * Scale: rare-first ordering bounds the join fan-out per token by its
+    * document frequency — the frequent tokens that would dominate an
+    * inverted index sit in suffixes and are never emitted. The shuffles are
+    * all keyed equi-joins (freq groupBy, order rebuild, prefix-token join,
+    * pair dedup); AQE covers residual skew.
+    */
+  def prefixJoin(
+      probe: DataFrame,
+      index: DataFrame,
+      tau: Double,
+      selfJoin: Boolean = false): DataFrame = {
+    val freq = tokenFrequencies(index)
+    val iOrd = orderByFrequency(index, freq)
+    val pOrd = if (selfJoin) iOrd else orderByFrequency(probe, freq)
+
+    def prefixLen(len: Column): Column =
+      (len - ceil(len * tau - Eps) + 1).cast("int")
+
+    val px = pOrd.select(
+      col("sid").as("x_id"),
+      col("slen").as("x_len"),
+      posexplode(slice(col("otoks"), lit(1), prefixLen(col("slen")))).as(Seq("x_pos", "tok")))
+    val iy = iOrd.select(
+      col("sid").as("y_id"),
+      col("slen").as("y_len"),
+      posexplode(slice(col("otoks"), lit(1), prefixLen(col("slen")))).as(Seq("y_pos", "tok")))
+
+    val pairFilter =
+      if (selfJoin) col("x_id") < col("y_id")
+      else lit(true)
+
+    // required overlap for a (|x|,|y|) pair at threshold τ
+    val alphaReq = ceil((col("x_len") + col("y_len")) * (tau / (1 + tau)) - Eps)
+    val posBound =
+      least(col("x_pos"), col("y_pos")) + 1 +
+        least(col("x_len") - col("x_pos") - 1, col("y_len") - col("y_pos") - 1)
+
+    val candidates = px
+      .join(iy, "tok")
+      .filter(
+        col("y_len") >= ceil(col("x_len") * tau - Eps) &&
+          col("y_len") <= floor(col("x_len") / tau + Eps) &&
+          pairFilter &&
+          posBound >= alphaReq)
+      .select("x_id", "y_id")
+      .dropDuplicates("x_id", "y_id")
+
+    verifyPairs(candidates, probe, index, tau)
+  }
+
   /** Self-join convenience over a raw document table. */
   def selfJoin(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
     val toks = tokenize(docs, idCol, textCol)
     joinSets(toks, toks, tau, selfJoin = true)
+  }
+
+  /** Prefix-filtered self-join convenience over a raw document table. */
+  def prefixSelfJoin(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
+    val toks = tokenize(docs, idCol, textCol)
+    prefixJoin(toks, toks, tau, selfJoin = true)
   }
 }

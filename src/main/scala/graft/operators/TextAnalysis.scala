@@ -53,8 +53,16 @@ object TextAnalysis {
     val punct = length(regexp_replace(col(textCol), "[A-Za-z0-9 ]", ""))
     val digits = length(regexp_replace(col(textCol), "[^0-9]", ""))
     val stopEn = stopRatio(t, StopwordProfiles.find(_._1 == "en").get._2)
-    val uniqRatio = nUniq.cast("double") / nTok
-    val lenSat = least(nTok.cast("double") / 100.0, lit(1.0))
+    val nStop = size(filter(t, x =>
+      x.isin(StopwordProfiles.find(_._1 == "en").get._2.map(lit): _*)))
+    // quality = 0.4·min(n,100)/100 + 0.3·uniq/n + 0.3·stop/n, computed as a
+    // SINGLE integer-ratio division: the three-term double sum is
+    // association-order-sensitive in the last ulp, which flipped a
+    // round(·,4) tie between engines — one division of two exact integers
+    // is bit-identical everywhere.
+    val qualityNum = (lit(4L) * least(nTok, lit(100)) * nTok +
+      lit(300L) * nUniq + lit(300L) * nStop).cast("double")
+    val qualityDen = (lit(1000L) * nTok).cast("double")
     df.select(
       col(idCol),
       nChars.as("n_chars"),
@@ -66,7 +74,7 @@ object TextAnalysis {
       round(punct.cast("double") / nChars, 4).as("punct_ratio"),
       round(digits.cast("double") / nChars, 4).as("digit_ratio"),
       round(stopEn, 4).as("stop_ratio"),
-      round(lenSat * 0.4 + uniqRatio * 0.3 + stopEn * 0.3, 4).as("quality"))
+      round(qualityNum / qualityDen, 4).as("quality"))
   }
 
   /** Stopword-profile language ID: the language whose profile has the

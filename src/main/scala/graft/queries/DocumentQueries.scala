@@ -21,22 +21,25 @@ object DocumentQueries {
 
   /** Materialize before a global sort: `orderBy` on an expensive result
     * re-runs the whole plan for range-partition SAMPLING (observed 1.7× on
-    * q18; eager localCheckpoint cut q18 162→50 s at sf0.1). Caveat
-    * measured the hard way: localCheckpoint materializes through the RDD
-    * path and silently DISABLES AQE — on q21's plan that was a 9×
-    * REGRESSION, so q21 keeps its plain orderBy. Use per query by
-    * measurement, not by principle.
+    * q18). `persist()` + an eager count keeps AQE intact (localCheckpoint
+    * materializes through the RDD path and silently disables it — measured
+    * 9× regression on q21's plan) while the sort's sampling pass and real
+    * pass both read the cached partitions.
     */
-  private def sortedMaterialized(df: DataFrame, cols: String*): DataFrame =
-    df.localCheckpoint(true).orderBy(cols.map(col): _*)
+  private def sortedMaterialized(df: DataFrame, cols: String*): DataFrame = {
+    val cached = df.persist()
+    cached.count()
+    cached.orderBy(cols.map(col): _*)
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Set-similarity self-join at τ=0.8 (SURVEY J12-J18): signature-pruned,
-    // verified with exact Jaccard. The oracle is the O(n²) definition.
+    // Set-similarity self-join at τ=0.8 (SURVEY J12-J18): prefix-filtered
+    // candidates (rarest-first token order), verified with exact Jaccard.
+    // The oracle is the O(n²) definition.
     "q18_simjoin_documents" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       sortedMaterialized(
-        SimilarityJoin.selfJoin(docs, "doc_id", "text", 0.8)
+        SimilarityJoin.prefixSelfJoin(docs, "doc_id", "text", 0.8)
           .select(
             col("x_id"),
             col("y_id"),
@@ -72,15 +75,14 @@ object DocumentQueries {
     "q21_simjoin_ngram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val grams = Dedup.ngramTokens(docs, "doc_id", "text", 2)
-      SimilarityJoin.joinSets(grams, grams, tau = 0.6, selfJoin = true)
-        .select(
-          col("x_id"),
-          col("y_id"),
-          col("inter").cast("long").as("inter"),
-          col("uni").cast("long").as("uni"))
-        // plain orderBy on purpose: materializing first regressed this
-        // plan 9× (AQE loss via the RDD path) — see sortedMaterialized
-        .orderBy("x_id", "y_id")
+      sortedMaterialized(
+        SimilarityJoin.prefixJoin(grams, grams, tau = 0.6, selfJoin = true)
+          .select(
+            col("x_id"),
+            col("y_id"),
+            col("inter").cast("long").as("inter"),
+            col("uni").cast("long").as("uni")),
+        "x_id", "y_id")
     }),
 
     // Brute-force cosine top-10 (ANN baseline, LLM op #2): queries are the
@@ -251,10 +253,10 @@ object DocumentQueries {
         |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
         |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS digit_ratio,
         |  round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
-        |  round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
-        |        + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3
-        |        + CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(toks) * 0.3,
-        |        4) AS quality
+        |  round(CAST(4 * least(len(toks), 100) * len(toks)
+        |             + 300 * len(list_distinct(toks))
+        |             + 300 * len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+        |        / CAST(1000 * len(toks) AS DOUBLE), 4) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q26_lang_id" ->
