@@ -26,13 +26,16 @@ import org.apache.spark.sql.functions._
   *     in range — the reference's widened index probe,
   *     `QueryEngineDtw.java`), then exact Sakoe–Chiba banded DTW on the
   *     gathered candidate windows.
-  *   - [[matchNormED]] — z-normalized ED under the reference's amplitude
-  *     constraints (`NormQueryEngine.java`): phase 1 probes
-  *     `|mean_w(s) − mean_w(q)| ≤ α` (the mean-shift tolerance is part of
-  *     the query semantics), phase 2 normalizes each window by its own
-  *     mean/std and verifies.
-  *   - [[matchSubsequence]] — the `sel ∈ {ed, dtw, normed}` dispatch
-  *     (reference `test.java:35-55`).
+  *   - [[matchNormED]] / [[matchNormDTW]] — z-normalized ED / banded DTW
+  *     under the reference's amplitude constraints (`NormQueryEngine.java
+  *     :412`, `NormQueryEngineDtw.java:441-487`): `|μ_s − μ_q| ≤ β`,
+  *     `1/α ≤ σ_s/σ_q ≤ α`, distance between z-normalized forms ≤ ε².
+  *     Phase 1 ([[normCandidateStarts]]) probes raw window means against
+  *     the un-normalized admissible range (the reference's α-extremal
+  *     beginRound/endRound pair); phase 2 normalizes each window by its
+  *     own mean/std in-plan and verifies.
+  *   - [[matchSubsequence]] — the `sel ∈ {ed, dtw, normed, normdtw}`
+  *     dispatch (reference `test.java:35-55`).
   *
   * The query sequence is a driver-side array (the reference holds it on
   * the driver too — it is one live window, thousands of points at most).
@@ -216,50 +219,146 @@ object SubsequenceMatch {
       .select("start", "d2")
   }
 
-  /** Z-normalized ED with the reference's amplitude constraints: matches
-    * must ALSO satisfy |mean(s) − mean(q)| ≤ alpha (phase-1 probe). The
-    * normalized distance uses each window's own mean/std.
+  /** Phase 1 for the NORMALIZED modes (reference `NormQueryEngine.java`,
+    * `NormQueryEngineDtw.java:100-160` `determineQueryPlan`): candidate
+    * starts whose raw window means are consistent with SOME admissible
+    * (μ_s, σ_s) under the amplitude constraints
+    * `|μ_s − μ_q| ≤ β`, `1/α ≤ σ_s/σ_q ≤ α`.
+    *
+    * Derivation per segment (qoff, w): a banded-DTW (band ρ; ρ=0 ⇒ ED)
+    * match pairs each window position p with a query position in
+    * [p−ρ, p+ρ], so the z-normalized segment mean lies in
+    * `[mean(l)−ε/√w, mean(u)+ε/√w]` with l/u the band min/max envelope of
+    * zq (the ε/√w term is Cauchy–Schwarz on the residuals — the
+    * reference's `ε·σ_q/√w` in raw space). Un-normalizing with the extremal
+    * admissible μ_s/σ_s (the reference's α / 1/α `beginRound`/`endRound`
+    * pair) gives the raw-mean probe window.
+    */
+  def normCandidateStarts(
+      index: DataFrame,
+      q: Array[Double],
+      eps: Double,
+      rho: Int,
+      alphaStd: Double,
+      betaMean: Double,
+      widths: Seq[Int]): DataFrame = {
+    require(alphaStd >= 1.0, s"alphaStd is a ratio bound >= 1: $alphaStd")
+    val m = q.length
+    val muQ = q.sum / m
+    val sdQ = math.sqrt(q.map(x => x * x).sum / m - muQ * muQ)
+    require(sdQ > 0, "constant query has no normalized form")
+    val zq = q.map(x => (x - muQ) / sdQ)
+
+    val segs = segments(m, widths)
+    require(segs.nonEmpty, s"query of ${q.length} shorter than every index width")
+    val perSeg = segs.map { case (qoff, w) =>
+      val l = (qoff until qoff + w).map(p =>
+        (math.max(0, p - rho) to math.min(m - 1, p + rho)).map(zq).min)
+      val u = (qoff until qoff + w).map(p =>
+        (math.max(0, p - rho) to math.min(m - 1, p + rho)).map(zq).max)
+      val zLo = l.sum / w - eps / math.sqrt(w)
+      val zHi = u.sum / w + eps / math.sqrt(w)
+      // extremal σ_s over [σq/α, α·σq], sign-dependent
+      val lo = muQ - betaMean +
+        (if (zLo >= 0) sdQ / alphaStd * zLo else alphaStd * sdQ * zLo) - MeanSlack
+      val hi = muQ + betaMean +
+        (if (zHi >= 0) alphaStd * sdQ * zHi else sdQ / alphaStd * zHi) + MeanSlack
+      index
+        .filter(col("w") === w && col("mean").between(lo, hi))
+        .select((col("offset") - qoff).as("start"))
+        .filter(col("start") >= 0)
+        .distinct()
+    }
+    perSeg.reduce((a, b) => a.join(b, Seq("start")))
+  }
+
+  /** Z-normalized ED under the reference's amplitude constraints
+    * (`NormQueryEngine.java:412`): a window s of the series matches iff
+    * `|μ_s − μ_q| ≤ β`, `1/α ≤ σ_s/σ_q ≤ α`, and
+    * `Σ((s−μ_s)/σ_s − zq)² ≤ ε²`. The normalized distance has the closed
+    * form `2m − 2·⟨s, zq⟩/σ_s` (since Σzq = 0, Σzq² = m).
     */
   def matchNormED(
       series: DataFrame,
       index: DataFrame,
       q: Array[Double],
       eps: Double,
-      alpha: Double,
+      alphaStd: Double,
+      betaMean: Double,
       widths: Seq[Int] = DefaultWidths): DataFrame = {
     val m = q.length
     val muQ = q.sum / m
-    val sdQ = math.sqrt(q.map(x => (x - muQ) * (x - muQ)).sum / m)
+    val sdQ = math.sqrt(q.map(x => x * x).sum / m - muQ * muQ)
     require(sdQ > 0, "constant query has no normalized form")
     val qn = q.map(x => (x - muQ) / sdQ)
 
-    // phase 1: window mean within alpha of the query mean (index width
-    // covering the whole query if available, else the largest segment)
-    val w0 = widths.sorted.reverse.find(_ <= m)
-      .getOrElse(throw new IllegalArgumentException("query shorter than every width"))
-    val starts = index
-      .filter(col("w") === w0 && abs(col("mean") - muQ) <= alpha + MeanSlack)
-      .select(col("offset").as("start"))
-      .filter(col("start") >= 0)
-      .distinct()
-
+    val starts = normCandidateStarts(index, q, eps, rho = 0, alphaStd, betaMean, widths)
     gather(series, starts, qn)
       .groupBy("start")
       .agg(
         count(lit(1)).as("c"),
         avg("v").as("mu"),
         sqrt(avg(pow(col("v"), 2)) - pow(avg(col("v")), 2)).as("sd"),
-        sum(col("v") * col("qv")).as("dotNq"),
-        sum(col("v")).as("sumS"))
+        sum(col("v") * col("qv")).as("dotNq"))
       .filter(col("c") === m && col("sd") > 0)
       // normED² = Σ((s−μ)/σ − qn)² = m + m − 2/σ·(Σ s·qn − μ·Σ qn)
       //         = 2m − 2·dotNq/σ   (Σ qn = 0)
       .withColumn("d2", lit(2.0 * m) - lit(2.0) * col("dotNq") / col("sd"))
-      .filter(col("d2") <= eps * eps && abs(col("mu") - muQ) <= alpha)
+      .filter(
+        col("d2") <= eps * eps &&
+          abs(col("mu") - muQ) <= betaMean &&
+          col("sd") / sdQ <= alphaStd && col("sd") / sdQ >= 1.0 / alphaStd)
       .select("start", "d2")
   }
 
-  /** Query-mode dispatch (reference `test.java:35-55`). */
+  /** Z-normalized banded DTW under the same amplitude constraints — the
+    * reference's 4th query mode (`NormQueryEngineDtw.java:441-487`):
+    * `|μ_s − μ_q| ≤ β`, `1/α ≤ σ_s/σ_q ≤ α`, and banded
+    * DTW((s−μ_s)/σ_s, zq) ≤ ε². Phase 1 is the band-widened envelope probe;
+    * phase 2 z-normalizes each candidate window in-plan and runs the exact
+    * banded DP.
+    */
+  def matchNormDTW(
+      series: DataFrame,
+      index: DataFrame,
+      q: Array[Double],
+      eps: Double,
+      rho: Int,
+      alphaStd: Double,
+      betaMean: Double,
+      widths: Seq[Int] = DefaultWidths): DataFrame = {
+    val m = q.length
+    val muQ = q.sum / m
+    val sdQ = math.sqrt(q.map(x => x * x).sum / m - muQ * muQ)
+    require(sdQ > 0, "constant query has no normalized form")
+    val zq = q.map(x => (x - muQ) / sdQ)
+
+    val starts = normCandidateStarts(index, q, eps, rho, alphaStd, betaMean, widths)
+    val windows = gather(series, starts, zq)
+      .groupBy("start")
+      .agg(
+        sort_array(collect_list(struct(col("qi"), col("v")))).as("w"),
+        count(lit(1)).as("c"),
+        avg("v").as("mu"),
+        sqrt(avg(pow(col("v"), 2)) - pow(avg(col("v")), 2)).as("sd"))
+      .filter(
+        col("c") === m && col("sd") > 0 &&
+          abs(col("mu") - muQ) <= betaMean &&
+          col("sd") / sdQ <= alphaStd && col("sd") / sdQ >= 1.0 / alphaStd)
+      .select(
+        col("start"),
+        transform(col("w.v"), x => (x - col("mu")) / col("sd")).as("svals"))
+    val qLit = typedLit(zq.toSeq)
+    windows
+      .withColumn("d2", dtwBanded(col("svals"), qLit, lit(rho)))
+      .filter(col("d2") <= eps * eps)
+      .select("start", "d2")
+  }
+
+  /** Query-mode dispatch (reference `test.java:35-55`): `sel ∈ {ed, dtw,
+    * normed, normdtw}`. For the normalized modes `alpha` is the std-ratio
+    * bound and `beta` the mean-shift tolerance (reference parameter names).
+    */
   def matchSubsequence(
       mode: String,
       series: DataFrame,
@@ -267,11 +366,13 @@ object SubsequenceMatch {
       q: Array[Double],
       eps: Double,
       band: Int = 5,
-      alpha: Double = 10.0,
+      alpha: Double = 3.0,
+      beta: Double = 10.0,
       widths: Seq[Int] = DefaultWidths): DataFrame = mode match {
-    case "ed"     => matchED(series, index, q, eps, widths)
-    case "dtw"    => matchDTW(series, index, q, eps, band, widths)
-    case "normed" => matchNormED(series, index, q, eps, alpha, widths)
-    case other    => throw new IllegalArgumentException(s"unknown match mode: $other")
+    case "ed"      => matchED(series, index, q, eps, widths)
+    case "dtw"     => matchDTW(series, index, q, eps, band, widths)
+    case "normed"  => matchNormED(series, index, q, eps, alpha, beta, widths)
+    case "normdtw" => matchNormDTW(series, index, q, eps, band, alpha, beta, widths)
+    case other     => throw new IllegalArgumentException(s"unknown match mode: $other")
   }
 }

@@ -195,9 +195,10 @@ object DocumentQueries {
     }),
 
     // Multimodal decode (stubbed) + batched feature extraction: the decode
-    // itself is a deterministic fake (no codecs in this container), so the
-    // driver records rows-only; MultimodalSpec pins batch shape and
-    // determinism.
+    // stub is a deterministic rolling hash, so it IS oracle-able — the
+    // DuckDB side replays the same Java arithmetic (64-bit wraparound via
+    // HUGEINT, float32 accumulation) in a recursive CTE. MultimodalSpec
+    // additionally pins batch shape and determinism.
     "q37_multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
       Multimodal.extractFeatures(Multimodal.resize(media, 64, 64))
@@ -295,6 +296,44 @@ object DocumentQueries {
         |            AS BIGINT) AS n_sigs
         |FROM tok t JOIN grp g ON t.slen BETWEEN g.lo AND g.hi
         |ORDER BY t.doc_id""".stripMargin,
+
+    // decodeStub replay: h ← (31·h + byte) mod 2⁶⁴ (Java long wraparound,
+    // done in HUGEINT), slot i%16 accumulates (signed(h) % 1000)/1000 in
+    // FLOAT32 — bit-identical to the Scala stub on ASCII payloads, so the
+    // final double left-fold and round(·,3) agree exactly.
+    "q37_multimodal_decode" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+        |         substr(text, 1,
+        |           CAST(greatest(1, (CAST(octet_length(encode(text)) AS BIGINT) * 4096)
+        |                            // greatest(CAST(n_chars AS BIGINT), 1)) AS INT)) AS t
+        |  FROM documents),
+        |step(media_id, kind, t, i, h, fs) AS (
+        |  SELECT media_id, kind, t, 0,
+        |         CAST(1125899906842597 AS HUGEINT),
+        |         [CAST(0 AS FLOAT) FOR x IN range(16)]
+        |  FROM m
+        |  UNION ALL
+        |  SELECT media_id, kind, t, i + 1, hn,
+        |         list_transform(range(16), x ->
+        |           CASE WHEN x = (i % 16)
+        |                THEN CAST(fs[x + 1] + CAST(CAST(CASE WHEN hn >= CAST(9223372036854775808 AS HUGEINT)
+        |                                                     THEN hn - CAST(18446744073709551616 AS HUGEINT)
+        |                                                     ELSE hn END % 1000 AS BIGINT) AS FLOAT)
+        |                               / CAST(1000.0 AS FLOAT) AS FLOAT)
+        |                ELSE fs[x + 1] END)
+        |  FROM (
+        |    SELECT media_id, kind, t, i, fs,
+        |           (31 * h + unicode(substr(t, i + 1, 1)))
+        |             % CAST(18446744073709551616 AS HUGEINT) AS hn
+        |    FROM step WHERE i < length(t)) s)
+        |SELECT media_id, kind, CAST(16 AS BIGINT) AS feat_dim,
+        |       round(CAST(fs[1] AS DOUBLE) + fs[2] + fs[3] + fs[4] + fs[5] + fs[6]
+        |             + fs[7] + fs[8] + fs[9] + fs[10] + fs[11] + fs[12] + fs[13]
+        |             + fs[14] + fs[15] + fs[16], 3) AS feat_l1
+        |FROM step WHERE i = length(t)
+        |ORDER BY media_id""".stripMargin,
 
     "q36_multimodal_frames" ->
       """WITH m AS (

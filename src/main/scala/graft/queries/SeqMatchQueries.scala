@@ -57,18 +57,61 @@ object SeqMatchQueries {
         .orderBy("start")
     }),
 
-    // Z-normalized ED with amplitude constraint (SURVEY M5): rows-only
-    // (spec holds the naive-equality check).
+    // Z-normalized ED with the reference's amplitude constraints (SURVEY
+    // M5): oracle is the closed form 2m − 2·⟨s,zq⟩/σ_s over the
+    // brute-force sliding window.
     "q30_seqmatch_normed" -> ((s, dir) => {
       val series = deltaSeries(Tables(s, dir, "events"))
       val q = queryWindow(series, 500, 100)
       val index = SubsequenceMatch.meanIndex(series)
-      SubsequenceMatch.matchNormED(series, index, q, eps = math.sqrt(117.0), alpha = 5.0)
+      SubsequenceMatch.matchNormED(
+          series, index, q, eps = math.sqrt(117.0), alphaStd = 3.0, betaMean = 5.0)
+        // clamp: the closed form can land at −1e-13 on the self-match and
+        // round to an engine-dependent −0.0
+        .select(col("start"), round(greatest(col("d2"), lit(0.0)), 2).as("d2"))
+        .orderBy("start")
+    }),
+
+    // Z-normalized banded DTW (SURVEY M5/M6 — the reference's 4th query
+    // mode): DTW's DP has no SQL form → rows-only; SubsequenceMatchSpec
+    // compares against a naive full-scan normalized DTW.
+    "q42_seqmatch_normdtw" -> ((s, dir) => {
+      val series = deltaSeries(Tables(s, dir, "events"))
+      val q = queryWindow(series, 500, 100)
+      val index = SubsequenceMatch.meanIndex(series)
+      SubsequenceMatch.matchNormDTW(
+          series, index, q, eps = math.sqrt(20.0), rho = 5, alphaStd = 3.0, betaMean = 5.0)
         .select(col("start"), round(col("d2"), 2).as("d2"))
         .orderBy("start")
     }))
 
   val oracles: Map[String, String] = Map(
+    // normED closed form: d2 = 2m − 2·⟨s, zq⟩/σ_s with the amplitude
+    // filters — same cross-join-and-group shape as q28's oracle.
+    "q30_seqmatch_normed" ->
+      """WITH d AS (
+        |  SELECT a.event_id AS idx, b.value - a.value AS v
+        |  FROM events a JOIN events b ON b.event_id = a.event_id + 1),
+        |q AS (SELECT idx - 500 AS qi, v AS qv FROM d WHERE idx >= 500 AND idx < 600),
+        |qs AS (SELECT avg(qv) AS muq,
+        |              sqrt(avg(pow(qv, 2)) - pow(avg(qv), 2)) AS sdq FROM q),
+        |zq AS (SELECT qi, (qv - muq) / sdq AS zqv FROM q, qs),
+        |w AS (
+        |  SELECT s.idx - z.qi AS start,
+        |         count(*) AS c,
+        |         avg(s.v) AS mu,
+        |         sqrt(avg(pow(s.v, 2)) - pow(avg(s.v), 2)) AS sd,
+        |         sum(s.v * z.zqv) AS dot
+        |  FROM d s JOIN zq z ON true
+        |  GROUP BY 1)
+        |SELECT start, round(greatest(200 - 2 * dot / sd, 0), 2) AS d2
+        |FROM w, qs
+        |WHERE c = 100 AND sd > 0
+        |  AND abs(mu - muq) <= 5.0
+        |  AND sd / sdq <= 3.0 AND sd / sdq >= 1.0 / 3.0
+        |  AND 200 - 2 * dot / sd <= 117.0
+        |ORDER BY start""".stripMargin,
+
     "q28_seqmatch_ed" ->
       """WITH d AS (
         |  SELECT a.event_id AS idx, b.value - a.value AS v

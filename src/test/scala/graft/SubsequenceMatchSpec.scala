@@ -86,23 +86,62 @@ class SubsequenceMatchSpec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
-  test("matchNormED equals the naive z-normalized scan under the alpha constraint") {
-    val muQ = q.sum / m
-    val sdQ = math.sqrt(q.map(x => (x - muQ) * (x - muQ)).sum / m)
-    val qn = q.map(x => (x - muQ) / sdQ)
-    val alpha = 5.0
-    def naiveNorm(o: Int): Option[Double] = {
-      val s = vals.slice(o, o + m)
-      val mu = s.sum / m
-      val sd = math.sqrt(s.map(x => (x - mu) * (x - mu)).sum / m)
-      if (sd == 0 || math.abs(mu - muQ) > alpha) None
-      else Some(s.zip(qn).map { case (x, z) => { val d = (x - mu) / sd - z; d * d } }.sum)
-    }
+  private lazy val muQ = q.sum / m
+  private lazy val sdQ = math.sqrt(q.map(x => x * x).sum / m - muQ * muQ)
+  private lazy val qn = q.map(x => (x - muQ) / sdQ)
+
+  /** (mu, sd, z-normalized window) if the amplitude constraints hold. */
+  private def normWindow(o: Int, alpha: Double, beta: Double): Option[Array[Double]] = {
+    val s = vals.slice(o, o + m)
+    val mu = s.sum / m
+    val sd = math.sqrt(s.map(x => x * x).sum / m - mu * mu)
+    if (sd <= 0 || math.abs(mu - muQ) > beta ||
+      sd / sdQ > alpha || sd / sdQ < 1.0 / alpha) None
+    else Some(s.map(x => (x - mu) / sd))
+  }
+
+  test("matchNormED equals the naive z-normalized scan under the amplitude constraints") {
+    val alpha = 3.0
+    val beta = 5.0
+    def naiveNorm(o: Int): Option[Double] =
+      normWindow(o, alpha, beta).map(_.zip(qn).map { case (x, z) =>
+        val d = x - z; d * d
+      }.sum)
     val all = (0 to vals.length - m).flatMap(o => naiveNorm(o).map(o -> _))
     val sorted = all.map(_._2).sorted
     val eps2 = (sorted(5) + sorted(6)) / 2
     val expected = all.filter(_._2 <= eps2).map(_._1).toSet
-    val got = SubsequenceMatch.matchNormED(series, index, q, math.sqrt(eps2), alpha)
+    val got = SubsequenceMatch.matchNormED(series, index, q, math.sqrt(eps2), alpha, beta)
+      .select("start").collect().map(_.getLong(0).toInt).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("matchNormDTW equals the naive z-normalized banded DTW scan") {
+    val alpha = 3.0
+    val beta = 5.0
+    val rho = 3
+    def naiveNormDtw(o: Int): Option[Double] =
+      normWindow(o, alpha, beta).map { zs =>
+        val INF = Double.MaxValue / 4
+        val prev = Array.fill(m + 1)(INF)
+        val curr = Array.fill(m + 1)(INF)
+        prev(0) = 0.0
+        for (i <- 1 to m) {
+          java.util.Arrays.fill(curr, INF)
+          for (j <- math.max(1, i - rho) to math.min(m, i + rho)) {
+            val c = (qn(i - 1) - zs(j - 1)) * (qn(i - 1) - zs(j - 1))
+            curr(j) = c + math.min(prev(j), math.min(prev(j - 1), curr(j - 1)))
+          }
+          System.arraycopy(curr, 0, prev, 0, m + 1)
+        }
+        prev(m)
+      }
+    val all = (0 to vals.length - m).flatMap(o => naiveNormDtw(o).map(o -> _))
+    val sorted = all.map(_._2).sorted
+    val eps2 = (sorted(5) + sorted(6)) / 2
+    val expected = all.filter(_._2 <= eps2).map(_._1).toSet
+    val got = SubsequenceMatch
+      .matchNormDTW(series, index, q, math.sqrt(eps2), rho, alpha, beta)
       .select("start").collect().map(_.getLong(0).toInt).toSet
     assert(got == expected, s"got=$got expected=$expected")
   }
