@@ -145,8 +145,12 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // convergence check: the sum of labels strictly decreases while any
     // label can still shrink (min-propagation is monotone), so one cheap
-    // agg per iteration replaces a join+filter+count
-    var prevSum = labels.agg(sum("rep")).head().getLong(0)
+    // agg per iteration replaces a join+filter+count. Summed in
+    // DECIMAL(38,0): a Long sum overflows (ANSI-mode exception) once id
+    // ranges × row counts pass ~2⁶³ — 38 digits cover any realistic table.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -156,8 +160,8 @@ object Dedup {
       val next = labels.select("id", "rep").unionByName(viaNeighbor)
         .groupBy("id").agg(min("rep").as("rep"))
         .localCheckpoint(true) // truncate lineage every round
-      val s = next.agg(sum("rep")).head().getLong(0)
-      converged = s == prevSum
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()
       labels = next

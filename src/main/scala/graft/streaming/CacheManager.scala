@@ -9,31 +9,60 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.operators.SemiStreamJoin
 
-/** Cross-batch cache state for the semi-stream join: a bounded, LRU-evicted
-  * cache of stored-side rows plus the adaptive caching-window controller.
+/** Pluggable cache-eviction policy (reference DSim-Join ships an LRU-window
+  * family plus a cost-balancing variant,
+  * `DSim-Join/src/main/scala/ds_join/DS_SimJoin_stream_ver3.scala:501-532`).
+  */
+sealed trait EvictionPolicy
+
+/** Age-window LRU: keys unseen for `window` batches leave the cache; the
+  * window adapts via [[AdaptiveWindowController]]. The reference's default
+  * (`DS-Join/DS_join_step4/src/main/scala/streaming.scala:543-587`).
+  */
+case object LruWindow extends EvictionPolicy
+
+/** Cost-ranked bound: the cache keeps at most `maxEntries` keys, ranked by
+  * observed hit frequency then recency — the reference ver3's
+  * cost-balancing eviction re-expressed as a top-k keep-set
+  * (`DS_SimJoin_stream_ver3.scala:501-532` sorts cached keys by benefit and
+  * drops the tail).
+  */
+final case class CostRanked(maxEntries: Int) extends EvictionPolicy
+
+/** Cross-batch cache state for the semi-stream join: a bounded cache of
+  * stored-side rows with a pluggable eviction policy plus the adaptive
+  * caching-window controller.
   *
   * Re-expresses the reference's cache/LRU machinery
   * (`DS-Join/DS_join_step4/src/main/scala/streaming.scala`):
   *
   *   - LRU upsert (`:421-460`): per batch, every touched key's last-seen
-  *     batch id is upserted into the LRU relation via anti-join ∪ union;
-  *     after an eviction, entries older than the previous threshold are
-  *     dropped in the same pass.
-  *   - Eviction (`:543-587`): keys with last-seen < batchId − window leave
-  *     the cache; this batch's fetched rows (optionally filtered by an
-  *     admission rule, reference `DSim-Join/src/main/scala/ds_join/
-  *     DS_SimJoin_stream.scala:838`) enter it. A miss-free batch leaves the
-  *     cache untouched (reference `:557-559`).
+  *     batch id (and running hit count, for cost policies) is upserted via
+  *     ONE full-outer join; entries older than the last eviction threshold
+  *     drop out in the same pass.
+  *   - Eviction (`:543-587`): [[LruWindow]] drops keys with last-seen <
+  *     batchId − window; [[CostRanked]] keeps the top-`maxEntries` keys by
+  *     (hits, recency). This batch's fetched rows (optionally filtered by
+  *     an admission rule, reference `DSim-Join/src/main/scala/ds_join/
+  *     DS_SimJoin_stream.scala:838`) enter the cache. A miss-free batch
+  *     leaves the cache untouched (reference `:557-559`).
   *   - Lineage truncation (`:449-451,570-573`): `localCheckpoint` every
   *     `checkpointEvery` batches — cross-batch union/anti-join state grows
   *     an unbounded plan otherwise.
   *   - Adaptive window ([[AdaptiveWindowController]], `:462-540`).
   *
-  * The reference overlaps these stages with driver threads; here each batch
-  * is one DataFrame DAG — Catalyst pipelines it, and the cache/LRU rotation
-  * (materialize new → unpersist old) keeps each state bounded. At cluster
-  * scale the state DataFrames are per-executor cached blocks, exactly like
-  * the reference's cached RDDs; the admission/eviction joins shuffle
+  * Driver round-trips per batch are the latency floor at short trigger
+  * intervals (the reference overlapped its stages with threads), so the
+  * per-batch DAG is kept to FOUR blocking actions: the fetch count (it
+  * gates the miss/no-miss branch and feeds the controller), the joined
+  * output consume, and one materializing count per rotated state — the old
+  * expired-keys probe is folded into the eviction anti-join (an empty
+  * right side is a no-op, no count needed to branch). Fusing the two state
+  * counts into one lazy job was tried and REVERTED: the cache plan reads
+  * the new LRU, and compiling the unmaterialized LRU subtree into the
+  * bigger DAG measured 3× slower per batch. At cluster scale the
+  * state DataFrames are per-executor cached blocks, exactly like the
+  * reference's cached RDDs; the admission/eviction joins shuffle
   * cache-sized (not stored-sized) relations, and the stored side is only
   * ever touched through the semi-join reduction on missed keys.
   */
@@ -43,7 +72,8 @@ final class CacheManager(
     key: String,
     config: AdaptiveWindowController.Config = AdaptiveWindowController.Config(),
     checkpointEvery: Int = 8,
-    admit: DataFrame => DataFrame = identity) {
+    admit: DataFrame => DataFrame = identity,
+    policy: EvictionPolicy = LruWindow) {
 
   import CacheManager.BatchStats
 
@@ -60,10 +90,10 @@ final class CacheManager(
       spark.sparkContext.emptyRDD[Row],
       StructType(Seq(
         StructField(key, initialCache.schema(key).dataType),
-        StructField("last_seen", LongType))))
+        StructField("last_seen", LongType),
+        StructField("hits", LongType))))
     .persist(storage)
   private var ctrl = AdaptiveWindowController.initial(config)
-  private var evictedLastBatch = false
   private var prevThreshold = Long.MinValue
   private var batchId = 0L
 
@@ -93,17 +123,27 @@ final class CacheManager(
 
     consume(r.out)
 
-    // --- LRU upsert (reference :421-460) ---
+    // --- LRU upsert (reference :421-460), one full-outer join ---
+    // Entries below the last eviction threshold left the cache then; they
+    // drop out of the LRU here (the old conditional cleanup is a no-op
+    // filter when no eviction happened — nothing sat below the threshold).
     val touched = batch
       .select(col(key))
       .distinct()
-      .withColumn("last_seen", lit(id))
-    val lruBase =
-      if (evictedLastBatch) lru.filter(col("last_seen") >= prevThreshold)
-      else lru
+      .withColumn("t_seen", lit(id))
     val newLru = maybeCheckpoint(
-      lruBase.join(touched, Seq(key), "left_anti").unionByName(touched),
+      lru.filter(col("last_seen") >= prevThreshold)
+        .join(touched, Seq(key), "full")
+        .select(
+          col(key),
+          coalesce(col("t_seen"), col("last_seen")).as("last_seen"),
+          (coalesce(col("hits"), lit(0L)) +
+            when(col("t_seen").isNotNull, 1L).otherwise(0L)).as("hits")),
       id)
+    // materialize BEFORE the cache update references it: the eviction plan
+    // reads the new LRU, and an unmaterialized state subtree would be
+    // recompiled and recomputed inside the (bigger) cache DAG — measured
+    // 3× slower per batch than two small sequential jobs
     newLru.count()
     lru.unpersist()
     lru = newLru
@@ -120,20 +160,28 @@ final class CacheManager(
     // --- cache update (reference :543-587) ---
     val tc0 = System.nanoTime()
     if (missedCount > 0) {
-      val expiredKeys = lru.filter(col("last_seen") < threshold).select(key)
       val admitted = admit(r.fetched)
-      val evicting = expiredKeys.count() > 0
-      val updated =
-        if (evicting) cache.join(expiredKeys, Seq(key), "left_anti").unionByName(admitted)
-        else cache.unionByName(admitted)
-      evictedLastBatch = evicting
-      if (evicting) prevThreshold = threshold
-      val newCache = maybeCheckpoint(updated, id)
+      val newCache = policy match {
+        case LruWindow =>
+          // the expired-keys probe is folded into the anti-join: an empty
+          // right side is a no-op, no driver count needed to branch
+          val expiredKeys = lru.filter(col("last_seen") < threshold).select(key)
+          prevThreshold = threshold
+          maybeCheckpoint(
+            cache.join(expiredKeys, Seq(key), "left_anti").unionByName(admitted),
+            id)
+        case CostRanked(maxEntries) =>
+          val keep = lru
+            .orderBy(col("hits").desc, col("last_seen").desc, col(key))
+            .limit(maxEntries)
+            .select(key)
+          maybeCheckpoint(
+            cache.unionByName(admitted).join(keep, Seq(key), "left_semi"),
+            id)
+      }
       newCache.count()
       cache.unpersist()
       cache = newCache
-    } else {
-      evictedLastBatch = false
     }
     val cacheMs = (System.nanoTime() - tc0) / 1e6
     ctrl = AdaptiveWindowController.recordCacheTime(ctrl, cacheMs)
@@ -152,7 +200,7 @@ final class CacheManager(
 
   /** `localCheckpoint` (eager — also persists) on cadence batches, plain
     * persist otherwise; either way the new state is materialized by the
-    * caller's `count()` before the old one is unpersisted.
+    * caller's action before the old one is unpersisted.
     */
   private def maybeCheckpoint(df: DataFrame, id: Long): DataFrame =
     if (checkpointEvery > 0 && id % checkpointEvery == 0) df.localCheckpoint(true)

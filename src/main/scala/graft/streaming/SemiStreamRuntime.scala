@@ -129,10 +129,12 @@ object SemiStreamRuntime {
       chunkKey: String,
       chunks: Int = 8,
       config: AdaptiveWindowController.Config = AdaptiveWindowController.Config(),
-      checkpointEvery: Int = 4): (DataFrame, Seq[CacheManager.BatchStats]) = {
+      checkpointEvery: Int = 4,
+      policy: EvictionPolicy = LruWindow): (DataFrame, Seq[CacheManager.BatchStats]) = {
     val spark = input.sparkSession
     val staged = stage(input, chunkKey, chunks)
-    val manager = new CacheManager(stored, cacheSeed, key, config, checkpointEvery)
+    val manager =
+      new CacheManager(stored, cacheSeed, key, config, checkpointEvery, policy = policy)
     try {
       val out = run(spark, staged, input.schema, manager)
       (out, manager.stats.toList)

@@ -40,6 +40,22 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L), (7L, 7L)))
   }
 
+  test("connected components converge with ids near Long.MaxValue") {
+    // a Long sum of labels would overflow here (ANSI exception) — the
+    // decimal convergence agg must not
+    import spark.implicits._
+    val big = Long.MaxValue
+    val ids = Seq(big, big - 1, big - 2, big - 3, big - 4)
+    val nodes = ids.toDF("id")
+    val edges = Seq((big, big - 1), (big - 2, big - 3)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (big - 4, big - 4),
+      (big - 3, big - 3), (big - 2, big - 3),
+      (big - 1, big - 1), (big, big - 1)))
+  }
+
   test("exact dedup groups byte-identical texts only") {
     import spark.implicits._
     val df = Seq(

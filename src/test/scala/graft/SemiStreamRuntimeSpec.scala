@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.streaming.{AdaptiveWindowController, CacheManager, SemiStreamRuntime}
+import graft.streaming.{AdaptiveWindowController, CacheManager, CostRanked, SemiStreamRuntime}
 
 /** End-to-end Structured Streaming semi-stream join on sf0.001: the
   * accumulated micro-batch output must equal the plain join (bag
@@ -92,5 +92,54 @@ class SemiStreamRuntimeSpec extends SparkSpec {
         s"cache never evicted: $cacheKeys keys cached, expected <= ${2 * span}")
       assert(manager.currentWindow == 1)
     } finally manager.close()
+  }
+
+  test("cost-ranked eviction bounds the cache and keeps the hottest keys") {
+    val part = Tables(spark, sfSmoke, "part")
+    val emptySeed = part.limit(0)
+    val maxEntries = 20
+
+    val manager = new CacheManager(
+      part, emptySeed, "p_partkey",
+      AdaptiveWindowController.Config(initialWindow = 8, warmupBatches = 1000),
+      checkpointEvery = 0,
+      policy = CostRanked(maxEntries))
+    try {
+      // keys 0..19 recur EVERY batch (hot); each batch also touches a
+      // disjoint cold range — the bound must evict cold keys, never hot ones
+      val hot = part.filter(col("p_partkey") < 20).select("p_partkey")
+      (0 until 4).foreach { i =>
+        val cold = part
+          .filter(col("p_partkey") >= 100 + i * 50 && col("p_partkey") < 100 + (i + 1) * 50)
+          .select("p_partkey")
+        manager.processBatch(hot.unionByName(cold))(_.count())
+      }
+      val cached = manager.cacheSnapshot.select("p_partkey")
+        .collect().map(_.getLong(0)).toSet
+      assert(cached.size <= maxEntries,
+        s"cost-ranked cache exceeded its bound: ${cached.size} > $maxEntries")
+      assert((0L until 20L).toSet.subsetOf(cached),
+        s"hot keys were evicted: kept=$cached")
+    } finally manager.close()
+  }
+
+  test("streaming semi-stream join under cost-ranked policy still accumulates to the plain join") {
+    // correctness is policy-invariant: caching only changes WHERE rows are
+    // served from, never the join result
+    val li = Tables(spark, sfSmoke, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
+    val part = Tables(spark, sfSmoke, "part")
+    val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
+
+    val (out, _) = SemiStreamRuntime.semiStreamJoin(
+      li, part, cache,
+      key = "p_partkey", chunkKey = "l_orderkey", chunks = 4,
+      config = AdaptiveWindowController.Config(initialWindow = 2, warmupBatches = 1),
+      checkpointEvery = 2,
+      policy = CostRanked(64))
+
+    val plain = li.join(part, "p_partkey")
+    assert(out.count() == plain.count())
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
   }
 }
