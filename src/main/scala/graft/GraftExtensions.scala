@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.JavaStringHash
+import graft.functions.{ArrayIntersectSize, JavaStringHash}
 
 /** SparkSessionExtensions entry point: installs graft's engine functions
   * into every session built with
@@ -25,6 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "java_hash(str) - Java String.hashCode of `str` (reference-compatible signature keys).",
         ""),
       exprs => JavaStringHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("intersect_size"),
+      new ExpressionInfo(
+        classOf[ArrayIntersectSize].getName,
+        null,
+        "intersect_size",
+        "intersect_size(a, b) - distinct-element intersection count of two string arrays (similarity-join verify kernel).",
+        ""),
+      exprs => ArrayIntersectSize(exprs.head, exprs(1))))
     ()
   }
 }

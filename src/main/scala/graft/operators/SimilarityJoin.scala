@@ -189,21 +189,26 @@ object SimilarityJoin {
     verifyPairs(candidates, probe, index, tau)
   }
 
-  /** Verify candidate pairs with exact Jaccard over the token sets
-    * (built-ins, codegen'd; no UDF) — the reference's positional-overlap
-    * merge count (`JaccardIndex.scala:27-97`).
+  /** Verify candidate pairs with exact Jaccard over the token sets —
+    * the reference's positional-overlap merge count
+    * (`JaccardIndex.scala:27-97`), computed by the fused
+    * [[graft.functions.ArrayIntersectSize]] codegen expression (counts the
+    * intersection without materializing it; no UDF).
     */
   private def verifyPairs(
       candidates: DataFrame,
       probe: DataFrame,
       index: DataFrame,
       tau: Double): DataFrame = {
+    graft.functions.ArrayIntersectSize.register(index.sparkSession)
     val xT = probe.select(col("sid").as("x_id"), col("toks").as("x_toks"))
     val yT = index.select(col("sid").as("y_id"), col("toks").as("y_toks"))
     candidates
       .join(xT, "x_id")
       .join(yT, "y_id")
-      .withColumn("inter", size(array_intersect(col("x_toks"), col("y_toks"))))
+      .withColumn(
+        "inter",
+        graft.functions.ArrayIntersectSize.intersect_size(col("x_toks"), col("y_toks")))
       .withColumn("uni", size(col("x_toks")) + size(col("y_toks")) - col("inter"))
       .withColumn("jacc", col("inter").cast("double") / col("uni"))
       .filter(col("jacc") >= tau)

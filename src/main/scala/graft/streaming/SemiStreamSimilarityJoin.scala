@@ -41,6 +41,7 @@ object SemiStreamSimilarityJoin {
       maxSigFrequency: Long = 50,
       config: AdaptiveWindowController.Config = AdaptiveWindowController.Config()): Result = {
     val spark = docs.sparkSession
+    graft.functions.ArrayIntersectSize.register(spark)
 
     // ---- static side (built once, like BuildSig's offline pass) ----
     val toks = SimilarityJoin.tokenize(docs, idCol, textCol).persist()
@@ -87,7 +88,10 @@ object SemiStreamSimilarityJoin {
           .dropDuplicates("x_id", "y_id")
           .join(xT, "x_id")
           .join(yT, "y_id")
-          .withColumn("inter", size(array_intersect(col("x_toks"), col("y_toks"))))
+          .withColumn(
+            "inter",
+            graft.functions.ArrayIntersectSize
+              .intersect_size(col("x_toks"), col("y_toks")))
           .withColumn(
             "uni",
             size(col("x_toks")) + size(col("y_toks")) - col("inter"))
