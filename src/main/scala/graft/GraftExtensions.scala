@@ -1,17 +1,30 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{ArrayIntersectSize, JavaStringHash}
+import graft.operators.SimilarityJoin
 
 /** SparkSessionExtensions entry point: installs graft's engine functions
-  * into every session built with
+  * and table functions into every session built with
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`), so SQL users get them without
   * per-session registration — the packaged-library form of the
   * extension mechanism.
+  *
+  * SQL surface:
+  *   - `java_hash(str)` / `intersect_size(a, b)` — scalar expressions.
+  *   - `SELECT * FROM similarity_join('table', 'idCol', 'textCol', tau)` —
+  *     the set-similarity self-join (SURVEY J12) as a table-valued
+  *     function: all pairs with Jaccard ≥ tau over whitespace tokens,
+  *     columns (x_id, y_id, inter, uni, jacc). The builder is fully lazy
+  *     (prefix-filter plan, no eager action), so the TVF composes like any
+  *     relation.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -34,6 +47,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "intersect_size(a, b) - distinct-element intersection count of two string arrays (similarity-join verify kernel).",
         ""),
       exprs => ArrayIntersectSize(exprs.head, exprs(1))))
+    ext.injectTableFunction((
+      FunctionIdentifier("similarity_join"),
+      new ExpressionInfo(
+        classOf[SimilarityJoin.type].getName,
+        null,
+        "similarity_join",
+        "similarity_join(table, idCol, textCol, tau) - all pairs of rows with token-set Jaccard >= tau.",
+        ""),
+      exprs => GraftExtensions.similarityJoinPlan(exprs)))
     ()
+  }
+}
+
+object GraftExtensions {
+
+  /** Build the similarity-join logical plan from TVF arguments
+    * (string/double literals only — the table is resolved through the
+    * session catalog, then the lazy prefix-filter plan wraps it).
+    */
+  private[graft] def similarityJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(
+      exprs.length == 4,
+      "similarity_join expects (table, idCol, textCol, tau), got " + exprs.length + " arguments")
+    def str(e: Expression, what: String): String = e match {
+      case Literal(v: UTF8String, StringType) => v.toString
+      case other =>
+        throw new IllegalArgumentException(
+          s"similarity_join: $what must be a string literal, got $other")
+    }
+    val tau = exprs(3) match {
+      case Literal(v, _) if v != null => v.toString.toDouble
+      case other =>
+        throw new IllegalArgumentException(
+          s"similarity_join: tau must be a numeric literal, got $other")
+    }
+    val spark = SparkSession.active
+    val table = spark.table(str(exprs(0), "table"))
+    SimilarityJoin
+      .prefixSelfJoin(table, str(exprs(1), "idCol"), str(exprs(2), "textCol"), tau)
+      .queryExecution.logical
   }
 }

@@ -38,17 +38,14 @@ class JavaStringHashSpec extends SparkSpec {
     assert(inCodegen, df.queryExecution.executedPlan.toString)
   }
 
-  test("temp-function registration is session-scoped (extensions needed for global install)") {
-    // the positive path — spark.sql.extensions=graft.GraftExtensions making
-    // java_hash available with NO registration — needs a fresh JVM and is
-    // verified via spark-shell (see GraftExtensions scaladoc); in-suite,
-    // getOrCreate would reuse the session and false-pass. Here: prove the
-    // temp registration does NOT leak into a new session state, which is
-    // exactly the gap the extension mechanism closes.
-    JavaStringHash.register(spark)
+  test("extensions install java_hash globally: fresh sessions resolve it unregistered") {
+    // the spec session is built with spark.sql.extensions=graft
+    // .GraftExtensions (SparkSpec) — exactly the production install path —
+    // so a NEW session state must resolve java_hash with no per-session
+    // registration (temp registration alone would not survive newSession)
     val fresh = spark.newSession()
-    val e = intercept[Exception] { fresh.sql("SELECT java_hash('x')").collect() }
-    assert(e.getMessage.contains("UNRESOLVED_ROUTINE"), e.getMessage)
+    val got = fresh.sql("SELECT java_hash('x') AS h").collect()(0).getInt(0)
+    assert(got == "x".hashCode)
   }
 
   test("java_hash rejects non-string input at analysis time") {
