@@ -11,6 +11,16 @@ import graft.operators.SubsequenceMatch
   * offset's following deltas into one feature vector (SURVEY M7/M8), queue
   * it until its label becomes observable (M9), then prequentially
   * predict-and-train the online model (M10/M11).
+  *
+  * ==Throughput ceiling — read before reusing at scale.==
+  * The loop issues several small Spark jobs PER LIVE WINDOW (window
+  * collect, top-1 match, point reads) — faithful to the reference, whose
+  * KV-match engine is likewise driver-side per window, but it means
+  * throughput is capped by job-scheduling cadence (~10-50 windows/s), not
+  * data volume. High-rate deployments should batch many windows per match
+  * call ([[graft.operators.SubsequenceMatch.matchED]] accepts the whole
+  * candidate set at once) and swap the queue for the watermarked
+  * stream-stream form ([[graft.streaming.DelayedLabelJoin]]).
   */
 object S3MPipeline {
 

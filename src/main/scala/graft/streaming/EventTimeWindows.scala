@@ -54,6 +54,13 @@ object EventTimeWindows {
   /** Tumbling (or sliding, if `slide` is set) windowed counts + value sums
     * per event_type, complete mode: equals the batch aggregation over all
     * staged data.
+    *
+    * ==TEST/ORACLE HARNESS ONLY — not a production path.==
+    * Complete mode into a memory sink keeps EVERY window's state on the
+    * driver forever: unbounded memory on an unbounded stream. It exists so
+    * the correctness oracle can compare against the batch aggregation.
+    * Production code wants [[appendCounts]] (watermark-bounded state,
+    * distributed sink).
     */
   def completeCounts(
       spark: SparkSession,
