@@ -52,35 +52,19 @@ object SimilaritySearch {
       .select("q_id", "n_id", "rank", "sim")
   }
 
-  /** Rademacher (±1) hyperplane sign: deterministic from (plane, dim) via
-    * seeded hash — reproducible across runs and engines.
+  /** (id, table, bucket) rows: one per vector per table. All bucket ids
+    * come from ONE pass of the native [[graft.functions.LshSignature]]
+    * expression (precomputed deterministic Rademacher sign matrix, fused
+    * loop in whole-stage codegen) — the declarative per-plane
+    * `aggregate`/`zip_with` form re-derived the hyperplanes per row per
+    * element and dominated the ANN queries' runtime.
     */
-  private def planeSign(plane: Int, d: Column): Column =
-    when(pmod(xxhash64(lit(plane), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-
-  /** LSH bucket id for one table: `bits` sign-bits of dot products with
-    * deterministic ±1 hyperplanes, packed into a long.
-    */
-  def lshBucket(emb: Column, table: Int, bits: Int, dim: Int): Column = {
-    val idx = sequence(lit(0), lit(dim - 1))
-    val bitCols = (0 until bits).map { j =>
-      val plane = table * 97 + j
-      val d = aggregate(
-        zip_with(emb, idx, (x, i) => x.cast("double") * planeSign(plane, i)),
-        lit(0.0),
-        (acc, x) => acc + x)
-      when(d > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
-
-  /** (id, table, bucket) rows: one per vector per table. */
   def bucketize(df: DataFrame, idCol: String, embCol: String, tables: Int, bits: Int, dim: Int): DataFrame = {
-    val buckets = array((0 until tables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(col(embCol), t, bits, dim).as("bucket"))
-    }: _*)
-    df.select(col(idCol), explode(buckets).as("tb"))
-      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    graft.functions.LshSignature.register(df.sparkSession)
+    df.select(
+        col(idCol),
+        posexplode(graft.functions.LshSignature.lsh_signature(col(embCol), tables, bits))
+          .as(Seq("tbl", "bucket")))
   }
 
   /** LSH-bucketed approximate top-k: candidates are corpus vectors sharing
