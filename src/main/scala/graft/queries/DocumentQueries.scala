@@ -245,12 +245,13 @@ object DocumentQueries {
 
   val oracles: Map[String, String] = Map(
     "q22_ann_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-        |           FROM embeddings WHERE vec_id < 10),
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.q_id, c.vec_id AS n_id,
-        |         list_cosine_similarity(q.q_emb, c.embedding) AS sim
-        |  FROM q JOIN embeddings c ON c.vec_id <> q.q_id)
+        |         list_cosine_similarity(q.q_emb, c.emb) AS sim
+        |  FROM q JOIN e c ON c.vec_id <> q.q_id)
         |SELECT q_id, n_id,
         |       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank,
         |       round(sim, 4) AS sim
@@ -266,10 +267,11 @@ object DocumentQueries {
         |         [CAST(CAST(embedding[i] AS DOUBLE) +
         |            (CASE WHEN (i-1)%2 = 0 THEN 0.003 ELSE -0.003 END) AS FLOAT)
         |          FOR i IN range(1, 65)]
-        |  FROM embeddings)
+        |  FROM embeddings),
+        |d AS (SELECT vid, [CAST(x AS DOUBLE) FOR x IN emb] AS emb FROM base)
         |SELECT a.vid AS x_id, b.vid AS y_id,
         |       round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
-        |FROM base a JOIN base b ON a.vid < b.vid
+        |FROM d a JOIN d b ON a.vid < b.vid
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99
         |ORDER BY 1, 2""".stripMargin,
 

@@ -27,7 +27,11 @@ object StreamingQueries {
     "q17_stream_semistream_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
-      val part = t(s, dir, "part")
+      // project the stored side to the consumed columns BEFORE the stream:
+      // the per-batch parquet sink is an optimization boundary Catalyst
+      // cannot prune columns across, so an unprojected stored side would
+      // write every part column per batch just to aggregate two of them
+      val part = t(s, dir, "part").select("p_partkey", "p_brand")
       val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
       val (out, _) = SemiStreamRuntime.semiStreamJoin(
         li, part, cache,
