@@ -191,30 +191,17 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash fingerprint: bit j is set iff the sum over tokens of
-    * ±1 (sign of bit j of the token hash) is positive. Computed as one
-    * aggregate-free expression per record.
+  /** 64-bit SimHash fingerprint: bit p is set iff the sum over tokens of
+    * ±1 (bit p of the token's MD5-derived hash, mapped to a sign) is
+    * positive. One native codegen'd pass per record
+    * ([[graft.functions.SimHash64]] — the declarative nested-fold form
+    * re-hashed every token 64× in interpreted HOFs, 489 s at sf0.1); MD5
+    * keeps the fingerprint engine-portable, so the pair output is
+    * SQL-oracle-able. Callers must [[graft.functions.SimHash64.register]]
+    * the session first ([[simhashPairs]] does).
     */
-  def simhashColumn(toks: Column): Column = {
-    // (the Scala-DSL shiftright/shiftleft take Int shift amounts; the SQL
-    // functions accept a column — call_function reaches those)
-    def shr(x: Column, n: Column) = call_function("shiftright", x, n)
-    def shl(x: Column, n: Column) = call_function("shiftleft", x, n)
-    // per-bit weighted sums via fold over tokens
-    val sums = transform(
-      sequence(lit(0), lit(63)),
-      j =>
-        aggregate(
-          toks,
-          lit(0),
-          (acc, t) =>
-            acc + when(shr(xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, j) =>
-        acc + when(element_at(sums, j + 1) > 0, shl(lit(1L), j)).otherwise(0L))
-  }
+  def simhashColumn(toks: Column): Column =
+    graft.functions.SimHash64.simhash64(toks)
 
   /** Near-duplicate pairs by SimHash: fingerprints within Hamming distance
     * ≤ `maxHamming`. Candidates by the block-pigeonhole trick: split 64
@@ -223,6 +210,7 @@ object Dedup {
     * Output: (x_id, y_id, hamming).
     */
   def simhashPairs(tokens: DataFrame, maxHamming: Int = 3): DataFrame = {
+    graft.functions.SimHash64.register(tokens.sparkSession)
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
     val fp = tokens.select(col("sid"), simhashColumn(col("toks")).as("fp"))

@@ -165,8 +165,9 @@ object DocumentQueries {
 
     // SimHash near-dup pairs (dedup family #3 as a driver query): 64-bit
     // fingerprints, block-pigeonhole candidates, exact Hamming verify. The
-    // fingerprint hash is library-internal (xxhash64 seeds) → rows-only;
-    // DedupSpec pins the Hamming/blocking semantics.
+    // token hash is MD5 (bit-identical in both engines), so the oracle
+    // replays the exact fingerprint in SQL: per-token md5 hex, plane p =
+    // bit p%4 of nibble p/4, per-plane ±1 majority, all-pairs Hamming ≤ 3.
     "q43_dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
@@ -393,6 +394,28 @@ object DocumentQueries {
         |SELECT doc_id, len(sh) AS n_shingles,
         |       len(list_distinct(sh)) AS n_distinct_shingles
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q43_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS m FROM tok),
+        |sgn AS (
+        |  SELECT doc_id, r.p AS p,
+        |         sum(CASE WHEN ((instr('0123456789abcdef', substr(m, (r.p // 4) + 1, 1)) - 1)
+        |                        >> (r.p % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, range(0, 64) r(p)
+        |  GROUP BY doc_id, r.p),
+        |fp AS (
+        |  SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+        |  FROM sgn GROUP BY doc_id),
+        |ham AS (
+        |  SELECT a.doc_id AS x_id, b.doc_id AS y_id,
+        |         len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT x_id, y_id, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 3 ORDER BY x_id, y_id""".stripMargin,
 
     "q18_simjoin_documents" ->
       """WITH tok AS (

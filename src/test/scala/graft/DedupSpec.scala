@@ -80,6 +80,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), s"unrelated doc matched: $pairs")
   }
 
+  test("simhash64 matches an independent md5-hex majority computation") {
+    // the same spec the DuckDB oracle replays: per-token md5 hex string,
+    // plane p takes bit p%4 of hex nibble p/4, fingerprint bit = majority
+    import spark.implicits._
+    graft.functions.SimHash64.register(spark)
+    val toksSeq = Seq("alpha", "beta", "gamma", "delta", "", "δ-utf8")
+    val got = Seq((1L, toksSeq)).toDF("sid", "toks")
+      .select(graft.functions.SimHash64.simhash64(col("toks")).as("fp"))
+      .as[Long].head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](64)
+    for (t <- toksSeq) {
+      val hex = md.digest(t.getBytes("UTF-8")).take(8)
+        .flatMap(b => f"$b%02x".toCharArray)
+      for (p <- 0 until 64) {
+        val v = Integer.parseInt(hex(p / 4).toString, 16)
+        counts(p) += (((v >> (p % 4)) & 1) << 1) - 1
+      }
+    }
+    var exp = 0L
+    for (p <- 0 until 64) if (counts(p) > 0) exp |= 1L << p
+    assert(got == exp)
+  }
+
   test("ngram tokens build consecutive shingles") {
     import spark.implicits._
     val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
