@@ -113,15 +113,20 @@ object SimilaritySearch {
       k: Int,
       nCells: Int = 64,
       nProbe: Int = 8): DataFrame = {
-    // deterministic centroid sample, spread by id hash; cell id = sample rank
+    // deterministic centroid sample, spread by id hash. The hash is MD5 of
+    // the decimal id string — bit-identical in any engine (unlike a seeded
+    // xxhash64), which is what makes the whole IVF result SQL-oracle-able.
+    // The cell-id window runs over nCells rows post-limit (bounded at any
+    // scale — the "no partition defined" warning is about THIS tiny sort).
+    val idHash = md5(col("c_src").cast("string"))
     val centroids = corpus
-      .orderBy(xxhash64(col("n_id")), col("n_id"))
-      .limit(nCells)
       .select(col("n_id").as("c_src"), col("n_emb").as("c_emb"))
+      .orderBy(md5(col("c_src").cast("string")), col("c_src"))
+      .limit(nCells)
       .withColumn(
         "cell",
         row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(xxhash64(col("c_src")), col("c_src"))))
+          org.apache.spark.sql.expressions.Window.orderBy(idHash, col("c_src"))))
       .select("cell", "c_emb")
 
     // corpus-linear assignment: best-cosine cell per vector

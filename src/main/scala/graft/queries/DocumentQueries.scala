@@ -102,9 +102,12 @@ object DocumentQueries {
     }),
 
     // LSH-bucketed approximate top-10 (the 100 TB scale path): same shape,
-    // candidates from shared random-hyperplane buckets only. Approximate by
-    // design → no SQL oracle (driver rows-only check); recall vs the
-    // brute-force baseline is asserted in SimilaritySearchSpec.
+    // candidates from shared random-hyperplane buckets only. Approximate ≠
+    // non-deterministic: the Rademacher planes come from java.util.Random
+    // (a SPEC'd LCG), so the oracle replays the exact plane signs in a
+    // recursive CTE and re-derives the bucket join + re-rank in SQL.
+    // Recall vs brute force is additionally asserted in
+    // SimilaritySearchSpec.
     "q23_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
@@ -146,9 +149,11 @@ object DocumentQueries {
     }),
 
     // IVF-bucketed approximate top-10 (the second ANN scale path next to
-    // LSH): coarse-quantized cells, nProbe-cell probe. Approximate by
-    // design → rows-only; recall vs brute force asserted in
-    // SimilaritySearchSpec on planted near-copies.
+    // LSH): coarse-quantized cells, nProbe-cell probe. The centroid sample
+    // is ordered by MD5 of the id string (engine-portable), so the oracle
+    // replays the full IVF pipeline — centroid pick, best-cosine cell
+    // assignment, nProbe probe, re-rank — in plain SQL. Recall vs brute
+    // force additionally asserted in SimilaritySearchSpec.
     "q44_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
@@ -394,6 +399,81 @@ object DocumentQueries {
         |SELECT doc_id, len(sh) AS n_shingles,
         |       len(list_distinct(sh)) AS n_distinct_shingles
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // java.util.Random LCG replay (multiplier 0x5DEECE66D, addend 0xB, 48-bit
+    // state; nextBoolean = top bit of next(1)) → the exact Rademacher plane
+    // signs LshSignature precomputes; then signature, bucket join, re-rank.
+    "q23_ann_lsh" ->
+      """WITH RECURSIVE
+        |seeds AS (
+        |  SELECT t.range AS t, j.range AS j,
+        |         xor(CAST(t.range*97 + j.range AS BIGINT), 25214903917) & 281474976710655 AS s
+        |  FROM range(0,16) t, range(0,8) j),
+        |draws(t, j, k, s, sign) AS (
+        |  SELECT t, j, -1, s, 0 FROM seeds
+        |  UNION ALL
+        |  SELECT t, j, k+1, ns, CASE WHEN (ns >> 47) & 1 = 1 THEN 1 ELSE -1 END
+        |  FROM (SELECT t, j, k,
+        |               CAST((CAST(s AS HUGEINT)*25214903917 + 11) % 281474976710656 AS BIGINT) AS ns
+        |        FROM draws WHERE k < 63) d),
+        |planes AS (
+        |  SELECT t, j, list(sign ORDER BY k) AS sg
+        |  FROM draws WHERE k >= 0 GROUP BY t, j),
+        |emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),
+        |dots AS (
+        |  SELECT emb.vec_id, planes.t, planes.j,
+        |         list_sum(list_transform(range(1, 65), k -> e[k] * sg[k])) AS d
+        |  FROM emb, planes),
+        |sigs AS (
+        |  SELECT vec_id, t,
+        |         CAST(sum(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.n_id, list_cosine_similarity(qe.e, ce.e) AS sim
+        |  FROM cand JOIN emb qe ON qe.vec_id = cand.q_id
+        |            JOIN emb ce ON ce.vec_id = cand.n_id)
+        |SELECT q_id, n_id,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank,
+        |       round(sim, 4) AS sim
+        |FROM scored
+        |QUALIFY rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // full IVF replay: MD5-ordered centroid sample, best-cosine cell
+    // assignment (tie → smaller cell), nProbe=8 probe, top-10 re-rank.
+    "q44_ann_ivf" ->
+      """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+        |         e AS c_e
+        |  FROM emb
+        |  QUALIFY cell <= 64),
+        |asg AS (
+        |  SELECT n_id, n_e, cell FROM (
+        |    SELECT emb.vec_id AS n_id, emb.e AS n_e, cent.cell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |                              ORDER BY list_cosine_similarity(emb.e, cent.c_e) DESC, cent.cell) AS rn
+        |    FROM emb, cent) WHERE rn = 1),
+        |probe AS (
+        |  SELECT q_id, q_e, cell FROM (
+        |    SELECT emb.vec_id AS q_id, emb.e AS q_e, cent.cell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |                              ORDER BY list_cosine_similarity(emb.e, cent.c_e) DESC, cent.cell) AS rn
+        |    FROM emb, cent WHERE emb.vec_id < 10) WHERE rn <= 8),
+        |scored AS (
+        |  SELECT probe.q_id, asg.n_id, list_cosine_similarity(probe.q_e, asg.n_e) AS sim
+        |  FROM probe JOIN asg USING (cell)
+        |  WHERE asg.n_id <> probe.q_id)
+        |SELECT q_id, n_id,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank,
+        |       round(sim, 4) AS sim
+        |FROM scored
+        |QUALIFY rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
 
     "q43_dedup_simhash" ->
       """WITH tok AS (

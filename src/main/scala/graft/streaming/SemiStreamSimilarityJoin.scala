@@ -69,13 +69,16 @@ object SemiStreamSimilarityJoin {
     val outDir = Files.createTempDirectory("graft-simstream-out-").toString
     val ckpt = Files.createTempDirectory("graft-simstream-ckpt-").toString
 
-    val xT = toks.select(col("sid").as("x_id"), col("toks").as("x_toks"))
     val yT = toks.select(col("sid").as("y_id"), col("toks").as("y_toks"))
 
     val perBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
       val bToks = SimilarityJoin.tokenize(batch.toDF(), idCol, textCol)
       val pSigs = SimilarityJoin.probeSignatures(bToks, groups, tau)
         .select(col("sig"), col("sid").as("x_id"), col("slen").as("x_len"))
+      // probe-side tokens come from THIS batch (bounded), never the full
+      // corpus: broadcast them into the verify join — the stored side is
+      // the only big relation a batch ever shuffles against
+      val xB = broadcast(bToks.select(col("sid").as("x_id"), col("toks").as("x_toks")))
       manager.processBatch(pSigs) { joined =>
         // joined = probe-sig rows ⋈ index rows on sig (hits ∪ fetched
         // misses) = the candidate pairs of this batch
@@ -86,7 +89,7 @@ object SemiStreamSimilarityJoin {
               col("y_len") <= floor(col("x_len") / tau + 1e-4))
           .select("x_id", "y_id")
           .dropDuplicates("x_id", "y_id")
-          .join(xT, "x_id")
+          .join(xB, "x_id")
           .join(yT, "y_id")
           .withColumn(
             "inter",
