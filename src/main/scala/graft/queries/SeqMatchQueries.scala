@@ -67,8 +67,10 @@ object SeqMatchQueries {
     }),
 
     // Banded DTW match (SURVEY M4): band-widened probe + exact DP verify.
-    // DTW's DP has no SQL form → rows-only check; SubsequenceMatchSpec
-    // compares against a naive full-scan DTW.
+    // Oracled: the DP does have a SQL form — an anti-diagonal recursive
+    // CTE over LB_Keogh-prefiltered windows (see `oracles`);
+    // SubsequenceMatchSpec additionally compares against a naive full-scan
+    // DTW.
     "q29_seqmatch_dtw" -> ((s, dir) => {
       val (series, index) = seriesAndIndex(s, dir)
       val q = queryWindow(series, 500, 100)
@@ -92,8 +94,10 @@ object SeqMatchQueries {
     }),
 
     // Z-normalized banded DTW (SURVEY M5/M6 — the reference's 4th query
-    // mode): DTW's DP has no SQL form → rows-only; SubsequenceMatchSpec
-    // compares against a naive full-scan normalized DTW.
+    // mode). Oracled: row-wise min-plus DP recursion over windows that
+    // survive three exact lower bounds (see `oracles`);
+    // SubsequenceMatchSpec additionally compares against a naive full-scan
+    // normalized DTW.
     "q42_seqmatch_normdtw" -> ((s, dir) => {
       val (series, index) = seriesAndIndex(s, dir)
       val q = queryWindow(series, 500, 100)
@@ -104,6 +108,142 @@ object SeqMatchQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Banded DTW replayed in SQL: LB_Keogh envelope prefilter (an exact
+    // lower bound - no false dismissals), then the exact Sakoe-Chiba DP as
+    // an anti-diagonal recursion (each new diagonal needs the previous two,
+    // so every level carries its frontier plus the one behind it).
+    "q29_seqmatch_dtw" ->
+      """WITH RECURSIVE
+        |d AS MATERIALIZED (
+        |  SELECT a.event_id AS idx, b.value - a.value AS v
+        |  FROM events a JOIN events b ON b.event_id = a.event_id + 1),
+        |q AS MATERIALIZED (SELECT idx - 500 AS qi, v AS qv FROM d WHERE idx >= 500 AND idx < 600),
+        |env AS (
+        |  SELECT j.range + 1 AS j, max(q.qv) AS u, min(q.qv) AS l
+        |  FROM range(0, 100) j JOIN q ON q.qi BETWEEN j.range - 5 AND j.range + 5
+        |  GROUP BY 1),
+        |win AS (
+        |  SELECT s.idx - (e.j - 1) AS start, e.j AS j, s.v, e.u, e.l
+        |  FROM d s, env e
+        |  WHERE s.idx - (e.j - 1) >= 0),
+        |lb AS MATERIALIZED (
+        |  SELECT start,
+        |         sum(CASE WHEN v > u THEN (v-u)*(v-u)
+        |                  WHEN v < l THEN (l-v)*(l-v) ELSE 0 END) AS lbk
+        |  FROM win GROUP BY start
+        |  HAVING count(*) = 100
+        |     AND sum(CASE WHEN v > u THEN (v-u)*(v-u)
+        |                  WHEN v < l THEN (l-v)*(l-v) ELSE 0 END) <= 25000.0 + 1.0),
+        |sv AS MATERIALIZED (SELECT w.start, w.j, w.v FROM win w JOIN lb USING (start)),
+        |cost AS MATERIALIZED (
+        |  SELECT s.start, q.qi + 1 AS i, s.j, (q.qv - s.v) * (q.qv - s.v) AS cst
+        |  FROM sv s, q
+        |  WHERE s.j BETWEEN greatest(1, q.qi + 1 - 5) AND least(100, q.qi + 1 + 5)),
+        |dp(start, i, j, val, cur) AS (
+        |  SELECT start, 0, 0, CAST(0 AS DOUBLE), TRUE FROM lb
+        |  UNION ALL
+        |  SELECT c.start, c.ni, c.nj,
+        |         CASE WHEN c.knew THEN min(c.val) + any_value(cost.cst)
+        |              ELSE min(c.val) END,
+        |         c.knew
+        |  FROM (
+        |    SELECT dp.start, m.ni, m.nj, dp.val, m.knew
+        |    FROM dp,
+        |         unnest(CASE WHEN dp.cur
+        |                THEN [{'ni': dp.i+1, 'nj': dp.j,   'knew': TRUE},
+        |                      {'ni': dp.i,   'nj': dp.j+1, 'knew': TRUE},
+        |                      {'ni': dp.i,   'nj': dp.j,   'knew': FALSE}]
+        |                ELSE [{'ni': dp.i+1, 'nj': dp.j+1, 'knew': TRUE}] END) AS t(m)
+        |    WHERE (NOT m.knew AND dp.cur)
+        |       OR (m.knew AND m.ni BETWEEN 1 AND 100
+        |           AND m.nj BETWEEN greatest(1, m.ni - 5) AND least(100, m.ni + 5))
+        |  ) c
+        |  LEFT JOIN cost ON cost.start = c.start AND cost.i = c.ni AND cost.j = c.nj
+        |  GROUP BY c.start, c.ni, c.nj, c.knew)
+        |SELECT start, round(val, 2) AS d2
+        |FROM dp
+        |WHERE i = 100 AND j = 100 AND cur AND val <= 25000.0
+        |ORDER BY start""".stripMargin,
+
+    // Normalized banded DTW: amplitude-admissible windows z-normalized in
+    // SQL, pruned by three exact lower bounds (LB_Keogh envelope, per-row
+    // min-cost sum, per-column min-cost sum - a DTW path visits every row
+    // and every column), then a row-wise DP where the in-row dependency
+    // curr(j) = min(a(j), curr(j-1) + cost(j)) is unrolled into a running
+    // min over a(k) - costPrefix(k) (a min-plus prefix scan, SQL-window
+    // expressible). Heavy CTEs are MATERIALIZED so the recursion does not
+    // recompute them per iteration.
+    "q42_seqmatch_normdtw" ->
+      """WITH RECURSIVE
+        |d AS MATERIALIZED (
+        |  SELECT a.event_id AS idx, b.value - a.value AS v
+        |  FROM events a JOIN events b ON b.event_id = a.event_id + 1),
+        |q AS MATERIALIZED (SELECT idx - 500 AS qi, v AS qv FROM d WHERE idx >= 500 AND idx < 600),
+        |qs AS (SELECT avg(qv) AS muq,
+        |              sqrt(avg(qv * qv) - avg(qv) * avg(qv)) AS sdq FROM q),
+        |zq AS MATERIALIZED (SELECT qi, (qv - muq) / sdq AS qv FROM q, qs),
+        |winraw AS (
+        |  SELECT s.idx - jj.range AS start, jj.range + 1 AS j, s.v
+        |  FROM d s, range(0, 100) jj
+        |  WHERE s.idx - jj.range >= 0),
+        |stats AS (
+        |  SELECT start, avg(v) AS mu,
+        |         sqrt(avg(v * v) - avg(v) * avg(v)) AS sd
+        |  FROM winraw GROUP BY start HAVING count(*) = 100),
+        |adm AS MATERIALIZED (
+        |  SELECT start, mu, sd FROM stats, qs
+        |  WHERE sd > 0 AND abs(mu - muq) <= 5.0
+        |    AND sd / sdq <= 3.0 AND sd / sdq >= 1.0 / 3.0),
+        |nsv AS MATERIALIZED (
+        |  SELECT w.start, w.j, (w.v - a.mu) / a.sd AS v
+        |  FROM winraw w JOIN adm a USING (start)),
+        |envz AS (
+        |  SELECT j.range + 1 AS j, max(z.qv) AS u, min(z.qv) AS l
+        |  FROM range(0, 100) j JOIN zq z ON z.qi BETWEEN j.range - 5 AND j.range + 5
+        |  GROUP BY 1),
+        |costall AS (
+        |  SELECT s.start, z.qi + 1 AS i, s.j, (z.qv - s.v) * (z.qv - s.v) AS cst
+        |  FROM nsv s, zq z
+        |  WHERE s.j BETWEEN greatest(1, z.qi + 1 - 5) AND least(100, z.qi + 1 + 5)),
+        |keep AS MATERIALIZED (
+        |  SELECT k.start FROM (
+        |    SELECT n.start,
+        |           sum(CASE WHEN n.v > e.u THEN (n.v - e.u) * (n.v - e.u)
+        |                    WHEN n.v < e.l THEN (e.l - n.v) * (e.l - n.v) ELSE 0 END) AS lbk
+        |    FROM nsv n JOIN envz e USING (j) GROUP BY n.start) k
+        |  JOIN (SELECT start, sum(m) AS rs FROM
+        |          (SELECT start, i, min(cst) AS m FROM costall GROUP BY 1, 2) GROUP BY 1) r
+        |    USING (start)
+        |  JOIN (SELECT start, sum(m) AS cs FROM
+        |          (SELECT start, j, min(cst) AS m FROM costall GROUP BY 1, 2) GROUP BY 1) c
+        |    USING (start)
+        |  WHERE k.lbk <= 21.0 AND r.rs <= 21.0 AND c.cs <= 21.0),
+        |sv AS MATERIALIZED (SELECT n.start, n.j, n.v FROM nsv n JOIN keep USING (start)),
+        |cost AS MATERIALIZED (
+        |  SELECT s.start, z.qi + 1 AS i, s.j,
+        |         (z.qv - s.v) * (z.qv - s.v) AS cst,
+        |         sum((z.qv - s.v) * (z.qv - s.v))
+        |           OVER (PARTITION BY s.start, z.qi ORDER BY s.j) AS cpre
+        |  FROM sv s, zq z
+        |  WHERE s.j BETWEEN greatest(1, z.qi + 1 - 5) AND least(100, z.qi + 1 + 5)),
+        |dp(start, i, j, val) AS (
+        |  SELECT start, 1, j, cpre FROM cost WHERE i = 1
+        |  UNION ALL
+        |  SELECT cp.start, cp.i, cp.j,
+        |         cp.cpre + min(coalesce(p.pmin + cp.cst, 1e300) - cp.cpre)
+        |                     OVER (PARTITION BY cp.start ORDER BY cp.j)
+        |  FROM (
+        |    SELECT start, i + 1 AS ni, tj AS j, min(val) AS pmin
+        |    FROM dp, unnest([dp.j, dp.j + 1]) AS t(tj)
+        |    GROUP BY start, ni, tj
+        |  ) p
+        |  JOIN cost cp ON cp.start = p.start AND cp.i = p.ni AND cp.j = p.j
+        |  WHERE p.ni <= 100)
+        |SELECT start, round(val, 2) AS d2
+        |FROM dp
+        |WHERE i = 100 AND j = 100 AND val <= 20.0
+        |ORDER BY start""".stripMargin,
+
     // normED closed form: d2 = 2m − 2·⟨s, zq⟩/σ_s with the amplitude
     // filters — same cross-join-and-group shape as q28's oracle.
     "q30_seqmatch_normed" ->
