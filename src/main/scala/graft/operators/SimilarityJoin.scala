@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   *     two token subsets are identical and the signatures collide.
   *     Completeness therefore needs segment signatures only; the
   *     reference's 1-deletion signatures (`createDeletion`) buy a smaller
-  *     `H` at the cost of ~len extra signatures per segment — at 100 TB the
-  *     signature table is the dominant shuffle, so fewer-but-wider segments
-  *     win.
+  *     `H` at the cost of ~len extra signatures per segment — that full
+  *     scheme (deletions + min-heap V-greedy allocation) is
+  *     [[DeletionJoin]], and [[prefixJoin]] is the third strategy for
+  *     low τ.
   *   - Probe side mirrors the index side over every group overlapping the
   *     probe's admissible length range `[⌈τ·s⌉, ⌊s/τ⌋]` (reference
   *     `DimaJoin.scala:500-503`).
@@ -186,7 +187,7 @@ object SimilarityJoin {
       .select("x_id", "y_id")
       .dropDuplicates("x_id", "y_id")
 
-    verifyPairs(candidates, probe, index, tau)
+    verifyCandidates(candidates, probe, index, tau)
   }
 
   /** Verify candidate pairs with exact Jaccard over the token sets —
@@ -195,7 +196,7 @@ object SimilarityJoin {
     * [[graft.functions.ArrayIntersectSize]] codegen expression (counts the
     * intersection without materializing it; no UDF).
     */
-  private def verifyPairs(
+  private[operators] def verifyCandidates(
       candidates: DataFrame,
       probe: DataFrame,
       index: DataFrame,
@@ -302,7 +303,7 @@ object SimilarityJoin {
       .select("x_id", "y_id")
       .dropDuplicates("x_id", "y_id")
 
-    verifyPairs(candidates, probe, index, tau)
+    verifyCandidates(candidates, probe, index, tau)
   }
 
   /** Self-join convenience over a raw document table. */

@@ -48,6 +48,22 @@ object DocumentQueries {
         "x_id", "y_id")
     }),
 
+    // Deletion-signature similarity join (the reference's full Dima scheme:
+    // 1-deletion signatures + min-heap V-greedy probe allocation) — same
+    // semantics as q18 through a different strategy, so the oracle is the
+    // same O(n²) definition. Exercises SURVEY J16/J17/W4 end-to-end.
+    "q45_simjoin_deletion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      sortedMaterialized(
+        graft.operators.DeletionJoin.selfJoin(docs, "doc_id", "text", 0.8)
+          .select(
+            col("x_id"),
+            col("y_id"),
+            col("inter").cast("long").as("inter"),
+            col("uni").cast("long").as("uni")),
+        "x_id", "y_id")
+    }),
+
     // MinHash+LSH dedup (LLM op #1): banded buckets → verified pairs →
     // min-id connected components. Oracle = transitive closure over the
     // brute-force exact-Jaccard dup graph (recursive CTE): LSH recall at
@@ -496,6 +512,19 @@ object DocumentQueries {
         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
         |SELECT x_id, y_id, CAST(hamming AS BIGINT) AS hamming
         |FROM ham WHERE hamming <= 3 ORDER BY x_id, y_id""".stripMargin,
+
+    "q45_simjoin_deletion" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS x_id, b.doc_id AS y_id,
+        |       len(list_intersect(a.toks, b.toks)) AS inter,
+        |       len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
+        |FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
 
     "q18_simjoin_documents" ->
       """WITH tok AS (
