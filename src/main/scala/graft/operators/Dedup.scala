@@ -33,35 +33,24 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** k = bands·rowsPerBand MinHash values per record:
-    * `mh[j] = min over tokens of xxhash64(j, token)` — k independent
-    * permutation approximations from one seeded hash, computed in a single
-    * codegen'd expression (no UDF).
-    */
-  def minhashColumn(toks: Column, bands: Int, rowsPerBand: Int): Column = {
-    val k = bands * rowsPerBand
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(toks, t => xxhash64(j, t))))
-  }
-
   /** Banded LSH signatures: one row per (record, band) with the band's
-    * signature = hash of its `rowsPerBand` MinHash slice. Two records with
-    * Jaccard J share a band with probability 1−(1−J^r)^b.
+    * signature folding its `rowsPerBand` MinHash slice. Two records with
+    * Jaccard J share a band with probability 1−(1−J^r)^b. All bands come
+    * from ONE native codegen pass ([[graft.functions.MinHashBands]] — one
+    * string hash per token + cheap per-permutation mixes; the declarative
+    * nested-HOF form re-hashed every token k times).
     * Output: (sid, band, bsig).
     */
   def bandSignatures(
       tokens: DataFrame,
       bands: Int,
-      rowsPerBand: Int): DataFrame =
-    tokens
-      .withColumn("mh", minhashColumn(col("toks"), bands, rowsPerBand))
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .select(
-        col("sid"),
-        col("band"),
-        xxhash64(col("band"), slice(col("mh"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
-          .as("bsig"))
+      rowsPerBand: Int): DataFrame = {
+    graft.functions.MinHashBands.register(tokens.sparkSession)
+    tokens.select(
+      col("sid"),
+      posexplode(graft.functions.MinHashBands.minhash_bands(col("toks"), bands, rowsPerBand))
+        .as(Seq("band", "bsig")))
+  }
 
   /** Candidate pairs: records sharing any LSH bucket (`groupBy(band, sig)`
     * shape — the bucket self-join IS the groupBy clustering; no cross

@@ -80,6 +80,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), s"unrelated doc matched: $pairs")
   }
 
+  test("minhash band signatures: deterministic, order-insensitive, near-dups collide") {
+    import spark.implicits._
+    val a = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val aShuffled = Seq((1L, scala.util.Random.shuffle((1 to 40).map(i => s"w$i").toList).mkString(" ")))
+      .toDF("doc_id", "text")
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandSignatures(SimilarityJoin.tokenize(df, "doc_id", "text"), 32, 3)
+        .orderBy("band").select("bsig").as[Long].collect().toSeq
+    // same token SET → identical signatures regardless of token order
+    assert(bands(a) == bands(aShuffled))
+    // J = 38/42 ≈ 0.9 near-dup shares at least one of 32 bands (miss
+    // probability (1−0.9³)^32 ≈ 1e-4 — deterministic here, not flaky)
+    val b = Seq((2L, ((3 to 40).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(bands(a).zip(bands(b)).exists { case (x, y) => x == y })
+  }
+
   test("simhash64 matches an independent md5-hex majority computation") {
     // the same spec the DuckDB oracle replays: per-token md5 hex string,
     // plane p takes bit p%4 of hex nibble p/4, fingerprint bit = majority
