@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{ArrayIntersectSize, JavaStringHash}
+import graft.functions.{ArrayIntersectSize, JavaStringHash, LshSignature, MinHashBands, SimHash64}
 import graft.operators.SimilarityJoin
 
 /** SparkSessionExtensions entry point: installs graft's engine functions
@@ -47,6 +47,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "intersect_size(a, b) - distinct-element intersection count of two string arrays (similarity-join verify kernel).",
         ""),
       exprs => ArrayIntersectSize(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(
+        classOf[SimHash64].getName,
+        null,
+        "simhash64",
+        "simhash64(toks) - 64-bit SimHash fingerprint of a string array (MD5 token hash, engine-portable).",
+        ""),
+      exprs => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_signature"),
+      new ExpressionInfo(
+        classOf[LshSignature].getName,
+        null,
+        "lsh_signature",
+        "lsh_signature(emb, tables, bits) - all random-hyperplane LSH bucket ids of a float-array embedding.",
+        ""),
+      exprs => LshSignature.builder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(
+        classOf[MinHashBands].getName,
+        null,
+        "minhash_bands",
+        "minhash_bands(toks, bands, rowsPerBand) - banded MinHash signatures of a string array.",
+        ""),
+      exprs => MinHashBands.builder(exprs)))
     ext.injectTableFunction((
       FunctionIdentifier("similarity_join"),
       new ExpressionInfo(

@@ -106,15 +106,21 @@ object MinHashBands {
         s"minhash_bands: $what must be an integer literal, got $other")
   }
 
+  def builder(exprs: Seq[Expression]): MinHashBands = {
+    require(
+      exprs.length == 3,
+      s"minhash_bands(toks, bands, rowsPerBand): got ${exprs.length} args")
+    MinHashBands(
+      exprs.head,
+      literalInt(exprs(1), "bands"),
+      literalInt(exprs(2), "rowsPerBand"))
+  }
+
   /** Register `minhash_bands` for SQL and [[minhash_bands]] use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_bands",
-      exprs =>
-        MinHashBands(
-          exprs.head,
-          literalInt(exprs(1), "bands"),
-          literalInt(exprs(2), "rowsPerBand")),
+      builder,
       "built-in")
     ()
   }

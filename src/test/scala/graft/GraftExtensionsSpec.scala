@@ -46,4 +46,18 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()(0).getInt(0)
     assert(got == 2)
   }
+
+  test("simhash64 / minhash_bands / lsh_signature resolve through the extensions") {
+    val fresh = spark.newSession()
+    val fp = fresh.sql("SELECT simhash64(array('a','b')) AS fp").collect()(0).getLong(0)
+    val fp2 = spark.sql("SELECT simhash64(array('a','b')) AS fp").collect()(0).getLong(0)
+    assert(fp == fp2) // deterministic across sessions
+    val nBands = fresh.sql("SELECT size(minhash_bands(array('a','b'), 32, 3)) AS n")
+      .collect()(0).getInt(0)
+    assert(nBands == 32)
+    val nTables = fresh.sql(
+      "SELECT size(lsh_signature(CAST(array(0.1, -0.2) AS ARRAY<FLOAT>), 16, 8)) AS n")
+      .collect()(0).getInt(0)
+    assert(nTables == 16)
+  }
 }
