@@ -85,6 +85,17 @@ class DeletionJoinSpec extends SparkSpec {
     }
   }
 
+  test("deletion join: single-token and identical docs") {
+    import spark.implicits._
+    // single-token segments exercise the empty-deletion ("" content) path
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a b")).toDF("doc_id", "text")
+    val t = SimilarityJoin.tokenize(df, "doc_id", "text")
+    val got = DeletionJoin.joinSets(t, t, 0.5, selfJoin = true)
+      .select("x_id", "y_id").as[(Long, Long)].collect().toSet
+    // J(1,2)=1, J(1,4)=J(2,4)=0.5, J(3,4)=0.5; b pairs with a-docs at J=0
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)))
+  }
+
   test("deletion join plans no cartesian product") {
     val plan = DeletionJoin.joinSets(toks, toks, 0.8, selfJoin = true)
       .queryExecution.executedPlan.toString
