@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split operators for training-data curation —
+  * the pipeline steps every corpus-scale run needs between dedup and
+  * training: reproducible train/validation splits and per-stratum quota
+  * caps (per-language, per-source, per-domain).
+  *
+  * All selection is keyed on MD5 of the record id — not a seeded RNG — so:
+  *   - assignment is a pure projection (no shuffle, no state, no RNG
+  *     sequence coupling to partitioning — `rand()` changes under retry or
+  *     repartition; a hash never does);
+  *   - re-runs, retried tasks, and other engines agree bit-for-bit (MD5 is
+  *     engine-portable, which is what makes these operators exactly
+  *     SQL-oracle-able rather than distribution-tested);
+  *   - the split of one record never depends on the rest of the corpus, so
+  *     incremental ingest keeps historical assignments stable.
+  *
+  * Scale: [[hashSplit]] is a scan-level projection. [[stratifiedCap]]
+  * rides the two-phase [[TopK.perGroup]] so a mega-stratum never funnels
+  * into one task.
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) from the first 8 hex chars of md5(id) — the
+    * deterministic replacement for `rand(seed)`.
+    */
+  def hashUniform(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+
+  /** Assign every row to a named split with the given fractions (must sum
+    * to ≤ 1; a remainder falls into the LAST split). Fractions are hit
+    * exactly in expectation; assignment is per-row deterministic.
+    * Output: input columns + `split`.
+    */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, s"fractions sum over 1: $splits")
+    val u = hashUniform(col(idCol))
+    // decimal-exact cumulative bounds: float accumulation would give
+    // 0.8+0.1 = 0.9000000000000001, a DIFFERENT double than the 0.9 an
+    // oracle (or a config file) writes down
+    val cums = splits
+      .scanLeft(BigDecimal(0))((acc, s) => acc + BigDecimal(s._2.toString))
+      .tail.map(_.toDouble)
+    val expr = splits.zip(cums).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cum), rest) => when(u < cum, name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Keep at most `n` rows per stratum, chosen by MD5 order of the id (a
+    * deterministic "random" cap). Two-phase per-group top-k underneath —
+    * no stratum ever sorts in a single task. Output: input columns.
+    */
+  def stratifiedCap(df: DataFrame, strataCol: String, idCol: String, n: Int): DataFrame = {
+    val cols = df.columns
+    TopK
+      .perGroup(
+        df.withColumn("_h", md5(col(idCol).cast("string"))),
+        Seq(strataCol),
+        Seq(col("_h").asc, col(idCol).asc),
+        n,
+        rankCol = "_rk")
+      .select(cols.head, cols.tail: _*)
+  }
+}

@@ -200,6 +200,28 @@ object DocumentQueries {
         .orderBy("x_id", "y_id")
     }),
 
+    // Deterministic hash split (training-data curation): every document
+    // assigned train/val/test by MD5 of its id — reproducible, engine-
+    // portable, incremental-ingest-stable. The oracle replays the hex→
+    // uniform arithmetic exactly.
+    "q46_hash_split" -> ((s, dir) =>
+      graft.operators.Sampling.hashSplit(
+          t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
+    // Per-stratum quota cap (curation): at most 120 documents per predicted
+    // language, chosen by MD5 order — the per-source/per-language cap of a
+    // corpus pipeline, via the two-phase TopK (no stratum funnels into one
+    // task).
+    "q47_stratified_cap" -> ((s, dir) => {
+      val langs = TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang_pred"))
+      graft.operators.Sampling.stratifiedCap(langs, "lang_pred", "doc_id", 120)
+        .orderBy("doc_id")
+    }),
+
     // Text statistics + quality scoring (LLM op #4).
     "q25_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -415,6 +437,50 @@ object DocumentQueries {
         |SELECT doc_id, len(sh) AS n_shingles,
         |       len(list_distinct(sh)) AS n_distinct_shingles
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // hex→uniform replay: first 8 md5 hex chars as a 32-bit integer / 2³²,
+    // then the cumulative-fraction CASE (bounds are decimal-exact doubles
+    // in both engines).
+    "q46_hash_split" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(0, 8), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS DOUBLE)
+        |           / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+        |            WHEN u < CAST(0.9 AS DOUBLE) THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    // languageId replay (q26's profile SQL) + the MD5-order per-stratum cap.
+    "q47_stratified_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','zu','ist','ein','nicht'))) AS DOUBLE) / len(toks) AS r_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(toks) AS r_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','en','es','un','que'))) AS DOUBLE) / len(toks) AS r_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','en','est','un','que'))) AS DOUBLE) / len(toks) AS r_fr
+        |  FROM t),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN r_de >= r_en AND r_de >= r_es AND r_de >= r_fr THEN 'de'
+        |         WHEN r_en >= r_es AND r_en >= r_fr THEN 'en'
+        |         WHEN r_es >= r_fr THEN 'es'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM r)
+        |SELECT doc_id, lang_pred FROM lp
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY lang_pred
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 120
+        |ORDER BY doc_id""".stripMargin,
 
     // java.util.Random LCG replay (multiplier 0x5DEECE66D, addend 0xB, 48-bit
     // state; nextBoolean = top bit of next(1)) → the exact Rademacher plane
