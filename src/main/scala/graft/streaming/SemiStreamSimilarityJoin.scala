@@ -69,7 +69,12 @@ object SemiStreamSimilarityJoin {
     val outDir = Files.createTempDirectory("graft-simstream-out-").toString
     val ckpt = Files.createTempDirectory("graft-simstream-ckpt-").toString
 
+    // stored-side verify tokens: pre-partitioned by the join key and
+    // persisted IN THAT LAYOUT, so every micro-batch's verify join reuses
+    // the stored side's distribution and shuffles only its own candidates
     val yT = toks.select(col("sid").as("y_id"), col("toks").as("y_toks"))
+      .repartition(col("y_id"))
+      .persist()
 
     val perBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
       val bToks = SimilarityJoin.tokenize(batch.toDF(), idCol, textCol)
@@ -118,7 +123,7 @@ object SemiStreamSimilarityJoin {
 
     val stats = manager.stats.toList
     manager.close()
-    toks.unpersist(); index.unpersist(); hotSigs.unpersist()
+    toks.unpersist(); index.unpersist(); hotSigs.unpersist(); yT.unpersist()
     Result(spark.read.parquet(outDir), stats)
   }
 }
