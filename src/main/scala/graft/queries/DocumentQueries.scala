@@ -222,6 +222,28 @@ object DocumentQueries {
         .orderBy("doc_id")
     }),
 
+    // End-to-end curation pipeline (the user story the engine exists for):
+    // exact-dedup survivors → quality gate → language gate → deterministic
+    // split. Every stage is an already-oracled operator; this query proves
+    // they compose, and its oracle is the composition of their SQL.
+    "q48_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val survivors = Dedup.exactDedup(docs, "doc_id", "text")
+        .filter(col("sid") === col("rep"))
+        .select(col("sid").as("doc_id"))
+      val quality = TextAnalysis.stats(docs, "doc_id", "text")
+        .filter(col("quality") >= 0.38)
+        .select("doc_id")
+      val english = TextAnalysis.languageId(docs, "doc_id", "text")
+        .filter(col("lang_pred") === "en")
+        .select("doc_id")
+      val kept = docs.join(survivors, "doc_id").join(quality, "doc_id").join(english, "doc_id")
+      graft.operators.Sampling.hashSplit(
+          kept, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // Text statistics + quality scoring (LLM op #4).
     "q25_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -437,6 +459,53 @@ object DocumentQueries {
         |SELECT doc_id, len(sh) AS n_shingles,
         |       len(list_distinct(sh)) AS n_distinct_shingles
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the composed pipeline: dedup window + quality formula + language
+    // profile + hex→uniform split, each fragment identical to its
+    // single-operator oracle.
+    "q48_curation_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |dedup AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           min(doc_id) OVER (PARTITION BY regexp_replace(trim(text), ' +', ' ', 'g')) AS rep
+        |    FROM documents)
+        |  WHERE doc_id = rep),
+        |qual AS (
+        |  SELECT doc_id FROM t
+        |  WHERE round(CAST(4 * least(len(toks), 100) * len(toks)
+        |                   + 300 * len(list_distinct(toks))
+        |                   + 300 * len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+        |              / CAST(1000 * len(toks) AS DOUBLE), 4) >= 0.38),
+        |lang AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','zu','ist','ein','nicht'))) AS DOUBLE) / len(toks) AS r_de,
+        |      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(toks) AS r_en,
+        |      CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','en','es','un','que'))) AS DOUBLE) / len(toks) AS r_es,
+        |      CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','en','est','un','que'))) AS DOUBLE) / len(toks) AS r_fr
+        |    FROM t)
+        |  WHERE NOT (r_de >= r_en AND r_de >= r_es AND r_de >= r_fr)
+        |    AND r_en >= r_es AND r_en >= r_fr),
+        |kept AS (
+        |  SELECT d.doc_id FROM dedup d
+        |  JOIN qual USING (doc_id) JOIN lang USING (doc_id)),
+        |u AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(0, 8), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS DOUBLE)
+        |           / 4294967296.0 AS u
+        |  FROM kept)
+        |SELECT doc_id,
+        |       CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+        |            WHEN u < CAST(0.9 AS DOUBLE) THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     // hex→uniform replay: first 8 md5 hex chars as a 32-bit integer / 2³²,
     // then the cumulative-fraction CASE (bounds are decimal-exact doubles
