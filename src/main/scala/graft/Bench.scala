@@ -45,7 +45,17 @@ object Bench {
         .groupBy("p_brand").count())
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional A/B filter: SPARK_GRAFT_BENCH_ONLY=q41,q45 runs only queries
+    // whose name starts with one of the comma-separated prefixes. Unset (the
+    // driver's mode) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.isEmpty || only.exists(name.startsWith)
+    }
+
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try exhaust(fn(spark, sfDir))
       catch { case e: Throwable =>
@@ -59,7 +69,8 @@ object Bench {
     // latency (BASELINE.md, DSim-Join/log): per-batch stage times from the
     // CacheManager, staging/setup excluded.
     val streamBatch: Seq[(String, Double)] =
-      try {
+      try if (only.nonEmpty && !only.exists(_.startsWith("stream"))) Seq.empty
+      else {
         val li = graft.core.Tables(spark, sfDir, "lineitem")
           .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
         val part = graft.core.Tables(spark, sfDir, "part")

@@ -93,6 +93,12 @@ object SemiStreamSimilarityJoin {
               col("y_len") >= ceil(col("x_len") * tau - 1e-4) &&
               col("y_len") <= floor(col("x_len") / tau + 1e-4))
           .select("x_id", "y_id")
+          // one exchange, keyed like the persisted stored side: hash-
+          // partitioning on y_id alone satisfies the pair-dedup's clustering
+          // requirement (y_id ⊆ {x_id, y_id}), so the dedup aggregates
+          // in-place and the verify join lines up with yT's layout instead
+          // of shuffling the candidates a second time
+          .repartition(col("y_id"))
           .dropDuplicates("x_id", "y_id")
           .join(xB, "x_id")
           .join(yT, "y_id")
