@@ -83,6 +83,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "similarity_join(table, idCol, textCol, tau) - all pairs of rows with token-set Jaccard >= tau.",
         ""),
       exprs => GraftExtensions.similarityJoinPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("containment_join"),
+      new ExpressionInfo(
+        classOf[SimilarityJoin.type].getName,
+        null,
+        "containment_join",
+        "containment_join(table, idCol, textCol, gamma) - ordered pairs (x, y) with |x∩y| >= ceil(gamma*|x|) over token sets.",
+        ""),
+      exprs => GraftExtensions.containmentJoinPlan(exprs)))
     ()
   }
 }
@@ -93,26 +102,36 @@ object GraftExtensions {
     * (string/double literals only — the table is resolved through the
     * session catalog, then the lazy prefix-filter plan wraps it).
     */
-  private[graft] def similarityJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+  private def tvfArgs(name: String, exprs: Seq[Expression]): (String, String, String, Double) = {
     require(
       exprs.length == 4,
-      "similarity_join expects (table, idCol, textCol, tau), got " + exprs.length + " arguments")
+      s"$name expects (table, idCol, textCol, threshold), got " + exprs.length + " arguments")
     def str(e: Expression, what: String): String = e match {
       case Literal(v: UTF8String, StringType) => v.toString
       case other =>
         throw new IllegalArgumentException(
-          s"similarity_join: $what must be a string literal, got $other")
+          s"$name: $what must be a string literal, got $other")
     }
-    val tau = exprs(3) match {
+    val threshold = exprs(3) match {
       case Literal(v, _) if v != null => v.toString.toDouble
       case other =>
         throw new IllegalArgumentException(
-          s"similarity_join: tau must be a numeric literal, got $other")
+          s"$name: threshold must be a numeric literal, got $other")
     }
-    val spark = SparkSession.active
-    val table = spark.table(str(exprs(0), "table"))
+    (str(exprs(0), "table"), str(exprs(1), "idCol"), str(exprs(2), "textCol"), threshold)
+  }
+
+  private[graft] def similarityJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val (table, idCol, textCol, tau) = tvfArgs("similarity_join", exprs)
     SimilarityJoin
-      .prefixSelfJoin(table, str(exprs(1), "idCol"), str(exprs(2), "textCol"), tau)
+      .prefixSelfJoin(SparkSession.active.table(table), idCol, textCol, tau)
+      .queryExecution.logical
+  }
+
+  private[graft] def containmentJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val (table, idCol, textCol, gamma) = tvfArgs("containment_join", exprs)
+    SimilarityJoin
+      .containmentSelfJoin(SparkSession.active.table(table), idCol, textCol, gamma)
       .queryExecution.logical
   }
 }

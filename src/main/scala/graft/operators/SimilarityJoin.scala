@@ -306,6 +306,85 @@ object SimilarityJoin {
     verifyCandidates(candidates, probe, index, tau)
   }
 
+  // --------------------------------------------------------- containment
+
+  /** Asymmetric CONTAINMENT join: ordered pairs (x, y), x ≠ y, with
+    * `|x ∩ y| ≥ ⌈γ·|x|⌉` — x's token set near-contained in y. The partial-dup
+    * detector of a curation pipeline (boilerplate, quoted passages,
+    * subset documents) that a symmetric Jaccard threshold misses: a short
+    * doc fully inside a long one has low Jaccard but containment 1.
+    *
+    * Prefix filter, containment form: order tokens rarest-first under the
+    * index-side global frequency order. If `|x ∩ y| ≥ o = ⌈γ·|x|⌉` then y
+    * holds all but at most `|x| − o` of x's tokens, so among the first
+    * `|x| − o + 1` ordered tokens of x at least one is in y — joining x's
+    * PREFIX against y's full inverted list is complete. Only x pays a
+    * prefix: containment puts no lower bound on `|y|`'s share of y, so the
+    * index side must emit every token — but fan-out per emitted x-token is
+    * its document frequency, and the rarest-first order makes prefix
+    * tokens exactly the low-df ones. The `|y| ≥ o` length prune and pair
+    * dedup run before the exact-intersection verify.
+    *
+    * The γ-threshold compare is INTEGER (`inter ≥ ⌈γ·|x|⌉`) — no double
+    * ratio at the boundary, so oracles agree bit-for-bit.
+    * Output: (x_id, y_id, inter, x_len).
+    */
+  def containmentJoin(
+      probe: DataFrame,
+      index: DataFrame,
+      gamma: Double,
+      selfTable: Boolean = false): DataFrame = {
+    val freq = tokenFrequencies(index)
+    val pOrd = orderByFrequency(probe, freq)
+
+    val reqOverlap = ceil(col("x_len") * gamma - Eps)
+    val px = pOrd.select(
+      col("sid").as("x_id"),
+      col("slen").as("x_len"),
+      explode(
+        slice(
+          col("otoks"),
+          lit(1),
+          (col("slen") - ceil(col("slen") * gamma - Eps) + 1).cast("int"))).as("tok"))
+    val iy = index.select(
+      col("sid").as("y_id"),
+      col("slen").as("y_len"),
+      explode(col("toks")).as("tok"))
+
+    val pairFilter =
+      if (selfTable) col("x_id") =!= col("y_id")
+      else lit(true)
+
+    val candidates = px
+      .join(iy, "tok")
+      .filter(col("y_len") >= reqOverlap && pairFilter)
+      .select("x_id", "y_id")
+      .dropDuplicates("x_id", "y_id")
+
+    graft.functions.ArrayIntersectSize.register(index.sparkSession)
+    val xT = probe.select(col("sid").as("x_id"), col("toks").as("x_toks"))
+    val yT = index.select(col("sid").as("y_id"), col("toks").as("y_toks"))
+    candidates
+      .join(xT, "x_id")
+      .join(yT, "y_id")
+      .withColumn(
+        "inter",
+        graft.functions.ArrayIntersectSize.intersect_size(col("x_toks"), col("y_toks")))
+      .withColumn("x_len", size(col("x_toks")))
+      .filter(col("inter") >= ceil(col("x_len") * gamma - Eps))
+      .select("x_id", "y_id", "inter", "x_len")
+  }
+
+  /** Containment self-join convenience over a raw document table. */
+  def containmentSelfJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gamma: Double): DataFrame = {
+    val toks = tokenize(docs, idCol, textCol)
+    containmentJoin(toks, toks, gamma, selfTable = true)
+  }
+
   /** Self-join convenience over a raw document table. */
   def selfJoin(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
     val toks = tokenize(docs, idCol, textCol)

@@ -244,6 +244,23 @@ object DocumentQueries {
         .orderBy("doc_id")
     }),
 
+    // Asymmetric containment join (partial-dup detector): ordered pairs
+    // with |x∩y| ≥ ⌈0.9·|x|⌉ — catches short docs embedded in long ones
+    // that symmetric Jaccard misses. Prefix-filtered on the probe side
+    // only (see SimilarityJoin.containmentJoin); integer threshold compare,
+    // brute-force oracle.
+    "q50_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      sortedMaterialized(
+        SimilarityJoin.containmentSelfJoin(docs, "doc_id", "text", 0.9)
+          .select(
+            col("x_id"),
+            col("y_id"),
+            col("inter").cast("long").as("inter"),
+            col("x_len").cast("long").as("x_len")),
+        "x_id", "y_id")
+    }),
+
     // Text statistics + quality scoring (LLM op #4).
     "q25_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -699,6 +716,18 @@ object DocumentQueries {
       """SELECT doc_id,
         |       min(doc_id) OVER (PARTITION BY regexp_replace(trim(text), ' +', ' ', 'g')) AS rep
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q50_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS x_id, b.doc_id AS y_id,
+        |       len(list_intersect(a.toks, b.toks)) AS inter,
+        |       len(a.toks) AS x_len
+        |FROM tok a JOIN tok b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) >= ceiling(0.9 * len(a.toks) - 0.0001)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q21_simjoin_ngram" ->
       """WITH tok AS (

@@ -83,6 +83,18 @@ object StreamingQueries {
         .orderBy("x_id", "y_id")
     }),
 
+    // Streaming INCREMENTAL dedup (LLM dedup family, continuous-ingestion
+    // form): documents arrive in 4 micro-batches (MD5-assigned, engine-
+    // portable); each doc is tested against every previously seen doc via
+    // MinHash/LSH buckets + exact-Jaccard verify, cross-batch state
+    // accumulating cluster-side. dup_of = min earlier duplicate, −1 = novel.
+    // The oracle replays the arrival order and the brute-force definition.
+    "q49_stream_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.streaming.StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 4)
+        .orderBy("doc_id")
+    }),
+
     // JSON ingest (SURVEY S7): parse the props JSON column with an
     // explicit schema, aggregate by the extracted key.
     "q34_json_ingest" -> ((s, dir) =>
@@ -121,6 +133,32 @@ object StreamingQueries {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // arrival-order replay: chunk = ⌊md5-uniform(doc_id)·4⌋ (q46's
+    // hex→uniform recipe); "seen earlier" = smaller chunk, or same chunk
+    // and smaller id; dup_of = min earlier doc with exact Jaccard ≥ 0.8.
+    "q49_stream_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(floor(
+        |           CAST(list_sum(list_transform(range(0, 8), i ->
+        |             CAST(instr('0123456789abcdef',
+        |                        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                  AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS DOUBLE)
+        |             / 4294967296.0 * 4) AS INT) AS b,
+        |         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        |  FROM documents),
+        |tt AS (SELECT * FROM t WHERE len(toks) > 0),
+        |m AS (
+        |  SELECT x.doc_id AS doc_id, min(y.doc_id) AS dup_of
+        |  FROM tt x JOIN tt y
+        |    ON (y.b < x.b OR (y.b = x.b AND y.doc_id < x.doc_id))
+        |   AND len(list_intersect(x.toks, y.toks)) * 1.0 /
+        |       (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks))) >= 0.8
+        |  GROUP BY x.doc_id)
+        |SELECT tt.doc_id, coalesce(m.dup_of, -1) AS dup_of
+        |FROM tt LEFT JOIN m ON tt.doc_id = m.doc_id
+        |ORDER BY tt.doc_id""".stripMargin,
 
     "q41_stream_simjoin" ->
       """WITH tok AS (

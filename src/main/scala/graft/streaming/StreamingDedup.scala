@@ -1,0 +1,184 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{Dedup, Sampling, SimilarityJoin}
+
+/** Streaming INCREMENTAL deduplication — the continuous-ingestion form of
+  * the corpus dedup family: documents arrive in micro-batches and each doc
+  * is checked against every previously seen doc (earlier batches, or the
+  * same batch with a smaller id) through MinHash/LSH band signatures, with
+  * exact-Jaccard verification. The decision per doc is the MINIMUM earlier
+  * doc id it duplicates (−1 = novel), so an ingest pipeline can drop dups
+  * online instead of re-clustering the whole corpus per round — the same
+  * cross-batch-state discipline as [[CacheManager]] (persist + eager
+  * materialize + lineage truncation on cadence), applied to a growing
+  * signature index instead of a bounded cache.
+  *
+  * Batch assignment uses [[Sampling.hashUniform]] (MD5 of the id), not a
+  * seeded RNG or engine hash, so arrival order is deterministic AND
+  * engine-portable — a SQL oracle can replay exactly which docs each doc
+  * was compared against.
+  *
+  * Scale shape, per batch:
+  *   - batch band-signatures ⋈ state signatures — an equi-join on
+  *     (band, bsig) whose batch side is bounded, so Catalyst broadcasts it
+  *     and the state side is a partition-local scan (no state shuffle);
+  *   - candidate y-docs' tokens come from state via a broadcast semi-join
+  *     FETCH on the (bounded) distinct candidate ids — the engine's S5
+  *     keyed-fetch pattern, so the big token state is scanned, never
+  *     shuffled;
+  *   - within-batch candidates and all verify probes are batch-bounded and
+  *     broadcast.
+  * State grows linearly with the seen corpus (the inherent cost of exact
+  * dedup) and is scanned once per batch; both state relations live
+  * cluster-side as persisted blocks and are never collected to the driver.
+  * At petabyte state the scans shard over executors exactly like the
+  * reference's stored-relation probes; a disk-backed variant would bucket
+  * the state by (band, bsig) / id to turn the scans into pruned reads —
+  * the per-batch logic is unchanged.
+  */
+object StreamingDedup {
+
+  /** Run incremental dedup over `docs` replayed as `chunks` micro-batches.
+    * Output: (doc_id, dup_of) for every tokenizable doc — `dup_of` = min
+    * earlier seen doc with Jaccard ≥ τ, or −1 if none.
+    *
+    * False-negative rate is the LSH miss probability (1−τ^r)^b — at the
+    * defaults and τ=0.8, ≈1e−10 per true pair, which is what lets a
+    * brute-force oracle match exactly on deterministic data.
+    */
+  def run(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tau: Double,
+      chunks: Int = 4,
+      bands: Int = 32,
+      rowsPerBand: Int = 3,
+      checkpointEvery: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.ArrayIntersectSize.register(spark)
+    graft.functions.MinHashBands.register(spark)
+    val storage = StorageLevel.MEMORY_AND_DISK
+
+    // deterministic, engine-portable batch assignment
+    val staged = SemiStreamRuntime.stageByColumn(
+      docs.select(col(idCol), col(textCol))
+        .withColumn(
+          "__chunk",
+          floor(Sampling.hashUniform(col(idCol)) * chunks).cast("int")),
+      "__chunk",
+      chunks)
+    val outDir = Files.createTempDirectory("graft-streamdedup-out-").toString
+    val ckpt = Files.createTempDirectory("graft-streamdedup-ckpt-").toString
+
+    // cross-batch state: band signatures + token sets of every seen doc,
+    // seeded empty with the proper schemas so every batch updates uniformly
+    val emptyToks = SimilarityJoin.tokenize(docs.limit(0), idCol, textCol)
+      .select("sid", "toks")
+    var sigState: DataFrame =
+      Dedup.bandSignatures(emptyToks.withColumn("slen", size(col("toks"))), bands, rowsPerBand)
+        .persist(storage)
+    var tokState: DataFrame = emptyToks.persist(storage)
+    var batchNo = 0L
+
+    val perBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
+      batchNo += 1
+      val bToks = SimilarityJoin.tokenize(batch.toDF(), idCol, textCol)
+        .persist(storage)
+      val bSigs = Dedup.bandSignatures(bToks, bands, rowsPerBand)
+        .persist(storage)
+      bSigs.count()
+
+      val xSigs = bSigs.select(col("sid").as("x_id"), col("band"), col("bsig"))
+      val xB = broadcast(bToks.select(col("sid").as("x_id"), col("toks").as("x_toks")))
+
+      def verified(cand: DataFrame, yToks: DataFrame): DataFrame =
+        cand.dropDuplicates("x_id", "y_id")
+          .join(xB, "x_id")
+          .join(yToks, "y_id")
+          .withColumn(
+            "inter",
+            graft.functions.ArrayIntersectSize.intersect_size(col("x_toks"), col("y_toks")))
+          .filter(
+            col("inter").cast("double") /
+              (size(col("x_toks")) + size(col("y_toks")) - col("inter")) >= tau)
+          .select("x_id", "y_id")
+
+      // vs earlier batches: bucket join (batch side broadcast), then token
+      // fetch of just the candidate y-docs (S5 keyed-fetch reduction)
+      val stateCand = broadcast(xSigs)
+        .join(sigState.select(col("sid").as("y_id"), col("band"), col("bsig")),
+          Seq("band", "bsig"))
+        .select("x_id", "y_id")
+      val needed = stateCand.select("y_id").distinct()
+      val yFetch = tokState
+        .join(broadcast(needed), tokState("sid") === needed("y_id"), "left_semi")
+        .select(col("sid").as("y_id"), col("toks").as("y_toks"))
+
+      // within-batch: both sides bounded
+      val batchCand = xSigs
+        .join(bSigs.select(col("sid").as("y_id"), col("band"), col("bsig")), Seq("band", "bsig"))
+        .filter(col("y_id") < col("x_id"))
+        .select("x_id", "y_id")
+      val yBatch = broadcast(bToks.select(col("sid").as("y_id"), col("toks").as("y_toks")))
+
+      val dupOf = verified(stateCand, yFetch)
+        .unionByName(verified(batchCand, yBatch))
+        .groupBy("x_id")
+        .agg(min("y_id").as("dup_of"))
+
+      bToks.select(col("sid").as("x_id"))
+        .join(dupOf, Seq("x_id"), "left")
+        .select(
+          col("x_id").as("out_id"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        .write.mode("append").parquet(outDir)
+
+      // ---- state update (CacheManager discipline: new state materialized
+      // before the old is released; lineage truncated on cadence) ----
+      val newSig = maybeCheckpoint(
+        sigState.unionByName(bSigs.select("sid", "band", "bsig")),
+        batchNo, checkpointEvery, storage)
+      newSig.count()
+      val newTok = maybeCheckpoint(
+        tokState.unionByName(bToks.select("sid", "toks")),
+        batchNo, checkpointEvery, storage)
+      newTok.count()
+      sigState.unpersist(); tokState.unpersist()
+      sigState = newSig
+      tokState = newTok
+      bToks.unpersist(); bSigs.unpersist()
+      ()
+    }
+
+    val query = spark.readStream
+      .schema(docs.select(idCol, textCol).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .writeStream
+      .foreachBatch(perBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    sigState.unpersist(); tokState.unpersist()
+    spark.read.parquet(outDir)
+      .select(col("out_id").as("doc_id"), col("dup_of"))
+  }
+
+  private def maybeCheckpoint(
+      df: DataFrame,
+      id: Long,
+      every: Int,
+      storage: StorageLevel): DataFrame =
+    if (every > 0 && id % every == 0) df.localCheckpoint(true)
+    else df.persist(storage)
+}

@@ -32,6 +32,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("containment_join TVF round-trips to the Scala containment self-join exactly") {
+    Tables(spark, sfSmoke, "documents").createOrReplaceTempView("cj_docs")
+    val viaSql = spark.sql(
+      "SELECT * FROM containment_join('cj_docs', 'doc_id', 'text', 0.9)")
+    val viaScala = SimilarityJoin.containmentSelfJoin(
+      Tables(spark, sfSmoke, "documents"), "doc_id", "text", 0.9)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.count() == viaScala.count())
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
   test("similarity_join TVF rejects a non-literal table argument") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM similarity_join(1, 'a', 'b', 0.8)").collect()

@@ -161,6 +161,34 @@ class SimilarityJoinSpec extends SparkSpec {
     })
   }
 
+  test("containment self-join matches the brute-force definition at sf0.001") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val got = SimilarityJoin.containmentSelfJoin(docs, "doc_id", "text", 0.9)
+
+    val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+    val a = toks.select(col("sid").as("x_id"), col("toks").as("x_toks"))
+    val b = toks.select(col("sid").as("y_id"), col("toks").as("y_toks"))
+    val brute = a.crossJoin(b)
+      .filter(col("x_id") =!= col("y_id"))
+      .withColumn("inter", size(array_intersect(col("x_toks"), col("y_toks"))))
+      .filter(col("inter") >= ceil(size(col("x_toks")) * 0.9 - 1e-4))
+      .select(col("x_id"), col("y_id"), col("inter"), size(col("x_toks")).as("x_len"))
+
+    assert(got.count() == brute.count())
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
+  test("containment is asymmetric: a short doc inside a long one is found one-way") {
+    import spark.implicits._
+    // x ⊂ y with |x|=3, |y|=20: containment(x→y)=1 but Jaccard=0.15 —
+    // the case a symmetric threshold can never surface
+    val longToks = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, "t1 t2 t3"), (2L, longToks)).toDF("doc_id", "text")
+    val got = SimilarityJoin.containmentSelfJoin(docs, "doc_id", "text", 0.9)
+      .select("x_id", "y_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("similarity join plan contains no cartesian product") {
     // (BroadcastNestedLoopJoin against the ~45-row group table is intended —
     // it's the length-range assignment, not an all-pairs join.)

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Sampling, SimilarityJoin}
+import graft.streaming.StreamingDedup
+
+class StreamingDedupSpec extends SparkSpec {
+  init()
+
+  /** Ordered brute-force reference: dup_of(x) = min y seen before x
+    * (earlier batch, or same batch with smaller id) with J(x,y) ≥ τ.
+    */
+  private def bruteDedup(
+      docs: org.apache.spark.sql.DataFrame,
+      tau: Double,
+      chunks: Int) = {
+    val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      .withColumn("b", floor(Sampling.hashUniform(col("sid")) * chunks).cast("int"))
+    val x = toks.select(col("sid").as("x_id"), col("toks").as("x_toks"), col("b").as("xb"))
+    val y = toks.select(col("sid").as("y_id"), col("toks").as("y_toks"), col("b").as("yb"))
+    val dupOf = x.crossJoin(y)
+      .filter(col("yb") < col("xb") || (col("yb") === col("xb") && col("y_id") < col("x_id")))
+      .withColumn("inter", size(array_intersect(col("x_toks"), col("y_toks"))))
+      .filter(
+        col("inter").cast("double") /
+          (size(col("x_toks")) + size(col("y_toks")) - col("inter")) >= tau)
+      .groupBy("x_id")
+      .agg(min("y_id").as("exp_dup"))
+    toks.select(col("sid").as("doc_id"))
+      .join(dupOf, col("doc_id") === col("x_id"), "left")
+      .select(col("doc_id"), coalesce(col("exp_dup"), lit(-1L)).as("dup_of"))
+  }
+
+  test("streaming incremental dedup equals the ordered brute force at sf0.001") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val got = StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 3)
+    val expected = bruteDedup(docs, tau = 0.8, chunks = 3)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("cross-batch duplicates are found regardless of id order") {
+    import spark.implicits._
+    // one duplicate pair + one novel doc; whatever batches MD5 assigns,
+    // the later-arriving member of the pair must point at the earlier one
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, text),
+      (20L, text + " w13"), // J = 12/13 ≈ 0.923 ≥ 0.8
+      (30L, (100 to 120).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 4)
+      .as[(Long, Long)].collect().toMap
+
+    val b = (id: Long) =>
+      docs.sparkSession.range(1)
+        .select(floor(Sampling.hashUniform(lit(id).cast("string")) * 4).cast("int"))
+        .head().getInt(0)
+    val (b10, b20) = (b(10L), b(20L))
+    val (first, second) =
+      if (b10 < b20 || (b10 == b20 && 10L < 20L)) (10L, 20L) else (20L, 10L)
+    assert(got(first) == -1L)
+    assert(got(second) == first)
+    assert(got(30L) == -1L)
+  }
+}
