@@ -261,6 +261,26 @@ object DocumentQueries {
         "x_id", "y_id")
     }),
 
+    // Per-language vocabulary: top-50 tokens by document frequency within
+    // each predicted language — the vocabulary/stopword-mining step of a
+    // corpus pipeline, composed from languageId + tokenize + the two-phase
+    // TopK (W5: no language funnels into a single task).
+    "q51_vocab_per_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val langs = TextAnalysis.languageId(docs, "doc_id", "text")
+        .select("doc_id", "lang_pred")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+        .select(col("sid").as("doc_id"), explode(col("toks")).as("tok"))
+      val freq = toks.join(langs, "doc_id")
+        .groupBy("lang_pred", "tok")
+        .agg(count(lit(1)).as("df"))
+      graft.operators.TopK
+        .perGroup(freq, Seq("lang_pred"), Seq(col("df").desc, col("tok").asc), 50,
+          rankCol = "rnk")
+        .select(col("lang_pred"), col("tok"), col("df"), col("rnk").cast("long").as("rnk"))
+        .orderBy("lang_pred", "rnk")
+    }),
+
     // Text statistics + quality scoring (LLM op #4).
     "q25_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -716,6 +736,40 @@ object DocumentQueries {
       """SELECT doc_id,
         |       min(doc_id) OVER (PARTITION BY regexp_replace(trim(text), ' +', ' ', 'g')) AS rep
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q26's language replay + distinct-token document frequencies + the
+    // per-language rank window.
+    "q51_vocab_per_lang" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','zu','ist','ein','nicht'))) AS DOUBLE) / len(toks) AS r_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(toks) AS r_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','en','es','un','que'))) AS DOUBLE) / len(toks) AS r_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','en','est','un','que'))) AS DOUBLE) / len(toks) AS r_fr
+        |  FROM t),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN r_de >= r_en AND r_de >= r_es AND r_de >= r_fr THEN 'de'
+        |         WHEN r_en >= r_es AND r_en >= r_fr THEN 'en'
+        |         WHEN r_es >= r_fr THEN 'es'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM r),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_distinct(toks)) AS tok
+        |  FROM t WHERE len(toks) > 0),
+        |f AS (
+        |  SELECT lp.lang_pred, tok.tok, count(*) AS df
+        |  FROM tok JOIN lp ON tok.doc_id = lp.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT lang_pred, tok, df,
+        |       row_number() OVER (PARTITION BY lang_pred ORDER BY df DESC, tok) AS rnk
+        |FROM f
+        |QUALIFY rnk <= 50
+        |ORDER BY lang_pred, rnk""".stripMargin,
 
     "q50_containment" ->
       """WITH tok AS (
