@@ -281,6 +281,17 @@ object DocumentQueries {
         .orderBy("lang_pred", "rnk")
     }),
 
+    // Winnowing fingerprint selection (SIGMOD'03): per-doc window-min
+    // shingle hashes — the content-defined sampling that underlies
+    // partial-dup detection at corpus scale (any shared ≥ w+k−1-token run
+    // yields a shared fingerprint). MD5-based shingle hash → the selected
+    // sets replay exactly in SQL.
+    "q52_winnow_fingerprints" -> ((s, dir) =>
+      graft.operators.Winnowing
+        .fingerprints(t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
+        .select(col("sid").as("doc_id"), explode(col("fps")).as("fp"))
+        .orderBy("doc_id", "fp")),
+
     // Text statistics + quality scoring (LLM op #4).
     "q25_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -770,6 +781,28 @@ object DocumentQueries {
         |FROM f
         |QUALIFY rnk <= 50
         |ORDER BY lang_pred, rnk""".stripMargin,
+
+    // winnowing replay: k=3 shingle hashes (first-8-hex-of-md5 recipe),
+    // w=4 window minima, distinct; docs need ≥ k+w−1 = 6 tokens.
+    "q52_winnow_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wd
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(wd) - 1), i ->
+        |           CAST(list_sum(list_transform(range(0, 8), b ->
+        |             CAST(instr('0123456789abcdef',
+        |                        substr(md5(array_to_string(wd[i:i+2], ' ')),
+        |                               CAST(b + 1 AS INT), 1)) - 1
+        |                  AS BIGINT) << CAST(4 * (7 - b) AS INT))) AS BIGINT)) AS hs
+        |  FROM t WHERE len(wd) >= 6),
+        |sel AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(hs) - 2), i ->
+        |           list_min(hs[i:i+3]))) AS fps
+        |  FROM s)
+        |SELECT doc_id, unnest(fps) AS fp FROM sel ORDER BY doc_id, fp""".stripMargin,
 
     "q50_containment" ->
       """WITH tok AS (
