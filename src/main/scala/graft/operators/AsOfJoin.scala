@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed AS-OF join — for every left row, the single right row with
+  * the greatest `timeCol` ≤ the left row's time within the same key group
+  * (time-series point lookup: attribution, mark-to-market, sensor
+  * alignment). Spark has no native as-of operator; the scalable shape is
+  * the UNION + RUNNING-LAST window, not a join:
+  *
+  *   - both sides are tagged and unioned (right rows sort before left rows
+  *     at equal time, so "≤" ties match);
+  *   - one window per key group, ordered by (time, side, tiebreak), carries
+  *     the last-seen right payload forward (`last(..., ignoreNulls)` over a
+  *     running row frame — O(n) incremental, not O(n²));
+  *   - left rows then read their match from the running state.
+  *
+  * ONE shuffle total (the window's partitionBy) regardless of how many
+  * right rows precede each left row — a join formulation would either
+  * range-explode or re-scan history per left row. Equal-(key, time) right
+  * rows resolve deterministically to the greatest `tiebreak` (the analogue
+  * of dedup-keep-latest), which is what makes results engine-portable.
+  *
+  * Scale note: a key whose full history exceeds one task's share funnels
+  * into one sort task (windows cannot split a partition); at corpus scale
+  * keys are entities (users, instruments) — high-cardinality by
+  * construction. Range-bucketing time into epochs with boundary carryover
+  * is the known refinement if a single key's history is itself huge; the
+  * per-batch logic is unchanged.
+  */
+object AsOfJoin {
+
+  /** Backward as-of join (most recent right row at or before each left
+    * row). Output: every left column, plus every non-key non-time right
+    * column (null when no right row precedes). `tiebreak` must be a right
+    * column making (keys, time, tiebreak) unique.
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      tiebreak: String): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == timeCol).toSeq
+    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == timeCol).toSeq
+    require(payloadCols.contains(tiebreak), s"tiebreak $tiebreak must be a right payload column")
+    val tbType = right.schema(tiebreak).dataType
+
+    val lStructT = org.apache.spark.sql.types.StructType(
+      leftCols.map(c => left.schema(c)))
+    val rStructT = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
+
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(timeCol),
+        lit(1).as("__side"),
+        lit(null).cast(tbType).as("__tb"),
+        struct(leftCols.map(col): _*).as("__l"),
+        lit(null).cast(rStructT).as("__r")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(timeCol),
+        lit(0).as("__side"),
+        col(tiebreak).as("__tb"),
+        lit(null).cast(lStructT).as("__l"),
+        struct(payloadCols.map(col): _*).as("__r")): _*)
+
+    val win = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").asc, col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(win))
+      .filter(col("__side") === 1)
+      .select(
+        keys.map(col) ++ Seq(col(timeCol)) ++
+          leftCols.map(c => col("__l").getField(c).as(c)) ++
+          payloadCols.map(c => col("__m").getField(c).as(c)): _*)
+  }
+}

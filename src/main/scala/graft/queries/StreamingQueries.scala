@@ -95,6 +95,27 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // AS-OF join (time-series point lookup): each click event matched to
+    // the most recent view event of the SAME user at or before it —
+    // union + running-last window, one shuffle, no range explosion. The
+    // oracle is DuckDB's native ASOF JOIN over the same deduped right side.
+    "q53_asof_attribution" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
+          col("value").as("view_value"))
+      graft.operators.AsOfJoin
+        .backward(clicks, views, Seq("user_id"), "ts", tiebreak = "view_id")
+        .select(
+          col("click_id"),
+          col("user_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          coalesce(col("view_value"), lit(-1.0)).as("view_value"))
+        .orderBy("click_id")
+    }),
+
     // JSON ingest (SURVEY S7): parse the props JSON column with an
     // explicit schema, aggregate by the extracted key.
     "q34_json_ingest" -> ((s, dir) =>
@@ -159,6 +180,22 @@ object StreamingQueries {
         |SELECT tt.doc_id, coalesce(m.dup_of, -1) AS dup_of
         |FROM tt LEFT JOIN m ON tt.doc_id = m.doc_id
         |ORDER BY tt.doc_id""".stripMargin,
+
+    // native ASOF JOIN; the right side deduped to max view_id per
+    // (user_id, ts) — the operator's deterministic tiebreak.
+    "q53_asof_attribution" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, ts, value AS view_value
+        |  FROM events WHERE event_type = 'view'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.click_id, c.user_id,
+        |       coalesce(v.view_id, -1) AS view_id,
+        |       coalesce(v.view_value, -1.0) AS view_value
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.click_id""".stripMargin,
 
     "q41_stream_simjoin" ->
       """WITH tok AS (

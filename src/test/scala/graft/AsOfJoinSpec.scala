@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  init()
+
+  test("as-of join equals the brute-force max-preceding lookup on sf0.001 events") {
+    val ev = Tables(spark, sfSmoke, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
+        col("value").as("view_value"))
+
+    val got = AsOfJoin.backward(clicks, views, Seq("user_id"), "ts", "view_id")
+      .select(
+        col("click_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(col("view_value"), lit(-1.0)).as("view_value"))
+
+    // brute force: all preceding views per click, keep max (ts, view_id)
+    val v = views.select(
+      col("user_id").as("v_user"), col("view_id").as("v_id"),
+      col("ts").as("v_ts"), col("view_value").as("v_val"))
+    val best = clicks
+      .join(v, col("user_id") === col("v_user") && col("v_ts") <= col("ts"), "left")
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("click_id")
+            .orderBy(col("v_ts").desc_nulls_last, col("v_id").desc_nulls_last)))
+      .filter(col("rk") === 1)
+      .select(
+        col("click_id"),
+        coalesce(col("v_id"), lit(-1L)).as("view_id"),
+        coalesce(col("v_val"), lit(-1.0)).as("view_value"))
+
+    assert(got.count() == clicks.count())
+    assert(got.exceptAll(best).isEmpty && best.exceptAll(got).isEmpty)
+  }
+
+  test("equal timestamps match (<=) and ties resolve to the greatest tiebreak") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 50L, "b")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 100L, 7L, 1.0), // same instant as left "a" — must match
+      (1L, 100L, 9L, 2.0), // equal (k, t): greater id wins
+      (1L, 60L, 5L, 3.0))
+      .toDF("k", "t", "rid", "rv")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "t", "rid")
+      .select(col("tag"), col("rid"), col("rv"))
+      .as[(String, Option[Long], Option[Double])].collect().toSet
+    assert(got == Set(("a", Some(9L), Some(2.0)), ("b", None, None)))
+  }
+}
