@@ -116,6 +116,25 @@ object StreamingQueries {
         .orderBy("click_id")
     }),
 
+    // RANGE join (windowed attribution): every view of the SAME user within
+    // the hour before each click — bucketed equi-join (≤ 2 probe buckets
+    // per click), exact window filter; no per-key cross product. Oracle is
+    // the plain inequality join.
+    "q54_range_attribution" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          unix_micros(col("ts")).as("vus"))
+      graft.operators.RangeJoin
+        .timeRange(clicks, views, Seq("user_id"), "tus", "vus",
+          lower = -3600L * 1000 * 1000, upper = 0L)
+        .select(col("click_id"), col("user_id"), col("view_id"))
+        .orderBy("click_id", "view_id")
+    }),
+
     // JSON ingest (SURVEY S7): parse the props JSON column with an
     // explicit schema, aggregate by the extracted key.
     "q34_json_ingest" -> ((s, dir) =>
@@ -196,6 +215,16 @@ object StreamingQueries {
         |       coalesce(v.view_value, -1.0) AS view_value
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.click_id""".stripMargin,
+
+    // microsecond domain on both sides (epoch_us(TIMESTAMP_NS) ==
+    // the engine's ns-div-1000 read path, checked exact).
+    "q54_range_attribution" ->
+      """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id
+        |FROM events c JOIN events v
+        |  ON c.event_type = 'click' AND v.event_type = 'view'
+        | AND c.user_id = v.user_id
+        | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
+        |ORDER BY 1, 3""".stripMargin,
 
     "q41_stream_simjoin" ->
       """WITH tok AS (
