@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{ArrayIntersectSize, JavaStringHash, LshSignature, MinHashBands, SimHash64}
+import graft.functions.{ArrayIntersectSize, JavaStringHash, LshSignature, MinHashBands, SimHash64, WinnowSelect}
 import graft.operators.SimilarityJoin
 
 /** SparkSessionExtensions entry point: installs graft's engine functions
@@ -65,6 +65,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "lsh_signature(emb, tables, bits) - all random-hyperplane LSH bucket ids of a float-array embedding.",
         ""),
       exprs => LshSignature.builder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(
+        classOf[WinnowSelect].getName,
+        null,
+        "winnow_select",
+        "winnow_select(words, k, w) - distinct winnowed (w-window-min) k-shingle MD5 fingerprints of a word array.",
+        ""),
+      exprs => WinnowSelect.builder(exprs)))
     ext.injectFunction((
       FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(

@@ -42,7 +42,29 @@ object AsOfJoin {
       right: DataFrame,
       keys: Seq[String],
       timeCol: String,
-      tiebreak: String): DataFrame = {
+      tiebreak: String): DataFrame =
+    join(left, right, keys, timeCol, tiebreak, forwardDir = false)
+
+  /** Forward as-of join (EARLIEST right row at or after each left row) —
+    * the same running-last machinery over a reversed time order; equal
+    * times match, equal-(key, time) right rows resolve to the greatest
+    * `tiebreak`.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      tiebreak: String): DataFrame =
+    join(left, right, keys, timeCol, tiebreak, forwardDir = true)
+
+  private def join(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      tiebreak: String,
+      forwardDir: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == timeCol).toSeq
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == timeCol).toSeq
@@ -69,9 +91,10 @@ object AsOfJoin {
         lit(null).cast(lStructT).as("__l"),
         struct(payloadCols.map(col): _*).as("__r")): _*)
 
+    val timeOrder = if (forwardDir) col(timeCol).desc else col(timeCol).asc
     val win = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("__side").asc, col("__tb").asc_nulls_last)
+      .orderBy(timeOrder, col("__side").asc, col("__tb").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

@@ -31,16 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object Winnowing {
 
-  /** First-8-hex-chars-of-MD5 as an unsigned 32-bit value in a long —
-    * portable across engines.
-    */
-  private def md5Hash32(s: Column): Column =
-    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
-
   /** Per-document winnowed fingerprint set. Documents with fewer than
     * `k + w − 1` tokens (no full window) are dropped — winnow parameters
     * target runs of at least that length by construction.
-    * Output: (sid, fps) with `fps` the DISTINCT selected hashes.
+    * Output: (sid, fps) with `fps` the DISTINCT selected hashes (the
+    * first-8-hex-of-MD5 shingle hash), computed by the one-pass
+    * [[graft.functions.WinnowSelect]] codegen expression — the
+    * declarative HOF form built two array slices and a string per shingle
+    * in interpreted lambdas (152 s at sf0.1).
     */
   def fingerprints(
       df: DataFrame,
@@ -49,20 +47,13 @@ object Winnowing {
       k: Int,
       w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1: k=$k w=$w")
+    graft.functions.WinnowSelect.register(df.sparkSession)
     val words = filter(split(col(textCol), " "), t => length(t) > 0)
     df.select(col(idCol).as("sid"), words.as("wd"))
       .filter(size(col("wd")) >= k + w - 1)
-      .withColumn(
-        "hs",
-        transform(
-          sequence(lit(0), size(col("wd")) - k),
-          i => md5Hash32(concat_ws(" ", slice(col("wd"), i + 1, lit(k))))))
       .select(
         col("sid"),
-        array_distinct(
-          transform(
-            sequence(lit(0), size(col("hs")) - w),
-            i => array_min(slice(col("hs"), i + 1, lit(w))))).as("fps"))
+        graft.functions.WinnowSelect.winnow_select(col("wd"), k, w).as("fps"))
   }
 
   /** Candidate pairs: documents sharing any winnowed fingerprint

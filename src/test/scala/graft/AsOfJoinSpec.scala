@@ -44,6 +44,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.exceptAll(best).isEmpty && best.exceptAll(got).isEmpty)
   }
 
+  test("forward as-of equals the brute-force min-following lookup on sf0.001 events") {
+    val ev = Tables(spark, sfSmoke, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
+        col("value").as("view_value"))
+
+    val got = AsOfJoin.forward(clicks, views, Seq("user_id"), "ts", "view_id")
+      .select(
+        col("click_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"))
+
+    val v = views.select(
+      col("user_id").as("v_user"), col("view_id").as("v_id"), col("ts").as("v_ts"))
+    val best = clicks
+      .join(v, col("user_id") === col("v_user") && col("v_ts") >= col("ts"), "left")
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("click_id")
+            .orderBy(col("v_ts").asc_nulls_last, col("v_id").desc_nulls_last)))
+      .filter(col("rk") === 1)
+      .select(col("click_id"), coalesce(col("v_id"), lit(-1L)).as("view_id"))
+
+    assert(got.count() == clicks.count())
+    assert(got.exceptAll(best).isEmpty && best.exceptAll(got).isEmpty)
+  }
+
   test("equal timestamps match (<=) and ties resolve to the greatest tiebreak") {
     import spark.implicits._
     val left = Seq((1L, 100L, "a"), (1L, 50L, "b")).toDF("k", "t", "tag")

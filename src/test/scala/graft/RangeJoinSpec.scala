@@ -47,6 +47,20 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set("at-lower", "at-upper"))
   }
 
+  test("negative times bucket exactly (floor division, not truncation)") {
+    import spark.implicits._
+    val left = Seq((1L, -100L)).toDF("k", "t")
+    val right = Seq(
+      (1L, -110L, "at-lower"), // t − 10: included
+      (1L, -100L, "at-upper"), // t: included
+      (1L, -111L, "below"),
+      (1L, -99L, "above"))
+      .toDF("k", "rt", "tag")
+    val got = RangeJoin.timeRange(left, right, Seq("k"), "t", "rt", -10L, 0L)
+      .select("tag").as[String].collect().toSet
+    assert(got == Set("at-lower", "at-upper"))
+  }
+
   test("range join plans a hash equi-join, not a cartesian or pure range join") {
     val ev = Tables(spark, sfSmoke, "events")
     val l = ev.filter(col("event_type") === "click")
