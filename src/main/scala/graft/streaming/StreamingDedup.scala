@@ -42,6 +42,17 @@ import graft.operators.{Dedup, Sampling, SimilarityJoin}
   * reference's stored-relation probes; a disk-backed variant would bucket
   * the state by (band, bsig) / id to turn the scans into pruned reads —
   * the per-batch logic is unchanged.
+  *
+  * Fault tolerance: unlike [[CacheManager]]'s cache (perf-only — losing
+  * it on restart cannot change results; the bag-union invariant holds),
+  * this state is CORRECTNESS-bearing: a driver restart with in-memory
+  * state would forget seen docs. The single-process AvailableNow harness
+  * never restarts mid-run; a long-lived deployment persists both state
+  * relations to a transactional table per batch (idempotent MERGE keyed
+  * by batchId — the standard foreachBatch exactly-once recipe) and seeds
+  * them back on start. Same caveat for the parquet `append` sink: a
+  * retried batch can double-append; production sinks key writes by
+  * batchId.
   */
 object StreamingDedup {
 

@@ -34,6 +34,35 @@ class SemiStreamRuntimeSpec extends SparkSpec {
     assert(stats.head.missed > 0)
   }
 
+  test("cache loss mid-stream is perf-only: a fresh manager resumes with identical results") {
+    // simulated driver restart between batches 2 and 3: the replacement
+    // manager starts from an EMPTY cache, yet the accumulated output must
+    // still equal the plain join — the bag-union invariant that makes the
+    // cache state non-correctness-bearing (unlike StreamingDedup's seen-set,
+    // whose scaladoc documents the transactional-state requirement)
+    val li = Tables(spark, sfSmoke, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
+    val part = Tables(spark, sfSmoke, "part")
+    val seed = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
+    val batches = (0 until 4).map(i =>
+      li.filter(pmod(xxhash64(col("l_orderkey")), lit(4)) === i))
+
+    val outputs = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+    val m1 = new CacheManager(part, seed, "p_partkey")
+    try batches.take(2).foreach { b =>
+      m1.processBatch(b) { out => outputs += out.localCheckpoint(true); () }
+    } finally m1.close()
+    val m2 = new CacheManager(part, part.limit(0), "p_partkey") // post-restart: cold cache
+    try batches.drop(2).foreach { b =>
+      m2.processBatch(b) { out => outputs += out.localCheckpoint(true); () }
+    } finally m2.close()
+
+    val got = outputs.reduce(_ unionByName _)
+    val plain = li.join(part, "p_partkey")
+    assert(got.count() == plain.count())
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+  }
+
   test("cache admission makes later batches hit: misses shrink after batch 1") {
     val li = Tables(spark, sfSmoke, "lineitem")
       .select(col("l_partkey").as("p_partkey"), col("l_orderkey"))
