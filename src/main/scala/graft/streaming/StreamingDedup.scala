@@ -89,14 +89,24 @@ object StreamingDedup {
     val outDir = Files.createTempDirectory("graft-streamdedup-out-").toString
     val ckpt = Files.createTempDirectory("graft-streamdedup-ckpt-").toString
 
-    // cross-batch state: band signatures + token sets of every seen doc,
-    // seeded empty with the proper schemas so every batch updates uniformly
+    // cross-batch state: band signatures + token sets of every seen doc.
+    // APPEND-ONLY — each batch's increment stays persisted as its own
+    // block set and reads union them (zero-copy over cached blocks). The
+    // alternative (re-persist state ∪ increment each batch) rewrites the
+    // whole seen corpus every trigger: neutral at sf0.1 where state is
+    // megabytes (A/B measured a wash), but O(corpus) per trigger at scale,
+    // which is the wrong asymptotic for a long-running ingest. Increments
+    // are consolidated into one localCheckpoint every `checkpointEvery`
+    // batches, bounding plan width and block count.
     val emptyToks = SimilarityJoin.tokenize(docs.limit(0), idCol, textCol)
       .select("sid", "toks")
-    var sigState: DataFrame =
+    val emptySigs =
       Dedup.bandSignatures(emptyToks.withColumn("slen", size(col("toks"))), bands, rowsPerBand)
         .persist(storage)
-    var tokState: DataFrame = emptyToks.persist(storage)
+    val sigParts = scala.collection.mutable.ListBuffer[DataFrame](emptySigs)
+    val tokParts = scala.collection.mutable.ListBuffer[DataFrame](emptyToks.persist(storage))
+    def sigState: DataFrame = sigParts.reduce(_ unionByName _)
+    def tokState: DataFrame = tokParts.reduce(_ unionByName _)
     var batchNo = 0L
 
     val perBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
@@ -152,20 +162,17 @@ object StreamingDedup {
           coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
         .write.mode("append").parquet(outDir)
 
-      // ---- state update (CacheManager discipline: new state materialized
-      // before the old is released; lineage truncated on cadence) ----
-      val newSig = maybeCheckpoint(
-        sigState.unionByName(bSigs.select("sid", "band", "bsig")),
-        batchNo, checkpointEvery, storage)
-      newSig.count()
-      val newTok = maybeCheckpoint(
-        tokState.unionByName(bToks.select("sid", "toks")),
-        batchNo, checkpointEvery, storage)
-      newTok.count()
-      sigState.unpersist(); tokState.unpersist()
-      sigState = newSig
-      tokState = newTok
-      bToks.unpersist(); bSigs.unpersist()
+      // ---- state update: append this batch's (already materialized)
+      // increments; consolidate on cadence to truncate lineage ----
+      sigParts += bSigs.select("sid", "band", "bsig")
+      tokParts += bToks.select("sid", "toks")
+      if (checkpointEvery > 0 && batchNo % checkpointEvery == 0) {
+        val s = sigState.localCheckpoint(true)
+        val t = tokState.localCheckpoint(true)
+        sigParts.foreach(_.unpersist()); tokParts.foreach(_.unpersist())
+        sigParts.clear(); tokParts.clear()
+        sigParts += s; tokParts += t
+      }
       ()
     }
 
@@ -180,16 +187,8 @@ object StreamingDedup {
       .start()
     query.awaitTermination()
 
-    sigState.unpersist(); tokState.unpersist()
+    sigParts.foreach(_.unpersist()); tokParts.foreach(_.unpersist())
     spark.read.parquet(outDir)
       .select(col("out_id").as("doc_id"), col("dup_of"))
   }
-
-  private def maybeCheckpoint(
-      df: DataFrame,
-      id: Long,
-      every: Int,
-      storage: StorageLevel): DataFrame =
-    if (every > 0 && id % every == 0) df.localCheckpoint(true)
-    else df.persist(storage)
 }
