@@ -2,9 +2,11 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.operators.{Dedup, Sampling, SimilarityJoin}
@@ -15,46 +17,89 @@ import graft.operators.{Dedup, Sampling, SimilarityJoin}
   * same batch with a smaller id) through MinHash/LSH band signatures, with
   * exact-Jaccard verification. The decision per doc is the MINIMUM earlier
   * doc id it duplicates (−1 = novel), so an ingest pipeline can drop dups
-  * online instead of re-clustering the whole corpus per round — the same
-  * cross-batch-state discipline as [[CacheManager]] (persist + eager
-  * materialize + lineage truncation on cadence), applied to a growing
-  * signature index instead of a bounded cache.
+  * online instead of re-clustering the whole corpus per round.
   *
   * Batch assignment uses [[Sampling.hashUniform]] (MD5 of the id), not a
   * seeded RNG or engine hash, so arrival order is deterministic AND
   * engine-portable — a SQL oracle can replay exactly which docs each doc
   * was compared against.
   *
-  * Scale shape, per batch:
-  *   - batch band-signatures ⋈ state signatures — an equi-join on
-  *     (band, bsig) whose batch side is bounded, so Catalyst broadcasts it
-  *     and the state side is a partition-local scan (no state shuffle);
-  *   - candidate y-docs' tokens come from state via a broadcast semi-join
-  *     FETCH on the (bounded) distinct candidate ids — the engine's S5
-  *     keyed-fetch pattern, so the big token state is scanned, never
-  *     shuffled;
-  *   - within-batch candidates and all verify probes are batch-bounded and
-  *     broadcast.
-  * State grows linearly with the seen corpus (the inherent cost of exact
-  * dedup) and is scanned once per batch; both state relations live
-  * cluster-side as persisted blocks and are never collected to the driver.
-  * At petabyte state the scans shard over executors exactly like the
-  * reference's stored-relation probes; a disk-backed variant would bucket
-  * the state by (band, bsig) / id to turn the scans into pruned reads —
-  * the per-batch logic is unchanged.
+  * == Durable bucketed state ==
   *
-  * Fault tolerance: unlike [[CacheManager]]'s cache (perf-only — losing
-  * it on restart cannot change results; the bag-union invariant holds),
-  * this state is CORRECTNESS-bearing: a driver restart with in-memory
-  * state would forget seen docs. The single-process AvailableNow harness
-  * never restarts mid-run; a long-lived deployment persists both state
-  * relations to a transactional table per batch (idempotent MERGE keyed
-  * by batchId — the standard foreachBatch exactly-once recipe) and seeds
-  * them back on start. Same caveat for the parquet `append` sink: a
-  * retried batch can double-append; production sinks key writes by
-  * batchId.
+  * Unlike the cache in [[CacheManager]] (perf-only — losing it cannot
+  * change results), the seen-set here is CORRECTNESS-bearing, so the state
+  * lives on storage, not in session memory:
+  *
+  *   - `state/sigs`  — band signatures of every seen doc, partitioned by
+  *     `(batch, pb)` where `pb = hash(band, bsig) mod nBuckets`;
+  *   - `state/toks`  — token sets of every seen doc, partitioned by
+  *     `(batch, pb)` where `pb = hash(id) mod nBuckets`.
+  *
+  * Each micro-batch appends ONLY its own increment (one write per batch,
+  * keyed by `batchId`) and probes the accumulated state with partition
+  * pruning on both axes:
+  *
+  *   - the signature probe reads only `pb` buckets that hold some batch
+  *     signature — a micro-batch of B docs touches ≤ B·bands buckets, so
+  *     for a continuous ingest (B bounded, state growing without bound)
+  *     the per-batch read is the matching slice of the state, not a full
+  *     scan. This is the LSH-index point-lookup pattern expressed as
+  *     partition-pruned parquet reads;
+  *   - the token fetch reads only `pb` buckets that hold a candidate id
+  *     (candidates are batch-bounded), then semi-joins on the (broadcast)
+  *     candidate ids — the engine's S5 keyed-fetch reduction, now against
+  *     a pruned scan.
+  *
+  * The pruning predicates are partition-column `isin` filters built from a
+  * driver-side collect of the DISTINCT bucket ids in the batch — bounded by
+  * `nBuckets`, never data-sized.
+  *
+  * == Restart safety (exactly-once effects) ==
+  *
+  * Every write this job performs is keyed by the Structured Streaming
+  * `batchId` and performed with dynamic partition overwrite, so a batch
+  * that is retried after a crash REPLACES its own partitions instead of
+  * double-appending — the standard idempotent-foreachBatch recipe, applied
+  * to both the output sink and the state increments:
+  *
+  *   - probes filter `batch < batchId`, so a retrying batch never sees the
+  *     partial state of its failed attempt;
+  *   - the checkpoint, staged input, state, and output all live under one
+  *     `workDir`, so re-invoking [[run]] with the same `workDir` resumes
+  *     from the checkpoint with the state seeded back implicitly (it is
+  *     read from storage every batch — there is nothing in memory to
+  *     lose). [[StreamingDedupSpec]] kills the stream mid-run AFTER the
+  *     writes of an uncommitted batch and verifies the resumed run's
+  *     decisions are byte-identical to an uninterrupted one.
+  *
+  * At 100 TB the same layout maps onto a transactional table (Delta/
+  * Iceberg) with `(pb)` clustering; the per-batch logic — bounded bucket
+  * touch set, batchId-keyed idempotent writes — is unchanged.
   */
 object StreamingDedup {
+
+  /** State-partition bucket of a signature or an id. */
+  private def bucketOf(n: Int, cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(n)).cast(IntegerType)
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Read a state relation (empty before the first increment lands). The
+    * explicit schema covers the data AND partition columns, so no inference
+    * pass runs and an empty directory is a valid empty relation.
+    */
+  private def readState(spark: SparkSession, dir: String, dataSchema: StructType): DataFrame = {
+    val schema = dataSchema.add("batch", LongType).add("pb", IntegerType)
+    spark.read.schema(schema).parquet(dir)
+  }
+
+  private def writeIncrement(df: DataFrame, dir: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "pb")
+      .parquet(dir)
 
   /** Run incremental dedup over `docs` replayed as `chunks` micro-batches.
     * Output: (doc_id, dup_of) for every tokenizable doc — `dup_of` = min
@@ -63,6 +108,17 @@ object StreamingDedup {
     * False-negative rate is the LSH miss probability (1−τ^r)^b — at the
     * defaults and τ=0.8, ≈1e−10 per true pair, which is what lets a
     * brute-force oracle match exactly on deterministic data.
+    *
+    * @param nBuckets      state-partition fan-out; the per-batch probe reads
+    *                      ≤ min(nBuckets, batchDocs·bands) of these buckets
+    * @param workDir       durable root (checkpoint + staged input + state +
+    *                      output). Re-invoking with the same dir resumes an
+    *                      interrupted run. Default: fresh temp dir.
+    * @param crashAtBatch  TEST HOOK — throw once after the writes of this
+    *                      batchId (before the checkpoint commit), simulating
+    *                      a driver crash mid-batch.
+    * @param onBatch       timing callback (batchId, millis) for scale
+    *                      experiments.
     */
   def run(
       docs: DataFrame,
@@ -72,50 +128,55 @@ object StreamingDedup {
       chunks: Int = 4,
       bands: Int = 32,
       rowsPerBand: Int = 3,
-      checkpointEvery: Int = 4): DataFrame = {
+      nBuckets: Int = 64,
+      workDir: Option[String] = None,
+      crashAtBatch: Option[Long] = None,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.ArrayIntersectSize.register(spark)
     graft.functions.MinHashBands.register(spark)
     val storage = StorageLevel.MEMORY_AND_DISK
 
-    // deterministic, engine-portable batch assignment
-    val staged = SemiStreamRuntime.stageByColumn(
-      docs.select(col(idCol), col(textCol))
-        .withColumn(
-          "__chunk",
-          floor(Sampling.hashUniform(col(idCol)) * chunks).cast("int")),
-      "__chunk",
-      chunks)
-    val outDir = Files.createTempDirectory("graft-streamdedup-out-").toString
-    val ckpt = Files.createTempDirectory("graft-streamdedup-ckpt-").toString
+    val root = workDir.getOrElse(Files.createTempDirectory("graft-streamdedup-").toString)
+    val hfs = fs(spark, root)
+    val inputDir = s"$root/input"
+    val sigDir = s"$root/state/sigs"
+    val tokDir = s"$root/state/toks"
+    val outDir = s"$root/out"
+    val ckptDir = s"$root/ckpt"
+    Seq(sigDir, tokDir, outDir).foreach(d => hfs.mkdirs(new HPath(d)))
 
-    // cross-batch state: band signatures + token sets of every seen doc.
-    // APPEND-ONLY — each batch's increment stays persisted as its own
-    // block set and reads union them (zero-copy over cached blocks). The
-    // alternative (re-persist state ∪ increment each batch) rewrites the
-    // whole seen corpus every trigger: neutral at sf0.1 where state is
-    // megabytes (A/B measured a wash), but O(corpus) per trigger at scale,
-    // which is the wrong asymptotic for a long-running ingest. Increments
-    // are consolidated into one localCheckpoint every `checkpointEvery`
-    // batches, bounding plan width and block count.
-    val emptyToks = SimilarityJoin.tokenize(docs.limit(0), idCol, textCol)
-      .select("sid", "toks")
-    val emptySigs =
-      Dedup.bandSignatures(emptyToks.withColumn("slen", size(col("toks"))), bands, rowsPerBand)
-        .persist(storage)
-    val sigParts = scala.collection.mutable.ListBuffer[DataFrame](emptySigs)
-    val tokParts = scala.collection.mutable.ListBuffer[DataFrame](emptyToks.persist(storage))
-    def sigState: DataFrame = sigParts.reduce(_ unionByName _)
-    def tokState: DataFrame = tokParts.reduce(_ unionByName _)
-    var batchNo = 0L
+    // deterministic, engine-portable batch assignment; staged once — a
+    // resumed run MUST see the same file list the checkpoint recorded
+    if (!hfs.exists(new HPath(inputDir))) {
+      val staged = SemiStreamRuntime.stageByColumn(
+        docs.select(col(idCol), col(textCol))
+          .withColumn(
+            "__chunk",
+            floor(Sampling.hashUniform(col(idCol)) * chunks).cast("int")),
+        "__chunk",
+        chunks)
+      hfs.rename(new HPath(staged.toString), new HPath(inputDir))
+    }
 
-    val perBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
-      batchNo += 1
+    val tokSchema = SimilarityJoin.tokenize(docs.limit(0), idCol, textCol)
+      .select("sid", "toks").schema
+    val sigSchema = Dedup.bandSignatures(
+      SimilarityJoin.tokenize(docs.limit(0), idCol, textCol), bands, rowsPerBand).schema
+
+    val perBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      val t0 = System.nanoTime()
       val bToks = SimilarityJoin.tokenize(batch.toDF(), idCol, textCol)
+        .select("sid", "toks")
         .persist(storage)
-      val bSigs = Dedup.bandSignatures(bToks, bands, rowsPerBand)
+      val bSigs = Dedup.bandSignatures(bToks.withColumn("slen", size(col("toks"))), bands, rowsPerBand)
+        .withColumn("pb", bucketOf(nBuckets, col("band"), col("bsig")))
         .persist(storage)
       bSigs.count()
+
+      // distinct bucket ids in this batch — ≤ nBuckets values, the ONLY
+      // driver-side collects in the batch loop
+      val sigPbs = bSigs.select("pb").distinct().collect().map(_.getInt(0)).toSeq
 
       val xSigs = bSigs.select(col("sid").as("x_id"), col("band"), col("bsig"))
       val xB = broadcast(bToks.select(col("sid").as("x_id"), col("toks").as("x_toks")))
@@ -132,15 +193,25 @@ object StreamingDedup {
               (size(col("x_toks")) + size(col("y_toks")) - col("inter")) >= tau)
           .select("x_id", "y_id")
 
-      // vs earlier batches: bucket join (batch side broadcast), then token
-      // fetch of just the candidate y-docs (S5 keyed-fetch reduction)
+      // vs earlier batches: partition-pruned bucket join (batch side
+      // broadcast; `batch < batchId` hides a failed attempt's own state)
+      val stateSigs = readState(spark, sigDir, sigSchema)
+        .filter(col("batch") < lit(batchId) && col("pb").isin(sigPbs: _*))
       val stateCand = broadcast(xSigs)
-        .join(sigState.select(col("sid").as("y_id"), col("band"), col("bsig")),
+        .join(stateSigs.select(col("sid").as("y_id"), col("band"), col("bsig")),
           Seq("band", "bsig"))
         .select("x_id", "y_id")
-      val needed = stateCand.select("y_id").distinct()
-      val yFetch = tokState
-        .join(broadcast(needed), tokState("sid") === needed("y_id"), "left_semi")
+        .persist(storage)
+
+      // token fetch of just the candidate y-docs (S5 keyed-fetch
+      // reduction) against a bucket-pruned scan
+      val needed = stateCand.select("y_id").distinct().persist(storage)
+      val tokPbs = needed.select(bucketOf(nBuckets, col("y_id")).as("pb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val stateToks = readState(spark, tokDir, tokSchema)
+        .filter(col("batch") < lit(batchId) && col("pb").isin(tokPbs: _*))
+      val yFetch = stateToks
+        .join(broadcast(needed), stateToks("sid") === needed("y_id"), "left_semi")
         .select(col("sid").as("y_id"), col("toks").as("y_toks"))
 
       // within-batch: both sides bounded
@@ -155,39 +226,51 @@ object StreamingDedup {
         .groupBy("x_id")
         .agg(min("y_id").as("dup_of"))
 
+      // ---- batchId-keyed idempotent effects: a retried batch REPLACES
+      // its own output and state partitions (dynamic overwrite) ----
       bToks.select(col("sid").as("x_id"))
         .join(dupOf, Seq("x_id"), "left")
         .select(
           col("x_id").as("out_id"),
-          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
-        .write.mode("append").parquet(outDir)
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          lit(batchId).as("batch"))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(outDir)
 
-      // ---- state update: append this batch's (already materialized)
-      // increments; consolidate on cadence to truncate lineage ----
-      sigParts += bSigs.select("sid", "band", "bsig")
-      tokParts += bToks.select("sid", "toks")
-      if (checkpointEvery > 0 && batchNo % checkpointEvery == 0) {
-        val s = sigState.localCheckpoint(true)
-        val t = tokState.localCheckpoint(true)
-        sigParts.foreach(_.unpersist()); tokParts.foreach(_.unpersist())
-        sigParts.clear(); tokParts.clear()
-        sigParts += s; tokParts += t
+      writeIncrement(
+        bSigs.select(col("sid"), col("band"), col("bsig"), lit(batchId).as("batch"), col("pb")),
+        sigDir)
+      writeIncrement(
+        bToks.select(col("sid"), col("toks"), lit(batchId).as("batch"),
+          bucketOf(nBuckets, col("sid")).as("pb")),
+        tokDir)
+
+      stateCand.unpersist(); needed.unpersist(); bToks.unpersist(); bSigs.unpersist()
+      onBatch(batchId, (System.nanoTime() - t0) / 1000000L)
+
+      crashAtBatch.foreach { cb =>
+        val marker = new HPath(s"$root/crash-fired-$cb")
+        if (cb == batchId && !hfs.exists(marker)) {
+          hfs.create(marker, true).close()
+          throw new RuntimeException(s"injected crash after batch $cb writes")
+        }
       }
-      ()
     }
 
     val query = spark.readStream
       .schema(docs.select(idCol, textCol).schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(staged.toString)
+      .parquet(inputDir)
       .writeStream
       .foreachBatch(perBatch)
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
 
-    sigParts.foreach(_.unpersist()); tokParts.foreach(_.unpersist())
     spark.read.parquet(outDir)
       .select(col("out_id").as("doc_id"), col("dup_of"))
   }

@@ -64,4 +64,29 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got(second) == first)
     assert(got(30L) == -1L)
   }
+
+  test("mid-stream crash after an uncommitted batch's writes resumes to identical decisions") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val workDir = java.nio.file.Files.createTempDirectory("graft-dedup-restart-").toString
+
+    // first attempt: injected driver crash AFTER batch 1 wrote its output
+    // and state increments but BEFORE the checkpoint commit — the retry
+    // must overwrite, not double-append
+    val crashed = intercept[Exception] {
+      StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 3,
+        workDir = Some(workDir), crashAtBatch = Some(1L)).count()
+    }
+    assert(crashed.getMessage != null)
+
+    // resume with the same workDir: checkpoint replays batch 1 (idempotent
+    // overwrite of its partitions), then finishes the stream
+    val resumed = StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 3,
+      workDir = Some(workDir))
+
+    val clean = StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 3)
+    assert(resumed.count() == clean.count())
+    assert(resumed.exceptAll(clean).isEmpty && clean.exceptAll(resumed).isEmpty)
+    // and no doc decided twice (the double-append failure mode)
+    assert(resumed.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
+  }
 }
