@@ -55,21 +55,34 @@ object Bench {
       only.isEmpty || only.exists(name.startsWith)
     }
 
-    val results = selected.map { case (name, fn) =>
+    // Min-of-2 protocol (round-5 verdict: single runs on a co-tenant box
+    // flagged phantom 2× cross-round swings): every query ≥ 1 s runs twice
+    // and reports the MIN — the best observable proxy for the noise-free
+    // time. Sub-second queries skip the rerun (their absolute noise is
+    // bounded by their size), keeping total bench time in check.
+    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try exhaust(fn(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = selected.map { case (name, fn) =>
+      val first = timeOnce(name, fn)
+      name -> (if (first < 1.0) first else math.min(first, timeOnce(name, fn)))
     }
 
     // Dedicated per-batch latency of the streaming semi-stream join —
     // apples-to-apples with the reference's recorded ~2.1 s mean batch
     // latency (BASELINE.md, DSim-Join/log): per-batch stage times from the
     // CacheManager, staging/setup excluded.
+    // gate mirrors the query-selection predicate (metric-name startsWith
+    // prefix), so e.g. SPARK_GRAFT_BENCH_ONLY=str still measures it
+    val streamMetricNames = Seq("stream_mean_batch_sec", "stream_max_batch_sec")
     val streamBatch: Seq[(String, Double)] =
-      try if (only.nonEmpty && !only.exists(_.startsWith("stream"))) Seq.empty
+      try if (only.nonEmpty && !streamMetricNames.exists(n => only.exists(n.startsWith)))
+        Seq.empty
       else {
         val li = graft.core.Tables(spark, sfDir, "lineitem")
           .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))

@@ -69,6 +69,9 @@ object AsOfJoin {
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == timeCol).toSeq
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == timeCol).toSeq
     require(payloadCols.contains(tiebreak), s"tiebreak $tiebreak must be a right payload column")
+    require(leftCols.intersect(payloadCols).isEmpty,
+      s"left/right non-key column names must be disjoint, both have: " +
+        leftCols.intersect(payloadCols).mkString(", "))
     val tbType = right.schema(tiebreak).dataType
 
     val lStructT = org.apache.spark.sql.types.StructType(
@@ -83,7 +86,13 @@ object AsOfJoin {
         lit(null).cast(tbType).as("__tb"),
         struct(leftCols.map(col): _*).as("__l"),
         lit(null).cast(rStructT).as("__r")): _*)
-    val r = right.select(
+    // a null-time right row is unmatchable under the ≤/≥ contract (null
+    // compares unknown), but Spark's default asc ordering is nulls-FIRST —
+    // unfiltered it would sort ahead of everything and be carried as the
+    // running match for left rows with no true predecessor. Null-time LEFT
+    // rows are kept and get a null match — both orders below pin nulls
+    // FIRST, so the running state is still empty when they are read.
+    val r = right.filter(col(timeCol).isNotNull).select(
       keys.map(col) ++ Seq(
         col(timeCol),
         lit(0).as("__side"),
@@ -91,7 +100,8 @@ object AsOfJoin {
         lit(null).cast(lStructT).as("__l"),
         struct(payloadCols.map(col): _*).as("__r")): _*)
 
-    val timeOrder = if (forwardDir) col(timeCol).desc else col(timeCol).asc
+    val timeOrder =
+      if (forwardDir) col(timeCol).desc_nulls_first else col(timeCol).asc_nulls_first
     val win = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(timeOrder, col("__side").asc, col("__tb").asc_nulls_last)

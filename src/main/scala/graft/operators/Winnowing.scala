@@ -82,7 +82,14 @@ object Winnowing {
 
   /** Winnowing-bucketed near-duplicate pairs with EXACT Jaccard ≥ τ verify
     * over token sets — recall from the winnowing guarantee (dups sharing a
-    * run ≥ w+k−1 tokens are always candidates), precision exact.
+    * run ≥ w+k−1 tokens are always candidates), precision exact. Because
+    * this returns PAIRS (not clusters, where star edges suffice), the
+    * default candidate pass is exhaustive — every bucket emits all its
+    * pairs, so the guarantee holds unconditionally. Pass a finite
+    * `maxQuadBucket` to trade recall inside oversized boilerplate buckets
+    * for the linear star-edge guard of [[candidatePairs]]; with a bound,
+    * a pair whose only shared fingerprints sit in over-bound buckets (and
+    * where neither doc is a bucket minimum) can be missed.
     * Output: (x_id, y_id, inter, uni, jacc) like [[SimilarityJoin.joinSets]].
     */
   def nearDupPairs(
@@ -91,9 +98,10 @@ object Winnowing {
       textCol: String,
       tau: Double,
       k: Int = 3,
-      w: Int = 4): DataFrame = {
+      w: Int = 4,
+      maxQuadBucket: Int = Int.MaxValue): DataFrame = {
     val toks = SimilarityJoin.tokenize(docs, idCol, textCol)
-    val cand = candidatePairs(fingerprints(docs, idCol, textCol, k, w))
+    val cand = candidatePairs(fingerprints(docs, idCol, textCol, k, w), maxQuadBucket)
     graft.functions.ArrayIntersectSize.register(docs.sparkSession)
     val xT = toks.select(col("sid").as("x_id"), col("toks").as("x_toks"))
     val yT = toks.select(col("sid").as("y_id"), col("toks").as("y_toks"))

@@ -805,10 +805,11 @@ object DocumentQueries {
         |SELECT doc_id, unnest(fps) AS fp FROM sel ORDER BY doc_id, fp""".stripMargin,
 
     "q50_containment" ->
-      """WITH tok AS (
+      """WITH tok0 AS (
         |  SELECT doc_id,
         |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
-        |  FROM documents)
+        |  FROM documents),
+        |tok AS (SELECT * FROM tok0 WHERE len(toks) > 0)
         |SELECT a.doc_id AS x_id, b.doc_id AS y_id,
         |       len(list_intersect(a.toks, b.toks)) AS inter,
         |       len(a.toks) AS x_len

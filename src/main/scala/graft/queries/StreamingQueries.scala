@@ -201,19 +201,23 @@ object StreamingQueries {
         |ORDER BY tt.doc_id""".stripMargin,
 
     // native ASOF JOIN; the right side deduped to max view_id per
-    // (user_id, ts) — the operator's deterministic tiebreak.
+    // (user_id, ts) — the operator's deterministic tiebreak. Both sides
+    // compare in the MICROSECOND domain (epoch_us), matching the engine's
+    // ns-div-1000 read path — full-ns comparison would flip <= ties if the
+    // data ever carried sub-microsecond residue.
     "q53_asof_attribution" ->
       """WITH v AS (
-        |  SELECT event_id AS view_id, user_id, ts, value AS view_value
+        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS tus, value AS view_value
         |  FROM events WHERE event_type = 'view'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+        |                             ORDER BY event_id DESC) = 1),
         |c AS (
-        |  SELECT event_id AS click_id, user_id, ts
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS tus
         |  FROM events WHERE event_type = 'click')
         |SELECT c.click_id, c.user_id,
         |       coalesce(v.view_id, -1) AS view_id,
         |       coalesce(v.view_value, -1.0) AS view_value
-        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.tus >= v.tus
         |ORDER BY c.click_id""".stripMargin,
 
     // microsecond domain on both sides (epoch_us(TIMESTAMP_NS) ==

@@ -87,4 +87,23 @@ class AsOfJoinSpec extends SparkSpec {
       .as[(String, Option[Long], Option[Double])].collect().toSet
     assert(got == Set(("a", Some(9L), Some(2.0)), ("b", None, None)))
   }
+
+  test("null-time rows: right side is unmatchable, left side gets a null match") {
+    import spark.implicits._
+    val left = Seq((1L, Some(50L), "early"), (1L, Some(200L), "late"), (1L, None, "nul"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, None, 99L, 9.9), // null-time right row: must never be carried
+      (1L, Some(100L), 5L, 1.0))
+      .toDF("k", "t", "rid", "rv")
+    val back = AsOfJoin.backward(left, right, Seq("k"), "t", "rid")
+      .select(col("tag"), col("rid"))
+      .as[(String, Option[Long])].collect().toSet
+    // "early" precedes every real right row; "nul" compares unknown → no match
+    assert(back == Set(("early", None), ("late", Some(5L)), ("nul", None)))
+    val fwd = AsOfJoin.forward(left, right, Seq("k"), "t", "rid")
+      .select(col("tag"), col("rid"))
+      .as[(String, Option[Long])].collect().toSet
+    assert(fwd == Set(("early", Some(5L)), ("late", None), ("nul", None)))
+  }
 }
