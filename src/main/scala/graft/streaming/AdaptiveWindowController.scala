@@ -104,4 +104,57 @@ object AdaptiveWindowController {
     */
   def recordCacheTime(state: State, cacheMs: Double): State =
     state.copy(prev = state.prev.copy(cacheMs = cacheMs))
+
+  /** DSim-final's LOAD-BALANCING window rule — the third reference
+    * controller variant (`DSim-Join/src/main/scala/ds_join/
+    * DS_SimJoin_stream.scala:649-666`): after warmup the window is set
+    * DIRECTLY from the batch's incoming query count — light batches afford
+    * a long window (cache more, maintenance is cheap relative to the
+    * batch), heavy batches shrink it (state work competes with query
+    * work). Thresholds are the reference's, strict inequalities included:
+    * counts landing exactly on a boundary leave the window unchanged.
+    */
+  final case class QueryCountConfig(
+      warmupBatches: Int = 30,
+      lowCount: Int = 30,
+      longWindow: Int = 50,
+      midLoCount: Int = 50,
+      midHiCount: Int = 150,
+      midWindow: Int = 40,
+      highCount: Int = 150,
+      shortWindow: Int = 30)
+
+  /** One query-count-rule step (timing registers still shift so policies
+    * can be swapped mid-stream without losing history).
+    */
+  def advanceByQueryCount(
+      state: State,
+      qc: QueryCountConfig,
+      batchId: Long,
+      queryCount: Long,
+      curr: Timings = Timings.zero): State = {
+    var window = state.window
+    if (batchId > qc.warmupBatches) {
+      if (queryCount < qc.lowCount) window = qc.longWindow
+      else if (queryCount > qc.midLoCount && queryCount < qc.midHiCount) window = qc.midWindow
+      else if (queryCount > qc.highCount) window = qc.shortWindow
+      if (window < 1) window = 1 // reference clamp (`:656-658`)
+    } else {
+      window += 1 // pre-warmup growth (`:662-665`)
+    }
+    State(window, window, curr, state.prev)
+  }
 }
+
+/** Which controller drives the caching window (reference variants:
+  * step4's timing hill-climb vs DSim-final's query-count rule).
+  */
+sealed trait WindowRule
+
+/** Timing hill-climb ([[AdaptiveWindowController.advance]]) — the default. */
+case object HillClimbRule extends WindowRule
+
+/** Query-count load balancing ([[AdaptiveWindowController.advanceByQueryCount]]). */
+final case class QueryCountRule(
+    config: AdaptiveWindowController.QueryCountConfig =
+      AdaptiveWindowController.QueryCountConfig()) extends WindowRule

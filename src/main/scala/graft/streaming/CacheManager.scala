@@ -73,7 +73,8 @@ final class CacheManager(
     config: AdaptiveWindowController.Config = AdaptiveWindowController.Config(),
     checkpointEvery: Int = 8,
     admit: DataFrame => DataFrame = identity,
-    policy: EvictionPolicy = LruWindow) {
+    policy: EvictionPolicy = LruWindow,
+    windowRule: WindowRule = HillClimbRule) {
 
   import CacheManager.BatchStats
 
@@ -148,13 +149,23 @@ final class CacheManager(
     lru.unpersist()
     lru = newLru
 
-    // --- controller (reference :462-540) ---
-    ctrl = AdaptiveWindowController.advance(
-      ctrl,
-      config,
-      id,
-      AdaptiveWindowController.Timings(cogMs, fetchMs, 0),
-      missedCount == 0)
+    // --- controller (reference :462-540, or DSim-final's :649-666) ---
+    ctrl = windowRule match {
+      case HillClimbRule =>
+        AdaptiveWindowController.advance(
+          ctrl,
+          config,
+          id,
+          AdaptiveWindowController.Timings(cogMs, fetchMs, 0),
+          missedCount == 0)
+      case QueryCountRule(qc) =>
+        // query_Count (`:642`) = incoming tuples this batch; batch is
+        // already persisted by the split/fetch pass, so this is a cheap
+        // second action — and the rule is opt-in
+        AdaptiveWindowController.advanceByQueryCount(
+          ctrl, qc, id, batch.count(),
+          AdaptiveWindowController.Timings(cogMs, fetchMs, 0))
+    }
     val threshold = id - ctrl.window
 
     // --- cache update (reference :543-587) ---

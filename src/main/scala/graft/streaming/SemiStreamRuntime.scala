@@ -130,11 +130,13 @@ object SemiStreamRuntime {
       chunks: Int = 8,
       config: AdaptiveWindowController.Config = AdaptiveWindowController.Config(),
       checkpointEvery: Int = 4,
-      policy: EvictionPolicy = LruWindow): (DataFrame, Seq[CacheManager.BatchStats]) = {
+      policy: EvictionPolicy = LruWindow,
+      windowRule: WindowRule = HillClimbRule): (DataFrame, Seq[CacheManager.BatchStats]) = {
     val spark = input.sparkSession
     val staged = stage(input, chunkKey, chunks)
     val manager =
-      new CacheManager(stored, cacheSeed, key, config, checkpointEvery, policy = policy)
+      new CacheManager(stored, cacheSeed, key, config, checkpointEvery, policy = policy,
+        windowRule = windowRule)
     try {
       val out = run(spark, staged, input.schema, manager)
       (out, manager.stats.toList)

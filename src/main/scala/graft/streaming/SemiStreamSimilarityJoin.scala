@@ -39,7 +39,8 @@ object SemiStreamSimilarityJoin {
       tau: Double,
       chunks: Int = 4,
       maxSigFrequency: Long = 50,
-      config: AdaptiveWindowController.Config = AdaptiveWindowController.Config()): Result = {
+      config: AdaptiveWindowController.Config = AdaptiveWindowController.Config(),
+      windowRule: WindowRule = HillClimbRule): Result = {
     val spark = docs.sparkSession
     graft.functions.ArrayIntersectSize.register(spark)
 
@@ -62,7 +63,8 @@ object SemiStreamSimilarityJoin {
 
     val emptyCache = index.limit(0)
     val manager = new CacheManager(
-      index, emptyCache, "sig", config, checkpointEvery = 4, admit = admit)
+      index, emptyCache, "sig", config, checkpointEvery = 4, admit = admit,
+      windowRule = windowRule)
 
     // ---- stream side ----
     val staged = SemiStreamRuntime.stage(docs.select(idCol, textCol), idCol, chunks)

@@ -86,6 +86,41 @@ class AdaptiveWindowControllerSpec extends AnyFunSuite {
     assert(s.window >= 1)
   }
 
+  // ---- DSim-final's query-count rule (`DS_SimJoin_stream.scala:649-666`) ----
+  private val qc = AdaptiveWindowController.QueryCountConfig(warmupBatches = 3)
+  private def qcStep(s: AdaptiveWindowController.State, id: Long, count: Long) =
+    AdaptiveWindowController.advanceByQueryCount(s, qc, id, count)
+
+  test("query-count rule: pre-warmup batches grow the window unconditionally") {
+    var s = AdaptiveWindowController.initial(cfg)
+    s = qcStep(s, 1, 1000); s = qcStep(s, 2, 1000); s = qcStep(s, 3, 1000)
+    assert(s.window == 7 && s.saved == 7)
+  }
+
+  test("query-count rule: light batches take the long window") {
+    val s = qcStep(AdaptiveWindowController.initial(cfg).copy(window = 10), 10, 29)
+    assert(s.window == 50)
+  }
+
+  test("query-count rule: medium batches take the mid window") {
+    val s = qcStep(AdaptiveWindowController.initial(cfg).copy(window = 10), 10, 100)
+    assert(s.window == 40)
+  }
+
+  test("query-count rule: heavy batches take the short window") {
+    val s = qcStep(AdaptiveWindowController.initial(cfg).copy(window = 10), 10, 151)
+    assert(s.window == 30)
+  }
+
+  test("query-count rule: boundary counts leave the window unchanged (strict inequalities)") {
+    // 30, 50 and 150 satisfy none of the reference's strict comparisons
+    for (boundary <- Seq(30L, 50L, 150L)) {
+      val s = qcStep(AdaptiveWindowController.initial(cfg).copy(window = 10, saved = 10),
+        10, boundary)
+      assert(s.window == 10, s"count=$boundary")
+    }
+  }
+
   test("steady improvement converges: window stays within [1, cap] over a noisy run") {
     var s = AdaptiveWindowController.initial(cfg)
     val rnd = new scala.util.Random(42)
