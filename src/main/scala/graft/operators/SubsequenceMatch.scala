@@ -3,6 +3,54 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Incremental mean-index cache for REPEATED subsequence queries — the
+  * reference's `ENABLE_INCREMENTAL_VISITING` index cache
+  * (`S3M/src/main/java/kvmatch/QueryEngine.java:56`, cache-node scans at
+  * `:120-165`): probed index ranges stay resident, and later queries whose
+  * probe ranges overlap re-scan only the uncached remainder.
+  *
+  * Granularity is a quantized mean bucket (the reference rounds mean
+  * boundaries the same way, `MeanIntervalUtils.toRound`): each
+  * (width, ⌊mean/bucketWidth⌋) slice of the index is persisted on first
+  * touch and reused verbatim after — cluster-side cached blocks, never
+  * collected. A probe assembles its [lo, hi] range from bucket slices and
+  * applies the exact bound on top, so results are identical to an uncached
+  * scan; only the I/O changes (pruned cached blocks vs a full width scan).
+  */
+final class MeanIndexCache(index: DataFrame, bucketWidth: Double = 0.25) {
+  require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+  private val slices = scala.collection.mutable.Map[(Int, Long), DataFrame]()
+  private var misses = 0L
+
+  /** Index rows of width `w` with mean in [lo, hi], served from cached
+    * bucket slices (uncached buckets are scanned once and retained).
+    */
+  def probe(w: Int, lo: Double, hi: Double): DataFrame = {
+    val bLo = math.floor(lo / bucketWidth).toLong
+    val bHi = math.floor(hi / bucketWidth).toLong
+    val parts = (bLo to bHi).map { b =>
+      slices.getOrElseUpdate((w, b), {
+        misses += 1
+        index
+          .filter(col("w") === w &&
+            col("mean") >= b * bucketWidth && col("mean") < (b + 1) * bucketWidth)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+    }
+    parts.reduce(_ unionByName _).filter(col("mean").between(lo, hi))
+  }
+
+  /** Buckets scanned from the index (vs served from cache) so far. */
+  def bucketMisses: Long = misses
+  def cachedBuckets: Int = slices.size
+
+  def close(): Unit = {
+    slices.values.foreach(_.unpersist())
+    slices.clear()
+  }
+}
 
 /** Subsequence matching over a stored time series — the S3M/KV-match
   * capability (`S3M/src/main/java/kvmatch/IndexBuilder.java:46-96`,
@@ -109,33 +157,130 @@ object SubsequenceMatch {
   /** Numerical slack for prefix-sum means vs exact means. */
   private val MeanSlack = 1e-6
 
+  /** One phase-1 segment probe: windows of width `w` whose mean lies in
+    * [lo, hi] admit a match whose query segment starts at `qoff`.
+    */
+  private[operators] final case class SegProbe(qoff: Int, w: Int, lo: Double, hi: Double)
+
+  /** Phase-1 segment intersection with the reference's two probe-side
+    * refinements (`S3M/src/main/java/kvmatch/QueryEngine.java:45-56`
+    * `ENABLE_QUERY_REORDERING` / `ENABLE_EARLY_TERMINATION`, loop exit at
+    * `:229-240`):
+    *
+    *   - **selectivity order**: per-segment match counts come from ONE
+    *     aggregate over the index (the statistic-info the reference keeps
+    *     per width), and segments probe rarest-first, so the candidate set
+    *     collapses as early as possible;
+    *   - **cost-model early stop**: before each further probe, compare the
+    *     phase-2 cost of verifying the surviving candidates
+    *     (`candidates × m` gathered points) against the cost of scanning
+    *     another width slice of the index (its row count). When verify is
+    *     already cheaper, STOP — phase 2 is exact, so extra probes only
+    *     burn index scans. `costRatio` scales the trade (reference fits
+    *     machine-specific coefficients; a ratio on the two row counts is
+    *     the engine-portable form).
+    *
+    * Correctness is unchanged by construction — any probe prefix yields a
+    * superset of candidates and phase 2 verifies exactly; only the number
+    * of index scans varies. Driver round-trips: one tiny aggregate for the
+    * plan plus one count per probed segment (the reference's per-segment
+    * interval counting, `:221-227`).
+    *
+    * Returns (candidate starts, probed segment count).
+    */
+  private[operators] def intersectSegments(
+      index: DataFrame,
+      probes: Seq[SegProbe],
+      band: Int,
+      m: Int,
+      adaptive: Boolean,
+      costRatio: Double,
+      cache: Option[MeanIndexCache]): (DataFrame, Int) = {
+    require(probes.nonEmpty, s"query of $m shorter than every index width")
+    val spark = index.sparkSession
+
+    def slice(p: SegProbe): DataFrame = cache match {
+      case Some(c) => c.probe(p.w, p.lo, p.hi)
+      case None    => index.filter(col("w") === p.w && col("mean").between(p.lo, p.hi))
+    }
+    def probe(p: SegProbe): DataFrame = {
+      val base = slice(p)
+      // band-widened probe: any shift in [-band, band] may host the segment
+      val shifted =
+        if (band == 0) base.select((col("offset") - p.qoff).as("start"))
+        else
+          base
+            .withColumn("shift", explode(sequence(lit(-band), lit(band))))
+            .select((col("offset") - p.qoff - col("shift")).as("start"))
+      shifted.filter(col("start") >= 0).distinct()
+    }
+
+    if (!adaptive || probes.size == 1)
+      return (probes.map(probe).reduce((a, b) => a.join(b, Seq("start"))), probes.size)
+
+    // plan statistics in one pass: per-segment match count + width totals
+    import spark.implicits._
+    val segDf = broadcast(probes.toDF("qoff", "sw", "lo", "hi"))
+    val stats = index
+      .join(segDf, col("w") === col("sw") && col("mean").between(col("lo"), col("hi")))
+      .groupBy("qoff").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[Int]("qoff") -> r.getAs[Long]("c")).toMap
+    val widthRows = index.groupBy("w").count()
+      .collect().map(r => r.getAs[Int]("w") -> r.getAs[Long]("count")).toMap
+    val ordered = probes.sortBy(p => stats.getOrElse(p.qoff, 0L))
+
+    var cand = probe(ordered.head).persist()
+    var candCount = cand.count()
+    var probed = 1
+    var stop = false
+    for (p <- ordered.tail if !stop) {
+      if (candCount * m <= costRatio * widthRows.getOrElse(p.w, Long.MaxValue)) {
+        stop = true // verifying survivors beats another index scan
+      } else {
+        val next = cand.join(probe(p), Seq("start")).persist()
+        candCount = next.count()
+        cand.unpersist()
+        cand = next
+        probed += 1
+      }
+    }
+    (cand, probed)
+  }
+
   /** Phase 1: candidate starts whose every query-segment window mean is
     * within the ED bound (band > 0 widens each probe to ±band offset
-    * shifts — the DTW form).
+    * shifts — the DTW form). `adaptive` enables the reference's
+    * selectivity-ordered probing with cost-model early stop.
     */
   def candidateStarts(
       index: DataFrame,
       q: Array[Double],
       eps: Double,
       widths: Seq[Int],
-      band: Int): DataFrame = {
-    val segs = segments(q.length, widths)
-    require(segs.nonEmpty, s"query of ${q.length} shorter than every index width")
-    val perSeg = segs.map { case (qoff, w) =>
+      band: Int,
+      adaptive: Boolean = false,
+      costRatio: Double = 1.0,
+      cache: Option[MeanIndexCache] = None): DataFrame =
+    candidateStartsPlanned(index, q, eps, widths, band, adaptive, costRatio, cache)._1
+
+  /** [[candidateStarts]] plus the number of segments actually probed (for
+    * tests and cost instrumentation).
+    */
+  def candidateStartsPlanned(
+      index: DataFrame,
+      q: Array[Double],
+      eps: Double,
+      widths: Seq[Int],
+      band: Int,
+      adaptive: Boolean = false,
+      costRatio: Double = 1.0,
+      cache: Option[MeanIndexCache] = None): (DataFrame, Int) = {
+    val probes = segments(q.length, widths).map { case (qoff, w) =>
       val mu = q.slice(qoff, qoff + w).sum / w
       val bound = eps / math.sqrt(w) + MeanSlack
-      val base = index
-        .filter(col("w") === w && abs(col("mean") - mu) <= lit(bound))
-      // band-widened probe: any shift in [-band, band] may host the segment
-      val shifted =
-        if (band == 0) base.select((col("offset") - qoff).as("start"))
-        else
-          base
-            .withColumn("shift", explode(sequence(lit(-band), lit(band))))
-            .select((col("offset") - qoff - col("shift")).as("start"))
-      shifted.filter(col("start") >= 0).distinct()
+      SegProbe(qoff, w, mu - bound, mu + bound)
     }
-    perSeg.reduce((a, b) => a.join(b, Seq("start")))
+    intersectSegments(index, probes, band, q.length, adaptive, costRatio, cache)
   }
 
   /** Gather candidate windows: (start, pos, v, qv) via explode + equi-join
@@ -158,8 +303,10 @@ object SubsequenceMatch {
       index: DataFrame,
       q: Array[Double],
       eps: Double,
-      widths: Seq[Int] = DefaultWidths): DataFrame = {
-    val starts = candidateStarts(index, q, eps, widths, band = 0)
+      widths: Seq[Int] = DefaultWidths,
+      adaptive: Boolean = false,
+      cache: Option[MeanIndexCache] = None): DataFrame = {
+    val starts = candidateStarts(index, q, eps, widths, band = 0, adaptive, cache = cache)
     gather(series, starts, q)
       .groupBy("start")
       .agg(sum(pow(col("v") - col("qv"), 2)).as("d2"), count(lit(1)).as("c"))
@@ -203,8 +350,10 @@ object SubsequenceMatch {
       q: Array[Double],
       eps: Double,
       band: Int,
-      widths: Seq[Int] = DefaultWidths): DataFrame = {
-    val starts = candidateStarts(index, q, eps, widths, band)
+      widths: Seq[Int] = DefaultWidths,
+      adaptive: Boolean = false,
+      cache: Option[MeanIndexCache] = None): DataFrame = {
+    val starts = candidateStarts(index, q, eps, widths, band, adaptive, cache = cache)
     val windows = gather(series, starts, q)
       .groupBy("start")
       .agg(
@@ -241,7 +390,10 @@ object SubsequenceMatch {
       rho: Int,
       alphaStd: Double,
       betaMean: Double,
-      widths: Seq[Int]): DataFrame = {
+      widths: Seq[Int],
+      adaptive: Boolean = false,
+      costRatio: Double = 1.0,
+      cache: Option[MeanIndexCache] = None): DataFrame = {
     require(alphaStd >= 1.0, s"alphaStd is a ratio bound >= 1: $alphaStd")
     val m = q.length
     val muQ = q.sum / m
@@ -251,7 +403,7 @@ object SubsequenceMatch {
 
     val segs = segments(m, widths)
     require(segs.nonEmpty, s"query of ${q.length} shorter than every index width")
-    val perSeg = segs.map { case (qoff, w) =>
+    val probes = segs.map { case (qoff, w) =>
       val l = (qoff until qoff + w).map(p =>
         (math.max(0, p - rho) to math.min(m - 1, p + rho)).map(zq).min)
       val u = (qoff until qoff + w).map(p =>
@@ -263,13 +415,10 @@ object SubsequenceMatch {
         (if (zLo >= 0) sdQ / alphaStd * zLo else alphaStd * sdQ * zLo) - MeanSlack
       val hi = muQ + betaMean +
         (if (zHi >= 0) alphaStd * sdQ * zHi else sdQ / alphaStd * zHi) + MeanSlack
-      index
-        .filter(col("w") === w && col("mean").between(lo, hi))
-        .select((col("offset") - qoff).as("start"))
-        .filter(col("start") >= 0)
-        .distinct()
+      SegProbe(qoff, w, lo, hi)
     }
-    perSeg.reduce((a, b) => a.join(b, Seq("start")))
+    // rho widens the ENVELOPE (not the offset), so the probe band is 0
+    intersectSegments(index, probes, band = 0, m, adaptive, costRatio, cache)._1
   }
 
   /** Z-normalized ED under the reference's amplitude constraints
@@ -285,14 +434,18 @@ object SubsequenceMatch {
       eps: Double,
       alphaStd: Double,
       betaMean: Double,
-      widths: Seq[Int] = DefaultWidths): DataFrame = {
+      widths: Seq[Int] = DefaultWidths,
+      adaptive: Boolean = false,
+      cache: Option[MeanIndexCache] = None): DataFrame = {
     val m = q.length
     val muQ = q.sum / m
     val sdQ = math.sqrt(q.map(x => x * x).sum / m - muQ * muQ)
     require(sdQ > 0, "constant query has no normalized form")
     val qn = q.map(x => (x - muQ) / sdQ)
 
-    val starts = normCandidateStarts(index, q, eps, rho = 0, alphaStd, betaMean, widths)
+    val starts =
+      normCandidateStarts(index, q, eps, rho = 0, alphaStd, betaMean, widths, adaptive,
+        cache = cache)
     gather(series, starts, qn)
       .groupBy("start")
       .agg(
@@ -326,14 +479,18 @@ object SubsequenceMatch {
       rho: Int,
       alphaStd: Double,
       betaMean: Double,
-      widths: Seq[Int] = DefaultWidths): DataFrame = {
+      widths: Seq[Int] = DefaultWidths,
+      adaptive: Boolean = false,
+      cache: Option[MeanIndexCache] = None): DataFrame = {
     val m = q.length
     val muQ = q.sum / m
     val sdQ = math.sqrt(q.map(x => x * x).sum / m - muQ * muQ)
     require(sdQ > 0, "constant query has no normalized form")
     val zq = q.map(x => (x - muQ) / sdQ)
 
-    val starts = normCandidateStarts(index, q, eps, rho, alphaStd, betaMean, widths)
+    val starts =
+      normCandidateStarts(index, q, eps, rho, alphaStd, betaMean, widths, adaptive,
+        cache = cache)
     val windows = gather(series, starts, zq)
       .groupBy("start")
       .agg(
@@ -368,11 +525,14 @@ object SubsequenceMatch {
       band: Int = 5,
       alpha: Double = 3.0,
       beta: Double = 10.0,
-      widths: Seq[Int] = DefaultWidths): DataFrame = mode match {
-    case "ed"      => matchED(series, index, q, eps, widths)
-    case "dtw"     => matchDTW(series, index, q, eps, band, widths)
-    case "normed"  => matchNormED(series, index, q, eps, alpha, beta, widths)
-    case "normdtw" => matchNormDTW(series, index, q, eps, band, alpha, beta, widths)
+      widths: Seq[Int] = DefaultWidths,
+      adaptive: Boolean = false,
+      cache: Option[MeanIndexCache] = None): DataFrame = mode match {
+    case "ed"      => matchED(series, index, q, eps, widths, adaptive, cache)
+    case "dtw"     => matchDTW(series, index, q, eps, band, widths, adaptive, cache)
+    case "normed"  => matchNormED(series, index, q, eps, alpha, beta, widths, adaptive, cache)
+    case "normdtw" =>
+      matchNormDTW(series, index, q, eps, band, alpha, beta, widths, adaptive, cache)
     case other     => throw new IllegalArgumentException(s"unknown match mode: $other")
   }
 }

@@ -152,4 +152,59 @@ class SubsequenceMatchSpec extends SparkSpec {
     assert(SubsequenceMatch.segments(60, Seq(25, 50, 100)) == Seq((0, 50)))
     assert(SubsequenceMatch.segments(10, Seq(25, 50)).isEmpty)
   }
+
+  // ---- phase-1 refinements (reference ENABLE_QUERY_REORDERING /
+  // ENABLE_EARLY_TERMINATION / ENABLE_INCREMENTAL_VISITING) ----
+
+  private val mLong = 150 // covers as (0,100) + (100,50): a real multi-segment plan
+  private lazy val qLong: Array[Double] = vals.slice(100, 100 + mLong)
+
+  test("adaptive phase 1 returns the exact same matches as the exhaustive plan") {
+    val distances = (0 to vals.length - mLong).map { o =>
+      var s = 0.0; var i = 0
+      while (i < mLong) { val d = vals(o + i) - qLong(i); s += d * d; i += 1 }
+      s
+    }
+    val eps = math.sqrt(distances.sorted.apply(6) + 1e-9)
+    val exhaustive = SubsequenceMatch.matchED(series, index, qLong, eps)
+      .select("start").collect().map(_.getLong(0)).toSet
+    val adaptiveGot = SubsequenceMatch.matchED(series, index, qLong, eps, adaptive = true)
+      .select("start").collect().map(_.getLong(0)).toSet
+    assert(adaptiveGot == exhaustive)
+    assert(adaptiveGot.nonEmpty)
+  }
+
+  test("cost model stops probing when verify beats another index scan") {
+    // huge costRatio: phase 2 always judged cheaper → exactly one probe
+    val (cand1, probed1) = SubsequenceMatch.candidateStartsPlanned(
+      index, qLong, eps = 5.0, SubsequenceMatch.DefaultWidths, band = 0,
+      adaptive = true, costRatio = 1e9)
+    assert(probed1 == 1)
+    // zero costRatio: never stops → every segment probed
+    val (cand2, probed2) = SubsequenceMatch.candidateStartsPlanned(
+      index, qLong, eps = 5.0, SubsequenceMatch.DefaultWidths, band = 0,
+      adaptive = true, costRatio = 0.0)
+    assert(probed2 == SubsequenceMatch.segments(mLong, SubsequenceMatch.DefaultWidths).size)
+    // one-probe candidates are a superset of the full intersection
+    assert(cand2.join(cand1, Seq("start"), "left_anti").isEmpty)
+  }
+
+  test("incremental index cache serves repeated queries without re-scanning") {
+    val cache = new graft.operators.MeanIndexCache(index, bucketWidth = 0.25)
+    val eps = 3.0
+    val first = SubsequenceMatch.matchED(series, index, qLong, eps, cache = Some(cache))
+      .select("start").collect().map(_.getLong(0)).toSet
+    val missesAfterFirst = cache.bucketMisses
+    assert(missesAfterFirst > 0)
+    // identical repeated query: served entirely from cached bucket slices
+    val second = SubsequenceMatch.matchED(series, index, qLong, eps, cache = Some(cache))
+      .select("start").collect().map(_.getLong(0)).toSet
+    assert(cache.bucketMisses == missesAfterFirst)
+    assert(second == first)
+    // uncached run agrees
+    val uncached = SubsequenceMatch.matchED(series, index, qLong, eps)
+      .select("start").collect().map(_.getLong(0)).toSet
+    assert(uncached == first)
+    cache.close()
+  }
 }
