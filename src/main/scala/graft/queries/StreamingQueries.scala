@@ -96,9 +96,12 @@ object StreamingQueries {
     }),
 
     // AS-OF join (time-series point lookup): each click event matched to
-    // the most recent view event of the SAME user at or before it —
-    // union + running-last window, one shuffle, no range explosion. The
-    // oracle is DuckDB's native ASOF JOIN over the same deduped right side.
+    // the most recent view event of the SAME user at or before it — the
+    // EPOCH-BUCKETED form (1-hour buckets): running-last windows per
+    // (user, bucket) with a per-bucket carry relation, so parallelism is
+    // users × buckets and a single user's full history never funnels into
+    // one task. The oracle is DuckDB's native ASOF JOIN over the same
+    // deduped right side.
     "q53_asof_attribution" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
@@ -107,7 +110,8 @@ object StreamingQueries {
         .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
           col("value").as("view_value"))
       graft.operators.AsOfJoin
-        .backward(clicks, views, Seq("user_id"), "ts", tiebreak = "view_id")
+        .backwardBucketed(clicks, views, Seq("user_id"), "ts", tiebreak = "view_id",
+          bucketWidth = 3600L * 1000 * 1000)
         .select(
           col("click_id"),
           col("user_id"),

@@ -88,6 +88,52 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Set(("a", Some(9L), Some(2.0)), ("b", None, None)))
   }
 
+  test("epoch-bucketed form equals the plain window form on sf0.001 events (both directions)") {
+    val ev = Tables(spark, sfSmoke, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
+        col("value").as("view_value"))
+    // 1-hour buckets in µs — events span many buckets, so carries are real
+    val w = 3600L * 1000 * 1000
+    for (fwd <- Seq(false, true)) {
+      val plain =
+        if (fwd) AsOfJoin.forward(clicks, views, Seq("user_id"), "ts", "view_id")
+        else AsOfJoin.backward(clicks, views, Seq("user_id"), "ts", "view_id")
+      val bucketed =
+        if (fwd) AsOfJoin.forwardBucketed(clicks, views, Seq("user_id"), "ts", "view_id", w)
+        else AsOfJoin.backwardBucketed(clicks, views, Seq("user_id"), "ts", "view_id", w)
+      val p = plain.select(col("click_id"), coalesce(col("view_id"), lit(-1L)).as("vid"))
+      val b = bucketed.select(col("click_id"), coalesce(col("view_id"), lit(-1L)).as("vid"))
+      assert(b.count() == p.count(), s"fwd=$fwd")
+      assert(b.exceptAll(p).isEmpty && p.exceptAll(b).isEmpty, s"fwd=$fwd")
+    }
+  }
+
+  test("epoch-bucketed form handles one key holding ~all rows (the skew case)") {
+    import spark.implicits._
+    // one giant key: 20k rights + 5k lefts on key 1, a few rows on key 2
+    val rights = (1L to 20000L).map(i => (1L, i * 10L, i, i * 0.5)) ++
+      Seq((2L, 100L, 90001L, 1.0))
+    val lefts = (1L to 5000L).map(i => (1L, i * 40L + 5L, s"c$i")) ++
+      Seq((2L, 50L, "c-none"), (2L, 150L, "c-match"))
+    val l = lefts.toDF("k", "t", "tag")
+    val r = rights.toDF("k", "t", "rid", "rv")
+    val plain = AsOfJoin.backward(l, r, Seq("k"), "t", "rid")
+      .select(col("tag"), coalesce(col("rid"), lit(-1L)).as("rid"))
+    // small buckets → thousands of buckets for the giant key
+    val bucketed = AsOfJoin.backwardBucketed(l, r, Seq("k"), "t", "rid", bucketWidth = 1000L)
+      .select(col("tag"), coalesce(col("rid"), lit(-1L)).as("rid"))
+    assert(bucketed.count() == plain.count())
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+    // spot-check the carry: a left row in a bucket with no right rows
+    // still matches the previous bucket's last right row
+    val got = bucketed.as[(String, Long)].collect().toMap
+    assert(got("c-none") == -1L)
+    assert(got("c-match") == 90001L)
+  }
+
   test("null-time rows: right side is unmatchable, left side gets a null match") {
     import spark.implicits._
     val left = Seq((1L, Some(50L), "early"), (1L, Some(200L), "late"), (1L, None, "nul"))
