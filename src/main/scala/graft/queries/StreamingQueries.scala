@@ -50,7 +50,10 @@ object StreamingQueries {
       val ev = Tables(s, dir, "events")
         .select("event_id", "ts", "event_type", "value")
       val staged = SemiStreamRuntime.stage(ev, "event_id", 6)
-      EventTimeWindows.completeCounts(s, staged, ev.schema, "1 hour")
+      // statePartitions sized to the state (thousands of window-count
+      // rows), not the core count — see EventTimeWindows.runToMemory
+      EventTimeWindows.completeCounts(s, staged, ev.schema, "1 hour",
+        statePartitions = Some(8))
         .orderBy("ws", "event_type")
     }),
 
@@ -60,7 +63,8 @@ object StreamingQueries {
       val ev = Tables(s, dir, "events")
         .select("event_id", "ts", "event_type", "value")
       val staged = SemiStreamRuntime.stage(ev, "event_id", 6)
-      EventTimeWindows.completeCounts(s, staged, ev.schema, "1 hour", Some("30 minutes"))
+      EventTimeWindows.completeCounts(s, staged, ev.schema, "1 hour", Some("30 minutes"),
+        statePartitions = Some(8))
         .orderBy("ws", "event_type")
     }),
 
