@@ -94,8 +94,13 @@ object StreamingDedup {
     spark.read.schema(schema).parquet(dir)
   }
 
+  /** One file per (batch, pb) partition: without the repartition every
+    * shuffle partition writes its own sliver into every bucket dir — a
+    * small-file explosion that taxes each later batch's listing and read.
+    */
   private def writeIncrement(df: DataFrame, dir: String): Unit =
-    df.write
+    df.repartition(col("pb"))
+      .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "pb")
@@ -239,6 +244,7 @@ object StreamingDedup {
           col("x_id").as("out_id"),
           coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
           lit(batchId).as("batch"))
+        .coalesce(1) // one decision row per batch doc — a single file
         .write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
