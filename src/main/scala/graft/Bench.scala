@@ -60,7 +60,15 @@ object Bench {
     // and reports the MIN — the best observable proxy for the noise-free
     // time. Sub-second queries skip the rerun (their absolute noise is
     // bounded by their size), keeping total bench time in check.
+    //
+    // Every timed run starts from a CLEARED persist cache: queries persist
+    // internals (tokenized corpora, signature indexes) without
+    // unpersisting, and Spark's cache matches by plan equality — so a
+    // rerun (or a later query sharing a subplan) would silently read the
+    // previous run's cached blocks and report a fantasy number (observed:
+    // the similarity-join family at 0.4-1.5 s vs its real 15-30 s).
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try exhaust(fn(spark, sfDir))
       catch { case e: Throwable =>

@@ -24,25 +24,35 @@ object SeqMatchQueries {
   }
 
   /** Shared per-(session, dir) series + mean index: the reference builds
-    * its KV index ONCE (`IndexBuilder` persists it to storage) and every
-    * query engine reads that artifact — rebuilding the index per query
-    * would be both unfaithful and wasteful. Both DataFrames are persisted;
-    * q28/q29/q30/q42 all read through here.
+    * its KV index ONCE (`IndexBuilder` persists it to storage,
+    * `IndexFileOperator` reads the files back) and every query engine
+    * reads that artifact — rebuilding the index per query would be both
+    * unfaithful and wasteful. The index is MATERIALIZED to parquet the
+    * same way (S8 sink → scan): partitioned by width, sorted by mean
+    * within each file, so a segment probe prunes to one width directory
+    * and its in-range row groups (pushed `mean` filters hit the sorted
+    * row-group stats). A disk artifact also survives bench cache
+    * isolation — an in-memory index dropped by `clearCache` would
+    * silently re-charge its build to whichever query ran next. The series
+    * side stays a lazy equi-join over the parquet scan (persisting it
+    * blocks the verify gather's broadcast plan — measured 6× slower on
+    * the DTW queries).
     */
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
 
   private def seriesAndIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     indexCache.getOrElseUpdate((s, dir), {
-      // only the INDEX is persisted: caching the series too turns the
-      // verify gather's position join against an InMemoryRelation whose
-      // size estimate blocks the broadcast plan (measured 6× slower on the
-      // DTW queries); the series stays a lazy equi-join over the parquet
-      // scan, exactly what phase 2 wants to probe
       val series = deltaSeries(Tables(s, dir, "events"))
-      val index = SubsequenceMatch.meanIndex(series).persist()
-      index.count()
-      (series, index)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-meanidx-")
+        .resolve("idx").toString
+      SubsequenceMatch.meanIndex(series)
+        .repartition(col("w"))
+        .sortWithinPartitions("mean")
+        .write
+        .partitionBy("w")
+        .parquet(idxDir)
+      (series, s.read.parquet(idxDir))
     })
 
   private def queryWindow(series: DataFrame, from: Long, len: Int): Array[Double] = {
