@@ -97,9 +97,17 @@ object SemiStreamRuntime {
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
 
-    val perBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
+    // batchId-keyed idempotent sink: a batch retried after a crash
+    // REPLACES its own partition instead of double-appending (the same
+    // dynamic-overwrite recipe as StreamingDedup's state writes)
+    val perBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       manager.processBatch(batch) { out =>
-        out.write.mode("append").parquet(outDir)
+        out.withColumn("__batch", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch")
+          .parquet(outDir)
       }
       ()
     }
@@ -111,7 +119,7 @@ object SemiStreamRuntime {
       .start()
     query.awaitTermination()
 
-    spark.read.parquet(outDir)
+    spark.read.parquet(outDir).drop("__batch")
   }
 
   /** Convenience: stage `input`, seed the cache, run the stream, return the

@@ -120,7 +120,7 @@ object SemiStreamSimilarityJoin {
       .repartition(col("y_id"))
       .persist()
 
-    val perBatch: (Dataset[Row], Long) => Unit = { (batch, _) =>
+    val perBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val bToks = SimilarityJoin.tokenize(batch.toDF(), idCol, textCol)
       val probeRows = mode match {
         case SegmentMode =>
@@ -192,7 +192,14 @@ object SemiStreamSimilarityJoin {
             size(col("x_toks")) + size(col("y_toks")) - col("inter"))
           .filter(col("inter").cast("double") / col("uni") >= tau)
           .select("x_id", "y_id", "inter", "uni")
-        verified.write.mode("append").parquet(outDir)
+        // batchId-keyed idempotent sink: a retried batch replaces its own
+        // partition instead of double-appending
+        verified.withColumn("__batch", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch")
+          .parquet(outDir)
       }
       ()
     }
@@ -212,6 +219,6 @@ object SemiStreamSimilarityJoin {
     manager.close()
     toks.unpersist(); indexP.unpersist(); hotKeys.unpersist(); yT.unpersist()
     freqOpt.foreach(_.unpersist())
-    Result(spark.read.parquet(outDir), stats)
+    Result(spark.read.parquet(outDir).drop("__batch"), stats)
   }
 }
