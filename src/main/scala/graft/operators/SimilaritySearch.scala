@@ -154,6 +154,59 @@ object SimilaritySearch {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** SEMANTIC deduplication over embeddings (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-quantize the corpus into IVF cells, then
+    * drop near-duplicates WITHIN each cell — the curation step that
+    * removes semantically redundant documents exact/token dedup can't see.
+    * Decision per vector: `dup_of` = min same-cell id with cosine ≥ τ and
+    * smaller id (−1 = kept) — the keep-one-representative contract, same
+    * shape as the token-level dedup family.
+    *
+    * Cells reuse [[ivfTopK]]'s deterministic seeding (MD5-ordered corpus
+    * sample → engine-portable, exactly SQL-oracle-able) and assignment
+    * (best-cosine, smaller cell on ties). Pairs that straddle a cell
+    * boundary are not compared — inherent to SemDeDup (recall is governed
+    * by nCells), which is what keeps the candidate volume Σ|cell|² ≪
+    * corpus² and lets the whole pass run as one broadcast assignment + one
+    * cell equi-join. At corpus scale nCells grows with the data (the
+    * paper's k ∝ n rule) so cell populations stay bounded.
+    * Output: (vid, dup_of).
+    */
+  def semanticDedup(
+      vectors: DataFrame, // (vid, emb)
+      tau: Double,
+      nCells: Int = 64): DataFrame = {
+    val idHash = md5(col("c_src").cast("string"))
+    val centroids = vectors
+      .select(col("vid").as("c_src"), col("emb").as("c_emb"))
+      .orderBy(md5(col("c_src").cast("string")), col("c_src"))
+      .limit(nCells)
+      .withColumn(
+        "cell",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(idHash, col("c_src"))))
+      .select("cell", "c_emb")
+
+    val assigned = vectors
+      .crossJoin(broadcast(centroids))
+      .groupBy("vid")
+      .agg(
+        first(col("emb")).as("emb"),
+        max_by(col("cell"), struct(cosine(col("emb"), col("c_emb")), -col("cell"))).as("cell"))
+
+    val x = assigned.select(col("vid").as("x_id"), col("emb").as("x_emb"), col("cell"))
+    val y = assigned.select(col("vid").as("y_id"), col("emb").as("y_emb"), col("cell"))
+    val dupOf = x.join(y, Seq("cell"))
+      .filter(col("y_id") < col("x_id"))
+      .filter(cosine(col("x_emb"), col("y_emb")) >= tau)
+      .groupBy("x_id")
+      .agg(min("y_id").as("dup_of"))
+
+    assigned.select(col("vid"))
+      .join(dupOf, col("vid") === col("x_id"), "left")
+      .select(col("vid"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with
     * cosine ≥ τ, candidates from shared LSH buckets (never all-pairs).
     * Output: (x_id, y_id, sim) with x_id < y_id.

@@ -184,6 +184,18 @@ object DocumentQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // SEMANTIC dedup (SemDeDup): IVF cells over the embedding corpus +
+    // within-cell cosine >= 0.985 keep-min-id decisions — the redundancy
+    // pass token dedup can't see. Centroids/assignment are the q44 MD5
+    // recipe, so the oracle replays cells and decisions exactly.
+    "q55_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+      SimilaritySearch.semanticDedup(emb, tau = 0.985, nCells = 64)
+        .select(col("vid").as("vec_id"), col("dup_of"))
+        .orderBy("vec_id")
+    }),
+
     // SimHash near-dup pairs (dedup family #3 as a driver query): 64-bit
     // fingerprints, block-pigeonhole candidates, exact Hamming verify. The
     // token hash is MD5 (bit-identical in both engines), so the oracle
@@ -673,6 +685,29 @@ object DocumentQueries {
         |FROM scored
         |QUALIFY rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    "q55_semantic_dedup" ->
+      """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+        |         e AS c_e
+        |  FROM emb
+        |  QUALIFY cell <= 64),
+        |asg AS (
+        |  SELECT n_id, n_e, cell FROM (
+        |    SELECT emb.vec_id AS n_id, emb.e AS n_e, cent.cell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |                              ORDER BY list_cosine_similarity(emb.e, cent.c_e) DESC, cent.cell) AS rn
+        |    FROM emb, cent) WHERE rn = 1),
+        |m AS (
+        |  SELECT x.n_id AS vec_id, min(y.n_id) AS dup_of
+        |  FROM asg x JOIN asg y
+        |    ON x.cell = y.cell AND y.n_id < x.n_id
+        |   AND list_cosine_similarity(x.n_e, y.n_e) >= 0.985
+        |  GROUP BY x.n_id)
+        |SELECT e.vec_id, coalesce(m.dup_of, -1) AS dup_of
+        |FROM emb e LEFT JOIN m ON e.vec_id = m.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     "q43_dedup_simhash" ->
       """WITH tok AS (

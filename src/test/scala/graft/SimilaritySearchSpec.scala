@@ -112,4 +112,47 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(brute.exceptAll(got).isEmpty, "missed a planted pair")
     assert(got.count() == emb.count()) // exactly one pair per planted copy
   }
+
+  test("semantic dedup equals the naive within-cell brute force on the planted corpus") {
+    val got = SimilaritySearch.semanticDedup(planted, tau = 0.99, nCells = 16)
+
+    // naive mirror: same MD5-ordered centroids + best-cosine assignment
+    // (smaller cell on ties), then all-pairs per cell
+    val idHash = md5(col("c_src").cast("string"))
+    val centroids = planted
+      .select(col("vid").as("c_src"), col("emb").as("c_emb"))
+      .orderBy(md5(col("c_src").cast("string")), col("c_src"))
+      .limit(16)
+      .withColumn(
+        "cell",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(idHash, col("c_src"))))
+      .select("cell", "c_emb")
+    val assigned = planted
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", SimilaritySearch.cosine(col("emb"), col("c_emb")))
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vid")
+            .orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("emb"), col("cell"))
+    val x = assigned.select(col("vid").as("x_id"), col("emb").as("x_emb"), col("cell"))
+    val yv = assigned.select(col("vid").as("y_id"), col("emb").as("y_emb"), col("cell"))
+    val expected = assigned.select("vid")
+      .join(
+        x.join(yv, Seq("cell"))
+          .filter(col("y_id") < col("x_id") &&
+            SimilaritySearch.cosine(col("x_emb"), col("y_emb")) >= 0.99)
+          .groupBy("x_id").agg(min("y_id").as("exp_dup")),
+        col("vid") === col("x_id"), "left")
+      .select(col("vid"), coalesce(col("exp_dup"), lit(-1L)).as("dup_of"))
+
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // planted near-copies quantize into their original's cell, so most
+    // copies are caught (cell-boundary splits are the documented miss mode)
+    assert(got.filter(col("dup_of") >= 0).count() > 0)
+  }
 }
