@@ -93,9 +93,12 @@ object StreamingQueries {
     // MinHash/LSH buckets + exact-Jaccard verify, cross-batch state
     // accumulating cluster-side. dup_of = min earlier duplicate, −1 = novel.
     // The oracle replays the arrival order and the brute-force definition.
+    // compactEvery=2 so the driver gate also exercises the state-compaction
+    // path (batch 2 folds batches 0-1 into a generation mid-stream)
     "q49_stream_dedup" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      graft.streaming.StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 4)
+      graft.streaming.StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 4,
+        compactEvery = 2)
         .orderBy("doc_id")
     }),
 

@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.storage.StorageLevel
 
 import graft.operators.{Dedup, Sampling, SimilarityJoin}
@@ -72,9 +72,24 @@ import graft.operators.{Dedup, Sampling, SimilarityJoin}
   *     writes of an uncommitted batch and verifies the resumed run's
   *     decisions are byte-identical to an uninterrupted one.
   *
-  * At 100 TB the same layout maps onto a transactional table (Delta/
-  * Iceberg) with `(pb)` clustering; the per-batch logic — bounded bucket
-  * touch set, batchId-keyed idempotent writes — is unchanged.
+  * == Compaction ==
+  *
+  * Left alone, the state accrues one `(batch, pb)` directory pair per
+  * batch per touched bucket FOREVER — and the round-6 bucket-fan-out A/B
+  * showed listing metadata dominating small partitions. Every
+  * `compactEvery` batches the job folds committed increments
+  * (`batch < batchId` — never the current, possibly-retrying batch) into
+  * consolidated negative-id generations via [[ParquetDedupState.compact]]
+  * (size-tiered, crash-safe — see its scaladoc), so the live directory
+  * count is O(compactEvery + log batches) instead of O(batches).
+  *
+  * == At 100 TB ==
+  *
+  * The state contract is [[DedupStateStore]]; the parquet directory impl
+  * maps 1:1 onto a transactional table (Delta/Iceberg) with `pb`
+  * clustering — read = snapshot scan, append = batchId-keyed transactional
+  * replace, compact = OPTIMIZE. The per-batch logic — bounded bucket touch
+  * set, batchId-keyed idempotent writes — is unchanged.
   */
 object StreamingDedup {
 
@@ -84,27 +99,6 @@ object StreamingDedup {
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Read a state relation (empty before the first increment lands). The
-    * explicit schema covers the data AND partition columns, so no inference
-    * pass runs and an empty directory is a valid empty relation.
-    */
-  private def readState(spark: SparkSession, dir: String, dataSchema: StructType): DataFrame = {
-    val schema = dataSchema.add("batch", LongType).add("pb", IntegerType)
-    spark.read.schema(schema).parquet(dir)
-  }
-
-  /** One file per (batch, pb) partition: without the repartition every
-    * shuffle partition writes its own sliver into every bucket dir — a
-    * small-file explosion that taxes each later batch's listing and read.
-    */
-  private def writeIncrement(df: DataFrame, dir: String): Unit =
-    df.repartition(col("pb"))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "pb")
-      .parquet(dir)
 
   /** Run incremental dedup over `docs` replayed as `chunks` micro-batches.
     * Output: (doc_id, dup_of) for every tokenizable doc — `dup_of` = min
@@ -119,9 +113,16 @@ object StreamingDedup {
     * @param workDir       durable root (checkpoint + staged input + state +
     *                      output). Re-invoking with the same dir resumes an
     *                      interrupted run. Default: fresh temp dir.
+    * @param compactEvery  fold committed state increments into consolidated
+    *                      generations every this many batches (0 disables —
+    *                      experiment control only)
     * @param crashAtBatch  TEST HOOK — throw once after the writes of this
     *                      batchId (before the checkpoint commit), simulating
     *                      a driver crash mid-batch.
+    * @param crashInCompaction TEST HOOK — crash once inside the first
+    *                      compaction, after the generation is published but
+    *                      before the folded dirs are deleted (the widest
+    *                      window: state briefly duplicated).
     * @param onBatch       timing callback (batchId, millis) for scale
     *                      experiments.
     */
@@ -135,7 +136,9 @@ object StreamingDedup {
       rowsPerBand: Int = 3,
       nBuckets: Int = 64,
       workDir: Option[String] = None,
+      compactEvery: Int = 8,
       crashAtBatch: Option[Long] = None,
+      crashInCompaction: Boolean = false,
       onBatch: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.ArrayIntersectSize.register(spark)
@@ -161,7 +164,9 @@ object StreamingDedup {
             floor(Sampling.hashUniform(col(idCol)) * chunks).cast("int")),
         "__chunk",
         chunks)
-      hfs.rename(new HPath(staged.toString), new HPath(inputDir))
+      // staging is a LOCAL temp dir; the work dir may not be (HDFS/object
+      // store) — rename fails across filesystems, so fall back to copy
+      FsMove.into(spark, new HPath(staged.toString), new HPath(inputDir))
     }
 
     val tokSchema = SimilarityJoin.tokenize(docs.limit(0), idCol, textCol)
@@ -169,8 +174,27 @@ object StreamingDedup {
     val sigSchema = Dedup.bandSignatures(
       SimilarityJoin.tokenize(docs.limit(0), idCol, textCol), bands, rowsPerBand).schema
 
+    val sigState = new ParquetDedupState(spark, sigDir, sigSchema, Seq("sid", "band", "bsig"))
+    val tokState = new ParquetDedupState(spark, tokDir, tokSchema, Seq("sid"))
+
     val perBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val t0 = System.nanoTime()
+
+      // fold earlier, checkpoint-committed increments (never this batch's
+      // own — a retry must still hide its failed attempt via batch<batchId)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+        val afterPublish: () => Unit =
+          if (!crashInCompaction) () => ()
+          else () => {
+            val marker = new HPath(s"$root/compact-crash-fired")
+            if (!hfs.exists(marker)) {
+              hfs.create(marker, true).close()
+              throw new RuntimeException(s"injected crash mid-compaction at batch $batchId")
+            }
+          }
+        sigState.compact(batchId, afterPublish)
+        tokState.compact(batchId)
+      }
       val bToks = SimilarityJoin.tokenize(batch.toDF(), idCol, textCol)
         .select("sid", "toks")
         .persist(storage)
@@ -204,8 +228,7 @@ object StreamingDedup {
       // the distinct pair count — dedup BEFORE persisting so only the
       // distinct pairs ever materialize (persisting the raw join measured
       // 2.8× slower per batch at 10× scale)
-      val stateSigs = readState(spark, sigDir, sigSchema)
-        .filter(col("batch") < lit(batchId) && col("pb").isin(sigPbs: _*))
+      val stateSigs = sigState.read(batchId, sigPbs)
       val stateCand = broadcast(xSigs)
         .join(stateSigs.select(col("sid").as("y_id"), col("band"), col("bsig")),
           Seq("band", "bsig"))
@@ -218,8 +241,7 @@ object StreamingDedup {
       val needed = stateCand.select("y_id").distinct().persist(storage)
       val tokPbs = needed.select(bucketOf(nBuckets, col("y_id")).as("pb"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val stateToks = readState(spark, tokDir, tokSchema)
-        .filter(col("batch") < lit(batchId) && col("pb").isin(tokPbs: _*))
+      val stateToks = tokState.read(batchId, tokPbs)
       val yFetch = stateToks
         .join(broadcast(needed), stateToks("sid") === needed("y_id"), "left_semi")
         .select(col("sid").as("y_id"), col("toks").as("y_toks"))
@@ -251,13 +273,10 @@ object StreamingDedup {
         .partitionBy("batch")
         .parquet(outDir)
 
-      writeIncrement(
-        bSigs.select(col("sid"), col("band"), col("bsig"), lit(batchId).as("batch"), col("pb")),
-        sigDir)
-      writeIncrement(
-        bToks.select(col("sid"), col("toks"), lit(batchId).as("batch"),
-          bucketOf(nBuckets, col("sid")).as("pb")),
-        tokDir)
+      sigState.append(bSigs.select(col("sid"), col("band"), col("bsig"), col("pb")), batchId)
+      tokState.append(
+        bToks.select(col("sid"), col("toks"), bucketOf(nBuckets, col("sid")).as("pb")),
+        batchId)
 
       stateCand.unpersist(); needed.unpersist(); bToks.unpersist(); bSigs.unpersist()
       onBatch(batchId, (System.nanoTime() - t0) / 1000000L)

@@ -65,6 +65,43 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got(30L) == -1L)
   }
 
+  test("compaction bounds the state directory count and preserves decisions") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val workDir = java.nio.file.Files.createTempDirectory("graft-dedup-compact-").toString
+    val got = StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 8,
+      workDir = Some(workDir), compactEvery = 2)
+    val expected = bruteDedup(docs, tau = 0.8, chunks = 8)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+
+    // 8 batches folded every 2: live dirs = generations (log-ish ladder) +
+    // un-folded recent increments — strictly fewer than one per batch
+    for (state <- Seq("sigs", "toks")) {
+      val dirs = new java.io.File(s"$workDir/state/$state").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSeq
+      assert(dirs.size < 8, s"$state dirs not compacted: $dirs")
+      assert(dirs.exists(_.startsWith("batch=-")), s"no consolidated generation in $dirs")
+    }
+  }
+
+  test("crash mid-compaction (generation published, sources undeleted) resumes identically") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val workDir = java.nio.file.Files.createTempDirectory("graft-dedup-compactcrash-").toString
+
+    // crash in the widest window: the consolidated generation is visible
+    // AND the folded source dirs still exist (state rows duplicated)
+    val crashed = intercept[Exception] {
+      StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 6,
+        workDir = Some(workDir), compactEvery = 2, crashInCompaction = true).count()
+    }
+    assert(crashed.getMessage != null)
+
+    val resumed = StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 6,
+      workDir = Some(workDir), compactEvery = 2, crashInCompaction = true)
+    val expected = bruteDedup(docs, tau = 0.8, chunks = 6)
+    assert(resumed.exceptAll(expected).isEmpty && expected.exceptAll(resumed).isEmpty)
+    assert(resumed.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("mid-stream crash after an uncommitted batch's writes resumes to identical decisions") {
     val docs = Tables(spark, sfSmoke, "documents")
     val workDir = java.nio.file.Files.createTempDirectory("graft-dedup-restart-").toString
