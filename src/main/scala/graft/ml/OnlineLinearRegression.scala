@@ -39,6 +39,49 @@ final class OnlineLinearRegression(
   def predict(df: DataFrame, featuresCol: String = "features"): DataFrame =
     df.withColumn("prediction", predictCol(col(featuresCol)))
 
+  /** Driver-local prediction — the same left-fold-then-intercept order as
+    * [[predict]]'s `aggregate(zip_with(...))` column, so the result is
+    * FLOATING-POINT-IDENTICAL to the distributed form on the same model.
+    */
+  def predictLocal(f: Array[Double]): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < dim) { acc += f(j) * w(j); j += 1 }
+    acc + b
+  }
+
+  /** Driver-local training pass: the same per-epoch gradient arithmetic as
+    * [[trainOn]]. For a SINGLE-example batch the update is FP-identical to
+    * the distributed form (a one-row sum has no ordering freedom); for
+    * larger batches the gradient sums run in `rows` order, which may differ
+    * from the distributed sum order at the last ulp. The batched S3M path
+    * trains one example at a time (prequential), so it stays exact.
+    */
+  def trainOnLocal(rows: Seq[(Array[Double], Double)]): Unit = {
+    val n = rows.size
+    if (n == 0) return
+    var i = 0
+    while (i < iterations) {
+      step += 1
+      val stepLr = lr / math.sqrt(step)
+      val grad = Array.fill(dim)(0.0)
+      var gradB = 0.0
+      rows.foreach { case (f, y) =>
+        val err = predictLocal(f) - y
+        var j = 0
+        while (j < dim) { grad(j) += err * f(j); j += 1 }
+        gradB += err
+      }
+      var j = 0
+      while (j < dim) {
+        w(j) -= stepLr * (grad(j) / n + reg * w(j))
+        j += 1
+      }
+      b -= stepLr * (gradB / n)
+      i += 1
+    }
+  }
+
   /** One training pass (`iterations` SGD epochs) over the batch.
     * Mutates the driver-held model.
     */

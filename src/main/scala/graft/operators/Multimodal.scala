@@ -37,10 +37,21 @@ object Multimodal {
   val FeatureDim = 16
   val DecodeBatchSize = 64
 
-  /** Deterministic fake "decode": FeatureDim floats derived from payload
-    * bytes by a rolling hash. STAND-IN for a real image/audio decoder —
-    * the contract a real decoder must keep: pure function of the payload,
-    * fixed output dim.
+  /** ==Codec contract==
+    * A decoder is any `Array[Byte] => Array[Float]` that is (a) a PURE
+    * function of the payload bytes (so retried tasks are deterministic and
+    * the operator stays exactly-once under Spark's recompute model) and
+    * (b) fixed output dimension. It is injected into [[extractFeatures]];
+    * the per-partition `grouped(DecodeBatchSize)` loop is the integration
+    * point where a real implementation initializes its codec/model ONCE
+    * per batch and decodes the batch in one native call — the exact
+    * `mapInPandas` batch shape, minus Python.
+    *
+    * [[decodeStub]] is the TEST CODEC for this container (no image/audio
+    * libraries are installed): FeatureDim floats from a rolling hash of
+    * the payload. It exists so the surrounding plumbing — schema, metadata
+    * propagation, batch shape, partitioning, oracle — is fully testable;
+    * it is not, and does not pretend to be, a media decoder.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -55,11 +66,14 @@ object Multimodal {
   }
 
   /** Per-partition BATCHED feature extraction (mapInPandas shape): rows
-    * stream through in [[DecodeBatchSize]] groups; a real decoder would
-    * initialize once per batch. Output: (media_id, kind, features).
+    * stream through in [[DecodeBatchSize]] groups; `decode` (see the codec
+    * contract on [[decodeStub]], the default test codec) runs once per row
+    * inside the batch loop, where a real decoder amortizes its setup.
+    * Output: (media_id, kind, features).
     */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
+  def extractFeatures(
+      media: DataFrame,
+      decode: Array[Byte] => Array[Float] = decodeStub): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("kind", StringType),
@@ -71,7 +85,7 @@ object Multimodal {
         rows.grouped(DecodeBatchSize).flatMap { batch =>
           // per-batch setup would go here (codec/model init)
           batch.iterator.map { r =>
-            Row(r.getLong(0), r.getString(1), decodeStub(r.getAs[Array[Byte]](2)).toSeq)
+            Row(r.getLong(0), r.getString(1), decode(r.getAs[Array[Byte]](2)).toSeq)
           }
         }
       }(enc)

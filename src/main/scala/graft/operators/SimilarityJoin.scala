@@ -262,6 +262,19 @@ object SimilarityJoin {
     * all keyed equi-joins (freq groupBy, order rebuild, prefix-token join,
     * pair dedup); AQE covers residual skew.
     */
+  /** Prefix emission of an ordered token table: one row per (record,
+    * prefix position) — the first `s − ⌈τ·s⌉ + 1` tokens under the
+    * rarest-first order. Exposed so the skew spec can assert what the
+    * join actually emits. Output: (sid, slen, pos, tok).
+    */
+  def orderedPrefixes(ord: DataFrame, tau: Double): DataFrame = {
+    val prefixLen = (col("slen") - ceil(col("slen") * tau - Eps) + 1).cast("int")
+    ord.select(
+      col("sid"),
+      col("slen"),
+      posexplode(slice(col("otoks"), lit(1), prefixLen)).as(Seq("pos", "tok")))
+  }
+
   def prefixJoin(
       probe: DataFrame,
       index: DataFrame,
@@ -271,17 +284,16 @@ object SimilarityJoin {
     val iOrd = orderByFrequency(index, freq)
     val pOrd = if (selfJoin) iOrd else orderByFrequency(probe, freq)
 
-    def prefixLen(len: Column): Column =
-      (len - ceil(len * tau - Eps) + 1).cast("int")
-
-    val px = pOrd.select(
+    val px = orderedPrefixes(pOrd, tau).select(
       col("sid").as("x_id"),
       col("slen").as("x_len"),
-      posexplode(slice(col("otoks"), lit(1), prefixLen(col("slen")))).as(Seq("x_pos", "tok")))
-    val iy = iOrd.select(
+      col("pos").as("x_pos"),
+      col("tok"))
+    val iy = orderedPrefixes(iOrd, tau).select(
       col("sid").as("y_id"),
       col("slen").as("y_len"),
-      posexplode(slice(col("otoks"), lit(1), prefixLen(col("slen")))).as(Seq("y_pos", "tok")))
+      col("pos").as("y_pos"),
+      col("tok"))
 
     val pairFilter =
       if (selfJoin) col("x_id") < col("y_id")
@@ -395,5 +407,94 @@ object SimilarityJoin {
   def prefixSelfJoin(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
     val toks = tokenize(docs, idCol, textCol)
     prefixJoin(toks, toks, tau, selfJoin = true)
+  }
+
+  // ------------------------------------------------- strategy auto-selection
+
+  /** The three equality-proven strategies a similarity join can run as.
+    * [[DeletionJoin]] is never auto-picked: it reproduces the reference's
+    * full deletion-signature scheme for fidelity but measured 2.4× the
+    * prefix path on identical output (round-6 A/B) — callers opt in.
+    */
+  sealed trait Strategy
+  case object SegmentStrategy extends Strategy
+  case object PrefixStrategy extends Strategy
+
+  /** Cost inputs and per-record emission estimates behind [[choose]].
+    *
+    *   - `segEmitPerRec`: segment signatures a PROBE record emits —
+    *     `groupsPerProbe × H` where `H = segmentCount(hi)` and
+    *     groupsPerProbe counts multigroup groups overlapping the
+    *     admissible length window `[τ·s, s/τ]` (each probed in full);
+    *   - `prefixEmitPerRec`: prefix tokens a record emits,
+    *     `s − ⌈τ·s⌉ + 1`.
+    *
+    * Emission volume is the driver of both strategies' shuffle and
+    * candidate cost; the verify stage is identical. The estimates use the
+    * mean length — the strategies' relative order is monotone in `s`, so
+    * the mean decides.
+    */
+  final case class StrategyEstimate(
+      strategy: Strategy,
+      segEmitPerRec: Double,
+      prefixEmitPerRec: Double,
+      reusedIndex: Boolean)
+
+  /** Cost-based strategy choice from corpus statistics.
+    *
+    * Regime rule first (measured, round-6 streaming A/B): when the INDEX
+    * IS REUSED across many probe batches (`reusedIndex` — the semi-stream
+    * regime), the segment scheme wins regardless of emission counts: its
+    * per-batch probe cost is batch-bounded and its signatures cache by
+    * key, while prefix filtering pays a corpus-frequency fetch per batch
+    * to order the probe's tokens and its inverted-list entries fan out
+    * wider per cached key (49.6/56.3 s vs segment's 42.3/49.3 s at sf0.1,
+    * identical pairs — the negative result pinned in round 6's COVERAGE
+    * delta).
+    *
+    * One-shot batch joins compare per-record emission volume: prefix emits
+    * `s(1−τ)+1` tokens where the segment scheme emits
+    * `groups × (segments per group)` signatures — at practical τ the
+    * probe-side group span `[τ·s, s/τ]` makes the segment side several
+    * times larger (q18's corpus: ≈2.2·s̄ vs ≈0.2·s̄), which is why prefix
+    * measures faster in batch (16.6 s vs the deletion path's 40.7 s on
+    * identical output, round-6 bench).
+    */
+  def choose(
+      tokens: DataFrame,
+      tau: Double,
+      alpha: Double = 0.95,
+      reusedIndex: Boolean = false): StrategyEstimate = {
+    val row = tokens.agg(avg("slen"), min("slen"), max("slen")).head()
+    if (row.isNullAt(0)) // empty corpus: nothing to join either way
+      return StrategyEstimate(PrefixStrategy, 0.0, 0.0, reusedIndex)
+    val meanLen = row.getDouble(0)
+    val minLen = row.getInt(1)
+    val maxLen = row.getInt(2)
+
+    val groups = multigroup(minLen, maxLen, alpha)
+    val sLo = math.ceil(meanLen * tau - Eps)
+    val sHi = math.floor(meanLen / tau + Eps)
+    val overlapping = groups.filter { case (_, lo, hi) => hi >= sLo && lo <= sHi }
+    val segEmit = overlapping.map { case (_, _, hi) => segmentCount(hi, tau).toDouble }.sum
+    val preEmit = meanLen - math.ceil(meanLen * tau - Eps) + 1
+
+    val strategy =
+      if (reusedIndex) SegmentStrategy
+      else if (segEmit < preEmit) SegmentStrategy
+      else PrefixStrategy
+    StrategyEstimate(strategy, segEmit, preEmit, reusedIndex)
+  }
+
+  /** Self-join that picks its strategy by [[choose]] — the cost-based
+    * dispatch over the equality-proven implementations (identical output
+    * either way; only the plan differs).
+    */
+  def selfJoinAuto(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
+    val toks = tokenize(docs, idCol, textCol)
+    choose(toks, tau).strategy match {
+      case SegmentStrategy => joinSets(toks, toks, tau, selfJoin = true)
+      case PrefixStrategy  => prefixJoin(toks, toks, tau, selfJoin = true)
+    }
   }
 }

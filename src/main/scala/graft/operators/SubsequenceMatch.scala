@@ -36,8 +36,12 @@ final class MeanIndexCache(index: DataFrame, bucketWidth: Double = 16.0) {
     * bucket slices (uncached buckets are scanned once and retained).
     */
   def probe(w: Int, lo: Double, hi: Double): DataFrame = {
-    val bLo = math.floor(lo / bucketWidth).toLong
-    val bHi = math.floor(hi / bucketWidth).toLong
+    // one guard bucket each side: floor(lo/width) and the slice predicate
+    // `mean >= b*width` round differently, so a mean at an exact bucket
+    // boundary could otherwise fall between slices; the trailing
+    // between(lo, hi) filter keeps results exact either way
+    val bLo = math.floor(lo / bucketWidth).toLong - 1
+    val bHi = math.floor(hi / bucketWidth).toLong + 1
     val parts = (bLo to bHi).map { b =>
       slices.getOrElseUpdate((w, b), {
         misses += 1
@@ -237,7 +241,13 @@ object SubsequenceMatch {
       .collect().map(r => r.getAs[Int]("w") -> r.getAs[Long]("count")).toMap
     val ordered = probes.sortBy(p => stats.getOrElse(p.qoff, 0L))
 
-    var cand = probe(ordered.head).persist()
+    // localCheckpoint (eager) instead of persist: each round's candidate
+    // set is consumed twice (count + next join / phase-2 gather), but the
+    // blocks are ContextCleaner-managed — freed when the DataFrame becomes
+    // unreachable — so repeated adaptive queries in one session leak
+    // nothing (a bare persist would pin blocks until an unpersist no
+    // caller has a handle for)
+    var cand = probe(ordered.head).localCheckpoint(true)
     var candCount = cand.count()
     var probed = 1
     var stop = false
@@ -245,10 +255,8 @@ object SubsequenceMatch {
       if (candCount * m <= costRatio * widthRows.getOrElse(p.w, Long.MaxValue)) {
         stop = true // verifying survivors beats another index scan
       } else {
-        val next = cand.join(probe(p), Seq("start")).persist()
-        candCount = next.count()
-        cand.unpersist()
-        cand = next
+        cand = cand.join(probe(p), Seq("start")).localCheckpoint(true)
+        candCount = cand.count()
         probed += 1
       }
     }
@@ -320,6 +328,70 @@ object SubsequenceMatch {
       .agg(sum(pow(col("v") - col("qv"), 2)).as("d2"), count(lit(1)).as("c"))
       .filter(col("c") === q.length && col("d2") <= eps * eps)
       .select("start", "d2")
+  }
+
+  /** MANY-QUERY exact ED match: all `queries` (qid, values) matched against
+    * the series in ONE plan — the batched form of [[matchED]] for callers
+    * with many live windows per micro-batch (the [[graft.ml.S3MPipeline]]
+    * default path). Per-query results are identical to per-query
+    * [[matchED]] calls by construction: phase 1 intersects segments by
+    * counting per-(qid, segment) hits (each segment matches an offset at
+    * most once, so count == distinct-segment intersection), phase 2 is the
+    * same gather + exact distance, keyed by qid.
+    *
+    * The probe set (queries × segments rows) broadcasts against one index
+    * scan — a broadcast theta-join, ONE index pass for the whole batch of
+    * queries instead of segments × queries passes.
+    *
+    * Returns (qid, start, d2) with d2 ≤ eps².
+    */
+  def matchEDMany(
+      series: DataFrame,
+      index: DataFrame,
+      queries: Seq[(Long, Array[Double])],
+      eps: Double,
+      widths: Seq[Int] = DefaultWidths): DataFrame = {
+    require(queries.nonEmpty, "no queries")
+    val spark = series.sparkSession
+    import spark.implicits._
+
+    val probeRows = queries.flatMap { case (qid, q) =>
+      segments(q.length, widths).map { case (qoff, w) =>
+        val mu = q.slice(qoff, qoff + w).sum / w
+        val bound = eps / math.sqrt(w) + MeanSlack
+        (qid, qoff, w, mu - bound, mu + bound)
+      }
+    }
+    val probesDf = broadcast(probeRows.toDF("qid", "qoff", "pw", "lo", "hi"))
+    val nSegs = broadcast(
+      queries.map { case (qid, q) => (qid, segments(q.length, widths).size) }
+        .toDF("qid", "nsegs"))
+
+    // one index pass for every (query, segment) probe
+    val segStarts = index
+      .join(probesDf, col("w") === col("pw") && col("mean").between(col("lo"), col("hi")))
+      .select(col("qid"), (col("offset") - col("qoff")).as("start"))
+      .filter(col("start") >= 0)
+    val cands = segStarts
+      .groupBy("qid", "start").agg(count(lit(1)).as("hits"))
+      .join(nSegs, "qid")
+      .filter(col("hits") === col("nsegs"))
+      .select("qid", "start")
+
+    val qDf = broadcast(
+      queries.flatMap { case (qid, q) =>
+        q.toSeq.zipWithIndex.map { case (v, i) => (qid, i, v) }
+      }.toDF("qid", "qi", "qv"))
+    val qLen = broadcast(queries.map { case (qid, q) => (qid, q.length) }.toDF("qid", "m"))
+    cands
+      .join(qDf, "qid")
+      .withColumn("pos", col("start") + col("qi"))
+      .join(series.select(col("idx").as("pos"), col("v")), "pos")
+      .groupBy("qid", "start")
+      .agg(sum(pow(col("v") - col("qv"), 2)).as("d2"), count(lit(1)).as("c"))
+      .join(qLen, "qid")
+      .filter(col("c") === col("m") && col("d2") <= eps * eps)
+      .select("qid", "start", "d2")
   }
 
   /** Sakoe–Chiba banded DTW distance (squared-cost formulation), exact DP

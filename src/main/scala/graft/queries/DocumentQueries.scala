@@ -33,13 +33,15 @@ object DocumentQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Set-similarity self-join at τ=0.8 (SURVEY J12-J18): prefix-filtered
-    // candidates (rarest-first token order), verified with exact Jaccard.
-    // The oracle is the O(n²) definition.
+    // Set-similarity self-join at τ=0.8 (SURVEY J12-J18), routed through
+    // the COST-BASED strategy chooser (SimilarityJoin.choose — picks the
+    // prefix-filtered plan on this corpus's stats; segment/prefix produce
+    // identical output, equality spec'd). The oracle is the O(n²)
+    // definition.
     "q18_simjoin_documents" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       sortedMaterialized(
-        SimilarityJoin.prefixSelfJoin(docs, "doc_id", "text", 0.8)
+        SimilarityJoin.selfJoinAuto(docs, "doc_id", "text", 0.8)
           .select(
             col("x_id"),
             col("y_id"),

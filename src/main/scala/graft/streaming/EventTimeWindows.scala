@@ -45,25 +45,27 @@ object EventTimeWindows {
       build: DataFrame => DataFrame): DataFrame = {
     val name = s"etw_${nameCounter.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-etw-ckpt-").toString
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try {
-      val stream = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged.toString)
-      val q = build(stream).writeStream
-        .outputMode(outputMode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // the override runs on a CLONED session (shared SparkContext, isolated
+    // SQLConf) so concurrent queries on the caller's session never see the
+    // altered parallelism, and no failure path can leave it behind
+    val sess = statePartitions.fold(spark) { n =>
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      s
     }
-    spark.table(name)
+    val stream = sess.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    val q = build(stream).writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sess.table(name)
   }
 
   /** Tumbling (or sliding, if `slide` is set) windowed counts + value sums

@@ -99,11 +99,15 @@ object SemiStreamRuntime {
 
     // batchId-keyed idempotent sink: a batch retried after a crash
     // REPLACES its own partition instead of double-appending (the same
-    // dynamic-overwrite recipe as StreamingDedup's state writes)
+    // dynamic-overwrite recipe as StreamingDedup's state writes).
+    // Schema is captured at write time: an all-empty-batches run writes
+    // no data files, so the final read cannot rely on inference.
+    @volatile var outSchema: org.apache.spark.sql.types.StructType = null
     val perBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       manager.processBatch(batch) { out =>
-        out.withColumn("__batch", lit(batchId))
-          .write
+        val withB = out.withColumn("__batch", lit(batchId))
+        outSchema = withB.schema
+        withB.write
           .mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch")
@@ -119,7 +123,8 @@ object SemiStreamRuntime {
       .start()
     query.awaitTermination()
 
-    spark.read.parquet(outDir).drop("__batch")
+    require(outSchema != null, "stream ran no batches — no output schema")
+    spark.read.schema(outSchema).parquet(outDir).drop("__batch")
   }
 
   /** Convenience: stage `input`, seed the cache, run the stream, return the

@@ -120,6 +120,11 @@ object SemiStreamSimilarityJoin {
       .repartition(col("y_id"))
       .persist()
 
+    // a run where EVERY batch's output is empty writes no parquet data
+    // files (dynamic overwrite skips empty partitions), so the final read
+    // needs the schema captured at write time, not inference
+    @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+
     val perBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val bToks = SimilarityJoin.tokenize(batch.toDF(), idCol, textCol)
       val probeRows = mode match {
@@ -194,8 +199,9 @@ object SemiStreamSimilarityJoin {
           .select("x_id", "y_id", "inter", "uni")
         // batchId-keyed idempotent sink: a retried batch replaces its own
         // partition instead of double-appending
-        verified.withColumn("__batch", lit(batchId))
-          .write
+        val out = verified.withColumn("__batch", lit(batchId))
+        outSchema = out.schema
+        out.write
           .mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch")
@@ -219,6 +225,7 @@ object SemiStreamSimilarityJoin {
     manager.close()
     toks.unpersist(); indexP.unpersist(); hotKeys.unpersist(); yT.unpersist()
     freqOpt.foreach(_.unpersist())
-    Result(spark.read.parquet(outDir).drop("__batch"), stats)
+    require(outSchema != null, "stream ran no batches — no output schema")
+    Result(spark.read.schema(outSchema).parquet(outDir).drop("__batch"), stats)
   }
 }

@@ -57,6 +57,36 @@ class OnlineMlSpec extends SparkSpec {
     assert(math.abs(e.aggregateMse - (4.0 * 10 + 1.0 * 30) / 40) < 1e-12)
   }
 
+  test("batched S3M path reproduces the sequential reference trace exactly") {
+    val series = SeqMatchQueries.deltaSeries(Tables(spark, sfSmoke, "events"))
+    val n = series.count()
+    val cfg = S3MPipeline.Config(windowLen = 50, windowInterval = 50, horizon = 10, iterations = 2)
+    val seqR = S3MPipeline.runSequential(series, storedEnd = n / 2, cfg)
+    // windowsPerBatch=7 exercises ragged group boundaries
+    val batR = S3MPipeline.runBatched(series, storedEnd = n / 2, cfg, windowsPerBatch = 7)
+    assert(batR.matchedWindows == seqR.matchedWindows)
+    assert(batR.missedWindows == seqR.missedWindows)
+    assert(batR.perWindowMse == seqR.perWindowMse,
+      s"trace diverged:\n batched=${batR.perWindowMse}\n sequential=${seqR.perWindowMse}")
+    assert(batR.aggregateMse == seqR.aggregateMse)
+    assert(batR.zeroModelMse == seqR.zeroModelMse)
+  }
+
+  test("local single-example SGD update is FP-identical to the distributed form") {
+    val f = Array(0.37, -1.25, 0.003)
+    val y = 0.8
+    val m1 = new OnlineLinearRegression(dim = 3, lr = 0.2, iterations = 4)
+    val m2 = new OnlineLinearRegression(dim = 3, lr = 0.2, iterations = 4)
+    m1.trainOn(S3MPipeline.featureFrame(spark, Seq((f, y))))
+    m2.trainOnLocal(Seq((f, y)))
+    assert(m1.weights.toSeq == m2.weights.toSeq)
+    assert(m1.intercept == m2.intercept)
+    val probe = Array(0.1, 0.2, 0.3)
+    assert(
+      m1.predict(S3MPipeline.featureFrame(spark, Seq((probe, 0.0))))
+        .select("prediction").head().getDouble(0) == m2.predictLocal(probe))
+  }
+
   test("S3M loop runs end-to-end on the sf0.001 events series") {
     val series = SeqMatchQueries.deltaSeries(Tables(spark, sfSmoke, "events"))
     val n = series.count()

@@ -1,0 +1,54 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.SimilarityJoin
+
+/** Cost-based similarity-strategy selection: [[SimilarityJoin.choose]]
+  * must reproduce the MEASURED regime outcomes (round-6 A/Bs) from corpus
+  * statistics alone — prefix for one-shot batch joins on the documents
+  * corpus, segment when the index is reused across probe batches (the
+  * q41 semi-stream regime) — and the auto dispatch must return the same
+  * pairs as the strategy it picked.
+  */
+class SimilarityStrategySpec extends SparkSpec {
+  init()
+
+  private def docToks = SimilarityJoin.tokenize(
+    Tables(spark, sfSmoke, "documents"), "doc_id", "text")
+
+  test("chooser picks prefix for the one-shot batch regime on the documents corpus") {
+    val est = SimilarityJoin.choose(docToks, tau = 0.8)
+    assert(est.strategy == SimilarityJoin.PrefixStrategy, est.toString)
+    // the decision is the emission-volume comparison, not a constant
+    assert(est.segEmitPerRec > est.prefixEmitPerRec, est.toString)
+  }
+
+  test("chooser picks segment when the index is reused across probe batches (q41 regime)") {
+    val est = SimilarityJoin.choose(docToks, tau = 0.8, reusedIndex = true)
+    assert(est.strategy == SimilarityJoin.SegmentStrategy, est.toString)
+  }
+
+  test("auto self-join output equals both underlying strategies") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val auto = SimilarityJoin.selfJoinAuto(docs, "doc_id", "text", 0.8)
+      .select("x_id", "y_id", "inter", "uni")
+    val prefix = SimilarityJoin.prefixSelfJoin(docs, "doc_id", "text", 0.8)
+      .select("x_id", "y_id", "inter", "uni")
+    val segment = SimilarityJoin.selfJoin(docs, "doc_id", "text", 0.8)
+      .select("x_id", "y_id", "inter", "uni")
+    assert(auto.exceptAll(prefix).isEmpty && prefix.exceptAll(auto).isEmpty)
+    assert(auto.exceptAll(segment).isEmpty && segment.exceptAll(auto).isEmpty)
+  }
+
+  test("degenerate corpora fall through safely") {
+    import spark.implicits._
+    val empty = SimilarityJoin.tokenize(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val est = SimilarityJoin.choose(empty, tau = 0.8)
+    assert(est.segEmitPerRec == 0.0 && est.prefixEmitPerRec == 0.0)
+
+    val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val pairs = SimilarityJoin.selfJoinAuto(tiny, "doc_id", "text", 0.8).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+  }
+}
