@@ -165,7 +165,8 @@ object DeletionJoin {
       tokens: DataFrame,
       groups: DataFrame,
       tau: Double,
-      sigFreq: DataFrame): DataFrame = {
+      sigFreq: DataFrame,
+      exactCosts: Boolean = false): DataFrame = {
     val admissible = tokens.join(
       broadcast(groups),
       col("hi") >= ceil(col("slen") * tau - Eps) &&
@@ -174,7 +175,10 @@ object DeletionJoin {
 
     // candidate-count costs from the distributed frequency table:
     // c01 = exact-segment matches; c12 = index-deletion matches of the
-    // segment + index-segment matches of each deletion
+    // segment (+ index-segment matches of each deletion when
+    // `exactCosts`). Costs only RANK segments for the greedy — ΣV = Hls
+    // is spent either way, so completeness is cost-independent; see
+    // joinSets for the measured default.
     val fSeg = sigFreq.filter(col("kind") === "seg")
       .select(col("sig"), col("n").as("n_seg"))
     val fDel = sigFreq.filter(col("kind") === "del")
@@ -184,19 +188,23 @@ object DeletionJoin {
       .join(fDel, Seq("sig"), "left")
       .withColumn("c01", coalesce(col("n_seg"), lit(0L)))
 
-    // deletion→index-segment frequencies need a join per deletion hash:
-    // explode, look up, sum back
-    val delCosts = rows
-      .select(col("sid"), col("gid"), col("seg"), explode(col("dels")).as("sig"))
-      .join(fSeg, Seq("sig"), "left")
-      .groupBy("sid", "gid", "seg")
-      .agg(sum(coalesce(col("n_seg"), lit(0L))).as("c_del_inv"))
-
-    val costed = withCosts
-      .join(delCosts, Seq("sid", "gid", "seg"), "left")
-      .withColumn(
-        "c12",
-        coalesce(col("n_del"), lit(0L)) + coalesce(col("c_del_inv"), lit(0L)))
+    val costed =
+      if (!exactCosts)
+        withCosts.withColumn("c12", coalesce(col("n_del"), lit(0L)))
+      else {
+        // deletion→index-segment frequencies need a join per deletion
+        // hash: explode, look up, sum back
+        val delCosts = rows
+          .select(col("sid"), col("gid"), col("seg"), explode(col("dels")).as("sig"))
+          .join(fSeg, Seq("sig"), "left")
+          .groupBy("sid", "gid", "seg")
+          .agg(sum(coalesce(col("n_seg"), lit(0L))).as("c_del_inv"))
+        withCosts
+          .join(delCosts, Seq("sid", "gid", "seg"), "left")
+          .withColumn(
+            "c12",
+            coalesce(col("n_del"), lit(0L)) + coalesce(col("c_del_inv"), lit(0L)))
+      }
 
     val allocated = costed
       .groupBy("sid", "slen", "gid", "hi")
@@ -215,13 +223,17 @@ object DeletionJoin {
 
     // V ≥ 1: probe segment ⋈ index segments; V = 2: + probe segment ⋈ index
     // deletions, probe deletions ⋈ index segments (del×del omitted — see
-    // object scaladoc)
+    // object scaladoc). `src` tags the probe-side origin (ss/sd/ds) for
+    // volume diagnostics; the candidate join keys on (sig, tkind) only.
     val segVsSeg = withV.filter(col("v") >= 1)
-      .select(col("sid"), col("slen"), col("sig"), lit("seg").as("tkind"))
+      .select(col("sid"), col("slen"), col("sig"), lit("seg").as("tkind"),
+        lit("ss").as("src"))
     val segVsDel = withV.filter(col("v") === 2)
-      .select(col("sid"), col("slen"), col("sig"), lit("del").as("tkind"))
+      .select(col("sid"), col("slen"), col("sig"), lit("del").as("tkind"),
+        lit("sd").as("src"))
     val delVsSeg = withV.filter(col("v") === 2)
-      .select(col("sid"), col("slen"), explode(col("dels")).as("sig"), lit("seg").as("tkind"))
+      .select(col("sid"), col("slen"), explode(col("dels")).as("sig"), lit("seg").as("tkind"),
+        lit("ds").as("src"))
 
     segVsSeg.unionByName(segVsDel).unionByName(delVsSeg)
   }
@@ -234,11 +246,13 @@ object DeletionJoin {
       index: DataFrame,
       tau: Double,
       alpha: Double = 0.95,
-      selfJoin: Boolean = false): DataFrame = {
+      selfJoin: Boolean = false,
+      exactCosts: Boolean = false): DataFrame = {
     val groups = groupTable(index, tau, alpha)
     val iSigs = indexSignatures(index, groups)
     val sigFreq = iSigs.groupBy("sig", "kind").agg(count(lit(1)).as("n"))
-    val pSigs = probeSignatures(if (selfJoin) index else probe, groups, tau, sigFreq)
+    val pSigs =
+      probeSignatures(if (selfJoin) index else probe, groups, tau, sigFreq, exactCosts)
 
     val pairFilter =
       if (selfJoin) col("x_id") < col("y_id")
@@ -261,8 +275,13 @@ object DeletionJoin {
   }
 
   /** Self-join convenience over a raw document table. */
-  def selfJoin(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
+  def selfJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tau: Double,
+      exactCosts: Boolean = false): DataFrame = {
     val toks = SimilarityJoin.tokenize(docs, idCol, textCol)
-    joinSets(toks, toks, tau, selfJoin = true)
+    joinSets(toks, toks, tau, selfJoin = true, exactCosts = exactCosts)
   }
 }

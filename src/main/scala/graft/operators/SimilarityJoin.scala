@@ -420,57 +420,81 @@ object SimilarityJoin {
   case object SegmentStrategy extends Strategy
   case object PrefixStrategy extends Strategy
 
-  /** Cost inputs and per-record emission estimates behind [[choose]].
+  /** Cost inputs behind [[choose]]:
     *
     *   - `segEmitPerRec`: segment signatures a PROBE record emits —
-    *     `groupsPerProbe × H` where `H = segmentCount(hi)` and
-    *     groupsPerProbe counts multigroup groups overlapping the
-    *     admissible length window `[τ·s, s/τ]` (each probed in full);
+    *     `Σ H(group)` over multigroup groups overlapping the admissible
+    *     length window `[τ·s, s/τ]`;
     *   - `prefixEmitPerRec`: prefix tokens a record emits,
-    *     `s − ⌈τ·s⌉ + 1`.
-    *
-    * Emission volume is the driver of both strategies' shuffle and
-    * candidate cost; the verify stage is identical. The estimates use the
-    * mean length — the strategies' relative order is monotone in `s`, so
-    * the mean decides.
+    *     `s − ⌈τ·s⌉ + 1`;
+    *   - `avgTokenDf`: mean document frequency of a token occurrence
+    *     (total token occurrences / distinct tokens) — the prefix join's
+    *     per-emission fan-out, the quantity that actually separates the
+    *     measured regimes.
     */
   final case class StrategyEstimate(
       strategy: Strategy,
       segEmitPerRec: Double,
       prefixEmitPerRec: Double,
+      avgTokenDf: Double,
       reusedIndex: Boolean)
 
-  /** Cost-based strategy choice from corpus statistics.
+  /** Emission-ratio crossover (`segEmitPerRec / prefixEmitPerRec`) above
+    * which the segment scheme's signature volume outweighs prefix's
+    * candidate fan-out. Calibrated from six round-7 same-session
+    * alternating A/Bs at sf0.1 (see [[choose]]): segment won every point
+    * with ratio ≤ 24.6, prefix won at 31.8 — the threshold sits in the
+    * measured gap.
+    */
+  val SegmentEmissionRatioBound = 28.0
+
+  /** Cost-based strategy choice from corpus statistics, calibrated by
+    * same-session alternating A/Bs at sf0.1 (round 7; cleared persist
+    * cache before every timed run):
     *
-    * Regime rule first (measured, round-6 streaming A/B): when the INDEX
-    * IS REUSED across many probe batches (`reusedIndex` — the semi-stream
-    * regime), the segment scheme wins regardless of emission counts: its
-    * per-batch probe cost is batch-bounded and its signatures cache by
-    * key, while prefix filtering pays a corpus-frequency fetch per batch
-    * to order the probe's tokens and its inverted-list entries fan out
-    * wider per cached key (49.6/56.3 s vs segment's 42.3/49.3 s at sf0.1,
-    * identical pairs — the negative result pinned in round 6's COVERAGE
-    * delta).
+    *   - **documents corpus** (dup-dense, 31-token vocabulary): segment
+    *     wins at EVERY τ — 10.5 vs 16.2 s (τ=0.8, ratio 11), 13.6/28.9
+    *     (0.7, ratio 13.5), 16.8/38.5 (0.6, ratio 17.9), 20.4/49.3
+    *     (0.5, ratio 24.6). Prefix emits 10-25× fewer rows but each
+    *     prefix token fans out by its df in the candidate join (28.7M
+    *     raw candidates vs the segment scheme's ~6M at τ=0.8) —
+    *     candidate volume, not emission count, drives this corpus. (The
+    *     round-5 "prefix wins batch" record compared prefix against the
+    *     DELETION path only; segment was never in that A/B.)
+    *   - **2-gram shingle corpus** (q21's shape: 931-token vocabulary,
+    *     token sets ~2× longer): prefix wins 2.3× (10.7 vs 24.5 s at
+    *     τ=0.6, ratio 31.8) — the segment scheme pays `Σ H ≈ 700`
+    *     signature hashes per record over long token arrays while
+    *     prefix's 22 emissions/record stay candidate-light.
+    *   - **index-reuse regime** (`reusedIndex`, the q41 semi-stream
+    *     shape): segment, regardless of stats — its signatures cache by
+    *     key while prefix pays a corpus-frequency fetch per batch
+    *     (round-6 streaming A/B: 49.6/56.3 s vs 42.3/49.3 s).
     *
-    * One-shot batch joins compare per-record emission volume: prefix emits
-    * `s(1−τ)+1` tokens where the segment scheme emits
-    * `groups × (segments per group)` signatures — at practical τ the
-    * probe-side group span `[τ·s, s/τ]` makes the segment side several
-    * times larger (q18's corpus: ≈2.2·s̄ vs ≈0.2·s̄), which is why prefix
-    * measures faster in batch (16.6 s vs the deletion path's 40.7 s on
-    * identical output, round-6 bench).
+    * The decision: segment unless the emission ratio crosses
+    * [[SegmentEmissionRatioBound]] — the one statistic that separates
+    * every measured point. `avgTokenDf` rides along as a diagnostic
+    * (it does NOT separate these corpora: both have hot vocabularies).
     */
   def choose(
       tokens: DataFrame,
       tau: Double,
       alpha: Double = 0.95,
       reusedIndex: Boolean = false): StrategyEstimate = {
-    val row = tokens.agg(avg("slen"), min("slen"), max("slen")).head()
+    val row = tokens
+      .agg(avg("slen"), min("slen"), max("slen"), sum("slen"))
+      .head()
     if (row.isNullAt(0)) // empty corpus: nothing to join either way
-      return StrategyEstimate(PrefixStrategy, 0.0, 0.0, reusedIndex)
+      return StrategyEstimate(PrefixStrategy, 0.0, 0.0, 0.0, reusedIndex)
     val meanLen = row.getDouble(0)
     val minLen = row.getInt(1)
     val maxLen = row.getInt(2)
+    val totalToks = row.getLong(3)
+
+    val distinctToks =
+      math.max(1L, tokens.select(explode(col("toks")).as("t")).agg(count_distinct(col("t")))
+        .head().getLong(0))
+    val avgDf = totalToks.toDouble / distinctToks
 
     val groups = multigroup(minLen, maxLen, alpha)
     val sLo = math.ceil(meanLen * tau - Eps)
@@ -481,9 +505,9 @@ object SimilarityJoin {
 
     val strategy =
       if (reusedIndex) SegmentStrategy
-      else if (segEmit < preEmit) SegmentStrategy
-      else PrefixStrategy
-    StrategyEstimate(strategy, segEmit, preEmit, reusedIndex)
+      else if (preEmit > 0 && segEmit / preEmit > SegmentEmissionRatioBound) PrefixStrategy
+      else SegmentStrategy
+    StrategyEstimate(strategy, segEmit, preEmit, avgDf, reusedIndex)
   }
 
   /** Self-join that picks its strategy by [[choose]] — the cost-based

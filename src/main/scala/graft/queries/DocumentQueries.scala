@@ -35,9 +35,9 @@ object DocumentQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Set-similarity self-join at τ=0.8 (SURVEY J12-J18), routed through
     // the COST-BASED strategy chooser (SimilarityJoin.choose — picks the
-    // prefix-filtered plan on this corpus's stats; segment/prefix produce
-    // identical output, equality spec'd). The oracle is the O(n²)
-    // definition.
+    // segment plan on this dup-dense corpus, measured 1.5× faster than
+    // prefix same-session; strategies produce identical output, equality
+    // spec'd). The oracle is the O(n²) definition.
     "q18_simjoin_documents" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       sortedMaterialized(

@@ -4,11 +4,14 @@ import graft.core.Tables
 import graft.operators.SimilarityJoin
 
 /** Cost-based similarity-strategy selection: [[SimilarityJoin.choose]]
-  * must reproduce the MEASURED regime outcomes (round-6 A/Bs) from corpus
-  * statistics alone — prefix for one-shot batch joins on the documents
-  * corpus, segment when the index is reused across probe batches (the
-  * q41 semi-stream regime) — and the auto dispatch must return the same
-  * pairs as the strategy it picked.
+  * must reproduce the MEASURED regime outcomes (round-7 same-session
+  * alternating A/Bs at sf0.1) from corpus statistics alone — segment on
+  * the dup-dense hot-token documents corpus (candidate volume, not
+  * emission count, drives cost: segment won at every τ), prefix on a
+  * near-unique vocabulary (q21's shingle shape, where prefix candidates
+  * collapse to its emissions), segment whenever the index is reused
+  * across probe batches (the q41 semi-stream regime) — and the auto
+  * dispatch must return the same pairs as the strategy it picked.
   */
 class SimilarityStrategySpec extends SparkSpec {
   init()
@@ -16,11 +19,21 @@ class SimilarityStrategySpec extends SparkSpec {
   private def docToks = SimilarityJoin.tokenize(
     Tables(spark, sfSmoke, "documents"), "doc_id", "text")
 
-  test("chooser picks prefix for the one-shot batch regime on the documents corpus") {
+  test("chooser picks segment on the dup-dense documents corpus (batch regime)") {
     val est = SimilarityJoin.choose(docToks, tau = 0.8)
+    assert(est.strategy == SimilarityJoin.SegmentStrategy, est.toString)
+    // the decisive statistic: emission ratio well under the crossover
+    assert(est.segEmitPerRec / est.prefixEmitPerRec <
+      SimilarityJoin.SegmentEmissionRatioBound, est.toString)
+  }
+
+  test("chooser picks prefix on the long-set shingle corpus (q21's shape)") {
+    val grams = graft.operators.Dedup.ngramTokens(
+      Tables(spark, sfSmoke, "documents"), "doc_id", "text", 2)
+    val est = SimilarityJoin.choose(grams, tau = 0.6)
     assert(est.strategy == SimilarityJoin.PrefixStrategy, est.toString)
-    // the decision is the emission-volume comparison, not a constant
-    assert(est.segEmitPerRec > est.prefixEmitPerRec, est.toString)
+    assert(est.segEmitPerRec / est.prefixEmitPerRec >
+      SimilarityJoin.SegmentEmissionRatioBound, est.toString)
   }
 
   test("chooser picks segment when the index is reused across probe batches (q41 regime)") {
