@@ -101,6 +101,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "containment_join(table, idCol, textCol, gamma) - ordered pairs (x, y) with |x∩y| >= ceil(gamma*|x|) over token sets.",
         ""),
       exprs => GraftExtensions.containmentJoinPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("asof_join"),
+      new ExpressionInfo(
+        classOf[graft.operators.AsOfJoin.type].getName,
+        null,
+        "asof_join",
+        "asof_join(left, right, key, timeCol, tiebreak) - each left row joined to the LATEST right row of the same key at or before its time (left outer; ties to greatest tiebreak).",
+        ""),
+      exprs => GraftExtensions.asofJoinPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("range_join"),
+      new ExpressionInfo(
+        classOf[graft.operators.RangeJoin.type].getName,
+        null,
+        "range_join",
+        "range_join(left, right, key, lTime, rTime, lower, upper) - pairs of same-key rows with rTime - lTime in [lower, upper] (long domain).",
+        ""),
+      exprs => GraftExtensions.rangeJoinPlan(exprs)))
     ()
   }
 }
@@ -141,6 +159,54 @@ object GraftExtensions {
     val (table, idCol, textCol, gamma) = tvfArgs("containment_join", exprs)
     SimilarityJoin
       .containmentSelfJoin(SparkSession.active.table(table), idCol, textCol, gamma)
+      .queryExecution.logical
+  }
+
+  private def strArg(name: String, e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case other =>
+      throw new IllegalArgumentException(s"$name: $what must be a string literal, got $other")
+  }
+
+  private def longArg(name: String, e: Expression, what: String): Long = e match {
+    case Literal(v, _) if v != null => v.toString.toLong
+    case other =>
+      throw new IllegalArgumentException(s"$name: $what must be an integer literal, got $other")
+  }
+
+  private[graft] def asofJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(
+      exprs.length == 5,
+      "asof_join expects (left, right, key, timeCol, tiebreak), got " + exprs.length +
+        " arguments")
+    val n = "asof_join"
+    val spark = SparkSession.active
+    graft.operators.AsOfJoin
+      .backward(
+        spark.table(strArg(n, exprs.head, "left")),
+        spark.table(strArg(n, exprs(1), "right")),
+        Seq(strArg(n, exprs(2), "key")),
+        strArg(n, exprs(3), "timeCol"),
+        strArg(n, exprs(4), "tiebreak"))
+      .queryExecution.logical
+  }
+
+  private[graft] def rangeJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(
+      exprs.length == 7,
+      "range_join expects (left, right, key, lTime, rTime, lower, upper), got " +
+        exprs.length + " arguments")
+    val n = "range_join"
+    val spark = SparkSession.active
+    graft.operators.RangeJoin
+      .timeRange(
+        spark.table(strArg(n, exprs.head, "left")),
+        spark.table(strArg(n, exprs(1), "right")),
+        Seq(strArg(n, exprs(2), "key")),
+        strArg(n, exprs(3), "lTime"),
+        strArg(n, exprs(4), "rTime"),
+        longArg(n, exprs(5), "lower"),
+        longArg(n, exprs(6), "upper"))
       .queryExecution.logical
   }
 }

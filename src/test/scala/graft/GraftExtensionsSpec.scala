@@ -43,6 +43,44 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
   }
 
+  test("asof_join TVF round-trips to the Scala backward as-of join exactly") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sfSmoke, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
+        col("value").as("view_value"))
+    clicks.createOrReplaceTempView("aj_clicks")
+    views.createOrReplaceTempView("aj_views")
+    val viaSql = spark.sql(
+      "SELECT * FROM asof_join('aj_clicks', 'aj_views', 'user_id', 'ts', 'view_id')")
+    val viaScala = graft.operators.AsOfJoin
+      .backward(clicks, views, Seq("user_id"), "ts", tiebreak = "view_id")
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
+  test("range_join TVF round-trips to the Scala time-range join exactly") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sfSmoke, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("vus"))
+    clicks.createOrReplaceTempView("rj_clicks")
+    views.createOrReplaceTempView("rj_views")
+    val viaSql = spark.sql(
+      "SELECT * FROM range_join('rj_clicks', 'rj_views', 'user_id', 'tus', 'vus', " +
+        "-3600000000, 0)")
+    val viaScala = graft.operators.RangeJoin.timeRange(
+      clicks, views, Seq("user_id"), "tus", "vus", lower = -3600L * 1000 * 1000, upper = 0L)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
   test("similarity_join TVF rejects a non-literal table argument") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM similarity_join(1, 'a', 'b', 0.8)").collect()
