@@ -76,9 +76,39 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+
+    // NOISE SENTINEL (round-7 verdict: three rounds burned adjudicating
+    // phantom cross-round regressions — q45 r6, q33 r5, q41 r7 — that were
+    // co-tenant box load). A fixed calibration query (scan+agg, q13-class)
+    // runs between the two timed passes of every heavy query and again
+    // after; each heavy query reports max(sentinel-around-it) / min(all
+    // sentinels this run) — a LOCAL load denominator, so a cross-round
+    // delta can be read as regression vs noise without a rerun.
+    def sentinel(): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        val li = graft.core.Tables(spark, sfDir, "lineitem")
+        exhaust(li.groupBy("l_returnflag").agg(
+          sum("l_quantity").as("s"), avg("l_extendedprice").as("a"), count(lit(1)).as("c")))
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val allSentinels = collection.mutable.Buffer(sentinel())
+    val querySentinel = collection.mutable.Map[String, Double]()
     val results = selected.map { case (name, fn) =>
       val first = timeOnce(name, fn)
-      name -> (if (first < 1.0) first else math.min(first, timeOnce(name, fn)))
+      val best =
+        if (first < 1.0) first
+        else {
+          val sBefore = sentinel()
+          val second = timeOnce(name, fn)
+          val sAfter = sentinel()
+          allSentinels += sBefore += sAfter
+          querySentinel(name) = math.max(sBefore, sAfter)
+          math.min(first, second)
+        }
+      name -> best
     }
 
     // Dedicated per-batch latency of the streaming semi-stream join —
@@ -109,10 +139,21 @@ object Bench {
           Seq.empty
       }
 
-    val qs = (results ++ streamBatch).map { case (k, v) => s"\"" + k + "\":" + v }
+    // One SHORT JSON line: values rounded to 3 decimals and sentinel keys
+    // abbreviated to the qNN prefix — BENCH_r07's full-precision line
+    // overflowed the driver's fixed-size stdout tail capture, truncating
+    // the line start and failing the parse ("parsed": null).
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = (results ++ streamBatch).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val floor = allSentinels.min
+    val sent = querySentinel.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s"\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v / floor * 100) / 100)
+      }
+      .mkString("{", ",", "}")
+    val total = r3(results.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -169,7 +169,10 @@ object GraftExtensions {
   }
 
   private def longArg(name: String, e: Expression, what: String): Long = e match {
-    case Literal(v, _) if v != null => v.toString.toLong
+    case Literal(v: Byte, _) => v.toLong
+    case Literal(v: Short, _) => v.toLong
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
     case other =>
       throw new IllegalArgumentException(s"$name: $what must be an integer literal, got $other")
   }

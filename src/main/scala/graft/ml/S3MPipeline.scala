@@ -25,7 +25,15 @@ import graft.operators.SubsequenceMatch
   * using the model's local arithmetic
   * ([[OnlineLinearRegression.trainOnLocal]]), which is FP-identical to
   * the distributed form on single-example batches — so the trace equals
-  * [[runSequential]]'s bit for bit ([[graft.OnlineMlSpec]] proves it).
+  * [[runSequential]]'s bit for bit on this data ([[graft.OnlineMlSpec]]
+  * checks it). One caveat keeps that equality empirical rather than
+  * by-construction: best-match selection orders by `d2`, an FP sum whose
+  * partial-aggregation order differs between the `matchED` and
+  * `matchEDMany` plans. Both paths therefore quantize `d2` to
+  * [[D2Tolerance]] before the `(d2, start)` ordering, so a last-ulp
+  * difference on two near-tied stored matches cannot flip the winner —
+  * only a genuine tie closer than the tolerance could, and then `start`
+  * breaks it identically in both plans.
   *
   * [[runSequential]] is the reference-faithful per-window loop
   * (`S3M/src/main/scala/kvscala/s3m.scala:79-162` drives its KV-match
@@ -35,6 +43,18 @@ import graft.operators.SubsequenceMatch
   * equality oracle for the batched path.
   */
 object S3MPipeline {
+
+  /** Absolute quantum applied to `d2` before best-match ordering (see the
+    * class doc): well above the ulp of any realistic squared-ED value
+    * (`d2 ≲ 1e7` → ulp ≈ 1e-9) and well below any meaningful distance
+    * difference on this data.
+    */
+  val D2Tolerance = 1e-6
+
+  /** `(⌊d2/tol⌋, start)` sort keys — the plan-order-robust form of
+    * "order by (d2, start)". `1e7 / 1e-6 = 1e13` stays far inside Long.
+    */
+  private def d2Bucket = floor(col("d2") / lit(D2Tolerance)).cast("long")
 
   final case class Config(
       windowLen: Int = 50,
@@ -127,7 +147,7 @@ object S3MPipeline {
           .withColumn(
             "rn",
             row_number().over(org.apache.spark.sql.expressions.Window
-              .partitionBy("qid").orderBy(col("d2"), col("start"))))
+              .partitionBy("qid").orderBy(d2Bucket, col("start"))))
           .filter(col("rn") === 1)
           .select(col("qid"), col("start"))
 
@@ -240,7 +260,7 @@ object S3MPipeline {
       // best hit) + its following `horizon` deltas (M7 point read)
       val best = SubsequenceMatch
         .matchED(stored, index, qs, matchEps, SubsequenceMatch.DefaultWidths)
-        .orderBy(col("d2"), col("start"))
+        .orderBy(d2Bucket, col("start"))
         .limit(1).collect().headOption
       val features: Option[Array[Double]] = best.flatMap { r =>
         val start = r.getLong(0)

@@ -429,8 +429,9 @@ object SimilarityJoin {
     *     `s − ⌈τ·s⌉ + 1`;
     *   - `avgTokenDf`: mean document frequency of a token occurrence
     *     (total token occurrences / distinct tokens) — the prefix join's
-    *     per-emission fan-out, the quantity that actually separates the
-    *     measured regimes.
+    *     per-emission fan-out. Diagnostics-only: NaN unless
+    *     `choose(diagnostics = true)`, because computing it costs more
+    *     than the whole rest of the chooser.
     */
   final case class StrategyEstimate(
       strategy: Strategy,
@@ -473,14 +474,18 @@ object SimilarityJoin {
     *
     * The decision: segment unless the emission ratio crosses
     * [[SegmentEmissionRatioBound]] — the one statistic that separates
-    * every measured point. `avgTokenDf` rides along as a diagnostic
-    * (it does NOT separate these corpora: both have hot vocabularies).
+    * every measured point. `avgTokenDf` is a pure diagnostic (it does NOT
+    * separate these corpora: both have hot vocabularies) and costs a full
+    * explode + count_distinct pass over every token occurrence — far more
+    * than the single-pass `slen` aggregate the decision needs — so it is
+    * only computed when `diagnostics = true` (NaN otherwise).
     */
   def choose(
       tokens: DataFrame,
       tau: Double,
       alpha: Double = 0.95,
-      reusedIndex: Boolean = false): StrategyEstimate = {
+      reusedIndex: Boolean = false,
+      diagnostics: Boolean = false): StrategyEstimate = {
     val row = tokens
       .agg(avg("slen"), min("slen"), max("slen"), sum("slen"))
       .head()
@@ -491,10 +496,14 @@ object SimilarityJoin {
     val maxLen = row.getInt(2)
     val totalToks = row.getLong(3)
 
-    val distinctToks =
-      math.max(1L, tokens.select(explode(col("toks")).as("t")).agg(count_distinct(col("t")))
-        .head().getLong(0))
-    val avgDf = totalToks.toDouble / distinctToks
+    val avgDf =
+      if (!diagnostics) Double.NaN
+      else {
+        val distinctToks =
+          math.max(1L, tokens.select(explode(col("toks")).as("t")).agg(count_distinct(col("t")))
+            .head().getLong(0))
+        totalToks.toDouble / distinctToks
+      }
 
     val groups = multigroup(minLen, maxLen, alpha)
     val sLo = math.ceil(meanLen * tau - Eps)
@@ -514,11 +523,16 @@ object SimilarityJoin {
     * dispatch over the equality-proven implementations (identical output
     * either way; only the plan differs).
     */
-  def selfJoinAuto(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
-    val toks = tokenize(docs, idCol, textCol)
+  def selfJoinAuto(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame =
+    selfJoinAutoTokens(tokenize(docs, idCol, textCol), tau)
+
+  /** [[selfJoinAuto]] over an already-tokenized corpus (`id, toks, slen`) —
+    * the entry point for non-whitespace tokenizations (n-gram shingles,
+    * q21) so every self-join regime runs the production chooser dispatch.
+    */
+  def selfJoinAutoTokens(toks: DataFrame, tau: Double): DataFrame =
     choose(toks, tau).strategy match {
       case SegmentStrategy => joinSets(toks, toks, tau, selfJoin = true)
       case PrefixStrategy  => prefixJoin(toks, toks, tau, selfJoin = true)
     }
-  }
 }

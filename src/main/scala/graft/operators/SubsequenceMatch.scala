@@ -246,7 +246,11 @@ object SubsequenceMatch {
     // blocks are ContextCleaner-managed — freed when the DataFrame becomes
     // unreachable — so repeated adaptive queries in one session leak
     // nothing (a bare persist would pin blocks until an unpersist no
-    // caller has a handle for)
+    // caller has a handle for). Trade-off: checkpointed blocks have NO
+    // lineage, so losing an executor mid-query (decommission, OOM kill)
+    // fails the match instead of recomputing — acceptable for this
+    // interactive-query workload; a deployment that must survive executor
+    // loss should swap in persist + a weak-reference unpersist
     var cand = probe(ordered.head).localCheckpoint(true)
     var candCount = cand.count()
     var probed = 1

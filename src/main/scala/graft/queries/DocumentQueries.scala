@@ -93,8 +93,11 @@ object DocumentQueries {
     "q21_simjoin_ngram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val grams = Dedup.ngramTokens(docs, "doc_id", "text", 2)
+      // routed through the measured cost-based chooser (it classifies this
+      // 931-token-vocabulary shingle corpus as prefix — the 2.3×-faster
+      // regime per the round-7 A/Bs); q18 exercises the segment branch
       sortedMaterialized(
-        SimilarityJoin.prefixJoin(grams, grams, tau = 0.6, selfJoin = true)
+        SimilarityJoin.selfJoinAutoTokens(grams, tau = 0.6)
           .select(
             col("x_id"),
             col("y_id"),

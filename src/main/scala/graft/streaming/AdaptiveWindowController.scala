@@ -158,3 +158,13 @@ case object HillClimbRule extends WindowRule
 final case class QueryCountRule(
     config: AdaptiveWindowController.QueryCountConfig =
       AdaptiveWindowController.QueryCountConfig()) extends WindowRule
+
+/** Constant caching window — the papers' non-adaptive baseline (the
+  * fixed-interval configuration the adaptive controllers are evaluated
+  * AGAINST), and the deterministic-work control for benchmarking: the
+  * timing rules feed measured latencies back into eviction volume, so
+  * their total work varies run-to-run by construction (q41's observed
+  * 33-66 s solo spread at idle-sentinel load); a fixed window removes the
+  * feedback loop entirely.
+  */
+final case class FixedRule(window: Int) extends WindowRule

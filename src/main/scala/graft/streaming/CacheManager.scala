@@ -165,6 +165,13 @@ final class CacheManager(
         AdaptiveWindowController.advanceByQueryCount(
           ctrl, qc, id, batch.count(),
           AdaptiveWindowController.Timings(cogMs, fetchMs, 0))
+      case FixedRule(w) =>
+        // non-adaptive baseline: registers still shift (policy can be
+        // swapped mid-stream), the window never moves
+        ctrl.copy(
+          window = w, saved = w,
+          prev = AdaptiveWindowController.Timings(cogMs, fetchMs, 0),
+          prev2 = ctrl.prev)
     }
     val threshold = id - ctrl.window
 

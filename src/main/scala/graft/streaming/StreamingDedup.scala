@@ -93,6 +93,16 @@ import graft.operators.{Dedup, Sampling, SimilarityJoin}
   */
 object StreamingDedup {
 
+  /** Pluggable state backend: (spark, dir, dataSchema, dedupKeys) → store. */
+  type StateStoreFactory =
+    (SparkSession, String, org.apache.spark.sql.types.StructType, Seq[String]) => DedupStateStore
+
+  val parquetStore: StateStoreFactory =
+    (s, dir, schema, keys) => new ParquetDedupState(s, dir, schema, keys)
+
+  val inMemoryStore: StateStoreFactory =
+    (s, dir, schema, keys) => new InMemoryDedupState(s, dir, schema, keys)
+
   /** State-partition bucket of a signature or an id. */
   private def bucketOf(n: Int, cols: Column*): Column =
     pmod(xxhash64(cols: _*), lit(n)).cast(IntegerType)
@@ -125,6 +135,10 @@ object StreamingDedup {
     *                      window: state briefly duplicated).
     * @param onBatch       timing callback (batchId, millis) for scale
     *                      experiments.
+    * @param store         state-backend factory (spark, dir, dataSchema,
+    *                      dedupKeys) — [[ParquetDedupState]] by default;
+    *                      [[InMemoryDedupState]] runs the same pipeline on
+    *                      the commit-log backend.
     */
   def run(
       docs: DataFrame,
@@ -139,7 +153,8 @@ object StreamingDedup {
       compactEvery: Int = 8,
       crashAtBatch: Option[Long] = None,
       crashInCompaction: Boolean = false,
-      onBatch: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      store: StateStoreFactory = parquetStore): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.ArrayIntersectSize.register(spark)
     graft.functions.MinHashBands.register(spark)
@@ -174,8 +189,8 @@ object StreamingDedup {
     val sigSchema = Dedup.bandSignatures(
       SimilarityJoin.tokenize(docs.limit(0), idCol, textCol), bands, rowsPerBand).schema
 
-    val sigState = new ParquetDedupState(spark, sigDir, sigSchema, Seq("sid", "band", "bsig"))
-    val tokState = new ParquetDedupState(spark, tokDir, tokSchema, Seq("sid"))
+    val sigState = store(spark, sigDir, sigSchema, Seq("sid", "band", "bsig"))
+    val tokState = store(spark, tokDir, tokSchema, Seq("sid"))
 
     val perBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val t0 = System.nanoTime()

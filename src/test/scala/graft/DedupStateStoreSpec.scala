@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.streaming.{DedupStateStore, InMemoryDedupState, StreamingDedup}
+
+/** Direct contract tests of [[DedupStateStore]] — both backends run the
+  * same assertions on append idempotency, snapshot visibility, bucket
+  * pruning, compaction folding, and crash-replay convergence, including
+  * the round-7 ADVICE scenario: a crash that lands after the increments
+  * are removed but before a folded OLDER GENERATION is — the retry's
+  * nothing-pending early return must still replay the generation's
+  * manifest, not strand the duplicate copy forever.
+  */
+abstract class DedupStateStoreContract extends SparkSpec {
+  init()
+
+  def backend: String
+  def factory: StreamingDedup.StateStoreFactory
+  def live(dir: String): Seq[Long]
+  /** Simulate a crash interrupting the removal loop: drop ONE source. */
+  def remove(dir: String, batch: Long): Unit
+
+  private val dataSchema = new StructType().add("k", StringType).add("v", LongType)
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-statestore-").toString + "/s"
+
+  private def mk(dir: String): DedupStateStore = factory(spark, dir, dataSchema, Seq("k"))
+
+  private def rows(prefix: String, n: Int, pb: Int = 0): DataFrame = {
+    import spark.implicits._
+    (1 to n).map(i => (s"$prefix$i", i.toLong, pb)).toDF("k", "v", "pb")
+  }
+
+  private def keys(df: DataFrame): Seq[String] =
+    df.select("k").collect().map(_.getString(0)).toSeq.sorted
+
+  test(s"[$backend] append is idempotent: a retried batch replaces its failed attempt") {
+    val dir = freshDir(); val st = mk(dir)
+    st.append(rows("a", 3), 0L)
+    st.append(rows("b", 2), 0L) // retry of batch 0 with different content
+    assert(keys(st.read(1L, Seq(0))) == Seq("b1", "b2"))
+  }
+
+  test(s"[$backend] read hides in-flight and later batches and prunes by bucket") {
+    val dir = freshDir(); val st = mk(dir)
+    st.append(rows("a", 2, pb = 0), 0L)
+    st.append(rows("b", 2, pb = 1), 1L)
+    st.append(rows("c", 2, pb = 0), 2L)
+    // batch 2 reading its own visibility frontier: sees 0 and 1, not 2
+    assert(keys(st.read(2L, Seq(0, 1))) == Seq("a1", "a2", "b1", "b2"))
+    // bucket pruning
+    assert(keys(st.read(3L, Seq(1))) == Seq("b1", "b2"))
+  }
+
+  test(s"[$backend] compact folds committed increments into one visible generation") {
+    val dir = freshDir(); val st = mk(dir)
+    (0 to 3).foreach(b => st.append(rows(s"x$b-", 2), b))
+    st.compact(4L)
+    assert(live(dir).forall(_ < 0), s"increments survived: ${live(dir)}")
+    assert(keys(st.read(10L, Seq(0))).size == 8) // all rows, exactly once
+  }
+
+  test(s"[$backend] crash between publish and removal converges on retry") {
+    val dir = freshDir(); val st = mk(dir)
+    (0 to 1).foreach(b => st.append(rows(s"x$b-", 2), b))
+    intercept[RuntimeException] {
+      st.compact(2L, () => throw new RuntimeException("injected"))
+    }
+    // generation visible AND sources still present (duplicated window)
+    assert(live(dir).contains(-2L) && live(dir).exists(_ >= 0))
+    st.compact(2L) // retry
+    assert(live(dir) == Seq(-2L), s"retry did not converge: ${live(dir)}")
+    assert(keys(st.read(10L, Seq(0))).size == 4)
+  }
+
+  test(s"[$backend] manifest replay removes a folded older generation stranded by a partial crash") {
+    val dir = freshDir(); val st = mk(dir)
+    // small early batches → generation -2 (2 distinct keys, small)
+    st.append(rows("e", 1), 0L)
+    st.append(rows("f", 1), 1L)
+    st.compact(2L)
+    assert(live(dir).sorted == Seq(-2L))
+    // bigger later batches so the ladder refolds generation -2 into -4
+    st.append(rows("g", 4), 2L)
+    st.append(rows("h", 4), 3L)
+    intercept[RuntimeException] {
+      st.compact(4L, () => throw new RuntimeException("injected"))
+    }
+    assert(live(dir).contains(-4L) && live(dir).contains(-2L))
+    // the ADVICE crash shape: removal loop got through the increments but
+    // not the folded generation before dying
+    remove(dir, 2L)
+    remove(dir, 3L)
+    // retry sees nothing pending — the early return must replay the
+    // manifest and remove the stranded -2, not leave it duplicated forever
+    st.compact(4L)
+    assert(live(dir) == Seq(-4L), s"stranded generation not reclaimed: ${live(dir)}")
+    assert(keys(st.read(10L, Seq(0))).size == 10) // e1 f1 g1-4 h1-4, once each
+  }
+}
+
+class ParquetDedupStateSpec extends DedupStateStoreContract {
+  override def backend = "parquet"
+  override def factory = StreamingDedup.parquetStore
+  override def live(dir: String): Seq[Long] = {
+    val f = new java.io.File(dir).listFiles()
+    if (f == null) Seq.empty
+    else f.filter(d => d.isDirectory && d.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong).toSeq
+  }
+  override def remove(dir: String, batch: Long): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir, s"batch=$batch"))
+  }
+}
+
+class InMemoryDedupStateSpec extends DedupStateStoreContract {
+  override def backend = "in-memory"
+  override def factory = StreamingDedup.inMemoryStore
+  override def live(dir: String): Seq[Long] = InMemoryDedupState.liveBatches(dir)
+  override def remove(dir: String, batch: Long): Unit =
+    InMemoryDedupState.dropBatch(dir, batch)
+}

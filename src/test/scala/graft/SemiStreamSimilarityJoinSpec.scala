@@ -48,6 +48,22 @@ class SemiStreamSimilarityJoinSpec extends SparkSpec {
       r.stats.map(_.window).mkString(","))
   }
 
+  test("fixed window rule (non-adaptive baseline) pins the window and matches the oracle") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val r = SemiStreamSimilarityJoin.run(
+      docs, "doc_id", "text", tau = 0.8, chunks = 3,
+      windowRule = graft.streaming.FixedRule(2))
+
+    val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+    val expected = SimilarityJoin.joinSets(toks, toks, 0.8)
+      .filter(col("x_id") =!= col("y_id"))
+      .select("x_id", "y_id")
+    val got = r.pairs.select("x_id", "y_id")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // the whole point of the rule: zero timing feedback into the window
+    assert(r.stats.forall(_.window == 2), r.stats.map(_.window).mkString(","))
+  }
+
   test("prefix-mode cache (tok-keyed) accumulates to the same verified pairs") {
     val docs = Tables(spark, sfSmoke, "documents")
     val r = SemiStreamSimilarityJoin.run(

@@ -53,6 +53,16 @@ class SimilarityStrategySpec extends SparkSpec {
     assert(auto.exceptAll(segment).isEmpty && segment.exceptAll(auto).isEmpty)
   }
 
+  test("q21 routing: auto dispatch on the shingle corpus equals prefixJoin (the picked branch)") {
+    val grams = graft.operators.Dedup.ngramTokens(
+      Tables(spark, sfSmoke, "documents"), "doc_id", "text", 2)
+    val auto = SimilarityJoin.selfJoinAutoTokens(grams, tau = 0.6)
+      .select("x_id", "y_id", "inter", "uni")
+    val prefix = SimilarityJoin.prefixJoin(grams, grams, tau = 0.6, selfJoin = true)
+      .select("x_id", "y_id", "inter", "uni")
+    assert(auto.exceptAll(prefix).isEmpty && prefix.exceptAll(auto).isEmpty)
+  }
+
   test("degenerate corpora fall through safely") {
     import spark.implicits._
     val empty = SimilarityJoin.tokenize(
