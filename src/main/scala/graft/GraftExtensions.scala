@@ -111,6 +111,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.asofJoinPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("minhash_dedup"),
+      new ExpressionInfo(
+        classOf[graft.operators.Dedup.type].getName,
+        null,
+        "minhash_dedup",
+        "minhash_dedup(table, idCol, textCol, tau) - every record labeled with its duplicate-cluster representative (MinHash/LSH candidates, exact-Jaccard verify, connected components).",
+        ""),
+      exprs => GraftExtensions.minhashDedupPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("semantic_dedup"),
+      new ExpressionInfo(
+        classOf[graft.operators.SimilaritySearch.type].getName,
+        null,
+        "semantic_dedup",
+        "semantic_dedup(table, idCol, embCol, tau, nCells) - SemDeDup over embeddings: (vid, dup_of) with dup_of = min same-IVF-cell id at cosine >= tau (-1 = kept).",
+        ""),
+      exprs => GraftExtensions.semanticDedupPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("subsequence_match"),
+      new ExpressionInfo(
+        classOf[graft.operators.SubsequenceMatch.type].getName,
+        null,
+        "subsequence_match",
+        "subsequence_match(series, query, mode, eps, band, alpha, beta) - KV-match subsequence search of the (idx, v) query table in the (idx, v) series table; mode in ed/dtw/normed/normdtw; returns (start, d2).",
+        ""),
+      exprs => GraftExtensions.subsequenceMatchPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("range_join"),
       new ExpressionInfo(
         classOf[graft.operators.RangeJoin.type].getName,
@@ -175,6 +202,70 @@ object GraftExtensions {
     case Literal(v: Long, _) => v
     case other =>
       throw new IllegalArgumentException(s"$name: $what must be an integer literal, got $other")
+  }
+
+  private def doubleArg(name: String, e: Expression, what: String): Double = e match {
+    case Literal(v, _) if v != null =>
+      try v.toString.toDouble
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$name: $what must be a numeric literal, got $v")
+      }
+    case other =>
+      throw new IllegalArgumentException(s"$name: $what must be a numeric literal, got $other")
+  }
+
+  private[graft] def minhashDedupPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val (table, idCol, textCol, tau) = tvfArgs("minhash_dedup", exprs)
+    val toks = SimilarityJoin.tokenize(SparkSession.active.table(table), idCol, textCol)
+    // connected-components iterates driver-side, so this TVF computes its
+    // cluster labels when the query is ANALYZED (not lazily) — same
+    // behavior as calling Dedup.minhashDedup directly
+    graft.operators.Dedup.minhashDedup(toks, tau).queryExecution.logical
+  }
+
+  private[graft] def semanticDedupPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(
+      exprs.length == 5,
+      "semantic_dedup expects (table, idCol, embCol, tau, nCells), got " +
+        exprs.length + " arguments")
+    val n = "semantic_dedup"
+    val t = SparkSession.active.table(strArg(n, exprs.head, "table"))
+    val vectors = t.select(
+      org.apache.spark.sql.functions.col(strArg(n, exprs(1), "idCol")).as("vid"),
+      org.apache.spark.sql.functions.col(strArg(n, exprs(2), "embCol")).as("emb"))
+    graft.operators.SimilaritySearch
+      .semanticDedup(vectors, doubleArg(n, exprs(3), "tau"),
+        longArg(n, exprs(4), "nCells").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def subsequenceMatchPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(
+      exprs.length == 7,
+      "subsequence_match expects (series, query, mode, eps, band, alpha, beta), got " +
+        exprs.length + " arguments")
+    val n = "subsequence_match"
+    val spark = SparkSession.active
+    val series = spark.table(strArg(n, exprs.head, "series"))
+    // the query window is driver-sized by definition (one probe sequence);
+    // phase-1 plan construction needs its values, so it is collected here
+    val q = spark.table(strArg(n, exprs(1), "query"))
+      .orderBy("idx").select("v").collect().map(_.getDouble(0))
+    require(q.nonEmpty, s"$n: query table is empty")
+    val index = graft.operators.SubsequenceMatch.meanIndex(series)
+    graft.operators.SubsequenceMatch
+      .matchSubsequence(
+        strArg(n, exprs(2), "mode"),
+        series,
+        index,
+        q,
+        doubleArg(n, exprs(3), "eps"),
+        band = longArg(n, exprs(4), "band").toInt,
+        alpha = doubleArg(n, exprs(5), "alpha"),
+        beta = doubleArg(n, exprs(6), "beta"))
+      .queryExecution.logical
   }
 
   private[graft] def asofJoinPlan(exprs: Seq[Expression]): LogicalPlan = {

@@ -27,13 +27,26 @@ import org.apache.spark.storage.StorageLevel
   * store, cold files); against a resident pruned index the plain scan is
   * already near-optimal and the cache measures neutral.
   */
-final class MeanIndexCache(index: DataFrame, bucketWidth: Double = 16.0) {
+final class MeanIndexCache(
+    index: DataFrame,
+    bucketWidth: Double = 16.0,
+    maxSlices: Int = 256) {
   require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-  private val slices = scala.collection.mutable.Map[(Int, Long), DataFrame]()
+  require(maxSlices > 0, s"maxSlices must be positive: $maxSlices")
+  // LinkedHashMap in insertion order; touched slices are re-inserted at the
+  // tail, so the head is always the least-recently-used slice — the one
+  // evicted (and unpersisted) when the cap is hit. Without the cap a
+  // long-lived session probing many (width, bucket) regions pinned blocks
+  // without bound (round-7 verdict: the last unbounded session-lifetime
+  // growth in the tree). Eviction never affects results — a re-probed
+  // evicted bucket is just scanned again.
+  private val slices = scala.collection.mutable.LinkedHashMap[(Int, Long), DataFrame]()
   private var misses = 0L
+  private var evictions = 0L
 
   /** Index rows of width `w` with mean in [lo, hi], served from cached
-    * bucket slices (uncached buckets are scanned once and retained).
+    * bucket slices (uncached buckets are scanned once and retained, up to
+    * `maxSlices` total).
     */
   def probe(w: Int, lo: Double, hi: Double): DataFrame = {
     // one guard bucket each side: floor(lo/width) and the slice predicate
@@ -43,13 +56,22 @@ final class MeanIndexCache(index: DataFrame, bucketWidth: Double = 16.0) {
     val bLo = math.floor(lo / bucketWidth).toLong - 1
     val bHi = math.floor(hi / bucketWidth).toLong + 1
     val parts = (bLo to bHi).map { b =>
-      slices.getOrElseUpdate((w, b), {
+      val k = (w, b)
+      val slice = slices.remove(k).getOrElse {
         misses += 1
         index
           .filter(col("w") === w &&
             col("mean") >= b * bucketWidth && col("mean") < (b + 1) * bucketWidth)
           .persist(StorageLevel.MEMORY_AND_DISK)
-      })
+      }
+      slices(k) = slice // most-recently-used at the tail
+      while (slices.size > maxSlices) {
+        val (ek, ed) = slices.head
+        slices.remove(ek)
+        ed.unpersist()
+        evictions += 1
+      }
+      slice
     }
     parts.reduce(_ unionByName _).filter(col("mean").between(lo, hi))
   }
@@ -57,6 +79,7 @@ final class MeanIndexCache(index: DataFrame, bucketWidth: Double = 16.0) {
   /** Buckets scanned from the index (vs served from cache) so far. */
   def bucketMisses: Long = misses
   def cachedBuckets: Int = slices.size
+  def bucketEvictions: Long = evictions
 
   def close(): Unit = {
     slices.values.foreach(_.unpersist())

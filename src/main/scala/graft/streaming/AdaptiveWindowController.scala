@@ -124,6 +124,83 @@ object AdaptiveWindowController {
       highCount: Int = 150,
       shortWindow: Int = 30)
 
+  /** myNapp_v1's cache-SIZE heuristic (`DS-Join/myNapp_v1/src/main/scala/
+    * com/myApp/streaming_cache.scala:349-451`) — the oldest reference
+    * policy variant, superseded by step4's hill-climb but kept in the
+    * family for completeness. Instead of a sliding age WINDOW it advances
+    * an eviction FRONTIER (the lowest retained last-seen epoch,
+    * `delCacheNum`) by a self-tuning batch count (`numDelCacheCount`),
+    * steering toward a target cache size (`properCachedDataCount`) that
+    * relaxes toward the observed size:
+    *
+    *   - clean when cache-side cost rose more than the fetch-side cost
+    *     moved (`:368-379`), or — if cache cost fell — when the fall is
+    *     smaller than the previous rise (`:375-377`);
+    *   - never during the first `warmupBatches` batches (`:383-385`);
+    *   - cleaning widens the eviction step while the cache sits above
+    *     target (else narrows, floor 1; `:391-396`), halves the target
+    *     toward the observed size on each non-consecutive clean
+    *     (`:399-401`), and resets the step to 1 if it would evict every
+    *     remaining epoch (`:403-405`).
+    */
+  final case class SizeHeuristicConfig(
+      warmupBatches: Int = 10,
+      initialProperCount: Long = -1) // <0: seed from first observed count
+
+  final case class SizeHeuristicState(
+      frontier: Long = 0, // lowest retained epoch; evict last_seen < frontier
+      numDel: Int = 1,
+      properCount: Long = -1,
+      prevDiff: Double = 0.0,
+      continuous: Boolean = false,
+      countOld: Long = 0,
+      countNew: Long = 0)
+
+  /** One cache-size-heuristic step. `curr` = this batch's cog+fetch;
+    * `reg1`/`reg2` = the last two completed batches' registers (cache cost
+    * enters one batch late, like [[advance]]); `cacheCount` = cache rows
+    * after the LAST batch's update.
+    */
+  def advanceBySizeHeuristic(
+      st: SizeHeuristicState,
+      cfg: SizeHeuristicConfig,
+      batchId: Long,
+      curr: Timings,
+      reg1: Timings,
+      reg2: Timings,
+      cacheCount: Long): SizeHeuristicState = {
+    val proper =
+      if (st.properCount >= 0) st.properCount
+      else if (cfg.initialProperCount >= 0) cfg.initialProperCount
+      else cacheCount
+    val cacheDiff = (curr.cogMs - reg1.cogMs) + (reg1.cacheMs - reg2.cacheMs)
+    val dbDiff = math.abs(curr.fetchMs - reg1.fetchMs)
+    val clean =
+      batchId > cfg.warmupBatches &&
+        (if (cacheDiff > 0) cacheDiff > dbDiff else st.prevDiff > -cacheDiff)
+
+    val base = st.copy(
+      prevDiff = cacheDiff,
+      properCount = proper,
+      countOld = st.countNew,
+      countNew = cacheCount)
+    if (!clean) base.copy(continuous = false)
+    else {
+      var numDel =
+        if (st.countNew > proper) st.numDel + 1
+        else if (st.numDel != 1) st.numDel - 1
+        else st.numDel
+      val newProper =
+        if (!st.continuous) (proper + st.countOld) / 2 else proper
+      if (batchId - st.frontier <= numDel) numDel = 1
+      base.copy(
+        frontier = st.frontier + numDel,
+        numDel = numDel,
+        properCount = newProper,
+        continuous = true)
+    }
+  }
+
   /** One query-count-rule step (timing registers still shift so policies
     * can be swapped mid-stream without losing history).
     */
@@ -158,6 +235,14 @@ case object HillClimbRule extends WindowRule
 final case class QueryCountRule(
     config: AdaptiveWindowController.QueryCountConfig =
       AdaptiveWindowController.QueryCountConfig()) extends WindowRule
+
+/** myNapp_v1's cache-size heuristic ([[AdaptiveWindowController.advanceBySizeHeuristic]]):
+  * an eviction frontier advanced by a self-tuning step toward a target
+  * cache size — the oldest reference policy variant, for completeness.
+  */
+final case class CacheSizeRule(
+    config: AdaptiveWindowController.SizeHeuristicConfig =
+      AdaptiveWindowController.SizeHeuristicConfig()) extends WindowRule
 
 /** Constant caching window — the papers' non-adaptive baseline (the
   * fixed-interval configuration the adaptive controllers are evaluated

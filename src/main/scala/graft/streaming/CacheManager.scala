@@ -95,6 +95,8 @@ final class CacheManager(
         StructField("hits", LongType))))
     .persist(storage)
   private var ctrl = AdaptiveWindowController.initial(config)
+  private var sizeState = AdaptiveWindowController.SizeHeuristicState()
+  private var lastCacheCount = 0L
   private var prevThreshold = Long.MinValue
   private var batchId = 0L
 
@@ -172,6 +174,19 @@ final class CacheManager(
           window = w, saved = w,
           prev = AdaptiveWindowController.Timings(cogMs, fetchMs, 0),
           prev2 = ctrl.prev)
+      case CacheSizeRule(cfg) =>
+        // myNapp_v1's frontier policy expressed in window terms: the
+        // eviction threshold (id − window) IS the frontier
+        sizeState = AdaptiveWindowController.advanceBySizeHeuristic(
+          sizeState, cfg, id,
+          AdaptiveWindowController.Timings(cogMs, fetchMs, 0),
+          ctrl.prev, ctrl.prev2, lastCacheCount)
+        val w = math.max(1L, id - sizeState.frontier)
+          .min(Int.MaxValue.toLong).toInt
+        ctrl.copy(
+          window = w, saved = w,
+          prev = AdaptiveWindowController.Timings(cogMs, fetchMs, 0),
+          prev2 = ctrl.prev)
     }
     val threshold = id - ctrl.window
 
@@ -197,7 +212,7 @@ final class CacheManager(
             cache.unionByName(admitted).join(keep, Seq(key), "left_semi"),
             id)
       }
-      newCache.count()
+      lastCacheCount = newCache.count()
       cache.unpersist()
       cache = newCache
     }

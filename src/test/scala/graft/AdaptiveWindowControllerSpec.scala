@@ -121,6 +121,71 @@ class AdaptiveWindowControllerSpec extends AnyFunSuite {
     }
   }
 
+  // ---- myNapp_v1 cache-size heuristic (CacheSizeRule) ----
+
+  private val szCfg = AdaptiveWindowController.SizeHeuristicConfig(warmupBatches = 10)
+  private def szStep(
+      st: AdaptiveWindowController.SizeHeuristicState,
+      id: Long,
+      cog: Double, fetch: Double,
+      reg1: (Double, Double, Double) = (0, 0, 0),
+      reg2: (Double, Double, Double) = (0, 0, 0),
+      count: Long = 1000L) =
+    AdaptiveWindowController.advanceBySizeHeuristic(
+      st, szCfg, id,
+      AdaptiveWindowController.Timings(cog, fetch, 0),
+      AdaptiveWindowController.Timings(reg1._1, reg1._2, reg1._3),
+      AdaptiveWindowController.Timings(reg2._1, reg2._2, reg2._3),
+      count)
+
+  test("size rule: no cleaning during warmup even under rising cache cost") {
+    val s0 = AdaptiveWindowController.SizeHeuristicState()
+    val s = szStep(s0, id = 5, cog = 500, fetch = 10, reg1 = (100, 10, 50), reg2 = (100, 10, 10))
+    assert(s.frontier == 0 && !s.continuous)
+  }
+
+  test("size rule: cache-cost rise above fetch movement advances the frontier") {
+    val s0 = AdaptiveWindowController.SizeHeuristicState(countNew = 2000, properCount = 1000)
+    // cacheDiff = (500-100) + (50-10) = 440 > |10-10| = 0 → clean;
+    // countNew(2000) > proper(1000) → step widens to 2
+    val s = szStep(s0, id = 20, cog = 500, fetch = 10, reg1 = (100, 10, 50), reg2 = (100, 10, 10))
+    assert(s.continuous && s.numDel == 2 && s.frontier == 2)
+  }
+
+  test("size rule: a fall smaller than the previous rise still cleans") {
+    val s0 = AdaptiveWindowController.SizeHeuristicState(
+      prevDiff = 100.0, countNew = 500, properCount = 1000)
+    // cacheDiff = -40 (fell), but prevDiff 100 > 40 → clean; cache below
+    // target → step narrows toward 1 (already 1 → stays)
+    val s = szStep(s0, id = 20, cog = 60, fetch = 10, reg1 = (100, 10, 10), reg2 = (100, 10, 10))
+    assert(s.continuous && s.numDel == 1 && s.frontier == 1)
+  }
+
+  test("size rule: target halves toward the observed size on a non-consecutive clean") {
+    val s0 = AdaptiveWindowController.SizeHeuristicState(
+      properCount = 4000, countOld = 1000, countNew = 5000, continuous = false)
+    val s = szStep(s0, id = 20, cog = 500, fetch = 10, reg1 = (100, 10, 50), reg2 = (100, 10, 10))
+    assert(s.properCount == (4000 + 1000) / 2)
+    // and a CONSECUTIVE clean leaves the target alone
+    val s2 = szStep(s.copy(countNew = 5000), id = 21, cog = 900, fetch = 10,
+      reg1 = (500, 10, 90), reg2 = (100, 10, 50))
+    assert(s2.continuous && s2.properCount == s.properCount)
+  }
+
+  test("size rule: the step resets to 1 rather than evicting every remaining epoch") {
+    val s0 = AdaptiveWindowController.SizeHeuristicState(
+      frontier = 15, numDel = 6, countNew = 5000, properCount = 1000)
+    // remaining epochs = 20 - 15 = 5 ≤ widened step 7 → reset to 1
+    val s = szStep(s0, id = 20, cog = 500, fetch = 10, reg1 = (100, 10, 50), reg2 = (100, 10, 10))
+    assert(s.numDel == 1 && s.frontier == 16)
+  }
+
+  test("size rule: target seeds from the first observed cache count") {
+    val s0 = AdaptiveWindowController.SizeHeuristicState()
+    val s = szStep(s0, id = 1, cog = 10, fetch = 10, count = 777L)
+    assert(s.properCount == 777L && s.countNew == 777L)
+  }
+
   test("steady improvement converges: window stays within [1, cap] over a noisy run") {
     var s = AdaptiveWindowController.initial(cfg)
     val rnd = new scala.util.Random(42)

@@ -81,6 +81,52 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
   }
 
+  test("minhash_dedup TVF round-trips to the Scala cluster labeling exactly") {
+    Tables(spark, sfSmoke, "documents").createOrReplaceTempView("md_docs")
+    val viaSql = spark.sql(
+      "SELECT * FROM minhash_dedup('md_docs', 'doc_id', 'text', 0.8)")
+    val viaScala = graft.operators.Dedup.minhashDedup(
+      SimilarityJoin.tokenize(Tables(spark, sfSmoke, "documents"), "doc_id", "text"), 0.8)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
+  test("semantic_dedup TVF round-trips to the Scala SemDeDup pass exactly") {
+    import org.apache.spark.sql.functions._
+    Tables(spark, sfSmoke, "embeddings").createOrReplaceTempView("sd_emb")
+    val viaSql = spark.sql(
+      "SELECT * FROM semantic_dedup('sd_emb', 'vec_id', 'embedding', 0.985, 64)")
+    val viaScala = graft.operators.SimilaritySearch.semanticDedup(
+      Tables(spark, sfSmoke, "embeddings")
+        .select(col("vec_id").as("vid"), col("embedding").as("emb")),
+      tau = 0.985, nCells = 64)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+    // composes downstream like a relation
+    val kept = spark.sql(
+      "SELECT count(*) AS n FROM semantic_dedup('sd_emb', 'vec_id', 'embedding', 0.985, 64) WHERE dup_of = -1")
+      .collect()(0).getLong(0)
+    assert(kept == viaScala.filter(col("dup_of") === -1).count())
+  }
+
+  test("subsequence_match TVF round-trips to the Scala matchED exactly") {
+    import org.apache.spark.sql.functions._
+    val series = graft.queries.SeqMatchQueries.deltaSeries(Tables(spark, sfSmoke, "events"))
+    series.createOrReplaceTempView("sm_series")
+    series.filter(col("idx") >= 200 && col("idx") < 250)
+      .select((col("idx") - 200).as("idx"), col("v"))
+      .createOrReplaceTempView("sm_query")
+    val viaSql = spark.sql(
+      "SELECT * FROM subsequence_match('sm_series', 'sm_query', 'ed', 6.5, 0, 3.0, 10.0)")
+    val q = series.filter(col("idx") >= 200 && col("idx") < 250)
+      .orderBy("idx").select("v").collect().map(_.getDouble(0))
+    val viaScala = graft.operators.SubsequenceMatch.matchED(
+      series, graft.operators.SubsequenceMatch.meanIndex(series), q, 6.5)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+    assert(viaSql.count() > 0) // the self-match at start=200 always survives
+  }
+
   test("similarity_join TVF rejects a non-literal table argument") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM similarity_join(1, 'a', 'b', 0.8)").collect()

@@ -171,4 +171,26 @@ class SemiStreamRuntimeSpec extends SparkSpec {
     assert(out.count() == plain.count())
     assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
   }
+
+  test("cache-size window rule (myNapp_v1 frontier policy) still accumulates to the plain join") {
+    val li = Tables(spark, sfSmoke, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
+    val part = Tables(spark, sfSmoke, "part")
+    val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
+
+    // warmup 1 so the heuristic is live from batch 2 on this 4-batch run
+    val (out, stats) = SemiStreamRuntime.semiStreamJoin(
+      li, part, cache,
+      key = "p_partkey", chunkKey = "l_orderkey", chunks = 4,
+      checkpointEvery = 2,
+      windowRule = graft.streaming.CacheSizeRule(
+        AdaptiveWindowController.SizeHeuristicConfig(warmupBatches = 1)))
+
+    val plain = li.join(part, "p_partkey")
+    assert(out.count() == plain.count())
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+    // frontier semantics: the window can never exceed the batch ordinal
+    // (threshold = id − window = frontier ≥ 0)
+    assert(stats.forall(s => s.window >= 1 && s.window <= s.id), stats.map(_.window))
+  }
 }

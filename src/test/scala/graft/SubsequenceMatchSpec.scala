@@ -207,4 +207,30 @@ class SubsequenceMatchSpec extends SparkSpec {
     assert(uncached == first)
     cache.close()
   }
+
+  test("index cache is bounded: LRU eviction caps persisted slices, results stay exact") {
+    val cap = 4
+    val cache = new graft.operators.MeanIndexCache(index, bucketWidth = 0.25, maxSlices = cap)
+    def exact(w: Int, lo: Double, hi: Double) =
+      index.filter(col("w") === w && col("mean").between(lo, hi))
+        .select("offset").collect().map(_.getLong(0)).toSet
+    def probe(w: Int, lo: Double, hi: Double) =
+      cache.probe(w, lo, hi).select("offset").collect().map(_.getLong(0)).toSet
+
+    // sweep far more than `cap` distinct buckets across two widths
+    val w = SubsequenceMatch.DefaultWidths.head
+    val ranges = (0 until 12).map(i => (i * 0.5, i * 0.5 + 0.4))
+    ranges.foreach { case (lo, hi) =>
+      assert(probe(w, lo, hi) == exact(w, lo, hi), s"mismatch at [$lo,$hi]")
+      assert(cache.cachedBuckets <= cap,
+        s"cap violated: ${cache.cachedBuckets} slices live")
+    }
+    assert(cache.bucketEvictions > 0, "sweep never evicted — cap untested")
+    // a re-probed evicted bucket is a fresh miss, and still exact
+    val missesBefore = cache.bucketMisses
+    assert(probe(w, ranges.head._1, ranges.head._2) == exact(w, ranges.head._1, ranges.head._2))
+    assert(cache.bucketMisses > missesBefore)
+    cache.close()
+    assert(cache.cachedBuckets == 0)
+  }
 }
