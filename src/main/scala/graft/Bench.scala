@@ -147,13 +147,17 @@ object Bench {
     val qs = (results ++ streamBatch).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val floor = allSentinels.min
+    // only ELEVATED ratios are reported (absent = clean, ratio < 1.5):
+    // with ~30 heavy queries a full dict pushed the line back over the
+    // capture window, and only the elevated entries carry information
     val sent = querySentinel.toSeq.sortBy(_._1)
-      .map { case (k, v) =>
-        s"\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v / floor * 100) / 100)
-      }
+      .map { case (k, v) => k -> math.rint(v / floor * 10) / 10 }
+      .filter(_._2 >= 1.5)
+      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + v }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"sf":"$sfDir"}""")
+    val sfName = sfDir.split('/').last
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"sf":"$sfName"}""")
     spark.stop()
   }
 }

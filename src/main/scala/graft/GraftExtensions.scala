@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -89,7 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SimilarityJoin.type].getName,
         null,
         "similarity_join",
-        "similarity_join(table, idCol, textCol, tau) - all pairs of rows with token-set Jaccard >= tau.",
+        "similarity_join(table, idCol, textCol, tau) - all pairs of rows with token-set Jaccard >= tau; 7-arg form (probeTable, probeId, probeText, indexTable, indexId, indexText, tau) joins two tables.",
         ""),
       exprs => GraftExtensions.similarityJoinPlan(exprs)))
     ext.injectTableFunction((
@@ -98,7 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SimilarityJoin.type].getName,
         null,
         "containment_join",
-        "containment_join(table, idCol, textCol, gamma) - ordered pairs (x, y) with |x∩y| >= ceil(gamma*|x|) over token sets.",
+        "containment_join(table, idCol, textCol, gamma) - ordered pairs (x, y) with |x∩y| >= ceil(gamma*|x|) over token sets; 7-arg form (probeTable, probeId, probeText, indexTable, indexId, indexText, gamma) probes one table against another.",
         ""),
       exprs => GraftExtensions.containmentJoinPlan(exprs)))
     ext.injectTableFunction((
@@ -175,19 +175,54 @@ object GraftExtensions {
     (str(exprs(0), "table"), str(exprs(1), "idCol"), str(exprs(2), "textCol"), threshold)
   }
 
-  private[graft] def similarityJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
-    val (table, idCol, textCol, tau) = tvfArgs("similarity_join", exprs)
-    SimilarityJoin
-      .prefixSelfJoin(SparkSession.active.table(table), idCol, textCol, tau)
-      .queryExecution.logical
+  /** Arity-overloaded: 4 args = self join over one table; 7 args =
+    * probe-vs-index (R-S) join over two tables,
+    * `(probeTable, probeId, probeText, indexTable, indexId, indexText, threshold)`.
+    */
+  private def twoTableToks(name: String, exprs: Seq[Expression]): (DataFrame, DataFrame, Double) = {
+    val spark = SparkSession.active
+    val probe = SimilarityJoin.tokenize(
+      spark.table(strArg(name, exprs.head, "probeTable")),
+      strArg(name, exprs(1), "probeId"), strArg(name, exprs(2), "probeText"))
+    val index = SimilarityJoin.tokenize(
+      spark.table(strArg(name, exprs(3), "indexTable")),
+      strArg(name, exprs(4), "indexId"), strArg(name, exprs(5), "indexText"))
+    (probe, index, doubleArg(name, exprs(6), "threshold"))
   }
 
-  private[graft] def containmentJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
-    val (table, idCol, textCol, gamma) = tvfArgs("containment_join", exprs)
-    SimilarityJoin
-      .containmentSelfJoin(SparkSession.active.table(table), idCol, textCol, gamma)
-      .queryExecution.logical
-  }
+  private[graft] def similarityJoinPlan(exprs: Seq[Expression]): LogicalPlan =
+    exprs.length match {
+      case 4 =>
+        val (table, idCol, textCol, tau) = tvfArgs("similarity_join", exprs)
+        SimilarityJoin
+          .prefixSelfJoin(SparkSession.active.table(table), idCol, textCol, tau)
+          .queryExecution.logical
+      case 7 =>
+        val (probe, index, tau) = twoTableToks("similarity_join", exprs)
+        SimilarityJoin.prefixJoin(probe, index, tau).queryExecution.logical
+      case n =>
+        throw new IllegalArgumentException(
+          "similarity_join expects (table, idCol, textCol, tau) or " +
+            "(probeTable, probeId, probeText, indexTable, indexId, indexText, tau), got " +
+            n + " arguments")
+    }
+
+  private[graft] def containmentJoinPlan(exprs: Seq[Expression]): LogicalPlan =
+    exprs.length match {
+      case 4 =>
+        val (table, idCol, textCol, gamma) = tvfArgs("containment_join", exprs)
+        SimilarityJoin
+          .containmentSelfJoin(SparkSession.active.table(table), idCol, textCol, gamma)
+          .queryExecution.logical
+      case 7 =>
+        val (probe, index, gamma) = twoTableToks("containment_join", exprs)
+        SimilarityJoin.containmentJoin(probe, index, gamma).queryExecution.logical
+      case n =>
+        throw new IllegalArgumentException(
+          "containment_join expects (table, idCol, textCol, gamma) or " +
+            "(probeTable, probeId, probeText, indexTable, indexId, indexText, gamma), got " +
+            n + " arguments")
+    }
 
   private def strArg(name: String, e: Expression, what: String): String = e match {
     case Literal(v: UTF8String, StringType) => v.toString

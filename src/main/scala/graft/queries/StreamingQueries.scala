@@ -102,6 +102,23 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming INCREMENTAL semantic dedup (SemDeDup's continuous-ingestion
+    // form — the embedding-tier sibling of q49): vectors arrive in 4
+    // MD5-assigned micro-batches; each is tested against every previously
+    // seen vector of the SAME IVF cell at cosine ≥ τ, cross-batch state on
+    // durable storage through the DedupStateStore contract. dup_of = min
+    // earlier same-cell duplicate, −1 = novel. compactEvery=2 exercises
+    // mid-stream state compaction. The oracle replays q55's deterministic
+    // cells + the arrival order.
+    "q56_stream_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+      graft.streaming.StreamingSemanticDedup.run(emb, tau = 0.985, chunks = 4,
+        nCells = 64, compactEvery = 2)
+        .select(col("vid").as("vec_id"), col("dup_of"))
+        .orderBy("vec_id")
+    }),
+
     // AS-OF join (time-series point lookup): each click event matched to
     // the most recent view event of the SAME user at or before it — the
     // EPOCH-BUCKETED form (1-hour buckets): running-last windows per
@@ -210,6 +227,40 @@ object StreamingQueries {
         |SELECT tt.doc_id, coalesce(m.dup_of, -1) AS dup_of
         |FROM tt LEFT JOIN m ON tt.doc_id = m.doc_id
         |ORDER BY tt.doc_id""".stripMargin,
+
+    // q55's deterministic centroids/cells + q49's MD5 arrival order: dup_of
+    // = min same-cell earlier-arriving vector at cosine >= tau
+    "q56_stream_semantic_dedup" ->
+      """WITH emb AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e,
+        |         CAST(floor(
+        |           CAST(list_sum(list_transform(range(0, 8), i ->
+        |             CAST(instr('0123456789abcdef',
+        |                        substr(md5(CAST(vec_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                  AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS DOUBLE)
+        |             / 4294967296.0 * 4) AS INT) AS b
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+        |         e AS c_e
+        |  FROM emb
+        |  QUALIFY cell <= 64),
+        |asg AS (
+        |  SELECT n_id, n_e, n_b, cell FROM (
+        |    SELECT emb.vec_id AS n_id, emb.e AS n_e, emb.b AS n_b, cent.cell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |                              ORDER BY list_cosine_similarity(emb.e, cent.c_e) DESC, cent.cell) AS rn
+        |    FROM emb, cent) WHERE rn = 1),
+        |m AS (
+        |  SELECT x.n_id AS vec_id, min(y.n_id) AS dup_of
+        |  FROM asg x JOIN asg y
+        |    ON x.cell = y.cell
+        |   AND (y.n_b < x.n_b OR (y.n_b = x.n_b AND y.n_id < x.n_id))
+        |   AND list_cosine_similarity(x.n_e, y.n_e) >= 0.985
+        |  GROUP BY x.n_id)
+        |SELECT e.vec_id, coalesce(m.dup_of, -1) AS dup_of
+        |FROM emb e LEFT JOIN m ON e.vec_id = m.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     // native ASOF JOIN; the right side deduped to max view_id per
     // (user_id, ts) — the operator's deterministic tiebreak. Both sides

@@ -290,13 +290,16 @@ final class InMemoryDedupState(
   override def compact(upTo: Long, afterPublish: () => Unit): Unit = {
     val gen = -upTo
     val folded: Seq[Long] = log.synchronized {
+      // nothing-pending first, BEFORE the retry branch — mirrors the
+      // parquet impl exactly, so a fully-converged retry takes the same
+      // early return on both backends (and never fires the crash hook)
+      val incs = log.batches.keys.filter(b => b >= 0 && b < upTo).toSeq
+      if (incs.isEmpty) { replayManifestsLocked(); return }
       if (log.batches.contains(gen)) {
         // retry after a crash between publish and removal: the manifest is
         // the authoritative folded set
         log.manifests.getOrElse(gen, Seq.empty).filter(log.batches.contains)
       } else {
-        val incs = log.batches.keys.filter(b => b >= 0 && b < upTo).toSeq
-        if (incs.isEmpty) { replayManifestsLocked(); return }
         // size-tiered ladder, sizes = row counts (the in-memory byte proxy)
         var foldSize = incs.map(log.batches(_).size.toLong).sum
         val buf = collection.mutable.Buffer(incs: _*)

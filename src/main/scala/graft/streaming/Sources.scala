@@ -44,6 +44,35 @@ object Sources {
       }
       .reduce(_ unionByName _)
 
+  /** Kafka topic sources unioned — the production ingest shape
+    * (`format("kafka")` is the standard Structured Streaming connector
+    * name; the plan is identical to [[socketUnion]]'s with the value bytes
+    * cast to text). REQUIRES the `spark-sql-kafka-0-10` connector jar on
+    * the classpath at runtime: this build environment has no Kafka
+    * artifacts and no network egress, so the method is wiring-only here —
+    * it raises Spark's standard missing-data-source error until the
+    * connector is deployed alongside the engine, and everything downstream
+    * ([[SemiStreamRuntime]], [[CacheManager]]) is already source-agnostic
+    * (proven end-to-end for live TCP by SocketSourceSpec).
+    */
+  def kafkaUnion(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topics: Seq[String],
+      startingOffsets: String = "latest"): DataFrame =
+    topics.zipWithIndex
+      .map { case (t, i) =>
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", bootstrapServers)
+          .option("subscribe", t)
+          .option("startingOffsets", startingOffsets)
+          .load()
+          .select(
+            col("value").cast("string").as("value"),
+            lit(i).as("source_id"))
+      }
+      .reduce(_ unionByName _)
+
   /** Metrics snapshot per finished micro-batch (SURVEY S10 — the
     * reference's `data|`/`time|` stdout metrics parsed by `getAVR.py`,
     * re-expressed as a structured listener).

@@ -103,6 +103,74 @@ abstract class DedupStateStoreContract extends SparkSpec {
   }
 }
 
+/** Model-based equivalence fuzz: a seeded random sequence of
+  * append/compact/crash operations applied to BOTH backends must leave
+  * them read-equivalent at every step — the strongest form of "the
+  * interface carries": not just the same suite passing, but identical
+  * observable state under arbitrary interleavings.
+  */
+class DedupStateStoreFuzzSpec extends SparkSpec {
+  init()
+
+  test("parquet and in-memory backends stay read-equivalent under a random op sequence") {
+    import spark.implicits._
+    val dataSchema = new StructType().add("k", StringType).add("v", LongType)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-fuzz-pq-").toString + "/s"
+    val memDir = java.nio.file.Files.createTempDirectory("graft-fuzz-mem-").toString + "/s"
+    val pq: DedupStateStore = StreamingDedup.parquetStore(spark, pqDir, dataSchema, Seq("k"))
+    val mem: DedupStateStore = StreamingDedup.inMemoryStore(spark, memDir, dataSchema, Seq("k"))
+    val rnd = new scala.util.Random(20260813L)
+
+    // DISTINCT logical rows: the contract allows transient storage
+    // duplication after a crashed compaction, and the two backends' fold
+    // ladders (bytes vs row counts) may leave different sets duplicated —
+    // what must agree is the visible logical state, not the copy count
+    def readKeys(st: DedupStateStore, frontier: Long): Seq[(String, Long, Int)] =
+      st.read(frontier, 0 to 3)
+        .select("k", "v", "pb").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq.distinct.sorted
+
+    // content is a pure function of the batch id: a RETRY re-appends
+    // byte-identical rows — the real pipeline's idempotent-retry semantics
+    // (content diverging across attempts of one batch id is out of contract)
+    def rowsFor(id: Long) = {
+      val r = new scala.util.Random(1000 + id)
+      (1 to 1 + r.nextInt(5))
+        .map(i => (s"b$id-$i", r.nextLong(), r.nextInt(4)))
+        .toDF("k", "v", "pb")
+    }
+
+    var batch = 0L
+    (1 to 30).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 | 1 => // append a batch (sometimes re-append an earlier id: retry)
+          val retry = batch > 0 && rnd.nextBoolean()
+          val id = if (retry) rnd.between(0L, batch) else { batch += 1; batch - 1 }
+          val rows = rowsFor(id)
+          pq.append(rows, id); mem.append(rows, id)
+        case 2 => // compact up to the committed frontier
+          if (batch > 0) { pq.compact(batch); mem.compact(batch) }
+        case 3 => // crashed compaction: publish then die; leave unconverged.
+          // With nothing pending the early return never reaches the crash
+          // hook — legal, but both backends must agree on which path ran.
+          if (batch > 0) {
+            def crashed(st: DedupStateStore): Boolean =
+              try { st.compact(batch, () => throw new RuntimeException("fuzz crash")); false }
+              catch { case _: RuntimeException => true }
+            val (a, b) = (crashed(pq), crashed(mem))
+            assert(a == b, s"crash paths diverged at step $step: parquet=$a mem=$b")
+          }
+      }
+      assert(
+        readKeys(pq, batch + 1) == readKeys(mem, batch + 1),
+        s"backends diverged at step $step (batch frontier $batch)")
+    }
+    // final convergence: a clean compact on both, still equivalent, one generation
+    if (batch > 0) { pq.compact(batch); mem.compact(batch) }
+    assert(readKeys(pq, batch + 1) == readKeys(mem, batch + 1))
+  }
+}
+
 class ParquetDedupStateSpec extends DedupStateStoreContract {
   override def backend = "parquet"
   override def factory = StreamingDedup.parquetStore

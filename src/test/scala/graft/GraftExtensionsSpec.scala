@@ -81,6 +81,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
   }
 
+  test("7-arg similarity_join / containment_join TVFs run the two-table (R-S) forms") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfSmoke, "documents")
+    val probe = docs.filter(col("doc_id") % 2 === 0)
+    val index = docs.filter(col("doc_id") % 2 === 1)
+    probe.createOrReplaceTempView("rs_probe")
+    index.createOrReplaceTempView("rs_index")
+    val pToks = SimilarityJoin.tokenize(probe, "doc_id", "text")
+    val iToks = SimilarityJoin.tokenize(index, "doc_id", "text")
+
+    val sjSql = spark.sql(
+      "SELECT * FROM similarity_join('rs_probe', 'doc_id', 'text', 'rs_index', 'doc_id', 'text', 0.8)")
+    val sjScala = SimilarityJoin.prefixJoin(pToks, iToks, 0.8)
+    assert(sjSql.columns.toSeq == sjScala.columns.toSeq)
+    assert(sjSql.exceptAll(sjScala).isEmpty && sjScala.exceptAll(sjSql).isEmpty)
+
+    val cjSql = spark.sql(
+      "SELECT * FROM containment_join('rs_probe', 'doc_id', 'text', 'rs_index', 'doc_id', 'text', 0.9)")
+    val cjScala = SimilarityJoin.containmentJoin(pToks, iToks, 0.9)
+    assert(cjSql.columns.toSeq == cjScala.columns.toSeq)
+    assert(cjSql.exceptAll(cjScala).isEmpty && cjScala.exceptAll(cjSql).isEmpty)
+  }
+
   test("minhash_dedup TVF round-trips to the Scala cluster labeling exactly") {
     Tables(spark, sfSmoke, "documents").createOrReplaceTempView("md_docs")
     val viaSql = spark.sql(

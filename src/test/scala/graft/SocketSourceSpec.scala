@@ -91,4 +91,18 @@ class SocketSourceSpec extends SparkSpec {
       .select("p_partkey", "l_quantity", "p_brand")
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
+
+  test("kafkaUnion wires the standard connector (unavailable in this container — documented gap)") {
+    // zero-egress environment: no spark-sql-kafka jar can exist here, so
+    // the factory must fail with Spark's missing-data-source error — i.e.
+    // it targets exactly the connector a production deployment adds. An
+    // end-to-end Kafka spec needs a broker + connector jar (see
+    // Sources.kafkaUnion scaladoc); the downstream pipeline is
+    // source-agnostic and live-TCP-proven above.
+    val e = intercept[Exception] {
+      graft.streaming.Sources.kafkaUnion(spark, "localhost:9092", Seq("t")).printSchema()
+    }
+    val msg = e.getMessage.toLowerCase
+    assert(msg.contains("kafka"), e.getMessage)
+  }
 }
