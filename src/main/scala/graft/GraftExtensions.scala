@@ -138,6 +138,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.subsequenceMatchPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("decontaminate"),
+      new ExpressionInfo(
+        classOf[graft.operators.Decontamination.type].getName,
+        null,
+        "decontaminate",
+        "decontaminate(corpusTable, idCol, textCol, evalTable, evalId, evalText, n) - corpus docs sharing any word n-gram with the (broadcast) eval set: (id, n_hit_grams, n_eval_docs).",
+        ""),
+      exprs => GraftExtensions.decontaminatePlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("ann_topk"),
+      new ExpressionInfo(
+        classOf[graft.operators.SimilaritySearch.type].getName,
+        null,
+        "ann_topk",
+        "ann_topk(queryTable, qId, qEmb, corpusTable, nId, nEmb, k, method) - per-query cosine top-k over an embedding corpus; method in brute/lsh/ivf. Returns (q_id, n_id, rank, sim).",
+        ""),
+      exprs => GraftExtensions.annTopKPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("range_join"),
       new ExpressionInfo(
         classOf[graft.operators.RangeJoin.type].getName,
@@ -249,6 +267,65 @@ object GraftExtensions {
       }
     case other =>
       throw new IllegalArgumentException(s"$name: $what must be a numeric literal, got $other")
+  }
+
+  /** decontaminate(corpusTable, idCol, textCol, evalTable, evalId,
+    * evalText, n): benchmark-decontamination pass — the eval side is
+    * broadcast, the corpus streams (see [[graft.operators.Decontamination]]).
+    */
+  private[graft] def decontaminatePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "decontaminate"
+    require(
+      exprs.length == 7,
+      s"$name expects (corpusTable, idCol, textCol, evalTable, evalId, evalText, n), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    val n = longArg(name, exprs(6), "n").toInt
+    require(n > 0, s"$name: n must be positive, got $n")
+    graft.operators.Decontamination
+      .flag(
+        spark.table(strArg(name, exprs.head, "corpusTable")),
+        strArg(name, exprs(1), "idCol"),
+        strArg(name, exprs(2), "textCol"),
+        spark.table(strArg(name, exprs(3), "evalTable")),
+        strArg(name, exprs(4), "evalId"),
+        strArg(name, exprs(5), "evalText"),
+        n)
+      .queryExecution.logical
+  }
+
+  /** ann_topk(queryTable, qId, qEmb, corpusTable, nId, nEmb, k, method):
+    * the ANN family behind one SQL entry point. `method` picks the scale
+    * path — 'brute' (exact baseline), 'lsh' (random-hyperplane buckets),
+    * 'ivf' (inverted-file cells) — with the operators' default recall
+    * parameters; the Scala API exposes the tuning knobs.
+    */
+  private[graft] def annTopKPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "ann_topk"
+    require(
+      exprs.length == 8,
+      s"$name expects (queryTable, qId, qEmb, corpusTable, nId, nEmb, k, method), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    val queries = spark.table(strArg(name, exprs.head, "queryTable"))
+      .select(
+        org.apache.spark.sql.functions.col(strArg(name, exprs(1), "qId")).as("q_id"),
+        org.apache.spark.sql.functions.col(strArg(name, exprs(2), "qEmb")).as("q_emb"))
+    val corpus = spark.table(strArg(name, exprs(3), "corpusTable"))
+      .select(
+        org.apache.spark.sql.functions.col(strArg(name, exprs(4), "nId")).as("n_id"),
+        org.apache.spark.sql.functions.col(strArg(name, exprs(5), "nEmb")).as("n_emb"))
+    val k = longArg(name, exprs(6), "k").toInt
+    require(k > 0, s"$name: k must be positive, got $k")
+    val out = strArg(name, exprs(7), "method") match {
+      case "brute" => graft.operators.SimilaritySearch.bruteForceTopK(queries, corpus, k)
+      case "lsh" => graft.operators.SimilaritySearch.lshTopK(queries, corpus, k)
+      case "ivf" => graft.operators.SimilaritySearch.ivfTopK(queries, corpus, k)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: method must be one of brute/lsh/ivf, got '$other'")
+    }
+    out.queryExecution.logical
   }
 
   private[graft] def minhashDedupPlan(exprs: Seq[Expression]): LogicalPlan = {

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag every corpus
+  * document that shares at least one word n-gram with a (small) evaluation
+  * set — the standard n-gram-overlap decontamination pass run before
+  * training so that eval benchmarks don't leak into the training data.
+  *
+  * Scale shape (the whole point of the operator): the eval set is tiny
+  * relative to the corpus (benchmark suites are thousands of documents vs
+  * a 100 TB corpus), so its distinct n-gram set is collected into a
+  * broadcast hash relation. The corpus side then streams: tokenize →
+  * explode n-grams → broadcast hash SEMI-shape join → partial-aggregated
+  * groupBy(doc). The corpus is never shuffled by gram — the only exchange
+  * is the final per-document count aggregation, which map-side combines to
+  * at most one row per (partition, contaminated doc). A 1000-executor run
+  * reads each corpus split once, probes an in-memory gram set, and emits
+  * only hits.
+  *
+  * Contract: n-grams are space-joined word windows over whitespace-split
+  * non-empty tokens (same tokenization as [[TextAnalysis]]); a document
+  * with fewer than n tokens has no n-grams and is never flagged. Output is
+  * one row per CONTAMINATED corpus document:
+  * (id, n_hit_grams, n_eval_docs) — distinct shared grams, and how many
+  * distinct eval documents share at least one gram with it.
+  */
+object Decontamination {
+
+  private def toks(c: org.apache.spark.sql.Column) =
+    filter(split(c, " "), t => length(t) > 0)
+
+  /** (id, gram) — distinct word n-grams per document. */
+  def grams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = toks(col(textCol))
+    val sh = when(
+      size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(array_distinct(sh)).as("gram"))
+  }
+
+  /** Flag corpus docs sharing any word n-gram with the eval set.
+    * Eval grams are broadcast; corpus grams stream through the join.
+    */
+  def flag(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      n: Int): DataFrame = {
+    val corpusGrams = grams(corpus, idCol, textCol, n)
+    val evalGrams = grams(eval, evalIdCol, evalTextCol, n)
+      .withColumnRenamed(evalIdCol, "__eval_id")
+    // inner join rather than LEFT SEMI so n_eval_docs is computable; the
+    // broadcast keeps it a corpus-linear probe either way.
+    corpusGrams
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("gram")).as("n_hit_grams"),
+        countDistinct(col("__eval_id")).as("n_eval_docs"))
+  }
+
+  /** Convenience split used by the q57 query/oracle pair: eval set =
+    * ids ≡ 0 (mod `evalEvery`), corpus = the rest.
+    */
+  def flagWithinTable(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      evalEvery: Int): DataFrame = {
+    val eval = docs
+      .filter(pmod(col(idCol), lit(evalEvery)) === 0)
+      .select(col(idCol).as("__e_id"), col(textCol).as("__e_text"))
+    val corpus = docs.filter(pmod(col(idCol), lit(evalEvery)) =!= 0)
+    flag(corpus, idCol, textCol, eval, "__e_id", "__e_text", n)
+  }
+}

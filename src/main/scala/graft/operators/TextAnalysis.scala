@@ -97,6 +97,123 @@ object TextAnalysis {
       round(best, 4).as("lang_score"))
   }
 
+  /** Heuristic quality-filter rule battery (the Gopher/C4-style document
+    * gate): per-document repetition and diversity signals plus the rule
+    * bits a corpus filter would AND together. All signals are computed
+    * inside whole-stage codegen with no shuffle — the operator is a pure
+    * corpus-linear projection, which is exactly what a 100 TB filter pass
+    * must be.
+    *
+    * Signals (each a round(·,4) of ONE division of exact integers, so SQL
+    * oracles replay bit-for-bit):
+    *   - `top_tok_frac`: occurrences of the most frequent token / tokens —
+    *     the single-word repetition signal;
+    *   - `dup_2gram_frac`: 1 − distinct/total 2-grams — the phrase
+    *     repetition signal (0 for docs with < 2 tokens);
+    *   - `distinct_frac`: lexical diversity.
+    * Rule bits (ints, so cross-engine hashing is exact): r_len = token
+    * count within [minTok, maxTok]; r_wlen = mean token length in [3, 10];
+    * r_div = distinct_frac ≥ 0.25; r_rep = dup_2gram_frac ≤ 0.9;
+    * `pass` = all four.
+    */
+  def qualityRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTok: Int = 30,
+      maxTok: Int = 50000): DataFrame = {
+    // STAGED projections, one expensive array per stage: higher-order
+    // functions are interpreted (CodegenFallback) and one flat projection
+    // re-evaluates the whole split/shingle subtree once PER REFERENCING
+    // COLUMN — the flat form measured 12.8 s at sf0.1 vs 4.4 s staged.
+    // CollapseProject keeps the stages (multiply-referenced non-cheap
+    // aliases), so each array is computed once per row.
+    val t = col("__toks")
+    // occurrences of the most frequent token via sort + one run-length
+    // fold — the naive distinct×filter form is O(u·n) per document
+    val topCount = aggregate(
+      array_sort(t),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    val grams2 = when(
+      size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2), i => concat_ws(" ", slice(t, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val counted = df
+      .select(col(idCol), toks(col(textCol)).as("__toks"))
+      .select(
+        col(idCol),
+        size(t).as("__n"),
+        size(array_distinct(t)).as("__u"),
+        aggregate(t, lit(0), (acc, x) => acc + length(x)).as("__tl"),
+        topCount.as("__top"),
+        grams2.as("__g2"))
+      .select(
+        col(idCol), col("__n"), col("__u"), col("__tl"), col("__top"),
+        size(col("__g2")).as("__n2"),
+        size(array_distinct(col("__g2"))).as("__u2"))
+    val nTok = col("__n")
+    val avgTokLen = round(col("__tl").cast("double") / nTok, 4)
+    val topFrac = round(col("__top").cast("double") / nTok, 4)
+    val dup2Frac = when(
+      col("__n2") > 0,
+      round((col("__n2") - col("__u2")).cast("double") / col("__n2"), 4))
+      .otherwise(lit(0.0))
+    val distinctFrac = round(col("__u").cast("double") / nTok, 4)
+    val rLen = (col("n_tokens") >= minTok && col("n_tokens") <= maxTok).cast("int")
+    val rWlen = (col("avg_tok_len") >= 3.0 && col("avg_tok_len") <= 10.0).cast("int")
+    val rDiv = (col("distinct_frac") >= 0.25).cast("int")
+    val rRep = (col("dup_2gram_frac") <= 0.9).cast("int")
+    counted
+      .select(
+        col(idCol),
+        nTok.cast("long").as("n_tokens"),
+        avgTokLen.as("avg_tok_len"),
+        distinctFrac.as("distinct_frac"),
+        topFrac.as("top_tok_frac"),
+        dup2Frac.as("dup_2gram_frac"))
+      .select(
+        col(idCol), col("n_tokens"), col("avg_tok_len"), col("distinct_frac"),
+        col("top_tok_frac"), col("dup_2gram_frac"),
+        rLen.as("r_len"), rWlen.as("r_wlen"), rDiv.as("r_div"), rRep.as("r_rep"))
+      .withColumn("pass", col("r_len") * col("r_wlen") * col("r_div") * col("r_rep"))
+  }
+
+  /** Corpus-level n-gram novelty — the cross-document boilerplate signal
+    * single-document stats can't see: for each document, what fraction of
+    * its distinct word n-grams appear in NO other document (`novel_frac`),
+    * and the highest document frequency any of its grams reaches
+    * (`max_df`, the boilerplate indicator).
+    *
+    * Scale shape: distinct grams per doc (corpus-linear, no shuffle) →
+    * gram document-frequency aggregation (one shuffle by gram,
+    * partial-agg'd — each doc contributes each gram once by construction,
+    * so count(*) IS df) → join back by gram → per-doc aggregation. Two
+    * shuffles total, both on keys with corpus-bounded cardinality; no
+    * broadcast of anything data-sized. Documents with fewer than n tokens
+    * have no grams and are absent from the output.
+    * Output: (id, n_grams, novel_frac, max_df).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val g = Decontamination.grams(df, idCol, textCol, n)
+    val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    g.join(dfreq, "gram")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel"),
+        max(col("df")).as("max_df"))
+      .select(
+        col(idCol),
+        col("n_grams"),
+        round(col("novel").cast("double") / col("n_grams"), 4).as("novel_frac"),
+        col("max_df"))
+  }
+
   /** w-shingle fingerprint table: per document the distinct/total shingle
     * counts plus the shingle fingerprint array (xxhash64 of each w-token
     * window — the rolling-hash document-fingerprint shape). The hash

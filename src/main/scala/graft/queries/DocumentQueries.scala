@@ -372,7 +372,28 @@ object DocumentQueries {
           size(col("features")).cast("long").as("feat_dim"),
           round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 3).as("feat_l1"))
         .orderBy("media_id")
-    }))
+    }),
+
+    // Benchmark decontamination (LLM op): eval set = doc_id ≡ 0 (mod 50),
+    // corpus = the rest; flag corpus docs sharing any word 5-gram with any
+    // eval doc. Eval grams broadcast, corpus streams — the only shuffle is
+    // the final per-doc count. The oracle replays grams + the join in SQL.
+    "q57_decontamination" -> ((s, dir) =>
+      graft.operators.Decontamination
+        .flagWithinTable(s, t(s, dir, "documents"), "doc_id", "text", n = 5, evalEvery = 50)
+        .orderBy("doc_id")),
+
+    // Gopher/C4-style quality-filter rule battery: per-doc repetition +
+    // diversity signals and the AND-able rule bits, all shuffle-free.
+    "q58_quality_rules" -> ((s, dir) =>
+      TextAnalysis.qualityRules(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Corpus-level 3-gram novelty: fraction of each doc's distinct grams
+    // unique to it corpus-wide + max document frequency (boilerplate).
+    "q59_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
     "q22_ann_bruteforce" ->
@@ -872,5 +893,79 @@ object DocumentQueries {
         |FROM tok a JOIN tok b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // 5-gram replay + eval/corpus split + distinct-hit counts.
+    "q57_decontamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+        |                               FOR i IN range(1, len(w) - 3)])) AS gram
+        |  FROM t),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT c.doc_id, c.gram, ev.eval_id
+        |  FROM g c JOIN ev ON c.gram = ev.gram
+        |  WHERE c.doc_id % 50 <> 0)
+        |SELECT doc_id,
+        |       count(DISTINCT gram) AS n_hit_grams,
+        |       count(DISTINCT eval_id) AS n_eval_docs
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // signal replay: every ratio is ONE division of exact integers,
+    // rounded to 4 — the cross-engine-exact recipe q25 established.
+    "q58_quality_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |         len(toks) AS n_tok,
+        |         len(list_distinct(toks)) AS n_uniq,
+        |         list_sum(list_transform(toks, x -> length(x))) AS tot_len,
+        |         list_max(list_transform(list_distinct(toks),
+        |                                 d -> len(list_filter(toks, x -> x = d)))) AS top_cnt,
+        |         [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS g2
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_tok,
+        |         round(CAST(tot_len AS DOUBLE) / n_tok, 4) AS avg_tok_len,
+        |         round(CAST(n_uniq AS DOUBLE) / n_tok, 4) AS distinct_frac,
+        |         round(CAST(top_cnt AS DOUBLE) / n_tok, 4) AS top_tok_frac,
+        |         CASE WHEN len(g2) > 0
+        |              THEN round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+        |              ELSE 0.0 END AS dup_2gram_frac
+        |  FROM s),
+        |b AS (
+        |  SELECT doc_id, n_tok, avg_tok_len, distinct_frac, top_tok_frac, dup_2gram_frac,
+        |         CAST(n_tok BETWEEN 30 AND 50000 AS INT) AS r_len,
+        |         CAST(avg_tok_len >= 3.0 AND avg_tok_len <= 10.0 AS INT) AS r_wlen,
+        |         CAST(distinct_frac >= 0.25 AS INT) AS r_div,
+        |         CAST(dup_2gram_frac <= 0.9 AS INT) AS r_rep
+        |  FROM r)
+        |SELECT doc_id, n_tok AS n_tokens, avg_tok_len, distinct_frac, top_tok_frac,
+        |       dup_2gram_frac, r_len, r_wlen, r_div, r_rep,
+        |       r_len * r_wlen * r_div * r_rep AS pass
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // distinct 3-grams per doc → gram df (each doc contributes each gram
+    // once, so count(*) is df) → join back → per-doc novelty.
+    "q59_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                               FOR i IN range(1, len(w) - 1)])) AS gram
+        |  FROM t),
+        |f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+        |j AS (SELECT g.doc_id, f.df FROM g JOIN f USING (gram))
+        |SELECT doc_id, count(*) AS n_grams,
+        |       round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novel_frac,
+        |       max(df) AS max_df
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -132,6 +132,48 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(kept == viaScala.filter(col("dup_of") === -1).count())
   }
 
+  test("decontaminate TVF round-trips to the Scala flag pass exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfSmoke, "documents")
+    docs.filter(col("doc_id") % 50 =!= 0).createOrReplaceTempView("dc_corpus")
+    docs.filter(col("doc_id") % 50 === 0).createOrReplaceTempView("dc_eval")
+    val viaSql = spark.sql(
+      "SELECT * FROM decontaminate('dc_corpus', 'doc_id', 'text', 'dc_eval', 'doc_id', 'text', 5)")
+    val viaScala = graft.operators.Decontamination
+      .flagWithinTable(spark, docs, "doc_id", "text", 5, 50)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
+  test("ann_topk TVF round-trips to the Scala ANN paths exactly") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sfSmoke, "embeddings")
+    emb.createOrReplaceTempView("ann_emb")
+    emb.filter(col("vec_id") < 10).createOrReplaceTempView("ann_q")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    for (method <- Seq("brute", "lsh", "ivf")) {
+      val viaSql = spark.sql(
+        s"SELECT * FROM ann_topk('ann_q', 'vec_id', 'embedding', 'ann_emb', 'vec_id', 'embedding', 5, '$method')")
+      val viaScala = method match {
+        case "brute" => graft.operators.SimilaritySearch.bruteForceTopK(queries, corpus, 5)
+        case "lsh" => graft.operators.SimilaritySearch.lshTopK(queries, corpus, 5)
+        case "ivf" => graft.operators.SimilaritySearch.ivfTopK(queries, corpus, 5)
+      }
+      assert(viaSql.columns.toSeq == viaScala.columns.toSeq, method)
+      assert(
+        viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty,
+        method)
+    }
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM ann_topk('ann_q', 'vec_id', 'embedding', 'ann_emb', 'vec_id', 'embedding', 5, 'faiss')")
+        .collect()
+    }
+    assert(err.getMessage.contains("brute/lsh/ivf"), err.getMessage)
+  }
+
   test("subsequence_match TVF round-trips to the Scala matchED exactly") {
     import org.apache.spark.sql.functions._
     val series = graft.queries.SeqMatchQueries.deltaSeries(Tables(spark, sfSmoke, "events"))

@@ -57,6 +57,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_distinct_shingles") == 2) // "a b", "b a"
   }
 
+  test("quality rules on hand-computed documents") {
+    import spark.implicits._
+    val thirty = (1 to 30).map(i => f"word$i%02d").mkString(" ")
+    val df = Seq((1L, "a b a b a"), (2L, thirty)).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityRules(df, "doc_id", "text").orderBy("doc_id").collect()
+    // doc 1: 5 toks, top 'a'×3, 2-grams {ab,ba,ab,ba} → dup 0.5; fails
+    // length (5 < 30) and word-length (avg 1.0) rules
+    assert(r(0).getAs[Long]("n_tokens") == 5)
+    assert(r(0).getAs[Double]("top_tok_frac") == 0.6)
+    assert(r(0).getAs[Double]("dup_2gram_frac") == 0.5)
+    assert(r(0).getAs[Double]("distinct_frac") == 0.4)
+    assert(r(0).getAs[Int]("r_len") == 0)
+    assert(r(0).getAs[Int]("r_wlen") == 0)
+    assert(r(0).getAs[Int]("r_div") == 1)
+    assert(r(0).getAs[Int]("r_rep") == 1)
+    assert(r(0).getAs[Int]("pass") == 0)
+    // doc 2: 30 distinct 6-char words → every rule passes
+    assert(r(1).getAs[Long]("n_tokens") == 30)
+    assert(r(1).getAs[Double]("distinct_frac") == 1.0)
+    assert(r(1).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(r(1).getAs[Int]("pass") == 1)
+  }
+
+  test("ngram novelty separates shared from unique grams") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y z w"), // grams: "x y z", "y z w"
+      (2L, "x y z q"), // grams: "x y z", "y z q"
+      (3L, "a b")) // too short — absent from output
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNovelty(df, "doc_id", "text", 3).orderBy("doc_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("n_grams") == 2)
+    assert(r(0).getAs[Double]("novel_frac") == 0.5) // "y z w" unique, "x y z" shared
+    assert(r(0).getAs[Long]("max_df") == 2)
+    assert(r(1).getAs[Double]("novel_frac") == 0.5)
+  }
+
   test("stats run over the documents table without nulls") {
     val docs = Tables(spark, sfSmoke, "documents")
     val s = TextAnalysis.stats(docs, "doc_id", "text")
