@@ -48,6 +48,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => ArrayIntersectSize(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(
+        classOf[graft.functions.CosineSimilarity].getName,
+        null,
+        "cosine_sim",
+        "cosine_sim(a, b) - fused single-pass cosine similarity of two float arrays (ANN/semantic-dedup verify kernel).",
+        ""),
+      exprs => graft.functions.CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(
         classOf[SimHash64].getName,

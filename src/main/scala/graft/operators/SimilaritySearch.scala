@@ -30,7 +30,22 @@ object SimilaritySearch {
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Composed higher-order-function cosine — the SQL-shaped reference form
+    * every oracle replays. Kept as the equivalence baseline for
+    * [[graft.functions.CosineSimilarity]]; NOT used on hot paths:
+    * `aggregate`/`zip_with` are CodegenFallback and this tree is three
+    * passes over the arrays (re-evaluated per referencing column).
+    */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Fused single-pass native cosine (bit-identical to [[cosineComposed]],
+    * property-spec'd). Callers must have [[graft.functions.CosineSimilarity]]
+    * registered on the session — every operator entry point in this file
+    * and in [[graft.streaming.StreamingSemanticDedup]] does so.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_sim(a, b)
 
   /** Exact cosine top-k: for each query vector, the `k` nearest corpus
     * vectors (excluding identical ids). Queries are broadcast (the query
@@ -43,6 +58,7 @@ object SimilaritySearch {
       queries: DataFrame, // (q_id, q_emb)
       corpus: DataFrame, // (n_id, n_emb)
       k: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
     val scored = corpus
       .crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("n_id"))
@@ -79,6 +95,7 @@ object SimilaritySearch {
       tables: Int = 16,
       bits: Int = 8,
       dim: Int = 64): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
     val qB = bucketize(queries, "q_id", "q_emb", tables, bits, dim)
     val cB = bucketize(corpus, "n_id", "n_emb", tables, bits, dim)
     val cand = qB.join(cB, Seq("tbl", "bucket"))
@@ -113,6 +130,7 @@ object SimilaritySearch {
       k: Int,
       nCells: Int = 64,
       nProbe: Int = 8): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
     // deterministic centroid sample, spread by id hash. The hash is MD5 of
     // the decimal id string — bit-identical in any engine (unlike a seeded
     // xxhash64), which is what makes the whole IVF result SQL-oracle-able.
@@ -176,6 +194,7 @@ object SimilaritySearch {
       vectors: DataFrame, // (vid, emb)
       tau: Double,
       nCells: Int = 64): DataFrame = {
+    graft.functions.CosineSimilarity.register(vectors.sparkSession)
     val idHash = md5(col("c_src").cast("string"))
     val centroids = vectors
       .select(col("vid").as("c_src"), col("emb").as("c_emb"))
@@ -217,6 +236,7 @@ object SimilaritySearch {
       tables: Int = 16,
       bits: Int = 8,
       dim: Int = 64): DataFrame = {
+    graft.functions.CosineSimilarity.register(vectors.sparkSession)
     val b = bucketize(vectors, "vid", "emb", tables, bits, dim)
     val cand = b.select(col("vid").as("x_id"), col("tbl"), col("bucket"))
       .join(b.select(col("vid").as("y_id"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))

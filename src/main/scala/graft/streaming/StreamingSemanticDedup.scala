@@ -61,6 +61,7 @@ object StreamingSemanticDedup {
       compactEvery: Int = 8,
       store: StreamingDedup.StateStoreFactory = StreamingDedup.parquetStore): DataFrame = {
     val spark = vectors.sparkSession
+    graft.functions.CosineSimilarity.register(spark)
     val storage = StorageLevel.MEMORY_AND_DISK
 
     val root = workDir.getOrElse(Files.createTempDirectory("graft-semstream-").toString)

@@ -31,6 +31,47 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-12)
   }
 
+  test("native cosine_sim is bit-identical to the composed HOF form (400 random pairs + edges)") {
+    import spark.implicits._
+    // seeded vectors: negatives, zeros, denormal-ish magnitudes, mixed dims
+    val rnd = new scala.util.Random(42)
+    def vec(n: Int): Seq[Float] =
+      Seq.fill(n)((rnd.nextDouble() * 2 - 1).toFloat * (if (rnd.nextInt(10) == 0) 1e-20f else 1f))
+    val pairs = (0 until 400).map { i =>
+      val n = 1 + rnd.nextInt(96)
+      (i.toLong, vec(n), vec(n))
+    } ++ Seq(
+      (1002L, Seq(1f, 2f), Seq(3f, 4f, 5f))) // length mismatch → null both forms
+    val df = pairs.toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+    val both = df.select(
+        col("id"),
+        SimilaritySearch.cosine(col("a"), col("b")).as("fused"),
+        SimilaritySearch.cosineComposed(col("a"), col("b")).as("composed"))
+      .collect()
+    both.foreach { r =>
+      val (f, c) = (r.get(1), r.get(2))
+      assert(
+        (f == null && c == null) ||
+          (f != null && c != null &&
+            java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+              java.lang.Double.doubleToLongBits(r.getDouble(2))),
+        s"id=${r.getLong(0)}: fused=$f composed=$c")
+    }
+  }
+
+  test("cosine_sim null semantics: null array, null element, and zero norm all yield null") {
+    val df = spark.sql(
+      """SELECT cosine_sim(cast(array(1.0, 2.0) AS array<float>), cast(NULL AS array<float>)) AS a,
+        |       cosine_sim(cast(array(1.0, NULL) AS array<float>), cast(array(1.0, 2.0) AS array<float>)) AS b,
+        |       cosine_sim(cast(array(0.0, 0.0) AS array<float>), cast(array(1.0, 2.0) AS array<float>)) AS c""".stripMargin)
+    val r = df.head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // try_divide semantics on zero norm — the composed HOF form THROWS here
+    // under Spark 4 ANSI (a single zero embedding would kill a corpus job)
+    assert(r.isNullAt(2))
+  }
+
   // The synthetic embeddings are structureless (max natural pairwise cosine
   // ≈ 0.48; nearest neighbors sit at θ ≈ 70°), so recall tests use PLANTED
   // near-copies — the regime approximate search exists for. Natural-data
