@@ -52,6 +52,33 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Per-stratum weighted downsampling — the DOMAIN-MIXING step of a
+    * training-data pipeline (Pile/DoReMi-style source reweighting): keep
+    * each row with its stratum's rate, deterministically. A row survives
+    * iff hashUniform(id) < rate(stratum), so the operator is a pure
+    * scan-level filter: no shuffle, no RNG, stable under retries and
+    * incremental ingest, and a given document's fate never changes when
+    * OTHER sources' rates are retuned (resampling one domain does not
+    * churn the rest of the corpus — the property a seeded `rand()` pass
+    * does not have). Rates must be exactly-representable decimals written
+    * the way the oracle writes them (0.75, not 3.0/4) so the `<` compare
+    * is bit-identical cross-engine.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 1),
+      s"rates must be in [0,1]: $rates default=$defaultRate")
+    val u = hashUniform(col(idCol))
+    val rate = rates.foldRight(lit(defaultRate): Column) {
+      case ((name, r), els) => when(col(strataCol) === name, lit(r)).otherwise(els)
+    }
+    df.filter(u < rate)
+  }
+
   /** Keep at most `n` rows per stratum, chosen by MD5 order of the id (a
     * deterministic "random" cap). Two-phase per-group top-k underneath —
     * no stratum ever sorts in a single task. Output: input columns.

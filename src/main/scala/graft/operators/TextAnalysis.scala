@@ -214,6 +214,55 @@ object TextAnalysis {
         col("max_df"))
   }
 
+  /** One PII pattern for [[redactPii]]: output-column suffix, the regex
+    * (kept to syntax Java regex and RE2 evaluate identically — character
+    * classes, bounded repeats, ASCII `\b`; no backrefs or lookaround, so a
+    * DuckDB oracle replays counts and replacements bit-for-bit), and the
+    * replacement token.
+    */
+  final case class PiiPattern(name: String, regex: String, token: String)
+
+  /** Default detector battery: emails, NANP-style dashed phone numbers,
+    * dotted-quad IPv4 literals.
+    */
+  val DefaultPiiPatterns: Seq[PiiPattern] = Seq(
+    PiiPattern("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    PiiPattern("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+    PiiPattern("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** PII scrub (the redaction pass a training corpus runs before anything
+    * leaves the pipeline): count and mask each pattern in sequence —
+    * pattern i+1 is counted on the text with patterns ≤ i already masked,
+    * so overlapping hits are attributed to exactly one detector and the
+    * counts always agree with the final text. A pure corpus-linear
+    * projection (no shuffle, no UDF); each intermediate redaction is a
+    * separately staged alias so the regex subtree evaluates once per stage
+    * even though the next stage references it twice (count + replace) —
+    * the CollapseProject lesson from the quality-rule battery.
+    * Output: (id, n_<name> per pattern..., clean_text).
+    */
+  def redactPii(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[PiiPattern] = DefaultPiiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "at least one pattern")
+    val seeded = df.select(col(idCol), col(textCol).as("_t0"))
+    val (redacted, _) = patterns.zipWithIndex.foldLeft((seeded, "_t0")) {
+      case ((acc, cur), (p, i)) =>
+        val next = s"_t${i + 1}"
+        val stage = acc.select(
+          (acc.columns.filterNot(_ == cur).map(col) :+
+            regexp_count(col(cur), lit(p.regex)).cast("long").as(s"n_${p.name}") :+
+            regexp_replace(col(cur), p.regex, p.token).as(next)): _*)
+        (stage, next)
+    }
+    redacted.select(
+      (col(idCol) +:
+        patterns.map(p => col(s"n_${p.name}")) :+
+        col(s"_t${patterns.size}").as("clean_text")): _*)
+  }
+
   /** w-shingle fingerprint table: per document the distinct/total shingle
     * counts plus the shingle fingerprint array (xxhash64 of each w-token
     * window — the rolling-hash document-fingerprint shape). The hash

@@ -393,6 +393,49 @@ object DocumentQueries {
     // unique to it corpus-wide + max document frequency (boilerplate).
     "q59_ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id")),
+
+    // PII scrub (LLM op): the synthetic corpus carries no natural PII, so
+    // the fixture embeds deterministic emails/phones/IPs derived from
+    // doc_id (some docs get none — the clean path is exercised too); the
+    // operator then counts + masks each pattern in sequence. The oracle
+    // replays the fixture and the same regex battery in DuckDB.
+    "q60_pii_redact" -> ((s, dir) => {
+      val fx = t(s, dir, "documents").withColumn(
+        "pii_text",
+        concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" mail u"), col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit(" call 555-"),
+              lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+              lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit(" host 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1")))
+            .otherwise(lit(""))))
+      TextAnalysis.redactPii(fx, "doc_id", "pii_text").orderBy("doc_id")
+    }),
+
+    // Keyword retrieval top-k (LLM op): integer-exact BM25 surrogate over
+    // a fixed seed-term set — one corpus scan, one summary agg, global
+    // top-k via TakeOrderedAndProject. Ties broken by doc_id so the top-k
+    // SET is deterministic cross-engine.
+    "q61_keyword_topk" -> ((s, dir) =>
+      graft.operators.KeywordSearch.topK(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "vector", "window"), k = 25)),
+
+    // Domain-mixing weighted sample (LLM op): per-source keep rates via
+    // the MD5-uniform — scan-level filter, no shuffle; one source's rate
+    // change never churns another source's survivors.
+    "q62_weighted_mix" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+          t(s, dir, "documents"), "doc_id", "source",
+          Seq("src0" -> 0.9, "src1" -> 0.6, "src2" -> 0.3), defaultRate = 0.15)
+        .select(col("doc_id"), col("source"))
         .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
@@ -967,5 +1010,69 @@ object DocumentQueries {
         |SELECT doc_id, count(*) AS n_grams,
         |       round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novel_frac,
         |       max(df) AS max_df
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // fixture replay + the same sequential count-then-mask battery
+    // (regexes restricted to Java/RE2-identical syntax)
+    "q60_pii_redact" ->
+      """WITH fx AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 1
+        |            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |                 || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 2
+        |            THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END AS t0
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM fx),
+        |s2 AS (SELECT doc_id, n_email,
+        |  len(regexp_extract_all(t1, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_phone,
+        |  regexp_replace(t1, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS t2
+        |  FROM s1)
+        |SELECT doc_id, n_email, n_phone,
+        |  len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+        |  regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    // per-doc tf per term → one stats row (N, df) → integer score
+    // Σ tf·(N−df), positive scores, top-k with id tiebreak
+    "q61_keyword_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf0,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf1,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf2
+        |  FROM documents),
+        |st AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM tf),
+        |sc AS (SELECT doc_id,
+        |  CAST(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+        |       + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_hit,
+        |  CAST(tf0 * (n - df0) + tf1 * (n - df1) + tf2 * (n - df2) AS BIGINT) AS score
+        |  FROM tf, st)
+        |SELECT doc_id, n_hit, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // the q46 MD5-uniform replay + per-source rate CASE
+    "q62_weighted_mix" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |         CAST(list_sum(list_transform(range(0, 8), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS DOUBLE)
+        |           / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, source FROM u
+        |WHERE u < CASE source WHEN 'src0' THEN CAST(0.9 AS DOUBLE)
+        |                      WHEN 'src1' THEN CAST(0.6 AS DOUBLE)
+        |                      WHEN 'src2' THEN CAST(0.3 AS DOUBLE)
+        |                      ELSE CAST(0.15 AS DOUBLE) END
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -44,4 +44,27 @@ class SamplingSpec extends SparkSpec {
     assert(capped.exceptAll(again).isEmpty && again.exceptAll(capped).isEmpty)
     assert(capped.exceptAll(df).isEmpty) // selection only, rows unchanged
   }
+
+  test("weighted sample: per-stratum rates, nested survivors, isolation") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val kept = Sampling.weightedSample(df, "id", "src",
+      Seq("s0" -> 0.8, "s1" -> 0.4), defaultRate = 0.1)
+    val per = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    // 1000 rows per stratum; MD5-uniform keeps ≈ rate within a loose band
+    assert(per("s0") > 700 && per("s0") < 900, per.toString)
+    assert(per("s1") > 300 && per("s1") < 500, per.toString)
+    assert(per("s2") > 50 && per("s2") < 160, per.toString)
+    // lowering a rate yields a SUBSET (same hash, smaller threshold)
+    val fewer = Sampling.weightedSample(df, "id", "src",
+      Seq("s0" -> 0.4, "s1" -> 0.4), defaultRate = 0.1)
+    assert(fewer.filter($"src" === "s0").exceptAll(kept.filter($"src" === "s0")).isEmpty)
+    // ...and other strata are untouched by s0's retune
+    assert(fewer.filter($"src" =!= "s0").exceptAll(kept.filter($"src" =!= "s0")).isEmpty &&
+      kept.filter($"src" =!= "s0").exceptAll(fewer.filter($"src" =!= "s0")).isEmpty)
+    // deterministic across runs
+    val again = Sampling.weightedSample(df, "id", "src",
+      Seq("s0" -> 0.8, "s1" -> 0.4), defaultRate = 0.1)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
 }

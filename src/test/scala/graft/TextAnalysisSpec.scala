@@ -95,6 +95,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1).getAs[Double]("novel_frac") == 0.5)
   }
 
+  test("pii redaction: sequential count-then-mask on hand-built documents") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b@x.io or c@y.org call 555-123-4567 from 10.0.0.1"),
+      (2L, "no pii here at all"),
+      // phone-shaped digits INSIDE an email: attributed to email only
+      (3L, "v 555-123-4567@mail.com"),
+      (4L, "ips 1.2.3.4 10.20.30.40 and 999.999.999.999")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_email") == 2)
+    assert(r(0).getAs[Long]("n_phone") == 1)
+    assert(r(0).getAs[Long]("n_ip") == 1)
+    assert(r(0).getAs[String]("clean_text") ==
+      "mail <EMAIL> or <EMAIL> call <PHONE> from <IP>")
+    assert(r(1).getAs[Long]("n_email") + r(1).getAs[Long]("n_phone") +
+      r(1).getAs[Long]("n_ip") == 0)
+    assert(r(1).getAs[String]("clean_text") == "no pii here at all")
+    assert(r(2).getAs[Long]("n_email") == 1 && r(2).getAs[Long]("n_phone") == 0)
+    assert(r(3).getAs[Long]("n_ip") == 3) // {1,3}-octets: 999.⋯ matches too (documented)
+    // masked text never re-matches any pattern
+    val again = TextAnalysis.redactPii(
+      TextAnalysis.redactPii(df, "doc_id", "text")
+        .select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text")
+    assert(again.filter(col("n_email") + col("n_phone") + col("n_ip") > 0).count() == 0)
+  }
+
   test("stats run over the documents table without nulls") {
     val docs = Tables(spark, sfSmoke, "documents")
     val s = TextAnalysis.stats(docs, "doc_id", "text")
