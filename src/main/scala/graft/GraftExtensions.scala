@@ -173,6 +173,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "range_join(left, right, key, lTime, rTime, lower, upper) - pairs of same-key rows with rTime - lTime in [lower, upper] (long domain).",
         ""),
       exprs => GraftExtensions.rangeJoinPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("redact_pii"),
+      new ExpressionInfo(
+        classOf[graft.operators.TextAnalysis.type].getName,
+        null,
+        "redact_pii",
+        "redact_pii(table, idCol, textCol) - count + mask the default PII battery (email, phone, IPv4) in sequence: (id, n_email, n_phone, n_ip, clean_text).",
+        ""),
+      exprs => GraftExtensions.redactPiiPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("keyword_topk"),
+      new ExpressionInfo(
+        classOf[graft.operators.KeywordSearch.type].getName,
+        null,
+        "keyword_topk",
+        "keyword_topk(table, idCol, textCol, termsCsv, k) - k best docs by the integer-exact relevance sum tf*(N-df) over the comma-separated terms: (id, n_hit, score).",
+        ""),
+      exprs => GraftExtensions.keywordTopKPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("weighted_sample"),
+      new ExpressionInfo(
+        classOf[graft.operators.Sampling.type].getName,
+        null,
+        "weighted_sample",
+        "weighted_sample(table, idCol, strataCol, ratesCsv, defaultRate) - deterministic per-stratum downsampling by MD5-uniform; ratesCsv like 'src0:0.9,src1:0.6'.",
+        ""),
+      exprs => GraftExtensions.weightedSamplePlan(exprs)))
     ()
   }
 }
@@ -403,6 +430,61 @@ object GraftExtensions {
         Seq(strArg(n, exprs(2), "key")),
         strArg(n, exprs(3), "timeCol"),
         strArg(n, exprs(4), "tiebreak"))
+      .queryExecution.logical
+  }
+
+  private[graft] def redactPiiPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(
+      exprs.length == 3,
+      "redact_pii expects (table, idCol, textCol), got " + exprs.length + " arguments")
+    val n = "redact_pii"
+    graft.operators.TextAnalysis
+      .redactPii(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "textCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def keywordTopKPlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(
+      exprs.length == 5,
+      "keyword_topk expects (table, idCol, textCol, termsCsv, k), got " +
+        exprs.length + " arguments")
+    val n = "keyword_topk"
+    val terms = strArg(n, exprs(3), "termsCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, s"$n: termsCsv has no terms")
+    graft.operators.KeywordSearch
+      .topK(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "textCol"),
+        terms,
+        longArg(n, exprs(4), "k").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def weightedSamplePlan(exprs: Seq[Expression]): LogicalPlan = {
+    require(
+      exprs.length == 5,
+      "weighted_sample expects (table, idCol, strataCol, ratesCsv, defaultRate), got " +
+        exprs.length + " arguments")
+    val n = "weighted_sample"
+    val rates = strArg(n, exprs(3), "ratesCsv").split(",").map(_.trim).filter(_.nonEmpty)
+      .toSeq.map { kv =>
+        kv.split(":") match {
+          case Array(k, v) => k.trim -> v.trim.toDouble
+          case _ => throw new IllegalArgumentException(
+            s"$n: ratesCsv entries must be 'stratum:rate', got '$kv'")
+        }
+      }
+    graft.operators.Sampling
+      .weightedSample(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "strataCol"),
+        rates,
+        doubleArg(n, exprs(4), "defaultRate"))
       .queryExecution.logical
   }
 

@@ -104,6 +104,40 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(cjSql.exceptAll(cjScala).isEmpty && cjScala.exceptAll(cjSql).isEmpty)
   }
 
+  test("redact_pii TVF round-trips to the Scala redaction exactly") {
+    Tables(spark, sfSmoke, "documents").createOrReplaceTempView("pii_docs")
+    val viaSql = spark.sql("SELECT * FROM redact_pii('pii_docs', 'doc_id', 'text')")
+    val viaScala = graft.operators.TextAnalysis.redactPii(
+      Tables(spark, sfSmoke, "documents"), "doc_id", "text")
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
+  test("keyword_topk TVF round-trips to the Scala retrieval exactly") {
+    Tables(spark, sfSmoke, "documents").createOrReplaceTempView("kw_docs")
+    val viaSql = spark.sql(
+      "SELECT * FROM keyword_topk('kw_docs', 'doc_id', 'text', 'spark, vector', 10)")
+    val viaScala = graft.operators.KeywordSearch.topK(
+      Tables(spark, sfSmoke, "documents"), "doc_id", "text", Seq("spark", "vector"), 10)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    // ordered output: compare as sequences
+    assert(viaSql.collect().toSeq == viaScala.collect().toSeq)
+  }
+
+  test("weighted_sample TVF round-trips to the Scala sampler exactly") {
+    Tables(spark, sfSmoke, "documents").createOrReplaceTempView("ws_docs")
+    val viaSql = spark.sql(
+      "SELECT * FROM weighted_sample('ws_docs', 'doc_id', 'source', 'src0:0.9, src1:0.6', 0.15)")
+    val viaScala = graft.operators.Sampling.weightedSample(
+      Tables(spark, sfSmoke, "documents"), "doc_id", "source",
+      Seq("src0" -> 0.9, "src1" -> 0.6), defaultRate = 0.15)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+    val bad = intercept[IllegalArgumentException](
+      spark.sql("SELECT * FROM weighted_sample('ws_docs', 'doc_id', 'source', 'src0=0.9', 0.15)"))
+    assert(bad.getMessage.contains("stratum:rate"))
+  }
+
   test("minhash_dedup TVF round-trips to the Scala cluster labeling exactly") {
     Tables(spark, sfSmoke, "documents").createOrReplaceTempView("md_docs")
     val viaSql = spark.sql(
