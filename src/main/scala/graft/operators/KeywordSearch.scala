@@ -23,9 +23,17 @@ import org.apache.spark.sql.functions._
   * via cross-join; stage 3 scores and takes the global top-k through
   * TakeOrderedAndProject (per-partition heads, never a full sort). The tf
   * relation feeds both stage 2 and stage 3, and Spark would otherwise
-  * recompute it — scanning the TEXT twice — so it is persisted: tf is
-  * id + k longs (orders of magnitude smaller than the text it summarizes),
-  * making the expensive scan single-pass for the price of a slim cache.
+  * recompute it — scanning the TEXT twice — so it is materialized via an
+  * eager localCheckpoint: tf is id + k longs (orders of magnitude smaller
+  * than the text it summarizes), making the expensive scan single-pass.
+  * localCheckpoint rather than persist(): CacheManager pins persisted
+  * plans for the session lifetime, so a service calling topK repeatedly
+  * would accrete cache entries, while checkpoint blocks are reclaimed by
+  * ContextCleaner once the result is unreachable. The trades (documented
+  * because they are real): no lineage, so an executor loss mid-query
+  * fails the query instead of recomputing; and the RDD path hides the
+  * scan from AQE — harmless here, the downstream is a broadcast
+  * cross-join + TakeOrderedAndProject with no shuffle to re-plan.
   * Total cost: one corpus text scan + one count-style agg.
   *
   * Reference anchor: the word-frequency / targeted-fetch shape of the
@@ -55,7 +63,7 @@ object KeywordSearch {
         (col(idCol) +: terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("_toks"), x => x === lit(t))).cast("long").as(s"_tf_$i")
         }): _*)
-      .persist() // text-free (id + k longs); stats agg + scoring both read it
+      .localCheckpoint(true) // text-free (id + k longs); stats agg + scoring both read it
     // stage 2: one summary row (N, df per term)
     val stats = tf.agg(
       count(lit(1)).as("_n"),
