@@ -159,5 +159,10 @@ object Bench {
     val sfName = sfDir.split('/').last
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"sf":"$sfName"}""")
     spark.stop()
+    // spark.stop() does not end the JVM: streaming-harness non-daemon
+    // threads (observed post-print in solo runs) keep it alive until the
+    // harness timeout kills it — and a lingering 32-thread JVM contends
+    // with whatever runs next on the box. The line is printed; exit.
+    sys.exit(0)
   }
 }
