@@ -436,6 +436,22 @@ object DocumentQueries {
           t(s, dir, "documents"), "doc_id", "source",
           Seq("src0" -> 0.9, "src1" -> 0.6, "src2" -> 0.3), defaultRate = 0.15)
         .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
+    // Sequence packing (LLM op): concat-and-chunk the corpus into
+    // 128-token context windows across 8 independent id-sharded streams —
+    // pure integer window math, no global sort (see operators/Packing).
+    "q63_seq_packing" -> ((s, dir) =>
+      graft.operators.Packing
+        .packSpans(t(s, dir, "documents"), "doc_id", "text", budget = 128, nStreams = 8)
+        .orderBy("doc_id")),
+
+    // Block-level exact dedup (LLM op, Lee et al. 2021 shape): 8-token
+    // blocks, keep the globally first occurrence of each distinct block,
+    // reassemble survivors per document.
+    "q64_block_dedup" -> ((s, dir) =>
+      graft.operators.BlockDedup
+        .dedup(t(s, dir, "documents"), "doc_id", "text", blockWords = 8)
         .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
@@ -1074,5 +1090,42 @@ object DocumentQueries {
         |                      WHEN 'src1' THEN CAST(0.6 AS DOUBLE)
         |                      WHEN 'src2' THEN CAST(0.3 AS DOUBLE)
         |                      ELSE CAST(0.15 AS DOUBLE) END
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // per-stream running token offsets → integer pack spans
+    "q63_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS stream,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, stream, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM t)
+        |SELECT doc_id, stream, n_tokens, tok_start,
+        |  tok_start // 128 AS first_pack,
+        |  (tok_start + greatest(n_tokens, 1) - 1) // 128 AS last_pack
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // 8-token blocks, keep-first by (doc_id, bidx), reassemble in order
+    "q64_block_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |bl AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(greatest(ceil(len(tk) / 8.0), 1) AS BIGINT)),
+        |                   i -> array_to_string(tk[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')) AS blocks
+        |  FROM toks),
+        |b AS (SELECT doc_id, unnest(range(0, len(blocks))) AS bidx, unnest(blocks) AS block FROM bl),
+        |f AS (SELECT *, min(doc_id) OVER (PARTITION BY block) AS first_id FROM b),
+        |f2 AS (SELECT *,
+        |  min(CASE WHEN doc_id = first_id THEN bidx END) OVER (PARTITION BY block) AS first_bidx
+        |  FROM f),
+        |k AS (SELECT doc_id, bidx, block,
+        |  CASE WHEN doc_id = first_id AND bidx = first_bidx THEN 1 ELSE 0 END AS keep FROM f2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks, CAST(sum(keep) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN keep = 1 THEN block END, ' ' ORDER BY bidx), '') AS dedup_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }
