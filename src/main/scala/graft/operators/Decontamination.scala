@@ -65,6 +65,61 @@ object Decontamination {
         countDistinct(col("__eval_id")).as("n_eval_docs"))
   }
 
+  /** FUZZY decontamination: flag (corpus doc, eval doc) pairs whose
+    * word-token sets have exact Jaccard ≥ τ — the near-duplicate tier that
+    * exact n-gram matching misses (an eval document lightly paraphrased or
+    * truncated into the corpus shares few exact n-grams but keeps a high
+    * token-set Jaccard).
+    *
+    * Scale shape mirrors [[flag]]: the eval side is small, so BOTH its
+    * banded MinHash signatures and its token sets broadcast; the corpus
+    * streams — its own signature pass probes the broadcast band table, and
+    * survivors verify against the broadcast token sets with the exact
+    * intersection expression. The only exchange is the candidate-pair
+    * dedup (volume ∝ near-dup density × bands, never corpus-sized). LSH
+    * recall is set by b/r exactly as in [[Dedup.minhashDuplicatePairs]]
+    * (b=32, r=3 → miss ≈ 1e-10 at J=0.8).
+    *
+    * Output: one row per flagged pair, (id, eval_id, inter, uni) — exact
+    * set sizes, Jaccard = inter / uni derivable without float division.
+    */
+  def flagFuzzy(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      tau: Double,
+      bands: Int = 32,
+      rowsPerBand: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val corpusToks = SimilarityJoin.tokenize(corpus, idCol, textCol)
+    val evalToks = SimilarityJoin.tokenize(eval, evalIdCol, evalTextCol)
+    val corpusSigs = Dedup.bandSignatures(corpusToks, bands, rowsPerBand)
+    val evalSigs = Dedup.bandSignatures(evalToks, bands, rowsPerBand)
+      .select(col("sid").as("__eval_sid"), col("band"), col("bsig"))
+    graft.functions.ArrayIntersectSize.register(spark)
+    corpusSigs
+      .join(broadcast(evalSigs), Seq("band", "bsig"))
+      .select(col("sid"), col("__eval_sid"))
+      .dropDuplicates("sid", "__eval_sid")
+      .join(corpusToks.select(col("sid"), col("toks").as("__c_toks")), "sid")
+      .join(
+        broadcast(evalToks.select(col("sid").as("__eval_sid"), col("toks").as("__e_toks"))),
+        "__eval_sid")
+      .withColumn(
+        "inter",
+        graft.functions.ArrayIntersectSize.intersect_size(col("__c_toks"), col("__e_toks")))
+      .withColumn("uni", size(col("__c_toks")) + size(col("__e_toks")) - col("inter"))
+      .filter(col("inter").cast("double") >= col("uni") * tau)
+      .select(
+        col("sid").as(idCol),
+        col("__eval_sid").as("eval_id"),
+        col("inter").cast("long").as("inter"),
+        col("uni").cast("long").as("uni"))
+  }
+
   /** Convenience split used by the q57 query/oracle pair: eval set =
     * ids ≡ 0 (mod `evalEvery`), corpus = the rest.
     */

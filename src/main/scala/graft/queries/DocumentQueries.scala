@@ -452,7 +452,21 @@ object DocumentQueries {
     "q64_block_dedup" -> ((s, dir) =>
       graft.operators.BlockDedup
         .dedup(t(s, dir, "documents"), "doc_id", "text", blockWords = 8)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Fuzzy decontamination (LLM op): eval set = doc_id ≡ 0 (mod 50);
+    // corpus docs within token-set Jaccard ≥ 0.8 of any eval doc — LSH
+    // candidates against a broadcast eval side, exact-Jaccard decision.
+    // The oracle brute-forces corpus × eval (recall at b=32/r=3 is total).
+    "q65_decon_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val eval = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("__e_id"), col("text").as("__e_text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      graft.operators.Decontamination
+        .flagFuzzy(corpus, "doc_id", "text", eval, "__e_id", "__e_text", tau = 0.8)
+        .orderBy("doc_id", "eval_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q22_ann_bruteforce" ->
@@ -1127,5 +1141,22 @@ object DocumentQueries {
         |  CASE WHEN doc_id = first_id AND bidx = first_bidx THEN 1 ELSE 0 END AS keep FROM f2)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks, CAST(sum(keep) AS BIGINT) AS n_kept,
         |  COALESCE(string_agg(CASE WHEN keep = 1 THEN block END, ' ' ORDER BY bidx), '') AS dedup_text
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // brute-force corpus × eval exact token-set Jaccard ≥ 0.8
+    "q65_decon_fuzzy" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents),
+        |ev AS (SELECT doc_id AS eval_id, toks AS e_toks FROM tok WHERE doc_id % 50 = 0),
+        |co AS (SELECT doc_id, toks FROM tok WHERE doc_id % 50 <> 0),
+        |p AS (
+        |  SELECT co.doc_id, ev.eval_id,
+        |    CAST(len(list_intersect(co.toks, ev.e_toks)) AS BIGINT) AS inter,
+        |    CAST(len(co.toks) + len(ev.e_toks) - len(list_intersect(co.toks, ev.e_toks)) AS BIGINT) AS uni
+        |  FROM co, ev)
+        |SELECT doc_id, eval_id, inter, uni FROM p
+        |WHERE inter >= uni * 0.8
+        |ORDER BY doc_id, eval_id""".stripMargin)
 }
