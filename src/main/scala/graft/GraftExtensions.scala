@@ -200,6 +200,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "weighted_sample(table, idCol, strataCol, ratesCsv, defaultRate) - deterministic per-stratum downsampling by MD5-uniform; ratesCsv like 'src0:0.9,src1:0.6'.",
         ""),
       exprs => GraftExtensions.weightedSamplePlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("pack_sequences"),
+      new ExpressionInfo(
+        classOf[graft.operators.Packing.type].getName,
+        null,
+        "pack_sequences",
+        "pack_sequences(table, idCol, textCol, budget, nStreams) - concat-and-chunk sequence packing into budget-token context windows over id-sharded streams: (id, stream, n_tokens, tok_start, first_pack, last_pack).",
+        ""),
+      exprs => GraftExtensions.packSequencesPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("block_dedup"),
+      new ExpressionInfo(
+        classOf[graft.operators.BlockDedup.type].getName,
+        null,
+        "block_dedup",
+        "block_dedup(table, idCol, textCol, blockWords) - remove every repeated blockWords-token block except its globally first occurrence: (id, n_blocks, n_kept, dedup_text).",
+        ""),
+      exprs => GraftExtensions.blockDedupPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("decontaminate_fuzzy"),
+      new ExpressionInfo(
+        classOf[graft.operators.Decontamination.type].getName,
+        null,
+        "decontaminate_fuzzy",
+        "decontaminate_fuzzy(corpusTable, idCol, textCol, evalTable, evalId, evalText, tau) - (corpus doc, eval doc) pairs with token-set Jaccard >= tau via broadcast MinHash candidates + exact verify: (id, eval_id, inter, uni).",
+        ""),
+      exprs => GraftExtensions.decontaminateFuzzyPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("kmeans_assign"),
+      new ExpressionInfo(
+        classOf[graft.operators.Clustering.type].getName,
+        null,
+        "kmeans_assign",
+        "kmeans_assign(table, idCol, embCol, k, iters) - Lloyd k-means over an embedding column on the exact integer grid: (vid, cell, cell_n).",
+        ""),
+      exprs => GraftExtensions.kmeansAssignPlan(exprs)))
     ()
   }
 }
@@ -461,6 +497,70 @@ object GraftExtensions {
         strArg(n, exprs(2), "textCol"),
         terms,
         longArg(n, exprs(4), "k").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def packSequencesPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "pack_sequences"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, idCol, textCol, budget, nStreams), got " + exprs.length + " arguments")
+    graft.operators.Packing
+      .packSpans(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "textCol"),
+        longArg(n, exprs(3), "budget"),
+        longArg(n, exprs(4), "nStreams").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def blockDedupPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "block_dedup"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, idCol, textCol, blockWords), got " + exprs.length + " arguments")
+    graft.operators.BlockDedup
+      .dedup(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "textCol"),
+        longArg(n, exprs(3), "blockWords").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def decontaminateFuzzyPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "decontaminate_fuzzy"
+    require(
+      exprs.length == 7,
+      s"$n expects (corpusTable, idCol, textCol, evalTable, evalId, evalText, tau), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    graft.operators.Decontamination
+      .flagFuzzy(
+        spark.table(strArg(n, exprs.head, "corpusTable")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "textCol"),
+        spark.table(strArg(n, exprs(3), "evalTable")),
+        strArg(n, exprs(4), "evalId"),
+        strArg(n, exprs(5), "evalText"),
+        doubleArg(n, exprs(6), "tau"))
+      .queryExecution.logical
+  }
+
+  private[graft] def kmeansAssignPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "kmeans_assign"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, idCol, embCol, k, iters), got " + exprs.length + " arguments")
+    val df = SparkSession.active.table(strArg(n, exprs.head, "table"))
+    graft.operators.Clustering
+      .kmeansAssign(
+        df.select(
+          org.apache.spark.sql.functions.col(strArg(n, exprs(1), "idCol")).as("vid"),
+          org.apache.spark.sql.functions.col(strArg(n, exprs(2), "embCol")).as("emb")),
+        longArg(n, exprs(3), "k").toInt,
+        longArg(n, exprs(4), "iters").toInt)
       .queryExecution.logical
   }
 

@@ -466,6 +466,30 @@ object DocumentQueries {
       graft.operators.Decontamination
         .flagFuzzy(corpus, "doc_id", "text", eval, "__e_id", "__e_text", tau = 0.8)
         .orderBy("doc_id", "eval_id")
+    }),
+
+    // K-means over embeddings (LLM op): 2 Lloyd rounds, k=8, on the
+    // integer quantization grid — assignments are exact-integer decisions
+    // (one IEEE division each), so the oracle replays them bit-for-bit.
+    "q66_kmeans" -> ((s, dir) =>
+      graft.operators.Clustering
+        .kmeansAssign(
+          t(s, dir, "embeddings").select(col("vec_id").as("vid"), col("embedding").as("emb")),
+          k = 8, iters = 2)
+        .withColumnRenamed("vid", "vec_id")
+        .orderBy("vec_id")),
+
+    // Cluster-balanced sampling (LLM op): the diversity-preserving cap —
+    // k-means cells (q66) capped at 40 members each through the
+    // MD5-deterministic stratified sampler (q47's machinery). Big cells
+    // shrink, small cells survive whole.
+    "q67_cluster_sample" -> ((s, dir) => {
+      val cells = graft.operators.Clustering.kmeansAssign(
+        t(s, dir, "embeddings").select(col("vec_id").as("vid"), col("embedding").as("emb")),
+        k = 8, iters = 2)
+      graft.operators.Sampling
+        .stratifiedCap(cells.select(col("vid").as("vec_id"), col("cell")), "cell", "vec_id", 40)
+        .orderBy("vec_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1158,5 +1182,90 @@ object DocumentQueries {
         |  FROM co, ev)
         |SELECT doc_id, eval_id, inter, uni FROM p
         |WHERE inter >= uni * 0.8
-        |ORDER BY doc_id, eval_id""".stripMargin)
+        |ORDER BY doc_id, eval_id""".stripMargin,
+
+    // quantized-grid Lloyd, two unrolled rounds; distance = exact integer
+    // numerator / cnt² (single IEEE division), argmin tie-broken by cell
+    "q66_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT) FOR x IN embedding] AS qe
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+        |         qe AS s, CAST(1 AS BIGINT) AS cnt
+        |  FROM q QUALIFY cell <= 8),
+        |a0 AS (SELECT vec_id, qe, cell FROM (
+        |  SELECT q.vec_id, q.qe, c.cell,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65),
+        |        i -> (c.cnt*q.qe[i] - c.s[i]) * (c.cnt*q.qe[i] - c.s[i]))) AS DOUBLE)
+        |        / CAST(c.cnt*c.cnt AS DOUBLE), c.cell) AS rn
+        |  FROM q, c0 c) WHERE rn = 1),
+        |s1 AS (SELECT cell, i, CAST(sum(qe[i]) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM a0, range(1, 65) t(i) GROUP BY cell, i),
+        |c1 AS (SELECT cell, list(sv ORDER BY i) AS s, min(cnt) AS cnt FROM s1 GROUP BY cell),
+        |a1 AS (SELECT vec_id, qe, cell FROM (
+        |  SELECT q.vec_id, q.qe, c.cell,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65),
+        |        i -> (c.cnt*q.qe[i] - c.s[i]) * (c.cnt*q.qe[i] - c.s[i]))) AS DOUBLE)
+        |        / CAST(c.cnt*c.cnt AS DOUBLE), c.cell) AS rn
+        |  FROM q, c1 c) WHERE rn = 1),
+        |s2 AS (SELECT cell, i, CAST(sum(qe[i]) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM a1, range(1, 65) t(i) GROUP BY cell, i),
+        |c2 AS (SELECT cell, list(sv ORDER BY i) AS s, min(cnt) AS cnt FROM s2 GROUP BY cell),
+        |a2 AS (SELECT vec_id, cell FROM (
+        |  SELECT q.vec_id, c.cell,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65),
+        |        i -> (c.cnt*q.qe[i] - c.s[i]) * (c.cnt*q.qe[i] - c.s[i]))) AS DOUBLE)
+        |        / CAST(c.cnt*c.cnt AS DOUBLE), c.cell) AS rn
+        |  FROM q, c2 c) WHERE rn = 1)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+        |       CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
+        |FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // q66's Lloyd replay + the q47 MD5-deterministic per-cell cap
+    "q67_cluster_sample" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT) FOR x IN embedding] AS qe
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+        |         qe AS s, CAST(1 AS BIGINT) AS cnt
+        |  FROM q QUALIFY cell <= 8),
+        |a0 AS (SELECT vec_id, qe, cell FROM (
+        |  SELECT q.vec_id, q.qe, c.cell,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65),
+        |        i -> (c.cnt*q.qe[i] - c.s[i]) * (c.cnt*q.qe[i] - c.s[i]))) AS DOUBLE)
+        |        / CAST(c.cnt*c.cnt AS DOUBLE), c.cell) AS rn
+        |  FROM q, c0 c) WHERE rn = 1),
+        |s1 AS (SELECT cell, i, CAST(sum(qe[i]) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM a0, range(1, 65) t(i) GROUP BY cell, i),
+        |c1 AS (SELECT cell, list(sv ORDER BY i) AS s, min(cnt) AS cnt FROM s1 GROUP BY cell),
+        |a1 AS (SELECT vec_id, qe, cell FROM (
+        |  SELECT q.vec_id, q.qe, c.cell,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65),
+        |        i -> (c.cnt*q.qe[i] - c.s[i]) * (c.cnt*q.qe[i] - c.s[i]))) AS DOUBLE)
+        |        / CAST(c.cnt*c.cnt AS DOUBLE), c.cell) AS rn
+        |  FROM q, c1 c) WHERE rn = 1),
+        |s2 AS (SELECT cell, i, CAST(sum(qe[i]) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM a1, range(1, 65) t(i) GROUP BY cell, i),
+        |c2 AS (SELECT cell, list(sv ORDER BY i) AS s, min(cnt) AS cnt FROM s2 GROUP BY cell),
+        |a2 AS (SELECT vec_id, cell FROM (
+        |  SELECT q.vec_id, c.cell,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65),
+        |        i -> (c.cnt*q.qe[i] - c.s[i]) * (c.cnt*q.qe[i] - c.s[i]))) AS DOUBLE)
+        |        / CAST(c.cnt*c.cnt AS DOUBLE), c.cell) AS rn
+        |  FROM q, c2 c) WHERE rn = 1)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a2
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY cell
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 40
+        |ORDER BY vec_id""".stripMargin)
 }

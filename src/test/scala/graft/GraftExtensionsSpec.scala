@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit, pmod}
+
 import graft.core.Tables
 import graft.operators.SimilarityJoin
 
@@ -231,6 +233,48 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT * FROM similarity_join(1, 'a', 'b', 0.8)").collect()
     }
     assert(e.getMessage.contains("string literal"), e.getMessage)
+  }
+
+  test("pack_sequences TVF round-trips to the Scala packing exactly") {
+    Tables(spark, sfSmoke, "documents").createOrReplaceTempView("pack_docs")
+    val viaSql = spark.sql("SELECT * FROM pack_sequences('pack_docs', 'doc_id', 'text', 128, 8)")
+    val viaScala = graft.operators.Packing.packSpans(
+      Tables(spark, sfSmoke, "documents"), "doc_id", "text", 128, 8)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
+  test("block_dedup TVF round-trips to the Scala dedup exactly") {
+    Tables(spark, sfSmoke, "documents").createOrReplaceTempView("bd_docs")
+    val viaSql = spark.sql("SELECT * FROM block_dedup('bd_docs', 'doc_id', 'text', 8)")
+    val viaScala = graft.operators.BlockDedup.dedup(
+      Tables(spark, sfSmoke, "documents"), "doc_id", "text", 8)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
+  test("decontaminate_fuzzy TVF round-trips to the Scala flagFuzzy exactly") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    docs.filter(pmod(col("doc_id"), lit(50)) === 0).createOrReplaceTempView("df_eval")
+    docs.filter(pmod(col("doc_id"), lit(50)) =!= 0).createOrReplaceTempView("df_corpus")
+    val viaSql = spark.sql(
+      "SELECT * FROM decontaminate_fuzzy('df_corpus', 'doc_id', 'text', 'df_eval', 'doc_id', 'text', 0.8)")
+    val viaScala = graft.operators.Decontamination.flagFuzzy(
+      docs.filter(pmod(col("doc_id"), lit(50)) =!= 0), "doc_id", "text",
+      docs.filter(pmod(col("doc_id"), lit(50)) === 0), "doc_id", "text", 0.8)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
+  test("kmeans_assign TVF round-trips to the Scala Lloyd pass exactly") {
+    Tables(spark, sfSmoke, "embeddings").createOrReplaceTempView("km_embs")
+    val viaSql = spark.sql("SELECT * FROM kmeans_assign('km_embs', 'vec_id', 'embedding', 8, 2)")
+    val viaScala = graft.operators.Clustering.kmeansAssign(
+      Tables(spark, sfSmoke, "embeddings")
+        .select(col("vec_id").as("vid"), col("embedding").as("emb")),
+      8, 2)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
   }
 
   test("intersect_size resolves in fresh sessions through the extensions") {
