@@ -89,8 +89,11 @@ object Clustering {
       assigned = assign(cents)
     }
 
+    // cell sizes as a k-row broadcast join, not a window: a window
+    // partitioned by cell funnels the whole corpus through k partitions
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_n"))
     assigned
-      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy("cell")))
+      .join(broadcast(sizes), "cell")
       .select(col("vid"), col("cell").cast("long").as("cell"), col("cell_n"))
   }
 }

@@ -100,11 +100,15 @@ object Decontamination {
     val evalSigs = Dedup.bandSignatures(evalToks, bands, rowsPerBand)
       .select(col("sid").as("__eval_sid"), col("band"), col("bsig"))
     graft.functions.ArrayIntersectSize.register(spark)
-    corpusSigs
+    val candidates = corpusSigs
       .join(broadcast(evalSigs), Seq("band", "bsig"))
       .select(col("sid"), col("__eval_sid"))
       .dropDuplicates("sid", "__eval_sid")
-      .join(corpusToks.select(col("sid"), col("toks").as("__c_toks")), "sid")
+    // candidates are the BUILD side (flagged fraction ≪ corpus; without the
+    // hint Catalyst happily broadcasts the corpus tokens when local stats
+    // look small — exactly the plan that dies at scale)
+    corpusToks.select(col("sid"), col("toks").as("__c_toks"))
+      .join(broadcast(candidates), "sid")
       .join(
         broadcast(evalToks.select(col("sid").as("__eval_sid"), col("toks").as("__e_toks"))),
         "__eval_sid")
