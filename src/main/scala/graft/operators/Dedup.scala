@@ -178,6 +178,38 @@ object Dedup {
       .select(col("id").as("sid"), col("rep"))
   }
 
+  /** Dedup with a QUALITY-AWARE survivor policy: cluster as in
+    * [[minhashDedup]], then keep per cluster the record with the highest
+    * `score` (ties → smaller id) instead of the smallest id — the policy
+    * real curation pipelines run (keep the longest / highest-quality copy
+    * of a near-duplicate group, drop the rest).
+    *
+    * `scores` is (sid, score) with an integer score so survivor choice is
+    * exact. Scale shape: clusters come from the bucketed LSH + CC passes;
+    * the survivor argmax is one groupBy(rep) over (id, rep, score) rows —
+    * cluster count ∝ corpus, so the best-table joins back by rep
+    * (hash-partitioned both sides), never a broadcast.
+    * Output: (sid, rep, keep) — keep = 1 on each cluster's survivor.
+    */
+  def minhashDedupKeepBest(
+      tokens: DataFrame,
+      scores: DataFrame,
+      tau: Double,
+      bands: Int = 32,
+      rowsPerBand: Int = 3): DataFrame = {
+    val clusters = minhashDedup(tokens, tau, bands, rowsPerBand)
+    val scored = clusters.join(scores, "sid")
+    val best = scored
+      .groupBy("rep")
+      .agg(max_by(col("sid"), struct(col("score"), -col("sid"))).as("best_sid"))
+    scored
+      .join(best, "rep")
+      .select(
+        col("sid"),
+        col("rep"),
+        (col("sid") === col("best_sid")).cast("long").as("keep"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash fingerprint: bit p is set iff the sum over tokens of

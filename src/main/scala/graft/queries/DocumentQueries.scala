@@ -490,7 +490,40 @@ object DocumentQueries {
       graft.operators.Sampling
         .stratifiedCap(cells.select(col("vid").as("vec_id"), col("cell")), "cell", "vec_id", 40)
         .orderBy("vec_id")
-    }))
+    }),
+
+    // Quality-aware dedup survivors (LLM op): q19's clusters, but the kept
+    // copy is the LONGEST (n_chars) member, ties to the smaller id — the
+    // keep-best policy curation pipelines actually run.
+    "q68_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tokens = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val scores = docs.select(col("doc_id").as("sid"), col("n_chars").as("score"))
+      Dedup.minhashDedupKeepBest(tokens, scores, tau = 0.8)
+        .withColumnRenamed("sid", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Pack manifest (LLM op): per context window of the q63 packing, the
+    // contributing doc count and filled token slots — interior packs are
+    // exactly full by construction.
+    "q69_pack_manifest" -> ((s, dir) =>
+      graft.operators.Packing
+        .packManifest(t(s, dir, "documents"), "doc_id", "text", budget = 128, nStreams = 8)
+        .orderBy("stream", "pack")),
+
+    // Exact per-source token-length percentiles (LLM op): histogram-first
+    // quantiles — the data-sized work is one partial-aggregated count;
+    // ranks are integer-exact (percentile_disc contract).
+    "q70_length_percentiles" -> ((s, dir) =>
+      graft.operators.Quantiles
+        .exactQuantiles(
+          t(s, dir, "documents").select(
+            col("source"),
+            size(filter(split(col("text"), " "), x => length(x) > 0)).cast("long").as("ntok")),
+          "source", "ntok",
+          Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+        .orderBy("source")))
 
   val oracles: Map[String, String] = Map(
     "q22_ann_bruteforce" ->
@@ -1267,5 +1300,73 @@ object DocumentQueries {
         |QUALIFY row_number() OVER (
         |  PARTITION BY cell
         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 40
-        |ORDER BY vec_id""".stripMargin)
+        |ORDER BY vec_id""".stripMargin,
+
+    // q19's brute-force clusters + longest-member survivor (ties → min id)
+    "q68_dedup_keep_best" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |edges AS (SELECT x AS a, y AS b FROM pairs UNION SELECT y, x FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (
+        |  SELECT d.doc_id,
+        |         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep
+        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT lab.doc_id, lab.rep,
+        |  CAST(CASE WHEN row_number() OVER (
+        |    PARTITION BY lab.rep ORDER BY d.n_chars DESC, lab.doc_id) = 1
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM lab JOIN documents d ON d.doc_id = lab.doc_id
+        |ORDER BY lab.doc_id""".stripMargin,
+
+    // q63's span math exploded per overlapped pack, clipped overlap sums
+    "q69_pack_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS stream,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, stream, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM t),
+        |x AS (
+        |  SELECT stream, tok_start, n_tokens,
+        |    unnest(range(tok_start // 128,
+        |                 (tok_start + greatest(n_tokens, 1) - 1) // 128 + 1)) AS pack
+        |  FROM c)
+        |SELECT stream, pack,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(tok_start + n_tokens, (pack + 1) * 128) -
+        |           greatest(tok_start, pack * 128)) AS BIGINT) AS fill_tokens
+        |FROM x GROUP BY stream, pack
+        |ORDER BY stream, pack""".stripMargin,
+
+    // histogram-first exact percentile_disc ranks, integer thresholds
+    "q70_length_percentiles" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS v
+        |  FROM documents),
+        |h AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY source, v),
+        |r AS (SELECT source, v,
+        |        SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |        SUM(c) OVER (PARTITION BY source) AS n
+        |      FROM h)
+        |SELECT source, CAST(min(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum >= (9*n + 9) // 10 THEN v END) AS BIGINT) AS p90,
+        |  CAST(min(CASE WHEN cum >= (99*n + 99) // 100 THEN v END) AS BIGINT) AS p99
+        |FROM r GROUP BY source ORDER BY source""".stripMargin)
 }

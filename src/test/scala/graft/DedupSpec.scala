@@ -134,4 +134,34 @@ class DedupSpec extends SparkSpec {
     val plan = Dedup.minhashDuplicatePairs(toks, 0.8).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("keep-best survivors: highest score wins its cluster, ties to smaller id") {
+    import spark.implicits._
+    // docs 1,2,3 are one near-dup cluster (identical token sets); 4 alone
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5", 10L),
+      (2L, "w5 w4 w3 w2 w1", 50L), // longest — must be the survivor
+      (3L, "w1 w2 w3 w4 w5", 50L), // same score: loses the tie to id 2
+      (4L, "z1 z2 z3 z4 z5", 1L)
+    ).toDF("doc_id", "text", "score")
+    val tokens = graft.operators.SimilarityJoin.tokenize(df, "doc_id", "text")
+    val scores = df.select(col("doc_id").as("sid"), col("score"))
+    val out = Dedup.minhashDedupKeepBest(tokens, scores, tau = 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 0L)))
+    assert(out(2L) == ((1L, 1L))) // survivor despite not being the min id
+    assert(out(3L) == ((1L, 0L)))
+    assert(out(4L) == ((4L, 1L))) // singleton keeps itself
+  }
+
+  test("keep-best: exactly one survivor per cluster on the corpus") {
+    val docs = graft.core.Tables(spark, sfSmoke, "documents")
+    val tokens = graft.operators.SimilarityJoin.tokenize(docs, "doc_id", "text")
+    val scores = docs.select(col("doc_id").as("sid"), col("n_chars").as("score"))
+    val out = Dedup.minhashDedupKeepBest(tokens, scores, 0.8)
+    val perCluster = out.groupBy("rep")
+      .agg(org.apache.spark.sql.functions.sum("keep").as("k"))
+    assert(perCluster.filter(col("k") =!= 1).isEmpty)
+    assert(out.count() == docs.count())
+  }
 }

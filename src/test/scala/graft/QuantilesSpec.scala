@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quantiles
+
+class QuantilesSpec extends SparkSpec {
+  init()
+
+  import spark.implicits._
+
+  test("histogram quantiles equal the sorted-multiset definition") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 2000).map(i => (s"g${i % 3}", (rnd.nextInt(40) + 1).toLong))
+    val df = rows.toDF("g", "v")
+    val got = Quantiles
+      .exactQuantiles(df, "g", "v", Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      val n = sorted.length
+      def disc(num: Long, den: Long): Long = sorted(((num * n + den - 1) / den - 1).toInt)
+      assert(got(g) == ((n.toLong, disc(1, 2), disc(9, 10), disc(99, 100))), g)
+    }
+  }
+
+  test("quantiles of a group are untouched by other groups; edge quantiles hit min/max") {
+    val df = Seq(("a", 5L), ("a", 1L), ("a", 9L), ("b", 1000L)).toDF("g", "v")
+    val got = Quantiles
+      .exactQuantiles(df, "g", "v", Seq(("lo", 1L, 3L), ("hi", 1L, 1L)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((3L, 1L, 9L))) // ceil(n/3)=1 → min; q=1 → max
+    assert(got("b") == ((1L, 1000L, 1000L)))
+  }
+
+  test("the data-sized aggregation is partial (histogram shape, no row-level window)") {
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("g", "v")
+    val plan = Quantiles.exactQuantiles(df, "g", "v", Seq(("p50", 1L, 2L)))
+      .queryExecution.executedPlan.toString
+    // the first aggregate over raw rows must map-side combine
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+  }
+}
