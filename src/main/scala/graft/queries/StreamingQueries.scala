@@ -119,6 +119,17 @@ object StreamingQueries {
         .orderBy("vec_id")
     }),
 
+    // STREAMING sequence packing (continuous-ingestion form of q63):
+    // documents replayed as 4 ascending-id micro-batches; per-stream next
+    // token offsets live in keyed state (flatMapGroupsWithState). With
+    // id-ordered arrival the result is IDENTICAL to batch packing, so the
+    // oracle is q63's window SQL verbatim.
+    "q71_stream_packing" -> ((s, dir) =>
+      graft.streaming.StreamingPacking
+        .run(t(s, dir, "documents"), "doc_id", "text",
+          budget = 128, nStreams = 8, chunks = 4)
+        .orderBy("doc_id")),
+
     // AS-OF join (time-series point lookup): each click event matched to
     // the most recent view event of the SAME user at or before it — the
     // EPOCH-BUCKETED form (1-hour buckets): running-last windows per
@@ -261,6 +272,23 @@ object StreamingQueries {
         |SELECT e.vec_id, coalesce(m.dup_of, -1) AS dup_of
         |FROM emb e LEFT JOIN m ON e.vec_id = m.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+
+    // identical to q63's batch-packing oracle: id-ordered arrival makes
+    // streaming ≡ batch (the state is just each stream's running offset)
+    "q71_stream_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS stream,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, stream, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM t)
+        |SELECT doc_id, stream, n_tokens, tok_start,
+        |  tok_start // 128 AS first_pack,
+        |  (tok_start + greatest(n_tokens, 1) - 1) // 128 AS last_pack
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // native ASOF JOIN; the right side deduped to max view_id per
     // (user_id, ts) — the operator's deterministic tiebreak. Both sides
