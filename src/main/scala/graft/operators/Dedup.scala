@@ -210,6 +210,36 @@ object Dedup {
         (col("sid") === col("best_sid")).cast("long").as("keep"))
   }
 
+  /** HYBRID dedup: duplicate clusters over the UNION of two evidence
+    * tiers — token-set near-duplication (MinHash candidates + exact
+    * Jaccard ≥ `tauText`) and semantic near-duplication (same-IVF-cell
+    * embedding cosine ≥ `tauSem`). A lightly-paraphrased copy fails the
+    * token test but keeps high cosine; a template with swapped entities
+    * keeps the tokens but drifts semantically — each tier catches what the
+    * other misses, and connected components merge the evidence (a doc
+    * token-dup of A and semantic-dup of B puts A, B, and the doc in one
+    * cluster).
+    *
+    * `vectors` may cover only part of the corpus (docs without embeddings
+    * get the token tier only). Both edge generators are the existing
+    * bucketed passes — the union adds no new shuffle shape.
+    * Output: (sid, rep) for every row of `tokens`.
+    */
+  def hybridDedup(
+      tokens: DataFrame,
+      vectors: DataFrame,
+      tauText: Double,
+      tauSem: Double,
+      nCells: Int = 64): DataFrame = {
+    val textEdges = minhashDuplicatePairs(tokens, tauText)
+      .select(col("x_id").as("a"), col("y_id").as("b"))
+    val semEdges = SimilaritySearch.cellPairs(vectors, tauSem, nCells)
+      .select(col("x_id").as("a"), col("y_id").as("b"))
+    val edges = textEdges.unionByName(semEdges).dropDuplicates("a", "b")
+    connectedComponents(tokens.select(col("sid").as("id")), edges)
+      .select(col("id").as("sid"), col("rep"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash fingerprint: bit p is set iff the sum over tokens of

@@ -172,6 +172,44 @@ object SimilaritySearch {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** Deterministic IVF cell assignment shared by the SemDeDup family:
+    * MD5-ordered centroid sample, best-cosine cell, smaller cell on ties.
+    * Output: (vid, emb, cell).
+    */
+  private[graft] def assignCells(vectors: DataFrame, nCells: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(vectors.sparkSession)
+    val idHash = md5(col("c_src").cast("string"))
+    val centroids = vectors
+      .select(col("vid").as("c_src"), col("emb").as("c_emb"))
+      .orderBy(md5(col("c_src").cast("string")), col("c_src"))
+      .limit(nCells)
+      .withColumn(
+        "cell",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(idHash, col("c_src"))))
+      .select("cell", "c_emb")
+    vectors
+      .crossJoin(broadcast(centroids))
+      .groupBy("vid")
+      .agg(
+        first(col("emb")).as("emb"),
+        max_by(col("cell"), struct(cosine(col("emb"), col("c_emb")), -col("cell"))).as("cell"))
+  }
+
+  /** Same-cell near-duplicate pairs at cosine ≥ τ — the SemDeDup edge set
+    * as ordered pairs (y_id < x_id), for composition with other dedup
+    * tiers (see [[Dedup.hybridDedup]]). Candidate volume is Σ|cell|².
+    */
+  def cellPairs(vectors: DataFrame, tau: Double, nCells: Int = 64): DataFrame = {
+    val assigned = assignCells(vectors, nCells)
+    val x = assigned.select(col("vid").as("x_id"), col("emb").as("x_emb"), col("cell"))
+    val y = assigned.select(col("vid").as("y_id"), col("emb").as("y_emb"), col("cell"))
+    x.join(y, Seq("cell"))
+      .filter(col("y_id") < col("x_id"))
+      .filter(cosine(col("x_emb"), col("y_emb")) >= tau)
+      .select(col("x_id"), col("y_id"))
+  }
+
   /** SEMANTIC deduplication over embeddings (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): coarse-quantize the corpus into IVF cells, then
     * drop near-duplicates WITHIN each cell — the curation step that
@@ -194,24 +232,7 @@ object SimilaritySearch {
       vectors: DataFrame, // (vid, emb)
       tau: Double,
       nCells: Int = 64): DataFrame = {
-    graft.functions.CosineSimilarity.register(vectors.sparkSession)
-    val idHash = md5(col("c_src").cast("string"))
-    val centroids = vectors
-      .select(col("vid").as("c_src"), col("emb").as("c_emb"))
-      .orderBy(md5(col("c_src").cast("string")), col("c_src"))
-      .limit(nCells)
-      .withColumn(
-        "cell",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(idHash, col("c_src"))))
-      .select("cell", "c_emb")
-
-    val assigned = vectors
-      .crossJoin(broadcast(centroids))
-      .groupBy("vid")
-      .agg(
-        first(col("emb")).as("emb"),
-        max_by(col("cell"), struct(cosine(col("emb"), col("c_emb")), -col("cell"))).as("cell"))
+    val assigned = assignCells(vectors, nCells)
 
     val x = assigned.select(col("vid").as("x_id"), col("emb").as("x_emb"), col("cell"))
     val y = assigned.select(col("vid").as("y_id"), col("emb").as("y_emb"), col("cell"))

@@ -523,7 +523,38 @@ object DocumentQueries {
             size(filter(split(col("text"), " "), x => length(x) > 0)).cast("long").as("ntok")),
           "source", "ntok",
           Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
-        .orderBy("source")))
+        .orderBy("source")),
+
+    // Hybrid dedup (LLM op): clusters over the UNION of token-Jaccard
+    // (≥0.8) and same-IVF-cell embedding-cosine (≥0.985) evidence —
+    // each tier catches near-dups the other misses; CC merges them.
+    // Embeddings cover only a corpus prefix at sf0.1 — the partial-
+    // coverage path is the production shape.
+    "q72_hybrid_dedup" -> ((s, dir) => {
+      val tokens = SimilarityJoin.tokenize(t(s, dir, "documents"), "doc_id", "text")
+      val vectors = t(s, dir, "embeddings")
+        .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+      Dedup.hybridDedup(tokens, vectors, tauText = 0.8, tauSem = 0.985)
+        .withColumnRenamed("sid", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Adaptive per-source quality floor (LLM op): drop each source's
+    // shortest decile — the threshold COMES FROM the data (q70's exact
+    // quantiles), broadcast back as a per-source floor.
+    "q73_adaptive_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("source"),
+        size(filter(split(col("text"), " "), x => length(x) > 0)).cast("long").as("ntok"))
+      val thresholds = graft.operators.Quantiles
+        .exactQuantiles(d, "source", "ntok", Seq(("p10", 1L, 10L)))
+        .select(col("source"), col("p10"))
+      d.join(broadcast(thresholds), "source")
+        .filter(col("ntok") >= col("p10"))
+        .select(col("doc_id"), col("source"), col("ntok"), col("p10"))
+        .orderBy("doc_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q22_ann_bruteforce" ->
@@ -1368,5 +1399,62 @@ object DocumentQueries {
         |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT) AS p50,
         |  CAST(min(CASE WHEN cum >= (9*n + 9) // 10 THEN v END) AS BIGINT) AS p90,
         |  CAST(min(CASE WHEN cum >= (99*n + 99) // 100 THEN v END) AS BIGINT) AS p99
-        |FROM r GROUP BY source ORDER BY source""".stripMargin)
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // union of q19's text pairs and q55's same-cell cosine pairs → reach
+    "q72_hybrid_dedup" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents),
+        |tp AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+        |         e AS c_e
+        |  FROM emb QUALIFY cell <= 64),
+        |asg AS (
+        |  SELECT n_id, n_e, cell FROM (
+        |    SELECT emb.vec_id AS n_id, emb.e AS n_e, cent.cell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |                              ORDER BY list_cosine_similarity(emb.e, cent.c_e) DESC, cent.cell) AS rn
+        |    FROM emb, cent) WHERE rn = 1),
+        |sp AS (
+        |  SELECT x.n_id AS x, y.n_id AS y
+        |  FROM asg x JOIN asg y ON x.cell = y.cell AND y.n_id < x.n_id
+        |   AND list_cosine_similarity(x.n_e, y.n_e) >= 0.985),
+        |pairs AS (SELECT x, y FROM tp UNION SELECT x, y FROM sp),
+        |edges AS (SELECT x AS a, y AS b FROM pairs UNION SELECT y, x FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT d.doc_id,
+        |       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q70's histogram rank at p10 per source, broadcast floor, keep >= p10
+    "q73_adaptive_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |h AS (SELECT source, ntok AS v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY source, ntok),
+        |r AS (SELECT source, v,
+        |        SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |        SUM(c) OVER (PARTITION BY source) AS n
+        |      FROM h),
+        |th AS (SELECT source,
+        |         CAST(min(CASE WHEN cum >= (n + 9) // 10 THEN v END) AS BIGINT) AS p10
+        |       FROM r GROUP BY source)
+        |SELECT t.doc_id, t.source, t.ntok, th.p10
+        |FROM t JOIN th ON t.source = th.source
+        |WHERE t.ntok >= th.p10
+        |ORDER BY t.doc_id""".stripMargin)
 }
