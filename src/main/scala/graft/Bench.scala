@@ -144,7 +144,10 @@ object Bench {
     // overflowed the driver's fixed-size stdout tail capture, truncating
     // the line start and failing the parse ("parsed": null).
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = (results ++ streamBatch).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    // query keys abbreviate to their unique qNN prefix (stream metrics stay
+    // full): 73 full names (~2.4 KB) would crowd the capture window again
+    val qs = (results.map { case (k, v) => k.takeWhile(_ != '_') -> v } ++ streamBatch)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val floor = allSentinels.min
     // only ELEVATED ratios are reported (absent = clean, ratio < 1.5):
