@@ -228,6 +228,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.decontaminateFuzzyPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("exact_quantiles"),
+      new ExpressionInfo(
+        classOf[graft.operators.Quantiles.type].getName,
+        null,
+        "exact_quantiles",
+        "exact_quantiles(table, groupCol, valueCol, qsCsv) - exact percentile_disc quantiles per group, histogram-first; qsCsv like 'p50:1/2,p90:9/10': (group, n, <one column per quantile>).",
+        ""),
+      exprs => GraftExtensions.exactQuantilesPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("hybrid_dedup"),
+      new ExpressionInfo(
+        classOf[graft.operators.Dedup.type].getName,
+        null,
+        "hybrid_dedup",
+        "hybrid_dedup(docsTable, idCol, textCol, embTable, embId, embCol, tauText, tauSem) - duplicate clusters over the union of token-Jaccard and same-IVF-cell cosine evidence: (sid, rep).",
+        ""),
+      exprs => GraftExtensions.hybridDedupPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("kmeans_assign"),
       new ExpressionInfo(
         classOf[graft.operators.Clustering.type].getName,
@@ -545,6 +563,51 @@ object GraftExtensions {
         strArg(n, exprs(4), "evalId"),
         strArg(n, exprs(5), "evalText"),
         doubleArg(n, exprs(6), "tau"))
+      .queryExecution.logical
+  }
+
+  private[graft] def exactQuantilesPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "exact_quantiles"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, groupCol, valueCol, qsCsv), got " + exprs.length + " arguments")
+    val qs = strArg(n, exprs(3), "qsCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { entry =>
+        entry.split("[:/]") match {
+          case Array(name, num, den) => (name.trim, num.trim.toLong, den.trim.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"$n: qsCsv entries must be 'name:num/den', got '$entry'")
+        }
+      }
+    graft.operators.Quantiles
+      .exactQuantiles(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "groupCol"),
+        strArg(n, exprs(2), "valueCol"),
+        qs)
+      .queryExecution.logical
+  }
+
+  private[graft] def hybridDedupPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "hybrid_dedup"
+    require(
+      exprs.length == 8,
+      s"$n expects (docsTable, idCol, textCol, embTable, embId, embCol, tauText, tauSem), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.col
+    val tokens = SimilarityJoin.tokenize(
+      spark.table(strArg(n, exprs.head, "docsTable")),
+      strArg(n, exprs(1), "idCol"),
+      strArg(n, exprs(2), "textCol"))
+    val vectors = spark.table(strArg(n, exprs(3), "embTable"))
+      .select(
+        col(strArg(n, exprs(4), "embId")).as("vid"),
+        col(strArg(n, exprs(5), "embCol")).as("emb"))
+    graft.operators.Dedup
+      .hybridDedup(tokens, vectors,
+        doubleArg(n, exprs(6), "tauText"),
+        doubleArg(n, exprs(7), "tauSem"))
       .queryExecution.logical
   }
 

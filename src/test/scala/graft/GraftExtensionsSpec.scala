@@ -277,6 +277,31 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
   }
 
+  test("exact_quantiles TVF round-trips to the Scala quantiles exactly") {
+    Tables(spark, sfSmoke, "documents").createOrReplaceTempView("eq_docs")
+    spark.sql("SELECT source, n_chars FROM eq_docs").createOrReplaceTempView("eq_vals")
+    val viaSql = spark.sql(
+      "SELECT * FROM exact_quantiles('eq_vals', 'source', 'n_chars', 'p50:1/2,p90:9/10')")
+    val viaScala = graft.operators.Quantiles.exactQuantiles(
+      spark.table("eq_vals"), "source", "n_chars", Seq(("p50", 1L, 2L), ("p90", 9L, 10L)))
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
+  test("hybrid_dedup TVF round-trips to the Scala hybrid pass exactly") {
+    Tables(spark, sfSmoke, "documents").createOrReplaceTempView("hd_docs")
+    Tables(spark, sfSmoke, "embeddings").createOrReplaceTempView("hd_embs")
+    val viaSql = spark.sql(
+      "SELECT * FROM hybrid_dedup('hd_docs', 'doc_id', 'text', 'hd_embs', 'vec_id', 'embedding', 0.8, 0.985)")
+    val viaScala = graft.operators.Dedup.hybridDedup(
+      SimilarityJoin.tokenize(Tables(spark, sfSmoke, "documents"), "doc_id", "text"),
+      Tables(spark, sfSmoke, "embeddings")
+        .select(col("vec_id").as("vid"), col("embedding").as("emb")),
+      0.8, 0.985)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
   test("intersect_size resolves in fresh sessions through the extensions") {
     val fresh = spark.newSession()
     val got = fresh.sql(
