@@ -254,6 +254,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "kmeans_assign(table, idCol, embCol, k, iters) - Lloyd k-means over an embedding column on the exact integer grid: (vid, cell, cell_n).",
         ""),
       exprs => GraftExtensions.kmeansAssignPlan(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("wordpiece_encode"),
+      new ExpressionInfo(
+        classOf[graft.functions.WordPieceEncode].getName,
+        null,
+        "wordpiece_encode",
+        "wordpiece_encode(words, starts, continuations) - greedy longest-match WordPiece sub-word segmentation of a word array (BERT [UNK] contract; vocab as literal arrays).",
+        ""),
+      exprs => graft.functions.WordPieceEncode.builder(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("chunk_overlap"),
+      new ExpressionInfo(
+        classOf[graft.operators.Chunking.type].getName,
+        null,
+        "chunk_overlap",
+        "chunk_overlap(table, idCol, textCol, width, stride) - overlapping width-token chunks stepping by stride per document: (id, chunk, tok_start, tok_end, n_chunk_tokens, chunk_text).",
+        ""),
+      exprs => GraftExtensions.chunkOverlapPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("snapshot_diff"),
+      new ExpressionInfo(
+        classOf[graft.operators.SnapshotDiff.type].getName,
+        null,
+        "snapshot_diff",
+        "snapshot_diff(oldTable, newTable, idCol, contentCol) - CDC classification per id: (id, status in added|removed|changed|unchanged) via digest-first full-outer join.",
+        ""),
+      exprs => GraftExtensions.snapshotDiffPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("training_order"),
+      new ExpressionInfo(
+        classOf[graft.operators.Packing.type].getName,
+        null,
+        "training_order",
+        "training_order(table, idCol, nShards) - deterministic MD5-ordered loader layout: (id, shard, pos).",
+        ""),
+      exprs => GraftExtensions.trainingOrderPlan(exprs)))
     ()
   }
 }
@@ -667,6 +703,51 @@ object GraftExtensions {
         strArg(n, exprs(4), "rTime"),
         longArg(n, exprs(5), "lower"),
         longArg(n, exprs(6), "upper"))
+      .queryExecution.logical
+  }
+
+  private[graft] def chunkOverlapPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "chunk_overlap"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, idCol, textCol, width, stride), got ${exprs.length} arguments")
+    graft.operators.Chunking
+      .chunkSpans(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "textCol"),
+        longArg(n, exprs(3), "width"),
+        longArg(n, exprs(4), "stride"))
+      .queryExecution.logical
+  }
+
+  private[graft] def snapshotDiffPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "snapshot_diff"
+    require(
+      exprs.length == 4,
+      s"$n expects (oldTable, newTable, idCol, contentCol), got ${exprs.length} arguments")
+    val spark = SparkSession.active
+    graft.operators.SnapshotDiff
+      .diff(
+        spark.table(strArg(n, exprs.head, "oldTable")),
+        spark.table(strArg(n, exprs(1), "newTable")),
+        strArg(n, exprs(2), "idCol"),
+        Seq(strArg(n, exprs(3), "contentCol")))
+      .queryExecution.logical
+  }
+
+  private[graft] def trainingOrderPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "training_order"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, idCol, nShards), got ${exprs.length} arguments")
+    val shards = longArg(n, exprs(2), "nShards")
+    require(shards > 0 && shards <= Int.MaxValue, s"$n: nShards must be a positive int, got $shards")
+    graft.operators.Packing
+      .trainingOrder(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        shards.toInt)
       .queryExecution.logical
   }
 }

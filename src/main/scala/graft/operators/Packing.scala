@@ -85,4 +85,34 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum("fill_tokens").as("fill_tokens"))
   }
+
+  /** Deterministic global training order: assign every record to one of
+    * `nShards` reader shards and a position within its shard — the
+    * "shuffle once, read forever" layout a distributed data loader
+    * consumes (each reader rank streams its own shard sequentially; the
+    * corpus-wide order is the interleaving, epoch-stable by construction).
+    *
+    * Order comes from MD5 of the id (see [[Sampling.hashUniform]] for the
+    * rationale: retry-stable, ingest-stable, engine-portable — a seeded
+    * `rand()` order changes under repartition; a hash never does). Shard =
+    * first 8 hex chars of the digest mod nShards, so shard assignment and
+    * within-shard order derive from the SAME digest and a record's
+    * placement never depends on the rest of the corpus.
+    *
+    * Scale shape: one hash exchange on `shard` (nShards partitions — set
+    * nShards to O(cluster readers), thousands at 100 TB), then a
+    * per-shard sort for `row_number`. Each shard sorts only its own
+    * ~1/nShards slice; there is no global total order anywhere.
+    */
+  def trainingOrder(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"trainingOrder: nShards must be positive, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("_h"), col(idCol))
+    df.select(col(idCol), md5(col(idCol).cast("string")).as("_h"))
+      .withColumn(
+        "shard",
+        pmod(conv(substring(col("_h"), 1, 8), 16, 10).cast("long"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
 }

@@ -554,7 +554,97 @@ object DocumentQueries {
         .filter(col("ntok") >= col("p10"))
         .select(col("doc_id"), col("source"), col("ntok"), col("p10"))
         .orderBy("doc_id")
+    }),
+
+    // Sliding-window chunking (RAG/long-context prep): 64-token windows
+    // stepping by 48 — overlapping retrieval spans. Pure narrow transform
+    // (scan → generate → project, no shuffle); all boundaries integer-exact.
+    "q74_chunk_overlap" -> ((s, dir) =>
+      graft.operators.Chunking
+        .chunkSpans(t(s, dir, "documents"), "doc_id", "text", width = 64, stride = 48)
+        .orderBy("doc_id", "chunk")),
+
+    // Snapshot diff / CDC (incremental curation): yesterday's corpus vs
+    // today's — the fixture plants additions (id≡3 mod 7 absent from old),
+    // edits (id≡1 mod 5 revised), removals (id≡4 mod 9 absent from new).
+    // Digest-first full-outer join: the shuffle carries 32 hex chars/row
+    // however wide the documents are.
+    "q75_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 1, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(9)) =!= 4)
+      graft.operators.SnapshotDiff
+        .diff(oldSnap, newSnap, "doc_id", Seq("text", "lang", "source"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic training order (loader layout): MD5-derived reader
+    // shards + within-shard positions — shuffle-once, epoch-stable; each
+    // shard sorts only its own slice (no global total order anywhere).
+    "q76_training_order" -> ((s, dir) =>
+      graft.operators.Packing
+        .trainingOrder(t(s, dir, "documents"), "doc_id", nShards = 16)
+        .orderBy("doc_id")),
+
+    // fastText-shaped classifier inference (curation filter): token →
+    // Java-hash bucket → integer weight sums per class → argmax. Pure
+    // scan-level projection, weights ride the plan; integer scores keep
+    // the argmax exact cross-engine.
+    "q77_hash_classifier" -> ((s, dir) => {
+      graft.functions.JavaStringHash.register(s)
+      graft.operators.TextClassifier.classifyHashedLinear(
+          t(s, dir, "documents"), "doc_id", "text",
+          nClasses = 4, nBuckets = 256,
+          weights = graft.operators.TextClassifier.fixtureWeights(4, 256))
+        .orderBy("doc_id")
+    }),
+
+    // WordPiece tokenizer inference (native codegen expression): greedy
+    // longest-match sub-word segmentation with the BERT [UNK] contract;
+    // the fixture vocab deliberately lacks 'd…' starts and '##p', so
+    // data/dup/spark/group degrade to [UNK] — both paths exercised. The
+    // oracle replays the greedy loop as a recursive CTE whose match step
+    // is a longest-first CASE chain generated from the SAME vocab Seq.
+    "q78_wordpiece" -> ((s, dir) => {
+      graft.functions.WordPieceEncode.register(s)
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          graft.functions.WordPieceEncode.wordpiece_encode(
+            filter(split(col("text"), " "), x => length(x) > 0),
+            wpStarts, wpConts).as("_p"))
+        .select(
+          col("doc_id"),
+          size(col("_p")).cast("long").as("n_pieces"),
+          size(filter(col("_p"), p => p === lit("[UNK]"))).cast("long").as("n_unk"),
+          array_join(slice(col("_p"), 1, 6), " ").as("head_pieces"))
+        .orderBy("doc_id")
     }))
+
+  /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
+    * multi-char pieces that make greedy longest-match visible. Shared by
+    * the Spark query and the generated oracle CASE chains — one source of
+    * truth for both engines.
+    */
+  val wpStarts: Seq[String] =
+    "abcefghijklmnopqrstuvwy".map(_.toString) ++
+      Seq("sca", "jo", "wind", "str", "me", "qu", "val", "cust", "ta", "ba",
+        "fil", "gro", "sma", "sl")
+  val wpConts: Seq[String] =
+    "abcdefghijklmnoqrstuvwy".map(_.toString) ++
+      Seq("an", "in", "ow", "eam", "rge", "ort", "ue", "ery", "omer", "ine", "dow")
+
+  /** Longest-first `CASE WHEN starts_with(rem, piece) …` chain for the
+    * oracle's greedy-match step (two distinct same-length pieces can't
+    * both prefix one remainder, so longest-first is a total decision).
+    */
+  private def wpChain(vocab: Seq[String]): String =
+    vocab.sortBy(v => -v.length)
+      .map(v => s"WHEN starts_with(rem, '$v') THEN '$v'")
+      .mkString("CASE ", " ", " ELSE NULL END")
 
   val oracles: Map[String, String] = Map(
     "q22_ann_bruteforce" ->
@@ -1456,5 +1546,136 @@ object DocumentQueries {
         |SELECT t.doc_id, t.source, t.ntok, th.p10
         |FROM t JOIN th ON t.source = th.source
         |WHERE t.ntok >= th.p10
-        |ORDER BY t.doc_id""".stripMargin)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // chunk count in closed form, boundaries by integer window math
+    "q74_chunk_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS ntok
+        |      FROM tk WHERE len(tk) > 0),
+        |c AS (SELECT doc_id, tk, ntok,
+        |        unnest(range(0, 1 + (greatest(ntok - 64, 0) + 47) // 48)) AS chunk
+        |      FROM n)
+        |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+        |       CAST(chunk * 48 AS BIGINT) AS tok_start,
+        |       CAST(least(chunk * 48 + 64, ntok) AS BIGINT) AS tok_end,
+        |       CAST(least(chunk * 48 + 64, ntok) - chunk * 48 AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(
+        |         tk[CAST(chunk * 48 + 1 AS INT):CAST(least(chunk * 48 + 64, ntok) AS INT)],
+        |         ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk""".stripMargin,
+
+    // same fixture, digest compare replayed with DuckDB's md5/concat_ws
+    "q75_snapshot_diff" ->
+      """WITH oldv AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 1 THEN text || ' rev2' ELSE text END AS text,
+        |         lang, source
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |newv AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 9 <> 4),
+        |o AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS od FROM oldv),
+        |n AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS nd FROM newv)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN od <> nd THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // shard from the q46 hex-fold of md5(id); pos = rank within shard
+    "q76_training_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |s AS (
+        |  SELECT doc_id, hx,
+        |         CAST(list_sum(list_transform(range(0, 8), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(hx, CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |             << CAST(4 * (7 - i) AS INT))) AS BIGINT) % 16 AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT)
+        |         AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Java-hash buckets via the q40 fold; weight formula replayed inline
+    "q77_hash_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |hb AS (
+        |  SELECT doc_id,
+        |         ((list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(string_split_regex(w, ''),
+        |                              c -> CAST(unicode(c) AS BIGINT))),
+        |             (h, c) -> ((h * 31 + c + 2147483648) % 4294967296 + 4294967296)
+        |                         % 4294967296 - 2147483648)
+        |           % 256) + 256) % 256 AS b
+        |  FROM tok),
+        |sc AS (
+        |  SELECT doc_id, cls,
+        |         SUM(((b * 2654435761 + cls * 40503) % 1001 + 1001) % 1001 - 500) AS score
+        |  FROM hb CROSS JOIN (SELECT unnest(range(0, 4)) AS cls) cl
+        |  GROUP BY doc_id, cls),
+        |best AS (
+        |  SELECT doc_id, cls, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+        |  FROM sc)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(b.cls, 0) AS BIGINT) AS label,
+        |       CAST(COALESCE(b.score, 0) AS BIGINT) AS best_score
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // greedy WordPiece replayed as a recursive CTE; the match step is a
+    // longest-first CASE chain generated from the SAME vocab Seq the
+    // Spark expression uses
+    "q78_wordpiece" ->
+      s"""WITH RECURSIVE words AS (
+        |  SELECT doc_id, wi, tk[wi] AS w FROM (
+        |    SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS wi FROM (
+        |      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |      FROM documents))),
+        |seg AS (
+        |  SELECT doc_id, wi, w AS rem, CAST('' AS VARCHAR) AS ps,
+        |         CAST(0 AS BIGINT) AS np, 0 AS fail
+        |  FROM words
+        |  UNION ALL
+        |  SELECT doc_id, wi,
+        |         CASE WHEN m IS NULL THEN '' ELSE substr(rem, length(m) + 1) END,
+        |         CASE WHEN m IS NULL THEN ps
+        |              WHEN np = 0 THEN m
+        |              ELSE ps || ' ##' || m END,
+        |         np + CASE WHEN m IS NULL THEN 0 ELSE 1 END,
+        |         CASE WHEN m IS NULL THEN 1 ELSE 0 END
+        |  FROM (
+        |    SELECT doc_id, wi, rem, ps, np,
+        |           CASE WHEN np = 0 THEN ${wpChain(wpStarts)}
+        |                ELSE ${wpChain(wpConts)} END AS m
+        |    FROM seg WHERE rem <> '' AND fail = 0) st),
+        |res AS (
+        |  SELECT doc_id, wi,
+        |         CASE WHEN fail = 1 THEN CAST(1 AS BIGINT) ELSE np END AS np2,
+        |         fail,
+        |         CASE WHEN fail = 1 THEN '[UNK]' ELSE ps END AS ps2
+        |  FROM seg WHERE rem = ''),
+        |agg AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(np2) AS BIGINT) AS n_pieces,
+        |         CAST(SUM(fail) AS BIGINT) AS n_unk,
+        |         array_to_string(
+        |           list_slice(string_split(string_agg(ps2, ' ' ORDER BY wi), ' '), 1, 6),
+        |           ' ') AS head_pieces
+        |  FROM res GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+        |       CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk,
+        |       COALESCE(a.head_pieces, '') AS head_pieces
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
 }

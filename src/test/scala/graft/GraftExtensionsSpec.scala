@@ -302,6 +302,45 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
   }
 
+  test("chunk_overlap TVF round-trips to the Scala chunking exactly") {
+    Tables(spark, sfSmoke, "documents").createOrReplaceTempView("ck_docs")
+    val viaSql = spark.sql(
+      "SELECT * FROM chunk_overlap('ck_docs', 'doc_id', 'text', 64, 48)")
+    val viaScala = graft.operators.Chunking.chunkSpans(
+      Tables(spark, sfSmoke, "documents"), "doc_id", "text", 64, 48)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
+  test("snapshot_diff TVF round-trips to the Scala diff exactly") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    docs.filter(pmod(col("doc_id"), lit(7)) =!= 3).createOrReplaceTempView("sd_old")
+    docs.filter(pmod(col("doc_id"), lit(9)) =!= 4).createOrReplaceTempView("sd_new")
+    val viaSql = spark.sql(
+      "SELECT * FROM snapshot_diff('sd_old', 'sd_new', 'doc_id', 'text')")
+    val viaScala = graft.operators.SnapshotDiff.diff(
+      spark.table("sd_old"), spark.table("sd_new"), "doc_id", Seq("text"))
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
+  test("training_order TVF round-trips to the Scala layout exactly") {
+    Tables(spark, sfSmoke, "documents").createOrReplaceTempView("to_docs")
+    val viaSql = spark.sql("SELECT * FROM training_order('to_docs', 'doc_id', 16)")
+    val viaScala = graft.operators.Packing.trainingOrder(
+      Tables(spark, sfSmoke, "documents"), "doc_id", 16)
+    assert(viaSql.columns.toSeq == viaScala.columns.toSeq)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
+  test("wordpiece_encode resolves through the extensions in fresh sessions") {
+    val fresh = spark.newSession()
+    val got = fresh.sql(
+      "SELECT wordpiece_encode(array('window'), array('wind','w'), array('ow','i','n','d')) AS p")
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("wind", "##ow"))
+  }
+
   test("intersect_size resolves in fresh sessions through the extensions") {
     val fresh = spark.newSession()
     val got = fresh.sql(

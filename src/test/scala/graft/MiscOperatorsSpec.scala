@@ -29,7 +29,11 @@ class MiscOperatorsSpec extends SparkSpec {
       .start()
     try {
       val deadline = System.nanoTime() + 30e9.toLong
-      while (seen.get() < 30 && System.nanoTime() < deadline) Thread.sleep(200)
+      // wait for BOTH assert conditions: 30 rows AND all three sources —
+      // a first micro-batch can satisfy the row count before a lagging
+      // source's first rows arrive (observed flake on a loaded box)
+      while ((seen.get() < 30 || perSource.size() < 3) && System.nanoTime() < deadline)
+        Thread.sleep(200)
     } finally q.stop()
     detach()
     assert(seen.get() >= 30, s"only ${seen.get()} rows arrived")
