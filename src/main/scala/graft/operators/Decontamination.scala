@@ -65,6 +65,53 @@ object Decontamination {
         countDistinct(col("__eval_id")).as("n_eval_docs"))
   }
 
+  /** Bloom-prefiltered decontamination — identical OUTPUT to [[flag]]
+    * (Bloom filters have no false negatives, and every Bloom survivor is
+    * exact-verified by the gram join), with the corpus-side explode pruned
+    * by a bitset probe BEFORE any join.
+    *
+    * Why this exists at 100 TB: [[flag]]'s probe cost is one broadcast-hash
+    * lookup per corpus gram occurrence, and its verify relation is the full
+    * eval gram table. When the eval suite is big (every benchmark x every
+    * paraphrase template), the bitset is ~25× smaller than the gram
+    * relation (~1.2 bytes/gram at fpp=1e-2 vs ~30-byte grams + hash-table
+    * overhead), and with `broadcastJoin = false` the verify join becomes a
+    * SHUFFLE join whose corpus side is only the Bloom survivors
+    * (true hits + fpp·gram volume) — the regime where the eval grams don't
+    * fit in executor memory at all. With `broadcastJoin = true` the verify
+    * is the same broadcast probe as [[flag]], just over a pre-pruned
+    * stream.
+    *
+    * The filter is sized from an exact distinct-gram count of the eval
+    * side (one cheap action on the SMALL side — never corpus-sized).
+    */
+  def flagBloom(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      n: Int,
+      fpp: Double = 1e-2,
+      broadcastJoin: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    val corpusGrams = grams(corpus, idCol, textCol, n)
+    val evalGrams = grams(eval, evalIdCol, evalTextCol, n)
+      .withColumnRenamed(evalIdCol, "__eval_id")
+    val distinctEvalGrams = evalGrams.select("gram").distinct()
+    val nEval = distinctEvalGrams.count()
+    val bloom = graft.functions.BloomFilter.build(distinctEvalGrams, "gram", fpp, nEval)
+    val pruned = corpusGrams.filter(bloom.mightContainCol(spark, col("gram")))
+    val verifySide = if (broadcastJoin) broadcast(evalGrams) else evalGrams
+    pruned
+      .join(verifySide, "gram")
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("gram")).as("n_hit_grams"),
+        countDistinct(col("__eval_id")).as("n_eval_docs"))
+  }
+
   /** FUZZY decontamination: flag (corpus doc, eval doc) pairs whose
     * word-token sets have exact Jaccard ≥ τ — the near-duplicate tier that
     * exact n-gram matching misses (an eval document lightly paraphrased or

@@ -622,6 +622,25 @@ object DocumentQueries {
           size(filter(col("_p"), p => p === lit("[UNK]"))).cast("long").as("n_unk"),
           array_join(slice(col("_p"), 1, 6), " ").as("head_pieces"))
         .orderBy("doc_id")
+    }),
+
+    // Bloom-prefiltered decontamination (native bitset build + codegen
+    // probe): same contract as q57 at n=4/evalEvery=25, routed through the
+    // Bloom pre-filter with the SHUFFLE-verify regime (broadcastJoin=false
+    // — the eval-grams-too-big-to-broadcast scale path; the corpus side of
+    // that join is only the Bloom survivors). Bloom has no false
+    // negatives and survivors are exact-verified, so the result — and the
+    // oracle — is exactly the unfiltered join's.
+    "q79_bloom_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val eval = docs
+        .filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id").as("__e_id"), col("text").as("__e_text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(25)) =!= 0)
+      graft.operators.Decontamination
+        .flagBloom(corpus, "doc_id", "text", eval, "__e_id", "__e_text",
+          n = 4, fpp = 1e-2, broadcastJoin = false)
+        .orderBy("doc_id")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -1145,6 +1164,28 @@ object DocumentQueries {
         |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6
         |ORDER BY 1, 2""".stripMargin,
+
+    // Bloom is a pure pre-filter (no false negatives; survivors
+    // exact-verified), so the oracle is the plain exact join at
+    // n=4/evalEvery=25 — the Bloom never has to be replayed.
+    "q79_bloom_decon" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(w[i:i+3], ' ')
+        |                               FOR i IN range(1, len(w) - 2)])) AS gram
+        |  FROM t),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 25 = 0),
+        |hits AS (
+        |  SELECT c.doc_id, c.gram, ev.eval_id
+        |  FROM g c JOIN ev ON c.gram = ev.gram
+        |  WHERE c.doc_id % 25 <> 0)
+        |SELECT doc_id,
+        |       count(DISTINCT gram) AS n_hit_grams,
+        |       count(DISTINCT eval_id) AS n_eval_docs
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // 5-gram replay + eval/corpus split + distinct-hit counts.
     "q57_decontamination" ->
