@@ -156,6 +156,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.decontaminatePlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("dsir_topk"),
+      new ExpressionInfo(
+        classOf[graft.operators.ImportanceResampling.type].getName,
+        null,
+        "dsir_topk",
+        "dsir_topk(table, idCol, textCol, targetBoolCol, n, nBuckets, scale, k) - DSIR importance resampling: top-k non-target docs by hashed-n-gram integer likelihood ratio toward the target rows. Returns (id, score, n_grams, rk).",
+        ""),
+      exprs => GraftExtensions.dsirTopKPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("ann_topk"),
       new ExpressionInfo(
         classOf[graft.operators.SimilaritySearch.type].getName,
@@ -417,6 +426,32 @@ object GraftExtensions {
         strArg(name, exprs(4), "evalId"),
         strArg(name, exprs(5), "evalText"),
         n)
+      .queryExecution.logical
+  }
+
+  /** dsir_topk(table, idCol, textCol, targetBoolCol, n, nBuckets, scale, k):
+    * the target domain is the rows where `targetBoolCol` is true (callers
+    * compute the predicate in a view — a column name keeps the TVF's
+    * argument surface literal-only).
+    */
+  private[graft] def dsirTopKPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "dsir_topk"
+    require(
+      exprs.length == 8,
+      s"$name expects (table, idCol, textCol, targetBoolCol, n, nBuckets, scale, k), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    val n = longArg(name, exprs(4), "n").toInt
+    val nBuckets = longArg(name, exprs(5), "nBuckets").toInt
+    val scale = longArg(name, exprs(6), "scale")
+    val k = longArg(name, exprs(7), "k").toInt
+    graft.operators.ImportanceResampling
+      .resampleTopK(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "idCol"),
+        strArg(name, exprs(2), "textCol"),
+        org.apache.spark.sql.functions.col(strArg(name, exprs(3), "targetBoolCol")),
+        n, nBuckets, scale, k)
       .queryExecution.logical
   }
 

@@ -641,7 +641,21 @@ object DocumentQueries {
         .flagBloom(corpus, "doc_id", "text", eval, "__e_id", "__e_text",
           n = 4, fpp = 1e-2, broadcastJoin = false)
         .orderBy("doc_id")
-    }))
+    }),
+
+    // DSIR-style importance resampling (LLM op): tilt the candidate pool
+    // toward the 'src0' domain via hashed-bigram integer likelihood
+    // ratios; keep the top-100 by (score, md5 tiebreak). Two corpus
+    // scans, a 1024-row broadcast feature table, sharded top-k — no
+    // corpus-keyed shuffle beyond the per-doc partial agg.
+    "q80_dsir_resample" -> ((s, dir) =>
+      graft.operators.ImportanceResampling
+        .resampleTopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          targetPred = col("source") === "src0",
+          n = 2, nBuckets = 1024, scale = 1000000L, k = 100)
+        .select(col("doc_id"), col("score"), col("n_grams"), col("rk").cast("int").as("rk"))
+        .orderBy("doc_id")))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
     * multi-char pieces that make greedy longest-match visible. Shared by
@@ -1186,6 +1200,38 @@ object DocumentQueries {
         |       count(DISTINCT gram) AS n_hit_grams,
         |       count(DISTINCT eval_id) AS n_eval_docs
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR replay: bigram occurrences, md5-hex feature buckets (q46's
+    // hex→int recipe, mod 1024), +1-smoothed integer floor-division
+    // ratios, per-doc ratio sums, md5-tiebroken top-100.
+    "q80_dsir_resample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source = 'src0' AS is_t,
+        |         unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS gram
+        |  FROM t),
+        |gb AS (
+        |  SELECT doc_id, is_t,
+        |         CAST(list_sum(list_transform(range(0, 8), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(md5(gram), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |             << CAST(4 * (7 - i) AS INT))) % 1024 AS BIGINT) AS b
+        |  FROM g),
+        |bk AS (
+        |  SELECT b,
+        |         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_cnt,
+        |         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS s_cnt
+        |  FROM gb GROUP BY b),
+        |r AS (SELECT b, (1000000 * (t_cnt + 1)) // (s_cnt + 1) AS r FROM bk),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(r.r) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM gb JOIN r USING (b) WHERE NOT is_t GROUP BY doc_id)
+        |SELECT doc_id, score, n_grams,
+        |       CAST(row_number() OVER (ORDER BY score DESC, md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |            AS INT) AS rk
+        |FROM sc QUALIFY rk <= 100 ORDER BY doc_id""".stripMargin,
 
     // 5-gram replay + eval/corpus split + distinct-hit counts.
     "q57_decontamination" ->
