@@ -165,6 +165,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.dsirTopKPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("cms_heavy_hitters"),
+      new ExpressionInfo(
+        classOf[graft.operators.CountMin.type].getName,
+        null,
+        "cms_heavy_hitters",
+        "cms_heavy_hitters(table, itemCol, depth, width, threshold) - count-min-sketch heavy hitters over item occurrences, survivors exact-verified. Returns (item, est, exact).",
+        ""),
+      exprs => GraftExtensions.cmsHeavyHittersPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("ann_topk"),
       new ExpressionInfo(
         classOf[graft.operators.SimilaritySearch.type].getName,
@@ -452,6 +461,23 @@ object GraftExtensions {
         strArg(name, exprs(2), "textCol"),
         org.apache.spark.sql.functions.col(strArg(name, exprs(3), "targetBoolCol")),
         n, nBuckets, scale, k)
+      .queryExecution.logical
+  }
+
+  /** cms_heavy_hitters(table, itemCol, depth, width, threshold). */
+  private[graft] def cmsHeavyHittersPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "cms_heavy_hitters"
+    require(
+      exprs.length == 5,
+      s"$name expects (table, itemCol, depth, width, threshold), got ${exprs.length} arguments")
+    val spark = SparkSession.active
+    graft.operators.CountMin
+      .heavyHitters(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "itemCol"),
+        longArg(name, exprs(2), "depth").toInt,
+        longArg(name, exprs(3), "width").toInt,
+        org.apache.spark.sql.functions.lit(longArg(name, exprs(4), "threshold")))
       .queryExecution.logical
   }
 

@@ -655,7 +655,21 @@ object DocumentQueries {
           targetPred = col("source") === "src0",
           n = 2, nBuckets = 1024, scale = 1000000L, k = 100)
         .select(col("doc_id"), col("score"), col("n_grams"), col("rk").cast("int").as("rk"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Count-min heavy hitters (LLM op): 4×512 sketch over token
+    // occurrences, candidates kept at est ≥ N/100, survivors
+    // exact-verified (sketch never undercounts, so no heavy hitter is
+    // lost). The threshold is data-derived via one 1-row action; the
+    // sketch is ≤ 2048 rows regardless of vocabulary size.
+    "q81_cms_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(filter(split(col("text"), " "), x => length(x) > 0)).as("tok"))
+      val n = toks.count()
+      graft.operators.CountMin
+        .heavyHitters(toks, "tok", depth = 4, width = 512, threshold = lit(n / 100))
+        .orderBy("tok")
+    }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
     * multi-char pieces that make greedy longest-match visible. Shared by
@@ -1232,6 +1246,33 @@ object DocumentQueries {
         |       CAST(row_number() OVER (ORDER BY score DESC, md5(CAST(doc_id AS VARCHAR)), doc_id)
         |            AS INT) AS rk
         |FROM sc QUALIFY rk <= 100 ORDER BY doc_id""".stripMargin,
+
+    // CMS replay: md5('r:tok') cells mod 512, grid counts, min-over-rows
+    // estimates, N//100 threshold, exact verify of survivors.
+    "q81_cms_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM t),
+        |c AS (
+        |  SELECT tok, r.r AS r,
+        |         CAST(list_sum(list_transform(range(0, 8), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(md5(CAST(r.r AS VARCHAR) || ':' || tok),
+        |                             CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |             << CAST(4 * (7 - i) AS INT))) % 512 AS BIGINT) AS cell
+        |  FROM t, range(0, 4) r(r)),
+        |sk AS (SELECT r, cell, count(*) AS cnt FROM c GROUP BY r, cell),
+        |est AS (
+        |  SELECT c.tok, CAST(min(sk.cnt) AS BIGINT) AS est
+        |  FROM (SELECT DISTINCT tok, r, cell FROM c) c
+        |  JOIN sk USING (r, cell) GROUP BY c.tok),
+        |hh AS (SELECT tok, est FROM est, n WHERE est >= n.n // 100),
+        |ex AS (
+        |  SELECT t.tok, CAST(count(*) AS BIGINT) AS exact
+        |  FROM t JOIN hh USING (tok) GROUP BY t.tok)
+        |SELECT hh.tok, hh.est, ex.exact
+        |FROM hh JOIN ex USING (tok) ORDER BY tok""".stripMargin,
 
     // 5-gram replay + eval/corpus split + distinct-hit counts.
     "q57_decontamination" ->
