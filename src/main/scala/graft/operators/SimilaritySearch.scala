@@ -130,6 +130,18 @@ object SimilaritySearch {
       k: Int,
       nCells: Int = 64,
       nProbe: Int = 8): DataFrame = {
+    val (centroids, assigned) = buildIvfIndex(corpus, nCells)
+    ivfTopKFromIndex(queries, centroids, assigned, k, nProbe)
+  }
+
+  /** The index half of [[ivfTopK]] as two PERSISTABLE relations:
+    * centroids (cell, c_emb) and assignments (n_id, n_emb, cell). Write
+    * the assignments `partitionBy("cell")` and a later probe with
+    * `pruneCells = true` reads only the probed cells' files — the
+    * build-once/probe-many ANN serving shape (the embedding-scale
+    * analogue of the q35 signature-index persist).
+    */
+  def buildIvfIndex(corpus: DataFrame, nCells: Int = 64): (DataFrame, DataFrame) = {
     graft.functions.CosineSimilarity.register(corpus.sparkSession)
     // deterministic centroid sample, spread by id hash. The hash is MD5 of
     // the decimal id string — bit-identical in any engine (unlike a seeded
@@ -155,7 +167,23 @@ object SimilaritySearch {
         first(col("n_emb")).as("n_emb"),
         // tie-break on the smaller cell id so assignment is deterministic
         max_by(col("cell"), struct(cosine(col("n_emb"), col("c_emb")), -col("cell"))).as("cell"))
+    (centroids, assigned)
+  }
 
+  /** The probe half of [[ivfTopK]] against a (possibly persisted) index.
+    * With `pruneCells = true` the distinct probed cells are collected
+    * (bounded by nCells — never data-sized) and pushed as an `isin`
+    * filter on the assignment read, which prunes `partitionBy("cell")`
+    * parquet down to the probed cells' directories.
+    */
+  def ivfTopKFromIndex(
+      queries: DataFrame, // (q_id, q_emb)
+      centroids: DataFrame, // (cell, c_emb)
+      assigned: DataFrame, // (n_id, n_emb, cell)
+      k: Int,
+      nProbe: Int = 8,
+      pruneCells: Boolean = false): DataFrame = {
+    graft.functions.CosineSimilarity.register(queries.sparkSession)
     // query probes its nProbe nearest cells
     val probed = TopK.perGroup(
         queries.crossJoin(broadcast(centroids))
@@ -163,8 +191,14 @@ object SimilaritySearch {
         Seq("q_id"), Seq(col("csim").desc, col("cell")), nProbe, rankCol = "crank")
       .select("q_id", "q_emb", "cell")
 
+    val candidateCells =
+      if (!pruneCells) assigned
+      else {
+        val cells = probed.select("cell").distinct().collect().map(_.get(0))
+        assigned.filter(col("cell").isin(cells.toSeq: _*))
+      }
     val scored = probed
-      .join(assigned, "cell")
+      .join(candidateCells, "cell")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
     TopK

@@ -669,6 +669,35 @@ object DocumentQueries {
       graft.operators.CountMin
         .heavyHitters(toks, "tok", depth = 4, width = 512, threshold = lit(n / 100))
         .orderBy("tok")
+    }),
+
+    // Persisted IVF index probe (LLM op): build the q44 IVF structure
+    // ONCE, write centroids + cell-PARTITIONED assignments to parquet,
+    // then serve queries from the artifacts with pruneCells=true — the
+    // collected probe cells (≤ nCells, never data-sized) become an isin
+    // filter that prunes the partitioned read to the probed directories.
+    // The build-once/probe-many ANN serving shape at embedding scale.
+    "q82_ivf_persist" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val (cent, asg) = SimilaritySearch.buildIvfIndex(corpus, nCells = 64)
+      val out = java.nio.file.Files.createTempDirectory("graft-ivfidx-").toString
+      cent.write.mode("overwrite").parquet(s"$out/centroids")
+      asg.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned")
+      val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      SimilaritySearch
+        .ivfTopKFromIndex(
+          queries,
+          s.read.parquet(s"$out/centroids"),
+          s.read.parquet(s"$out/assigned"),
+          k = 5, nProbe = 4, pruneCells = true)
+        .select(
+          col("q_id"),
+          col("n_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("q_id", "rank")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -1273,6 +1302,39 @@ object DocumentQueries {
         |  FROM t JOIN hh USING (tok) GROUP BY t.tok)
         |SELECT hh.tok, hh.est, ex.exact
         |FROM hh JOIN ex USING (tok) ORDER BY tok""".stripMargin,
+
+    // Persisting the index through parquet changes nothing about the
+    // values, so the oracle is q44's IVF replay at the q82 parameters
+    // (queries 10..19, nProbe 4, k 5).
+    "q82_ivf_persist" ->
+      """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+        |         e AS c_e
+        |  FROM emb
+        |  QUALIFY cell <= 64),
+        |asg AS (
+        |  SELECT n_id, n_e, cell FROM (
+        |    SELECT emb.vec_id AS n_id, emb.e AS n_e, cent.cell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |                              ORDER BY list_cosine_similarity(emb.e, cent.c_e) DESC, cent.cell) AS rn
+        |    FROM emb, cent) WHERE rn = 1),
+        |probe AS (
+        |  SELECT q_id, q_e, cell FROM (
+        |    SELECT emb.vec_id AS q_id, emb.e AS q_e, cent.cell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |                              ORDER BY list_cosine_similarity(emb.e, cent.c_e) DESC, cent.cell) AS rn
+        |    FROM emb, cent WHERE emb.vec_id >= 10 AND emb.vec_id < 20) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT probe.q_id, asg.n_id, list_cosine_similarity(probe.q_e, asg.n_e) AS sim
+        |  FROM probe JOIN asg USING (cell)
+        |  WHERE asg.n_id <> probe.q_id)
+        |SELECT q_id, n_id,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank,
+        |       round(sim, 4) AS sim
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
 
     // 5-gram replay + eval/corpus split + distinct-hit counts.
     "q57_decontamination" ->
