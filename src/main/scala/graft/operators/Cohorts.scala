@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retention-cohort analysis over an event stream: bucket every user by
+  * the period of their FIRST activity (their cohort), then count how many
+  * of each cohort's users are still active k periods later — the
+  * (cohort × offset) retention triangle every product-analytics pipeline
+  * derives from raw events.
+  *
+  * Scale shape: two aggregations, both keyed on high-cardinality columns
+  * that hash-partition evenly (user_id, then (cohort, offset)), with the
+  * user-period activity set deduplicated BEFORE the join (one row per
+  * user-period, not per event — at 10^5 events/user that is the
+  * difference between joining events and joining summaries). The
+  * first-seen relation joins the activity relation on user_id —
+  * co-partitioned by the preceding aggregations, so AQE plans it without
+  * a broadcast-sized assumption on the user dimension.
+  */
+object Cohorts {
+
+  private def trunc(granularity: String, c: Column): Column =
+    date_trunc(granularity, c)
+
+  /** Retention triangle: (cohort, offset, n_users, retention_pct).
+    *
+    * @param granularity "day" or "week" (any Spark date_trunc unit whose
+    *                    offsets divide evenly into days)
+    * @param offsetDays  days per offset unit (1 for day, 7 for week)
+    */
+  def retention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      granularity: String = "day",
+      offsetDays: Int = 1): DataFrame = {
+    require(offsetDays > 0)
+    val firstSeen = events
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("__first_ts"))
+      .select(col(userCol), trunc(granularity, col("__first_ts")).as("cohort"))
+    val active = events
+      .select(col(userCol), trunc(granularity, col(tsCol)).as("__period"))
+      .distinct()
+    val counts = active
+      .join(firstSeen, userCol)
+      .groupBy(
+        col("cohort"),
+        (datediff(col("__period"), col("cohort")) / offsetDays).cast("long").as("offset"))
+      // `active` is already one row per (user, period), so a plain count
+      // IS the distinct-user count — no count-distinct shuffle state
+      .agg(count(lit(1)).as("n_users"))
+    // cohort size = offset-0 row by definition (a user is active in their
+    // own first period); a window over the cohort's rows avoids a second
+    // scan of the events
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cohort")
+    counts
+      .withColumn("cohort_size", max(when(col("offset") === 0, col("n_users"))).over(w))
+      // integer basis points (floor division) — engine-exact, no float
+      // percentage to disagree on
+      .withColumn("retention_bp", expr("(n_users * 10000) div cohort_size"))
+  }
+}

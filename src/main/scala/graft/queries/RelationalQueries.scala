@@ -266,7 +266,23 @@ object RelationalQueries {
           col("doc_id"),
           graft.functions.JavaStringHash.java_hash(col("text")).cast("long").as("jhash"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // Retention-cohort triangle over raw events: first-activity-day
+    // cohorts × day offsets, sizes from the offset-0 row, basis-point
+    // retention in exact integer floor division. Two hash aggs + one
+    // user-keyed join; activity is deduplicated per (user, day) BEFORE
+    // the join.
+    "q83_retention_cohorts" -> ((s, dir) =>
+      graft.operators.Cohorts
+        .retention(t(s, dir, "events"), "user_id", "ts", "day", 1)
+        .select(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          col("offset"),
+          col("n_users"),
+          col("cohort_size"),
+          col("retention_bp"))
+        .orderBy("cohort_day", "offset")))
 
   val gapOracles: Map[String, String] = Map(
     "q38_table_stats" ->
@@ -288,7 +304,26 @@ object RelationalQueries {
         |           list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT))),
         |         (h, c) -> ((h * 31 + c + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648)
         |         AS jhash
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "q83_retention_cohorts" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS cohort FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS p FROM events),
+        |c AS (
+        |  SELECT f.cohort AS cohort,
+        |         CAST(date_diff('day', f.cohort, a.p) AS BIGINT) AS "offset",
+        |         CAST(count(*) AS BIGINT) AS n_users
+        |  FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cohort, "offset", n_users,
+        |         max(CASE WHEN "offset" = 0 THEN n_users END)
+        |           OVER (PARTITION BY cohort) AS cohort_size
+        |  FROM c)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, "offset", n_users,
+        |       CAST(cohort_size AS BIGINT) AS cohort_size,
+        |       (n_users * 10000) // cohort_size AS retention_bp
+        |FROM w ORDER BY cohort_day, "offset"""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

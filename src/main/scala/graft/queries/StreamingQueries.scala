@@ -185,9 +185,49 @@ object StreamingQueries {
           col("value"))
         .groupBy("k")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-        .orderBy("k")))
+        .orderBy("k")),
+
+    // Streaming count-min heavy hitters: token stream replayed as 4
+    // micro-batches, each folding its bounded (r, cell, cnt) grid into
+    // the running sketch; cell sums are associative, so the streamed
+    // sketch — and therefore the est ≥ N/100 hitter set — equals the
+    // batch sketch, which is what the oracle replays (no streaming in
+    // the oracle, the bag-union-style invariant of this pack).
+    "q84_stream_cms" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          explode(filter(split(col("text"), " "), x => length(x) > 0)).as("tok"))
+      val sk = graft.streaming.StreamingCountMin
+        .runSketch(toks, "tok", "doc_id", depth = 4, width = 512, chunks = 4)
+      val n = sk.filter(col("r") === 0).agg(sum("cnt")).head().getLong(0)
+      graft.operators.CountMin
+        .estimate(toks.select("tok").distinct(), "tok", sk, depth = 4, width = 512)
+        .filter(col("est") >= lit(n / 100))
+        .orderBy("tok")
+    }))
 
   val oracles: Map[String, String] = Map(
+    "q84_stream_cms" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM t),
+        |c AS (
+        |  SELECT tok, r.r AS r,
+        |         CAST(list_sum(list_transform(range(0, 8), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(md5(CAST(r.r AS VARCHAR) || ':' || tok),
+        |                             CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |             << CAST(4 * (7 - i) AS INT))) % 512 AS BIGINT) AS cell
+        |  FROM t, range(0, 4) r(r)),
+        |sk AS (SELECT r, cell, count(*) AS cnt FROM c GROUP BY r, cell),
+        |est AS (
+        |  SELECT c.tok, CAST(min(sk.cnt) AS BIGINT) AS est
+        |  FROM (SELECT DISTINCT tok, r, cell FROM c) c
+        |  JOIN sk USING (r, cell) GROUP BY c.tok)
+        |SELECT tok, est FROM est, n WHERE est >= n.n // 100 ORDER BY tok""".stripMargin,
+
     "q17_stream_semistream_join" ->
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
