@@ -165,6 +165,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.dsirTopKPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("decontaminate_bloom"),
+      new ExpressionInfo(
+        classOf[graft.operators.Decontamination.type].getName,
+        null,
+        "decontaminate_bloom",
+        "decontaminate_bloom(corpusTable, idCol, textCol, evalTable, evalId, evalText, n, fpp) - same result as decontaminate, with a Bloom bitset pruning the corpus grams ahead of a shuffle verify join (the eval-set-too-big-to-broadcast regime).",
+        ""),
+      exprs => GraftExtensions.decontaminateBloomPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("cms_heavy_hitters"),
       new ExpressionInfo(
         classOf[graft.operators.CountMin.type].getName,
@@ -461,6 +470,33 @@ object GraftExtensions {
         strArg(name, exprs(2), "textCol"),
         org.apache.spark.sql.functions.col(strArg(name, exprs(3), "targetBoolCol")),
         n, nBuckets, scale, k)
+      .queryExecution.logical
+  }
+
+  /** decontaminate_bloom(corpusTable, idCol, textCol, evalTable, evalId,
+    * evalText, n, fpp) — the shuffle-verify regime (broadcastJoin=false),
+    * since the broadcast regime is what plain `decontaminate` plans.
+    */
+  private[graft] def decontaminateBloomPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "decontaminate_bloom"
+    require(
+      exprs.length == 8,
+      s"$name expects (corpusTable, idCol, textCol, evalTable, evalId, evalText, n, fpp), " +
+        s"got ${exprs.length} arguments")
+    val spark = SparkSession.active
+    val n = longArg(name, exprs(6), "n").toInt
+    require(n > 0, s"$name: n must be positive, got $n")
+    graft.operators.Decontamination
+      .flagBloom(
+        spark.table(strArg(name, exprs.head, "corpusTable")),
+        strArg(name, exprs(1), "idCol"),
+        strArg(name, exprs(2), "textCol"),
+        spark.table(strArg(name, exprs(3), "evalTable")),
+        strArg(name, exprs(4), "evalId"),
+        strArg(name, exprs(5), "evalText"),
+        n,
+        fpp = doubleArg(name, exprs(7), "fpp"),
+        broadcastJoin = false)
       .queryExecution.logical
   }
 

@@ -698,6 +698,20 @@ object DocumentQueries {
           col("rank").cast("long").as("rank"),
           round(col("sim"), 4).as("sim"))
         .orderBy("q_id", "rank")
+    }),
+
+    // Per-source HLL cardinality registers (LLM op): distinct-token
+    // sketches at m=64. MAX over ranks is idempotent, so the token stream
+    // needs no pre-distinct; shuffle volume is ≤ sources × 64 rows
+    // whatever the corpus size. The float ESTIMATE stays out of the
+    // oracled output (HllSpec pins its accuracy); registers are exact.
+    "q85_hll_registers" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(
+          col("source"),
+          explode(filter(split(col("text"), " "), x => length(x) > 0)).as("tok"))
+      graft.operators.Hll.registers(toks, "tok", p = 6, groupCols = Seq("source"))
+        .orderBy("source", "bucket")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -1335,6 +1349,30 @@ object DocumentQueries {
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    // HLL replay: bucket = first-8-hex mod 64, x = second-8-hex, rank =
+    // 33 − bit-length (bin() strips leading zeros in both engines).
+    "q85_hll_registers" ->
+      """WITH t AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT source,
+        |         CAST(list_sum(list_transform(range(0, 8), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(md5(tok), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |             << CAST(4 * (7 - i) AS INT))) % 64 AS BIGINT) AS bucket,
+        |         CAST(list_sum(list_transform(range(8, 16), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(md5(tok), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |             << CAST(4 * (15 - i) AS INT))) AS BIGINT) AS x
+        |  FROM t),
+        |r AS (
+        |  SELECT source, bucket,
+        |         CASE WHEN x = 0 THEN 33 ELSE CAST(33 - len(bin(x)) AS INT) END AS rank
+        |  FROM h)
+        |SELECT source, bucket, CAST(max(rank) AS INT) AS maxrank
+        |FROM r GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
     // 5-gram replay + eval/corpus split + distinct-hit counts.
     "q57_decontamination" ->

@@ -282,7 +282,23 @@ object RelationalQueries {
           col("n_users"),
           col("cohort_size"),
           col("retention_bp"))
-        .orderBy("cohort_day", "offset")))
+        .orderBy("cohort_day", "offset")),
+
+    // Z-order clustering key (native codegen interleave): the Morton key
+    // a table would be range-partitioned/sorted by so file min/max stats
+    // prune on user_id AND time. The oracle replays the interleave as a
+    // 31-term bit sum; ZOrderSpec pins the layout-locality win itself.
+    "q86_zorder_layout" -> ((s, dir) => {
+      graft.functions.InterleaveBits.register(s)
+      t(s, dir, "events")
+        .filter(col("event_id") < 500)
+        .select(
+          col("event_id"),
+          graft.functions.InterleaveBits.interleave_bits(
+            pmod(col("user_id"), lit(2147483648L)),
+            pmod(expr("unix_micros(ts) div 1000000"), lit(2147483648L))).as("z"))
+        .orderBy("event_id")
+    }))
 
   val gapOracles: Map[String, String] = Map(
     "q38_table_stats" ->
@@ -323,7 +339,19 @@ object RelationalQueries {
         |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, "offset", n_users,
         |       CAST(cohort_size AS BIGINT) AS cohort_size,
         |       (n_users * 10000) // cohort_size AS retention_bp
-        |FROM w ORDER BY cohort_day, "offset"""".stripMargin)
+        |FROM w ORDER BY cohort_day, "offset"""".stripMargin,
+
+    "q86_zorder_layout" ->
+      """SELECT event_id,
+        |       CAST(list_sum(list_transform(range(0, 31), i ->
+        |         (((a >> i) & 1) << (2 * i + 1)) + (((b >> i) & 1) << (2 * i))))
+        |         AS BIGINT) AS z
+        |FROM (
+        |  SELECT event_id,
+        |         user_id % 2147483648 AS a,
+        |         (epoch_us(ts) // 1000000) % 2147483648 AS b
+        |  FROM events WHERE event_id < 500)
+        |ORDER BY event_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

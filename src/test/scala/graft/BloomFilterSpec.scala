@@ -62,4 +62,24 @@ class BloomFilterSpec extends SparkSpec {
     }
     assert(exact.nonEmpty, "fixture must actually flag something")
   }
+
+  test("decontaminate_bloom TVF round-trips the Scala path") {
+    val docs = core.Tables(spark, sfSmoke, "documents")
+    docs.filter(pmod(col("doc_id"), lit(20)) =!= 0).createOrReplaceTempView("bl_corpus")
+    docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id").as("eid"), col("text").as("etext"))
+      .createOrReplaceTempView("bl_eval")
+    val viaSql = spark.sql(
+      "SELECT * FROM decontaminate_bloom('bl_corpus', 'doc_id', 'text', " +
+        "'bl_eval', 'eid', 'etext', 3, 0.01)")
+      .orderBy("doc_id").collect().toSeq
+    val viaScala = Decontamination
+      .flagBloom(
+        spark.table("bl_corpus"), "doc_id", "text",
+        spark.table("bl_eval"), "eid", "etext",
+        n = 3, fpp = 0.01, broadcastJoin = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaSql == viaScala)
+    assert(viaScala.nonEmpty)
+  }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Hll
+
+/** HLL register invariants (idempotence, mergeability) and estimator
+  * accuracy — the parts the SQL oracle can't express.
+  */
+class HllSpec extends SparkSpec {
+  init()
+  import spark.implicits._
+
+  test("registers are multiplicity-blind (max is idempotent)") {
+    val once = (0 until 500).map(i => s"v$i").toDF("v")
+    val thrice = (0 until 500).flatMap(i => Seq.fill(3)(s"v$i")).toDF("v")
+    val a = Hll.registers(once, "v", p = 6).orderBy("bucket").collect().toSeq
+    val b = Hll.registers(thrice, "v", p = 6).orderBy("bucket").collect().toSeq
+    assert(a == b)
+  }
+
+  test("registers merge: max of parts == registers of the union") {
+    val xs = (0 until 400).map(i => s"x$i")
+    val (l, r) = xs.splitAt(200)
+    val whole = Hll.registers(xs.toDF("v"), "v", p = 5).orderBy("bucket").collect().toSeq
+    val merged = Hll.registers(l.toDF("v"), "v", p = 5)
+      .unionByName(Hll.registers(r.toDF("v"), "v", p = 5))
+      .groupBy("bucket").agg(max("maxrank").as("maxrank"))
+      .orderBy("bucket").collect().toSeq
+    assert(whole == merged)
+  }
+
+  test("estimate lands within the expected error band") {
+    for (n <- Seq(100, 2000, 20000)) {
+      val df = (0 until n).map(i => s"item-$i").toDF("v")
+      val est = Hll.estimate(Hll.registers(df, "v", p = 8), p = 8)
+      // 1.04/sqrt(256) ≈ 6.5% standard error; allow 4 sigma
+      assert(math.abs(est - n) / n < 0.26, s"n=$n est=$est")
+    }
+  }
+}
