@@ -712,7 +712,18 @@ object DocumentQueries {
           explode(filter(split(col("text"), " "), x => length(x) > 0)).as("tok"))
       graft.operators.Hll.registers(toks, "tok", p = 6, groupCols = Seq("source"))
         .orderBy("source", "bucket")
-    }))
+    }),
+
+    // PMI collocation mining (LLM op): top-40 bigrams by exact-integer
+    // lift (one IEEE multiply+divide, rounded to 4 — engine-identical),
+    // min-support 5 applied before any join, sharded global top-k.
+    "q88_collocations" -> ((s, dir) =>
+      graft.operators.Collocations
+        .topByLift(t(s, dir, "documents"), "doc_id", "text", minCount = 5, k = 40)
+        .select(
+          col("gram"), col("cxy"), col("cx"), col("cy"), col("lift"),
+          col("rk").cast("int").as("rk"))
+        .orderBy("rk")))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
     * multi-char pieces that make greedy longest-match visible. Shared by
@@ -1373,6 +1384,30 @@ object DocumentQueries {
         |  FROM h)
         |SELECT source, bucket, CAST(max(rank) AS INT) AS maxrank
         |FROM r GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+
+    // collocation replay: unigram/bigram occurrence counts, lift as the
+    // SAME single multiply+divide of double-converted integers, round 4.
+    "q88_collocations" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |uni AS (
+        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+        |pairs AS (
+        |  SELECT w[i] AS x, w[i + 1] AS y
+        |  FROM t, unnest(range(1, greatest(len(w), 1))) r(i)),
+        |bi AS (
+        |  SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+        |  FROM pairs GROUP BY x, y HAVING count(*) >= 5),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pairs),
+        |scored AS (
+        |  SELECT x || ' ' || y AS gram, cxy, ux.c AS cx, uy.c AS cy,
+        |         round(CAST(cxy AS DOUBLE) * CAST(n.n AS DOUBLE)
+        |               / (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)), 4) AS lift
+        |  FROM bi JOIN uni ux ON bi.x = ux.w JOIN uni uy ON bi.y = uy.w, n)
+        |SELECT gram, cxy, cx, cy, lift,
+        |       CAST(row_number() OVER (ORDER BY lift DESC, gram) AS INT) AS rk
+        |FROM scored QUALIFY rk <= 40 ORDER BY rk""".stripMargin,
 
     // 5-gram replay + eval/corpus split + distinct-hit counts.
     "q57_decontamination" ->

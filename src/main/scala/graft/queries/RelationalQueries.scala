@@ -298,7 +298,20 @@ object RelationalQueries {
             pmod(col("user_id"), lit(2147483648L)),
             pmod(expr("unix_micros(ts) div 1000000"), lit(2147483648L))).as("z"))
         .orderBy("event_id")
-    }))
+    }),
+
+    // Ordered-step funnel: earliest signup → view → click → purchase per
+    // user within 7 days of signup; each step a map-side-combined MIN
+    // over a type-pruned slice, stitched by user-keyed joins. Exact µs
+    // integer arithmetic end to end.
+    "q87_funnel" -> ((s, dir) =>
+      graft.operators.Funnel
+        .analyze(
+          t(s, dir, "events").withColumn("tus", unix_micros(col("ts"))),
+          "user_id", "tus", "event_type",
+          steps = Seq("signup", "view", "click", "purchase"),
+          windowUs = 7L * 24 * 3600 * 1000000)
+        .orderBy("user_id")))
 
   val gapOracles: Map[String, String] = Map(
     "q38_table_stats" ->
@@ -351,7 +364,39 @@ object RelationalQueries {
         |         user_id % 2147483648 AS a,
         |         (epoch_us(ts) // 1000000) % 2147483648 AS b
         |  FROM events WHERE event_id < 500)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "q87_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.tus) AS t2
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.tus > s1.t1 AND e.tus <= s1.t1 + 604800000000
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.tus) AS t3
+        |  FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.tus > s2.t2 AND e.tus <= s1.t1 + 604800000000
+        |  GROUP BY e.user_id),
+        |s4 AS (
+        |  SELECT e.user_id, min(e.tus) AS t4
+        |  FROM e JOIN s1 USING (user_id) JOIN s3 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tus > s3.t3 AND e.tus <= s1.t1 + 604800000000
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |       s1.t1,
+        |       COALESCE(s2.t2, -1) AS t2,
+        |       COALESCE(s3.t3, -1) AS t3,
+        |       COALESCE(s4.t4, -1) AS t4,
+        |       CAST(1 + (s2.t2 IS NOT NULL)::INT + (s3.t3 IS NOT NULL)::INT
+        |              + (s4.t4 IS NOT NULL)::INT AS BIGINT) AS reached
+        |FROM s1
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |LEFT JOIN s4 USING (user_id)
+        |ORDER BY user_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
