@@ -165,6 +165,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.dsirTopKPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("connected_components"),
+      new ExpressionInfo(
+        classOf[graft.operators.Dedup.type].getName,
+        null,
+        "connected_components",
+        "connected_components(nodesTable, idCol, edgesTable, aCol, bCol) - label every node with the minimum id reachable through the undirected edge set. Returns (id, rep).",
+        ""),
+      exprs => GraftExtensions.connectedComponentsPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("decontaminate_bloom"),
       new ExpressionInfo(
         classOf[graft.operators.Decontamination.type].getName,
@@ -471,6 +480,22 @@ object GraftExtensions {
         org.apache.spark.sql.functions.col(strArg(name, exprs(3), "targetBoolCol")),
         n, nBuckets, scale, k)
       .queryExecution.logical
+  }
+
+  /** connected_components(nodesTable, idCol, edgesTable, aCol, bCol). */
+  private[graft] def connectedComponentsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "connected_components"
+    require(
+      exprs.length == 5,
+      s"$name expects (nodesTable, idCol, edgesTable, aCol, bCol), got ${exprs.length} arguments")
+    val spark = SparkSession.active
+    val nodes = spark.table(strArg(name, exprs.head, "nodesTable"))
+      .select(org.apache.spark.sql.functions.col(strArg(name, exprs(1), "idCol")).as("id"))
+    val edges = spark.table(strArg(name, exprs(2), "edgesTable"))
+      .select(
+        org.apache.spark.sql.functions.col(strArg(name, exprs(3), "aCol")).as("a"),
+        org.apache.spark.sql.functions.col(strArg(name, exprs(4), "bCol")).as("b"))
+    graft.operators.Dedup.connectedComponents(nodes, edges).queryExecution.logical
   }
 
   /** decontaminate_bloom(corpusTable, idCol, textCol, evalTable, evalId,

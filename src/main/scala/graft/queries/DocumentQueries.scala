@@ -723,7 +723,21 @@ object DocumentQueries {
         .select(
           col("gram"), col("cxy"), col("cx"), col("cy"), col("lift"),
           col("rk").cast("int").as("rk"))
-        .orderBy("rk")))
+        .orderBy("rk")),
+
+    // Generic connected components as a first-class capability (q19/q72
+    // use it inside dedup; here it clusters ARBITRARY pairwise evidence):
+    // SimHash Hamming≤3 pairs as edges, min-reachable-id labels. One
+    // shuffle per iteration, decimal-safe convergence check.
+    "q89_simhash_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val edges = Dedup.simhashPairs(toks, maxHamming = 3)
+        .select(col("x_id").as("a"), col("y_id").as("b"))
+      Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy("doc_id")
+    }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
     * multi-char pieces that make greedy longest-match visible. Shared by
@@ -1408,6 +1422,38 @@ object DocumentQueries {
         |SELECT gram, cxy, cx, cy, lift,
         |       CAST(row_number() OVER (ORDER BY lift DESC, gram) AS INT) AS rk
         |FROM scored QUALIFY rk <= 40 ORDER BY rk""".stripMargin,
+
+    // q43's simhash-pair replay as the edge set + the q19 reach-CTE CC
+    // recipe: min reachable id per node.
+    "q89_simhash_components" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS m FROM tok),
+        |sgn AS (
+        |  SELECT doc_id, r.p AS p,
+        |         sum(CASE WHEN ((instr('0123456789abcdef', substr(m, (r.p // 4) + 1, 1)) - 1)
+        |                        >> (r.p % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, range(0, 64) r(p)
+        |  GROUP BY doc_id, r.p),
+        |fp AS (
+        |  SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+        |  FROM sgn GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 3),
+        |edges AS (SELECT x AS a, y AS b FROM pairs UNION SELECT y, x FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT d.doc_id,
+        |       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // 5-gram replay + eval/corpus split + distinct-hit counts.
     "q57_decontamination" ->

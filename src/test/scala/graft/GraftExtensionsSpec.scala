@@ -349,6 +349,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got == 2)
   }
 
+  test("connected_components TVF labels a two-component graph") {
+    import spark.implicits._
+    (1L to 6L).toDF("id").createOrReplaceTempView("cc_nodes")
+    // components {1,2,3} (via 1-2, 2-3) and {5,6}; node 4 isolated
+    Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+      .createOrReplaceTempView("cc_edges")
+    val got = spark.sql(
+      "SELECT * FROM connected_components('cc_nodes', 'id', 'cc_edges', 'a', 'b')")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
+  }
+
   test("simhash64 / minhash_bands / lsh_signature resolve through the extensions") {
     val fresh = spark.newSession()
     val fp = fresh.sql("SELECT simhash64(array('a','b')) AS fp").collect()(0).getLong(0)
