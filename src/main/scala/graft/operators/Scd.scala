@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) history from a change log: turn a
+  * stream of (key, ts, attrs…) change records into one validity interval
+  * per effective change — the dimension-history table a warehouse keeps
+  * so facts can join "the attributes as they were at event time" (via
+  * [[RangeJoin]]/[[AsOfJoin]] on the interval).
+  *
+  * Semantics: changes order per key by (ts, tiebreak) — a total order, so
+  * the history is execution-order-independent; consecutive records whose
+  * tracked attributes are UNCHANGED are compressed away (no-op updates
+  * produce no interval); each surviving change is valid from its ts until
+  * the next surviving change's ts (−1 = open/current).
+  *
+  * Scale shape: two windows over the same (key × time) partitioning — one
+  * lag for compression, one lead for interval close — planned as a single
+  * sort per key partition; keys hash-partition evenly, and no driver
+  * state. Exact µs integer arithmetic throughout.
+  */
+object Scd {
+
+  /** History rows: (keyCol, attrCols…, valid_from, valid_to, is_current). */
+  def type2History(
+      changes: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      tiebreakCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "type2History needs at least one tracked attribute")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tiebreakCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val compressed = changes
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= attrs)
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tiebreakCol))
+    compressed
+      .withColumn("valid_from", col(tsUsCol))
+      .withColumn("valid_to", coalesce(lead(col(tsUsCol), 1).over(w2), lit(-1L)))
+      .withColumn("is_current", col("valid_to") === -1L)
+      .select((Seq(keyCol) ++ attrCols ++ Seq("valid_from", "valid_to", "is_current"))
+        .map(col): _*)
+  }
+}

@@ -311,7 +311,18 @@ object RelationalQueries {
           "user_id", "tus", "event_type",
           steps = Seq("signup", "view", "click", "purchase"),
           windowUs = 7L * 24 * 3600 * 1000000)
-        .orderBy("user_id")))
+        .orderBy("user_id")),
+
+    // SCD type-2 dimension history: each user's event_type treated as a
+    // tracked attribute — no-op repeats compressed away, one validity
+    // interval per effective change, −1 = open. Two windows over one
+    // (key × time) sort; exact µs integers.
+    "q90_scd2_history" -> ((s, dir) =>
+      graft.operators.Scd
+        .type2History(
+          t(s, dir, "events").withColumn("tus", unix_micros(col("ts"))),
+          "user_id", "tus", "event_id", Seq("event_type"))
+        .orderBy("user_id", "valid_from")))
 
   val gapOracles: Map[String, String] = Map(
     "q38_table_stats" ->
@@ -396,7 +407,22 @@ object RelationalQueries {
         |LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)
         |LEFT JOIN s4 USING (user_id)
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+
+    "q90_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+        |d AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |  FROM e),
+        |c AS (SELECT user_id, tus, event_id, event_type FROM d
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, tus AS valid_from,
+        |       COALESCE(lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id), -1)
+        |         AS valid_to,
+        |       COALESCE(lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id), -1) = -1
+        |         AS is_current
+        |FROM c ORDER BY user_id, valid_from""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Scd
+
+/** SCD-2 semantics: no-op compression, interval chaining, open current
+  * row, multi-attribute tracking, and tiebreak determinism.
+  */
+class ScdSpec extends SparkSpec {
+  init()
+  import spark.implicits._
+
+  test("compression + interval chaining on a hand fixture") {
+    val changes = Seq(
+      (1L, 10L, 1L, "gold"),
+      (1L, 20L, 2L, "gold"), // no-op → compressed away
+      (1L, 30L, 3L, "silver"),
+      (2L, 15L, 4L, "bronze"))
+      .toDF("k", "tus", "id", "tier")
+    val got = Scd.type2History(changes, "k", "tus", "id", Seq("tier"))
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "gold", 10L, 30L, false),
+      (1L, "silver", 30L, -1L, true),
+      (2L, "bronze", 15L, -1L, true)))
+  }
+
+  test("same-ts changes order by the tiebreak") {
+    val changes = Seq(
+      (1L, 10L, 1L, "a"),
+      (1L, 10L, 2L, "b")) // same µs: id 2 wins as the later change
+      .toDF("k", "tus", "id", "v")
+    val got = Scd.type2History(changes, "k", "tus", "id", Seq("v"))
+      .orderBy("v")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, "a", 10L, 10L, false), (1L, "b", 10L, -1L, true)))
+  }
+
+  test("multi-attribute: any tracked column changing opens an interval") {
+    val changes = Seq(
+      (1L, 10L, 1L, "gold", "us"),
+      (1L, 20L, 2L, "gold", "eu"), // region change alone still counts
+      (1L, 30L, 3L, "gold", "eu")) // full no-op → compressed
+      .toDF("k", "tus", "id", "tier", "region")
+    val got = Scd.type2History(changes, "k", "tus", "id", Seq("tier", "region"))
+      .orderBy("valid_from")
+      .as[(Long, String, String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "gold", "us", 10L, 20L, false),
+      (1L, "gold", "eu", 20L, -1L, true)))
+  }
+}
