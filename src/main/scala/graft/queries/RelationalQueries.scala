@@ -322,7 +322,37 @@ object RelationalQueries {
         .type2History(
           t(s, dir, "events").withColumn("tus", unix_micros(col("ts"))),
           "user_id", "tus", "event_id", Seq("event_type"))
-        .orderBy("user_id", "valid_from")))
+        .orderBy("user_id", "valid_from")),
+
+    // Zone-map data skipping over a z-ordered layout: 64 z-range buckets,
+    // per-bucket min/max stats on BOTH interleaved dims, a 2-d range
+    // query answered through bucket pruning + exact re-filter. Pruning
+    // only over-approximates, so the oracle is the plain filter; the
+    // spec pins that the z layout actually skips buckets.
+    "q91_zonemap_prune" -> ((s, dir) => {
+      graft.functions.InterleaveBits.register(s)
+      val ev = t(s, dir, "events")
+        .withColumn("tus", unix_micros(col("ts")))
+        .withColumn("tsec", expr("tus div 1000000"))
+        .withColumn(
+          "z",
+          graft.functions.InterleaveBits.interleave_bits(
+            pmod(col("user_id"), lit(2147483648L)),
+            pmod(col("tsec"), lit(2147483648L))))
+      val maxZ = ev.agg(max("z")).head().getLong(0)
+      val per = maxZ / 64 + 1
+      val bucketed = ev.withColumn("zb", expr(s"z div ${per}L"))
+      val stats = graft.operators.ZoneMap.collect(bucketed, "zb", Seq("user_id", "tsec"))
+      // user band inside every SF's id range (sf0.001 has users 0-14) so
+      // the gate checks nonzero rows at every SF
+      val loSec = 1704067200L + 5L * 86400 // 2024-01-06
+      val hiSec = loSec + 5L * 86400
+      graft.operators.ZoneMap
+        .prunedFilter(bucketed, stats, "zb",
+          Seq(("user_id", 3L, 9L), ("tsec", loSec, hiSec)))
+        .select(col("event_id"), col("user_id"), col("tsec"))
+        .orderBy("event_id")
+    }))
 
   val gapOracles: Map[String, String] = Map(
     "q38_table_stats" ->
@@ -422,7 +452,14 @@ object RelationalQueries {
         |         AS valid_to,
         |       COALESCE(lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id), -1) = -1
         |         AS is_current
-        |FROM c ORDER BY user_id, valid_from""".stripMargin)
+        |FROM c ORDER BY user_id, valid_from""".stripMargin,
+
+    "q91_zonemap_prune" ->
+      """SELECT event_id, user_id, epoch_us(ts) // 1000000 AS tsec
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 9
+        |  AND epoch_us(ts) // 1000000 BETWEEN 1704499200 AND 1704931200
+        |ORDER BY event_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
