@@ -352,7 +352,22 @@ object RelationalQueries {
           Seq(("user_id", 3L, 9L), ("tsec", loSec, hiSec)))
         .select(col("event_id"), col("user_id"), col("tsec"))
         .orderBy("event_id")
-    }))
+    }),
+
+    // Robust anomaly detection: per-type median/MAD over exact integer
+    // cents, flag |v − med| > 3·MAD — two histogram-first quantile
+    // passes, group-keyed joins of ≤ |types|-row relations, no floats.
+    "q92_anomaly_mad" -> ((s, dir) =>
+      graft.operators.Anomaly
+        .madOutliers(
+          t(s, dir, "events")
+            .select(
+              col("event_id"), col("event_type"),
+              round(col("value") * 100).cast("long").as("cents")),
+          "event_type", "cents", k = 3)
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("med"), col("mad"), col("dev"))
+        .orderBy("event_id")))
 
   val gapOracles: Map[String, String] = Map(
     "q38_table_stats" ->
@@ -459,7 +474,43 @@ object RelationalQueries {
         |FROM events
         |WHERE user_id BETWEEN 3 AND 9
         |  AND epoch_us(ts) // 1000000 BETWEEN 1704499200 AND 1704931200
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    // percentile_disc replay (q70's ceil-rank recipe) for median and MAD,
+    // then the integer 3-MAD flag.
+    "q92_anomaly_mad" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |medh AS (
+        |  SELECT event_type, cents AS val, count(*) AS c FROM v GROUP BY 1, 2),
+        |medr AS (
+        |  SELECT event_type, val,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY val) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM medh),
+        |med AS (
+        |  SELECT event_type, min(val) AS med
+        |  FROM medr WHERE cum >= (n + 1) // 2 GROUP BY event_type),
+        |d AS (
+        |  SELECT v.*, med.med, abs(cents - med.med) AS dev
+        |  FROM v JOIN med USING (event_type)),
+        |madh AS (
+        |  SELECT event_type, dev AS val, count(*) AS c FROM d GROUP BY 1, 2),
+        |madr AS (
+        |  SELECT event_type, val,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY val) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM madh),
+        |mad AS (
+        |  SELECT event_type, min(val) AS mad
+        |  FROM madr WHERE cum >= (n + 1) // 2 GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.cents,
+        |       CAST(d.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+        |       CAST(d.dev AS BIGINT) AS dev
+        |FROM d JOIN mad USING (event_type)
+        |WHERE d.dev > 3 * mad.mad
+        |ORDER BY d.event_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
