@@ -165,6 +165,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.dsirTopKPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("retention_cohorts"),
+      new ExpressionInfo(
+        classOf[graft.operators.Cohorts.type].getName,
+        null,
+        "retention_cohorts",
+        "retention_cohorts(table, userCol, tsCol, granularity, offsetDays) - (cohort, offset, n_users, cohort_size, retention_bp) retention triangle from raw events.",
+        ""),
+      exprs => GraftExtensions.retentionPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("funnel"),
+      new ExpressionInfo(
+        classOf[graft.operators.Funnel.type].getName,
+        null,
+        "funnel",
+        "funnel(table, userCol, tsUsCol, typeCol, stepsCsv, windowUs) - earliest ordered completion of the comma-separated steps per user within windowUs of step 1.",
+        ""),
+      exprs => GraftExtensions.funnelPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("scd2_history"),
+      new ExpressionInfo(
+        classOf[graft.operators.Scd.type].getName,
+        null,
+        "scd2_history",
+        "scd2_history(table, keyCol, tsUsCol, tiebreakCol, attrsCsv) - type-2 validity intervals per effective change of the comma-separated attributes (-1 = open).",
+        ""),
+      exprs => GraftExtensions.scd2Plan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("mad_outliers"),
+      new ExpressionInfo(
+        classOf[graft.operators.Anomaly.type].getName,
+        null,
+        "mad_outliers",
+        "mad_outliers(table, groupCol, valueCol, k) - rows with |value - group median| > k * group MAD (exact integer decisions).",
+        ""),
+      exprs => GraftExtensions.madOutliersPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("collocations"),
+      new ExpressionInfo(
+        classOf[graft.operators.Collocations.type].getName,
+        null,
+        "collocations",
+        "collocations(table, idCol, textCol, minCount, k) - top-k word bigrams by PMI lift with min-support filtering.",
+        ""),
+      exprs => GraftExtensions.collocationsPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(
+        classOf[graft.operators.Hll.type].getName,
+        null,
+        "hll_registers",
+        "hll_registers(table, itemCol, p, groupColOrEmpty) - HLL distinct-count registers (bucket, maxrank), optionally per group.",
+        ""),
+      exprs => GraftExtensions.hllRegistersPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("connected_components"),
       new ExpressionInfo(
         classOf[graft.operators.Dedup.type].getName,
@@ -479,6 +533,110 @@ object GraftExtensions {
         strArg(name, exprs(2), "textCol"),
         org.apache.spark.sql.functions.col(strArg(name, exprs(3), "targetBoolCol")),
         n, nBuckets, scale, k)
+      .queryExecution.logical
+  }
+
+  /** retention_cohorts(table, userCol, tsCol, granularity, offsetDays). */
+  private[graft] def retentionPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "retention_cohorts"
+    require(
+      exprs.length == 5,
+      s"$name expects (table, userCol, tsCol, granularity, offsetDays), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.Cohorts
+      .retention(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "userCol"),
+        strArg(name, exprs(2), "tsCol"),
+        strArg(name, exprs(3), "granularity"),
+        longArg(name, exprs(4), "offsetDays").toInt)
+      .queryExecution.logical
+  }
+
+  /** funnel(table, userCol, tsUsCol, typeCol, stepsCsv, windowUs). */
+  private[graft] def funnelPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "funnel"
+    require(
+      exprs.length == 6,
+      s"$name expects (table, userCol, tsUsCol, typeCol, stepsCsv, windowUs), got ${exprs.length}")
+    val spark = SparkSession.active
+    val steps = strArg(name, exprs(4), "stepsCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    graft.operators.Funnel
+      .analyze(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "userCol"),
+        strArg(name, exprs(2), "tsUsCol"),
+        strArg(name, exprs(3), "typeCol"),
+        steps,
+        longArg(name, exprs(5), "windowUs"))
+      .queryExecution.logical
+  }
+
+  /** scd2_history(table, keyCol, tsUsCol, tiebreakCol, attrsCsv). */
+  private[graft] def scd2Plan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "scd2_history"
+    require(
+      exprs.length == 5,
+      s"$name expects (table, keyCol, tsUsCol, tiebreakCol, attrsCsv), got ${exprs.length}")
+    val spark = SparkSession.active
+    val attrs = strArg(name, exprs(4), "attrsCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    graft.operators.Scd
+      .type2History(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "keyCol"),
+        strArg(name, exprs(2), "tsUsCol"),
+        strArg(name, exprs(3), "tiebreakCol"),
+        attrs)
+      .queryExecution.logical
+  }
+
+  /** mad_outliers(table, groupCol, valueCol, k). */
+  private[graft] def madOutliersPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "mad_outliers"
+    require(
+      exprs.length == 4,
+      s"$name expects (table, groupCol, valueCol, k), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.Anomaly
+      .madOutliers(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "groupCol"),
+        strArg(name, exprs(2), "valueCol"),
+        longArg(name, exprs(3), "k"))
+      .queryExecution.logical
+  }
+
+  /** collocations(table, idCol, textCol, minCount, k). */
+  private[graft] def collocationsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "collocations"
+    require(
+      exprs.length == 5,
+      s"$name expects (table, idCol, textCol, minCount, k), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.Collocations
+      .topByLift(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "idCol"),
+        strArg(name, exprs(2), "textCol"),
+        longArg(name, exprs(3), "minCount"),
+        longArg(name, exprs(4), "k").toInt)
+      .queryExecution.logical
+  }
+
+  /** hll_registers(table, itemCol, p, groupColOrEmpty). */
+  private[graft] def hllRegistersPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "hll_registers"
+    require(
+      exprs.length == 4,
+      s"$name expects (table, itemCol, p, groupColOrEmpty), got ${exprs.length}")
+    val spark = SparkSession.active
+    val group = strArg(name, exprs(3), "groupColOrEmpty")
+    graft.operators.Hll
+      .registers(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "itemCol"),
+        longArg(name, exprs(2), "p").toInt,
+        if (group.isEmpty) Seq.empty else Seq(group))
       .queryExecution.logical
   }
 

@@ -367,7 +367,60 @@ object RelationalQueries {
           "event_type", "cents", k = 3)
         .select(col("event_id"), col("event_type"), col("cents"),
           col("med"), col("mad"), col("dev"))
-        .orderBy("event_id")))
+        .orderBy("event_id")),
+
+    // ROLLUP subtotal hierarchy (region → nation → grand total): revenue
+    // summed in DECIMAL (the q38 exactness recipe — subtotal/grand-total
+    // sums span enough rows that double-order effects could flip the
+    // rounded cent), level derived from nullness identically in both
+    // engines.
+    "q93_rollup_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(30,6)")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("r_name"), col("n_name"), rev.as("__rev"))
+        .createOrReplaceTempView("q93_joined")
+      // SQL ROLLUP: the Dataset rollup API trips Spark's ambiguous-self-
+      // join detector on the Expand-duplicated grouping attributes (a
+      // known false positive); the SQL path plans the identical Expand.
+      s.sql(
+        """SELECT r_name, n_name,
+          |       round(CAST(sum(__rev) AS DOUBLE), 2) AS revenue,
+          |       count(1) AS n,
+          |       CAST(CASE WHEN r_name IS NULL THEN 2 ELSE 0 END
+          |            + CASE WHEN n_name IS NULL THEN 1 ELSE 0 END AS INT) AS lvl
+          |FROM q93_joined
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY lvl, r_name, n_name""".stripMargin)
+    }),
+
+    // PIVOT: revenue per region × order priority as fixed columns —
+    // Spark's pivot plans the same conditional aggregation the oracle
+    // writes out; one shuffle on the row key.
+    "q94_pivot_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .pivot("o_orderpriority", priorities)
+        .agg(round(sum(col("o_totalprice").cast("decimal(30,6)")).cast("double"), 2))
+        .select(
+          col("r_name") +: priorities.map(p =>
+            coalesce(col(s"`$p`"), lit(0.0)).as(p.toLowerCase.replaceAll("[^a-z0-9]+", "_"))): _*)
+        .orderBy("r_name")
+    }))
 
   val gapOracles: Map[String, String] = Map(
     "q38_table_stats" ->
@@ -510,7 +563,40 @@ object RelationalQueries {
         |       CAST(d.dev AS BIGINT) AS dev
         |FROM d JOIN mad USING (event_type)
         |WHERE d.dev > 3 * mad.mad
-        |ORDER BY d.event_id""".stripMargin)
+        |ORDER BY d.event_id""".stripMargin,
+
+    "q93_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+        |                  AS DOUBLE), 2) AS revenue,
+        |       count(*) AS n,
+        |       CAST(CASE WHEN r_name IS NULL THEN 2 ELSE 0 END
+        |            + CASE WHEN n_name IS NULL THEN 1 ELSE 0 END AS INT) AS lvl
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY lvl, r_name, n_name""".stripMargin,
+
+    "q94_pivot_priority" ->
+      """SELECT r_name,
+        |  COALESCE(round(CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE), 2), 0.0) AS "1_urgent",
+        |  COALESCE(round(CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+        |    THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE), 2), 0.0) AS "2_high",
+        |  COALESCE(round(CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |    THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE), 2), 0.0) AS "3_medium",
+        |  COALESCE(round(CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |    THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE), 2), 0.0) AS "4_not_specified",
+        |  COALESCE(round(CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+        |    THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE), 2), 0.0) AS "5_low"
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

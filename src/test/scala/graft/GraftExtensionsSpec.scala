@@ -361,6 +361,51 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
   }
 
+  test("analytics TVF batch round-trips the Scala paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = core.Tables(spark, sfSmoke, "events")
+      .withColumn("tus", unix_micros(col("ts")))
+    ev.createOrReplaceTempView("tvf_events")
+    val docs = core.Tables(spark, sfSmoke, "documents")
+    docs.createOrReplaceTempView("tvf_docs")
+
+    def same(sql: String, scala: org.apache.spark.sql.DataFrame, sort: Seq[String]): Unit = {
+      val a = spark.sql(sql).orderBy(sort.map(col): _*).collect().toSeq
+      val b = scala.orderBy(sort.map(col): _*).collect().toSeq
+      assert(a == b, s"TVF diverged: $sql")
+      assert(a.nonEmpty, s"empty round-trip: $sql")
+    }
+    same(
+      "SELECT * FROM retention_cohorts('tvf_events', 'user_id', 'ts', 'day', 1)",
+      graft.operators.Cohorts.retention(ev, "user_id", "ts", "day", 1),
+      Seq("cohort", "offset"))
+    same(
+      "SELECT * FROM funnel('tvf_events', 'user_id', 'tus', 'event_type', 'signup,view', 604800000000)",
+      graft.operators.Funnel.analyze(ev, "user_id", "tus", "event_type",
+        Seq("signup", "view"), 604800000000L),
+      Seq("user_id"))
+    same(
+      "SELECT * FROM scd2_history('tvf_events', 'user_id', 'tus', 'event_id', 'event_type')",
+      graft.operators.Scd.type2History(ev, "user_id", "tus", "event_id", Seq("event_type")),
+      Seq("user_id", "valid_from"))
+    val cents = ev.select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    cents.createOrReplaceTempView("tvf_cents")
+    same(
+      "SELECT * FROM mad_outliers('tvf_cents', 'event_type', 'cents', 3)",
+      graft.operators.Anomaly.madOutliers(cents, "event_type", "cents", 3),
+      Seq("event_id"))
+    same(
+      "SELECT * FROM collocations('tvf_docs', 'doc_id', 'text', 3, 10)",
+      graft.operators.Collocations.topByLift(docs, "doc_id", "text", 3, 10),
+      Seq("rk"))
+    same(
+      "SELECT * FROM hll_registers('tvf_docs', 'text', 5, 'source')",
+      graft.operators.Hll.registers(docs, "text", 5, Seq("source")),
+      Seq("source", "bucket"))
+  }
+
   test("simhash64 / minhash_bands / lsh_signature resolve through the extensions") {
     val fresh = spark.newSession()
     val fp = fresh.sql("SELECT simhash64(array('a','b')) AS fp").collect()(0).getLong(0)
