@@ -205,9 +205,57 @@ object StreamingQueries {
         .estimate(toks.select("tok").distinct(), "tok", sk, depth = 4, width = 512)
         .filter(col("est") >= lit(n / 100))
         .orderBy("tok")
-    }))
+    }),
+
+    // Streaming funnel: per-user step-time keyed state over 4 time-range
+    // micro-batches. Time-ordered arrival makes the incremental greedy
+    // equal the batch funnel (q87's semantics), so the oracle is the
+    // batch SQL — the pack's bag-union-style invariant for keyed state.
+    "q95_stream_funnel" -> ((s, dir) =>
+      graft.streaming.StreamingFunnel
+        .run(
+          t(s, dir, "events").withColumn("tus", unix_micros(col("ts"))),
+          "user_id", "tus", "event_type",
+          steps = Seq("signup", "view", "click", "purchase"),
+          windowUs = 7L * 24 * 3600 * 1000000,
+          chunks = 4)
+        .orderBy("user_id")))
 
   val oracles: Map[String, String] = Map(
+    // identical to q87's batch replay — the streamed state machine's
+    // contract is equality with the batch funnel
+    "q95_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.tus) AS t2
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.tus > s1.t1 AND e.tus <= s1.t1 + 604800000000
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.tus) AS t3
+        |  FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.tus > s2.t2 AND e.tus <= s1.t1 + 604800000000
+        |  GROUP BY e.user_id),
+        |s4 AS (
+        |  SELECT e.user_id, min(e.tus) AS t4
+        |  FROM e JOIN s1 USING (user_id) JOIN s3 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tus > s3.t3 AND e.tus <= s1.t1 + 604800000000
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |       s1.t1,
+        |       COALESCE(s2.t2, -1) AS t2,
+        |       COALESCE(s3.t3, -1) AS t3,
+        |       COALESCE(s4.t4, -1) AS t4,
+        |       CAST(1 + (s2.t2 IS NOT NULL)::INT + (s3.t3 IS NOT NULL)::INT
+        |              + (s4.t4 IS NOT NULL)::INT AS BIGINT) AS reached
+        |FROM s1
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |LEFT JOIN s4 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
     "q84_stream_cms" ->
       """WITH t AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
