@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (typo) self-join via deletion neighborhoods — FastSS
+  * (Bocek et al. 2007, public method): two strings within Levenshtein
+  * distance k share at least one variant obtainable by deleting ≤ k
+  * characters from each (any ≤ k-edit alignment names the positions to
+  * delete), so the ≤ k-deletion neighborhood is a COMPLETE candidate key
+  * and a bucket equi-join + exact Levenshtein verify gives the exact
+  * join — the vocabulary/entity-resolution sibling of the token-set
+  * similarity family (which can't see sub-token typos at all).
+  *
+  * Scale shape: the neighborhood explode runs over DISTINCT words
+  * (vocabulary-sized, not corpus-sized — the distinct() is the one
+  * corpus-shaped aggregation), emits O(len^k) variants per word, and the
+  * candidate join is an equi-join on variant with pair-dedup before the
+  * codegen `levenshtein` verify (the J15 compareSimilarity-gate shape).
+  */
+object EditDistanceJoin {
+
+  /** All strings from deleting AT MOST k characters of `s` (includes s). */
+  private[graft] def deletions(s: String, k: Int): Set[String] = {
+    var cur = Set(s)
+    var all = cur
+    var i = 0
+    while (i < k) {
+      cur = cur.flatMap(w => (0 until w.length).map(j => w.substring(0, j) + w.substring(j + 1)))
+      all ++= cur
+      i += 1
+    }
+    all
+  }
+
+  /** Exact pairs of distinct values of `wordCol` with Levenshtein ≤ k:
+    * (a, b, dist), a < b.
+    */
+  def selfJoin(df: DataFrame, wordCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 3, s"k must be in [1,3] (variants grow as len^k): $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(col(wordCol).cast("string").as("w"))
+      .na.drop().distinct()
+    val variants = words.as[String]
+      .flatMap(w => deletions(w, k).iterator.map(v => (v, w)))
+      .toDF("v", "w")
+    val a = variants.select(col("v"), col("w").as("a"))
+    val b = variants.select(col("v"), col("w").as("b"))
+    a.join(b, "v")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .dropDuplicates("a", "b") // dedup BEFORE the verify, J15-style
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= k)
+  }
+}

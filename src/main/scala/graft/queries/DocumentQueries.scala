@@ -737,6 +737,17 @@ object DocumentQueries {
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
         .select(col("id").as("doc_id"), col("rep"))
         .orderBy("doc_id")
+    }),
+
+    // FastSS edit-distance join (vocabulary/typo tier the token-set
+    // family can't see): ≤2-deletion neighborhoods over the DISTINCT
+    // vocabulary as complete candidates, codegen levenshtein verify.
+    "q96_typo_pairs" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(filter(split(col("text"), " "), x => length(x) > 0)).as("w"))
+      graft.operators.EditDistanceJoin.selfJoin(words, "w", k = 2)
+        .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+        .orderBy("a", "b")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -1454,6 +1465,17 @@ object DocumentQueries {
         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // brute-force Levenshtein over the distinct vocabulary (small in the
+    // oracle; the deletion-neighborhood candidates are the scale path).
+    "q96_typo_pairs" ->
+      """WITH t AS (
+        |  SELECT DISTINCT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents)
+        |SELECT a.w AS a, b.w AS b, CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 2
+        |ORDER BY a, b""".stripMargin,
 
     // 5-gram replay + eval/corpus split + distinct-hit counts.
     "q57_decontamination" ->

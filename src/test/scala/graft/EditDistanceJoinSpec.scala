@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.EditDistanceJoin
+
+/** FastSS completeness against a brute-force Levenshtein oracle on
+  * random-ish strings (substitutions, insertions, deletions, transposes),
+  * plus the deletion-neighborhood unit contract.
+  */
+class EditDistanceJoinSpec extends SparkSpec {
+  init()
+  import spark.implicits._
+
+  test("deletion neighborhoods") {
+    assert(EditDistanceJoin.deletions("ab", 1) == Set("ab", "a", "b"))
+    assert(EditDistanceJoin.deletions("abc", 2) ==
+      Set("abc", "ab", "ac", "bc", "a", "b", "c"))
+    assert(EditDistanceJoin.deletions("a", 2) == Set("a", ""))
+  }
+
+  test("selfJoin equals brute force for k=1 and k=2") {
+    val words = Seq(
+      "spark", "sparc", "spank", "park", "sparks", "mark", "table", "cable",
+      "tale", "stable", "scan", "span", "plan", "a", "ab", "b")
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    for (k <- Seq(1, 2)) {
+      val want = (for {
+        a <- words; b <- words if a < b && lev(a, b) <= k
+      } yield (a, b, lev(a, b).toLong)).sorted
+      val got = EditDistanceJoin.selfJoin(words.toDF("w"), "w", k)
+        .orderBy("a", "b")
+        .as[(String, String, Int)].collect().toSeq
+        .map(t => (t._1, t._2, t._3.toLong))
+      assert(got == want, s"k=$k: got $got want $want")
+      assert(want.nonEmpty)
+    }
+  }
+}
