@@ -29,10 +29,10 @@ object Hll {
     * the SECOND 8 hex chars; 33 when that 32-bit value is 0).
     */
   def bucket(item: Column, p: Int): Column =
-    pmod(conv(substring(md5(item), 1, 8), 16, 10).cast("long"), lit(1L << p))
+    pmod(conv(substring(md5(item.cast("string")), 1, 8), 16, 10).cast("long"), lit(1L << p))
 
   def rank(item: Column): Column = {
-    val x = conv(substring(md5(item), 9, 8), 16, 10).cast("long")
+    val x = conv(substring(md5(item.cast("string")), 9, 8), 16, 10).cast("long")
     when(x === 0L, lit(33)).otherwise(lit(33) - length(bin(x))).cast("int")
   }
 
@@ -46,6 +46,19 @@ object Hll {
       .groupBy((groupCols.map(col) :+ bucket(col(itemCol), p).as("bucket")): _*)
       .agg(max(rank(col(itemCol))).as("maxrank"))
   }
+
+  /** Register ALGEBRA: fold register rows down to new group keys with a
+    * plain MAX — the merge that makes HLL sketches composable across
+    * partitions, time windows, and hierarchies (registers(a ∪ b) =
+    * mergeRegisters(registers(a) ∪ registers(b)), spec-pinned). E.g. a
+    * sliding-window distinct count never re-touches the raw data: each
+    * base period's registers explode to the windows they belong to and
+    * fold here.
+    */
+  def mergeRegisters(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("maxrank")).as("maxrank"))
 
   /** Standard HLL estimate with small-range (linear counting) correction,
     * from ONE group's registers — a bounded collect of ≤ 2^p rows.

@@ -420,6 +420,24 @@ object RelationalQueries {
           col("r_name") +: priorities.map(p =>
             coalesce(col(s"`$p`"), lit(0.0)).as(p.toLowerCase.replaceAll("[^a-z0-9]+", "_"))): _*)
         .orderBy("r_name")
+    }),
+
+    // Sliding-window distinct users via HLL register ALGEBRA: hourly
+    // registers computed once from the data, then each hour's registers
+    // explode to the 3 trailing windows they belong to and fold with MAX
+    // — the raw events are never re-touched per window. Registers are
+    // exact integers; only the (non-oracled) estimate is float.
+    "q97_windowed_hll" -> ((s, dir) => {
+      val hourly = graft.operators.Hll.registers(
+        t(s, dir, "events")
+          .select(
+            expr("unix_micros(ts) div 3600000000").as("ehour"),
+            col("user_id")),
+        "user_id", p = 6, groupCols = Seq("ehour"))
+      graft.operators.Hll.mergeRegisters(
+          hourly.withColumn("whour", explode(sequence(col("ehour"), col("ehour") + 2))),
+          Seq("whour"))
+        .orderBy("whour", "bucket")
     }))
 
   val gapOracles: Map[String, String] = Map(
@@ -596,7 +614,33 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // hourly registers (q85's md5 bucket/rank recipe over user ids), then
+    // the window explode + MAX fold.
+    "q97_windowed_hll" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS ehour, user_id FROM events),
+        |r AS (
+        |  SELECT ehour,
+        |         CAST(list_sum(list_transform(range(0, 8), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(md5(CAST(user_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                AS BIGINT) << CAST(4 * (7 - i) AS INT))) % 64 AS BIGINT) AS bucket,
+        |         CAST(list_sum(list_transform(range(8, 16), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(md5(CAST(user_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                AS BIGINT) << CAST(4 * (15 - i) AS INT))) AS BIGINT) AS x
+        |  FROM h),
+        |rk AS (
+        |  SELECT ehour, bucket,
+        |         max(CASE WHEN x = 0 THEN 33 ELSE CAST(33 - len(bin(x)) AS INT) END) AS maxrank
+        |  FROM r GROUP BY ehour, bucket),
+        |w AS (
+        |  SELECT ehour + i.i AS whour, bucket, maxrank
+        |  FROM rk, range(0, 3) i(i))
+        |SELECT whour, bucket, CAST(max(maxrank) AS INT) AS maxrank
+        |FROM w GROUP BY whour, bucket ORDER BY whour, bucket""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -51,6 +51,11 @@ object StreamingCountMin {
       chunks)
 
     val grid = Array.ofDim[Long](depth, width)
+    // batchId gate: foreachBatch can REPLAY a batch after a failure, and
+    // grid += is not idempotent — the same discipline as the repo's
+    // batchId-keyed sinks, in-memory form (a durable deployment would
+    // persist (lastBatch, grid) together)
+    var lastFolded = -1L
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cms-ckpt-").toString
     val stream = spark.readStream
       .schema(projected.schema)
@@ -59,10 +64,13 @@ object StreamingCountMin {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // bounded collect: ≤ depth·width rows whatever the batch holds
-        CountMin.sketch(batch, "item", depth, width).collect().foreach { r =>
-          grid(r.getInt(0))(r.getLong(1).toInt) += r.getLong(2)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+          // bounded collect: ≤ depth·width rows whatever the batch holds
+          CountMin.sketch(batch, "item", depth, width).collect().foreach { r =>
+            grid(r.getInt(0))(r.getLong(1).toInt) += r.getLong(2)
+          }
+          lastFolded = batchId
         }
         ()
       }

@@ -30,6 +30,18 @@ class HllSpec extends SparkSpec {
     assert(whole == merged)
   }
 
+  test("mergeRegisters refolds to coarser groups exactly") {
+    val df = Seq(
+      ("h1", "u1"), ("h1", "u2"), ("h2", "u2"), ("h2", "u3"), ("h3", "u4"))
+      .toDF("h", "u")
+    val perHour = Hll.registers(df, "u", p = 4, groupCols = Seq("h"))
+    val merged = Hll.mergeRegisters(perHour, Seq.empty)
+      .orderBy("bucket").collect().toSeq
+    val direct = Hll.registers(df, "u", p = 4)
+      .orderBy("bucket").collect().toSeq
+    assert(merged == direct)
+  }
+
   test("estimate lands within the expected error band") {
     for (n <- Seq(100, 2000, 20000)) {
       val df = (0 until n).map(i => s"item-$i").toDF("v")
