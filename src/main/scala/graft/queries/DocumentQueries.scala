@@ -748,6 +748,21 @@ object DocumentQueries {
       graft.operators.EditDistanceJoin.selfJoin(words, "w", k = 2)
         .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
         .orderBy("a", "b")
+    }),
+
+    // Frequent 2-itemset mining (A-Priori): any-co-occurrence pairs with
+    // support ≥ 30% of baskets, lift-scored — the non-adjacent complement
+    // of q88's collocations. Frequent-item prune before pairing.
+    "q98_itemset_pairs" -> ((s, dir) => {
+      val items = t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          explode(array_distinct(filter(split(col("text"), " "), x => length(x) > 0)))
+            .as("tok"))
+      val nB = items.select("doc_id").distinct().count()
+      graft.operators.Itemsets
+        .frequentPairs(items, "doc_id", "tok", math.max(1L, nB * 3 / 10))
+        .orderBy("x", "y")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -1476,6 +1491,28 @@ object DocumentQueries {
         |FROM t a JOIN t b ON a.w < b.w
         |WHERE levenshtein(a.w, b.w) <= 2
         |ORDER BY a, b""".stripMargin,
+
+    // A-Priori replay: distinct items per basket, df counts, 30%-of-
+    // baskets support on items AND pairs, the single-multiply/divide lift.
+    "q98_itemset_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS i
+        |  FROM documents),
+        |n AS (SELECT count(DISTINCT doc_id) AS nb FROM t),
+        |ms AS (SELECT greatest(1, nb * 3 // 10) AS ms, nb FROM n),
+        |d AS (SELECT i, count(*) AS df FROM t GROUP BY i),
+        |f AS (SELECT d.i, d.df FROM d, ms WHERE d.df >= ms.ms),
+        |p AS (
+        |  SELECT a.i AS x, b.i AS y, fa.df AS dfx, fb.df AS dfy, count(*) AS cxy
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.i < b.i
+        |  JOIN f fa ON a.i = fa.i JOIN f fb ON b.i = fb.i
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT x, y, CAST(cxy AS BIGINT) AS cxy,
+        |       CAST(dfx AS BIGINT) AS dfx, CAST(dfy AS BIGINT) AS dfy,
+        |       round(CAST(cxy AS DOUBLE) * CAST(ms.nb AS DOUBLE)
+        |             / (CAST(dfx AS DOUBLE) * CAST(dfy AS DOUBLE)), 4) AS lift
+        |FROM p, ms WHERE cxy >= ms.ms ORDER BY x, y""".stripMargin,
 
     // 5-gram replay + eval/corpus split + distinct-hit counts.
     "q57_decontamination" ->
