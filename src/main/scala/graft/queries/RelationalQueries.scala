@@ -438,6 +438,38 @@ object RelationalQueries {
           hourly.withColumn("whour", explode(sequence(col("ehour"), col("ehour") + 2))),
           Seq("whour"))
         .orderBy("whour", "bucket")
+    }),
+
+    // Interval-overlap join (the two-sided sibling of as-of/range): user
+    // sessions × ±5-minute error windows of the same user, bucketed on
+    // 30-minute (key, bucket) equi-join cells — no θ-join explosion —
+    // pair-dedup then exact overlap verify; sessions with ≥1 window kept.
+    "q99_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(
+          col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val sess = ev
+        .withColumn(
+          "brk",
+          when(lag("tus", 1).over(w).isNull ||
+            col("tus") - lag("tus", 1).over(w) > 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(w))
+        .groupBy("user_id", "sid")
+        .agg(min("tus").as("s_start"), max("tus").as("s_end"))
+        .drop("sid")
+      val errw = ev.filter(col("event_type") === "error")
+        .select(
+          col("user_id"),
+          (col("tus") - 300000000L).as("w_start"),
+          (col("tus") + 300000000L).as("w_end"))
+      graft.operators.IntervalJoin
+        .overlap(sess, errw, Seq("user_id"), "s_start", "s_end", "w_start", "w_end",
+          bucketWidth = 1800000000L)
+        .groupBy("user_id", "s_start", "s_end")
+        .agg(count(lit(1)).as("n_error_windows"))
+        .orderBy("user_id", "s_start")
     }))
 
   val gapOracles: Map[String, String] = Map(
@@ -640,7 +672,34 @@ object RelationalQueries {
         |  SELECT ehour + i.i AS whour, bucket, maxrank
         |  FROM rk, range(0, 3) i(i))
         |SELECT whour, bucket, CAST(max(maxrank) AS INT) AS maxrank
-        |FROM w GROUP BY whour, bucket ORDER BY whour, bucket""".stripMargin)
+        |FROM w GROUP BY whour, bucket ORDER BY whour, bucket""".stripMargin,
+
+    // sessionize (q14's recipe in the µs domain) + plain inequality
+    // overlap join + per-session window count.
+    "q99_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+        |d AS (
+        |  SELECT user_id, tus, event_id,
+        |         CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (
+        |  SELECT user_id, tus,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS sid
+        |  FROM d),
+        |iv AS (
+        |  SELECT user_id, sid, min(tus) AS s_start, max(tus) AS s_end
+        |  FROM s GROUP BY user_id, sid),
+        |ew AS (
+        |  SELECT user_id, tus - 300000000 AS w_start, tus + 300000000 AS w_end
+        |  FROM e WHERE event_type = 'error')
+        |SELECT iv.user_id, iv.s_start, iv.s_end,
+        |       CAST(count(*) AS BIGINT) AS n_error_windows
+        |FROM iv JOIN ew ON iv.user_id = ew.user_id
+        |  AND iv.s_start <= ew.w_end AND ew.w_start <= iv.s_end
+        |GROUP BY iv.user_id, iv.s_start, iv.s_end
+        |ORDER BY iv.user_id, iv.s_start""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
