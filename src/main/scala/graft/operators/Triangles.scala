@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle enumeration over an undirected edge set — the graph-
+  * analytics step past connected components ([[Dedup.connectedComponents]]):
+  * triangle density separates tight duplicate cliques from chains of
+  * borderline pairs, and per-node triangle counts feed clustering
+  * coefficients.
+  *
+  * Scale shape is the standard DEGREE ORIENTATION: each edge points from
+  * its lower-(degree, id) endpoint to the higher, wedges form by joining
+  * a node's OUT-edges — so a hub of degree d contributes min(d, d_out)²
+  * wedges with d_out bounded by orientation (Σ wedges = O(m^1.5) for any
+  * graph, vs Σ d² unoriented, which a single celebrity node makes
+  * quadratic) — and each triangle materializes exactly once, closed by
+  * one more equi-join. Three hash joins, no θ-join, no per-node
+  * adjacency materialization.
+  */
+object Triangles {
+
+  /** Triangles as (x, y, z), x < y < z, one row each.
+    * `edges`: undirected pairs (a, b), a ≠ b, duplicates tolerated.
+    */
+  def enumerate(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient low (d, v) → high (d, v); struct compare gives the tiebreak
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+        .otherwise(col("b")).as("src"),
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
+        .otherwise(col("a")).as("dst"),
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("db"))
+        .otherwise(col("da")).as("dd"))
+    // wedges: two out-edges of u, ordered by the same (deg, id) rank so
+    // each unordered pair forms once
+    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
+    val e2 = oriented.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw"))
+    val wedges = e1.join(e2, "u")
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+    // close: the (v, w) edge is oriented v→w by construction (same rank order)
+    val closer = oriented.select(col("src").as("v"), col("dst").as("w"))
+    wedges.join(closer, Seq("v", "w"))
+      .select(sort_array(array(col("u"), col("v"), col("w"))).as("t"))
+      .select(
+        element_at(col("t"), 1).as("x"),
+        element_at(col("t"), 2).as("y"),
+        element_at(col("t"), 3).as("z"))
+  }
+}

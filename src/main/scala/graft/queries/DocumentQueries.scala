@@ -763,6 +763,18 @@ object DocumentQueries {
       graft.operators.Itemsets
         .frequentPairs(items, "doc_id", "tok", math.max(1L, nB * 3 / 10))
         .orderBy("x", "y")
+    }),
+
+    // Exact triangle enumeration (graph analytics past CC): SimHash
+    // Hamming≤3 pairs as edges, degree-oriented wedge join — O(m^1.5)
+    // wedge bound, each triangle once — closed by one equi-join.
+    "q100_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val edges = Dedup.simhashPairs(toks, maxHamming = 3)
+        .select(col("x_id").as("a"), col("y_id").as("b"))
+      graft.operators.Triangles.enumerate(edges)
+        .orderBy("x", "y", "z")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -1513,6 +1525,33 @@ object DocumentQueries {
         |       round(CAST(cxy AS DOUBLE) * CAST(ms.nb AS DOUBLE)
         |             / (CAST(dfx AS DOUBLE) * CAST(dfy AS DOUBLE)), 4) AS lift
         |FROM p, ms WHERE cxy >= ms.ms ORDER BY x, y""".stripMargin,
+
+    // q43's pair replay as edges + the id-ordered 3-way join (x<y<z by
+    // transitivity — each triangle exactly once).
+    "q100_triangles" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS m FROM tok),
+        |sgn AS (
+        |  SELECT doc_id, r.p AS p,
+        |         sum(CASE WHEN ((instr('0123456789abcdef', substr(m, (r.p // 4) + 1, 1)) - 1)
+        |                        >> (r.p % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, range(0, 64) r(p)
+        |  GROUP BY doc_id, r.p),
+        |fp AS (
+        |  SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+        |  FROM sgn GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 3)
+        |SELECT a.x AS x, a.y AS y, b.y AS z
+        |FROM pairs a
+        |JOIN pairs b ON a.y = b.x
+        |JOIN pairs c ON c.x = a.x AND c.y = b.y
+        |ORDER BY x, y, z""".stripMargin,
 
     // 5-gram replay + eval/corpus split + distinct-hit counts.
     "q57_decontamination" ->
