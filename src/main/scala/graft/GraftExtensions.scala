@@ -165,6 +165,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.dsirTopKPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("interval_overlap"),
+      new ExpressionInfo(
+        classOf[graft.operators.IntervalJoin.type].getName,
+        null,
+        "interval_overlap",
+        "interval_overlap(leftTable, rightTable, keyCol, lStart, lEnd, rStart, rEnd, bucketWidth) - same-key rows whose [start,end] intervals intersect (bucketed equi-join, exact verify).",
+        ""),
+      exprs => GraftExtensions.intervalOverlapPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("itemset_pairs"),
+      new ExpressionInfo(
+        classOf[graft.operators.Itemsets.type].getName,
+        null,
+        "itemset_pairs",
+        "itemset_pairs(table, basketCol, itemCol, minSupport) - frequent co-occurring item pairs with lift (A-Priori pruned).",
+        ""),
+      exprs => GraftExtensions.itemsetPairsPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("triangles"),
+      new ExpressionInfo(
+        classOf[graft.operators.Triangles.type].getName,
+        null,
+        "triangles",
+        "triangles(edgesTable, aCol, bCol) - exact triangle enumeration of the undirected edge set as (x, y, z), x < y < z.",
+        ""),
+      exprs => GraftExtensions.trianglesPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("edit_distance_join"),
+      new ExpressionInfo(
+        classOf[graft.operators.EditDistanceJoin.type].getName,
+        null,
+        "edit_distance_join",
+        "edit_distance_join(table, wordCol, k) - pairs of distinct values within Levenshtein distance k (FastSS deletion neighborhoods).",
+        ""),
+      exprs => GraftExtensions.editDistanceJoinPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("retention_cohorts"),
       new ExpressionInfo(
         classOf[graft.operators.Cohorts.type].getName,
@@ -533,6 +569,72 @@ object GraftExtensions {
         strArg(name, exprs(2), "textCol"),
         org.apache.spark.sql.functions.col(strArg(name, exprs(3), "targetBoolCol")),
         n, nBuckets, scale, k)
+      .queryExecution.logical
+  }
+
+  /** interval_overlap(leftTable, rightTable, keyCol, lStart, lEnd, rStart,
+    * rEnd, bucketWidth).
+    */
+  private[graft] def intervalOverlapPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "interval_overlap"
+    require(
+      exprs.length == 8,
+      s"$name expects (leftTable, rightTable, keyCol, lStart, lEnd, rStart, rEnd, bucketWidth), " +
+        s"got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.IntervalJoin
+      .overlap(
+        spark.table(strArg(name, exprs.head, "leftTable")),
+        spark.table(strArg(name, exprs(1), "rightTable")),
+        Seq(strArg(name, exprs(2), "keyCol")),
+        strArg(name, exprs(3), "lStart"),
+        strArg(name, exprs(4), "lEnd"),
+        strArg(name, exprs(5), "rStart"),
+        strArg(name, exprs(6), "rEnd"),
+        longArg(name, exprs(7), "bucketWidth"))
+      .queryExecution.logical
+  }
+
+  /** itemset_pairs(table, basketCol, itemCol, minSupport). */
+  private[graft] def itemsetPairsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "itemset_pairs"
+    require(
+      exprs.length == 4,
+      s"$name expects (table, basketCol, itemCol, minSupport), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.Itemsets
+      .frequentPairs(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "basketCol"),
+        strArg(name, exprs(2), "itemCol"),
+        longArg(name, exprs(3), "minSupport"))
+      .queryExecution.logical
+  }
+
+  /** triangles(edgesTable, aCol, bCol). */
+  private[graft] def trianglesPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "triangles"
+    require(exprs.length == 3, s"$name expects (edgesTable, aCol, bCol), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.Triangles
+      .enumerate(
+        spark.table(strArg(name, exprs.head, "edgesTable"))
+          .select(
+            org.apache.spark.sql.functions.col(strArg(name, exprs(1), "aCol")).as("a"),
+            org.apache.spark.sql.functions.col(strArg(name, exprs(2), "bCol")).as("b")))
+      .queryExecution.logical
+  }
+
+  /** edit_distance_join(table, wordCol, k). */
+  private[graft] def editDistanceJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "edit_distance_join"
+    require(exprs.length == 3, s"$name expects (table, wordCol, k), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.EditDistanceJoin
+      .selfJoin(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "wordCol"),
+        longArg(name, exprs(2), "k").toInt)
       .queryExecution.logical
   }
 

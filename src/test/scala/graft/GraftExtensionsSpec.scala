@@ -406,6 +406,34 @@ class GraftExtensionsSpec extends SparkSpec {
       Seq("source", "bucket"))
   }
 
+  test("graph/interval/itemset/typo TVF batch round-trips the Scala paths") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+      .createOrReplaceTempView("tvf_edges")
+    val tri = spark.sql("SELECT * FROM triangles('tvf_edges', 'a', 'b')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tri == Seq((1L, 2L, 3L)))
+
+    Seq((1L, 0L, 10L), (1L, 20L, 30L)).toDF("k", "ls", "le")
+      .createOrReplaceTempView("tvf_l")
+    Seq((1L, 5L, 25L)).toDF("k", "rs", "re").createOrReplaceTempView("tvf_r")
+    val ov = spark.sql(
+      "SELECT * FROM interval_overlap('tvf_l', 'tvf_r', 'k', 'ls', 'le', 'rs', 're', 7)")
+      .count()
+    assert(ov == 2L)
+
+    Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")).toDF("bid", "i")
+      .createOrReplaceTempView("tvf_baskets")
+    val ip = spark.sql("SELECT * FROM itemset_pairs('tvf_baskets', 'bid', 'i', 2)")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(ip == Seq(("a", "b")))
+
+    Seq("spark", "sparc", "table").toDF("w").createOrReplaceTempView("tvf_words")
+    val ed = spark.sql("SELECT * FROM edit_distance_join('tvf_words', 'w', 1)")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(ed == Seq(("sparc", "spark")))
+  }
+
   test("simhash64 / minhash_bands / lsh_signature resolve through the extensions") {
     val fresh = spark.newSession()
     val fp = fresh.sql("SELECT simhash64(array('a','b')) AS fp").collect()(0).getLong(0)
