@@ -775,6 +775,21 @@ object DocumentQueries {
         .select(col("x_id").as("a"), col("y_id").as("b"))
       graft.operators.Triangles.enumerate(edges)
         .orderBy("x", "y", "z")
+    }),
+
+    // Exact-integer PageRank (2 damped rounds) over the symmetric SimHash
+    // pair graph: floor-division contributions and updates — bit-exact in
+    // any engine/execution order, oracled by 2 unrolled SQL rounds.
+    "q101_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val pairs = Dedup.simhashPairs(toks, maxHamming = 3)
+      val edges = pairs.select(col("x_id").as("a"), col("y_id").as("b"))
+        .unionByName(pairs.select(col("y_id").as("a"), col("x_id").as("b")))
+      graft.operators.PageRank
+        .ranks(docs.select(col("doc_id").as("id")), edges, iters = 2)
+        .select(col("id").as("doc_id"), col("rank"))
+        .orderBy("doc_id")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -1552,6 +1567,46 @@ object DocumentQueries {
         |JOIN pairs b ON a.y = b.x
         |JOIN pairs c ON c.x = a.x AND c.y = b.y
         |ORDER BY x, y, z""".stripMargin,
+
+    // q43 pair replay → symmetric edges → outdegrees → two unrolled
+    // integer-PageRank rounds (floor divisions exactly as the engine's).
+    "q101_pagerank" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS m FROM tok),
+        |sgn AS (
+        |  SELECT doc_id, r.p AS p,
+        |         sum(CASE WHEN ((instr('0123456789abcdef', substr(m, (r.p // 4) + 1, 1)) - 1)
+        |                        >> (r.p % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, range(0, 64) r(p)
+        |  GROUP BY doc_id, r.p),
+        |fp AS (
+        |  SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+        |  FROM sgn GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 3),
+        |e AS (SELECT x AS a, y AS b FROM pairs UNION ALL SELECT y, x FROM pairs),
+        |od AS (SELECT a AS id, count(*) AS d FROM e GROUP BY a),
+        |n AS (SELECT doc_id AS id FROM documents),
+        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM n),
+        |c1 AS (
+        |  SELECT e.b AS id, sum(r0.r // od.d) AS s
+        |  FROM e JOIN r0 ON e.a = r0.id JOIN od ON e.a = od.id GROUP BY e.b),
+        |r1 AS (
+        |  SELECT n.id, 150000000000 + (85 * COALESCE(c1.s, 0)) // 100 AS r
+        |  FROM n LEFT JOIN c1 ON n.id = c1.id),
+        |c2 AS (
+        |  SELECT e.b AS id, sum(r1.r // od.d) AS s
+        |  FROM e JOIN r1 ON e.a = r1.id JOIN od ON e.a = od.id GROUP BY e.b),
+        |r2 AS (
+        |  SELECT n.id, 150000000000 + (85 * COALESCE(c2.s, 0)) // 100 AS r
+        |  FROM n LEFT JOIN c2 ON n.id = c2.id)
+        |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank
+        |FROM r2 ORDER BY doc_id""".stripMargin,
 
     // 5-gram replay + eval/corpus split + distinct-hit counts.
     "q57_decontamination" ->
