@@ -165,6 +165,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.dsirTopKPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("pagerank"),
+      new ExpressionInfo(
+        classOf[graft.operators.PageRank.type].getName,
+        null,
+        "pagerank",
+        "pagerank(nodesTable, idCol, edgesTable, aCol, bCol, iters) - exact-integer damped PageRank (scale 10^12). Returns (id, rank).",
+        ""),
+      exprs => GraftExtensions.pagerankPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("interval_overlap"),
       new ExpressionInfo(
         classOf[graft.operators.IntervalJoin.type].getName,
@@ -569,6 +578,25 @@ object GraftExtensions {
         strArg(name, exprs(2), "textCol"),
         org.apache.spark.sql.functions.col(strArg(name, exprs(3), "targetBoolCol")),
         n, nBuckets, scale, k)
+      .queryExecution.logical
+  }
+
+  /** pagerank(nodesTable, idCol, edgesTable, aCol, bCol, iters). */
+  private[graft] def pagerankPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "pagerank"
+    require(
+      exprs.length == 6,
+      s"$name expects (nodesTable, idCol, edgesTable, aCol, bCol, iters), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.PageRank
+      .ranks(
+        spark.table(strArg(name, exprs.head, "nodesTable"))
+          .select(org.apache.spark.sql.functions.col(strArg(name, exprs(1), "idCol")).as("id")),
+        spark.table(strArg(name, exprs(2), "edgesTable"))
+          .select(
+            org.apache.spark.sql.functions.col(strArg(name, exprs(3), "aCol")).as("a"),
+            org.apache.spark.sql.functions.col(strArg(name, exprs(4), "bCol")).as("b")),
+        longArg(name, exprs(5), "iters").toInt)
       .queryExecution.logical
   }
 

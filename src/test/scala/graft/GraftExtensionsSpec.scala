@@ -432,6 +432,17 @@ class GraftExtensionsSpec extends SparkSpec {
     val ed = spark.sql("SELECT * FROM edit_distance_join('tvf_words', 'w', 1)")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(ed == Seq(("sparc", "spark")))
+
+    Seq(1L, 2L, 3L).toDF("id").createOrReplaceTempView("tvf_nodes")
+    val pr = spark.sql(
+      "SELECT * FROM pagerank('tvf_nodes', 'id', 'tvf_edges', 'a', 'b', 1)")
+      .orderBy("id").collect().map(r => r.getLong(1)).toSeq
+    val prScala = graft.operators.PageRank.ranks(
+        spark.table("tvf_nodes"), spark.table("tvf_edges")
+          .select(org.apache.spark.sql.functions.col("a"),
+            org.apache.spark.sql.functions.col("b")), 1)
+      .orderBy("id").collect().map(r => r.getLong(1)).toSeq
+    assert(pr == prScala && pr.nonEmpty)
   }
 
   test("simhash64 / minhash_bands / lsh_signature resolve through the extensions") {
