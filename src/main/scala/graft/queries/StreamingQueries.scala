@@ -207,6 +207,18 @@ object StreamingQueries {
         .orderBy("tok")
     }),
 
+    // Streaming SCD type-2: dimension history maintained as ONE
+    // (attrs, valid_from) state pair per key over 4 time-range
+    // micro-batches — closed intervals emit exactly once, the open
+    // interval is the last open snapshot. Time-ordered arrival makes the
+    // fold equal batch q90, whose SQL is the oracle.
+    "q102_stream_scd2" -> ((s, dir) =>
+      graft.streaming.StreamingScd
+        .run(
+          t(s, dir, "events").withColumn("tus", unix_micros(col("ts"))),
+          "user_id", "tus", "event_id", "event_type", chunks = 4)
+        .orderBy("user_id", "valid_from")),
+
     // Streaming funnel: per-user step-time keyed state over 4 time-range
     // micro-batches. Time-ordered arrival makes the incremental greedy
     // equal the batch funnel (q87's semantics), so the oracle is the
@@ -222,6 +234,23 @@ object StreamingQueries {
         .orderBy("user_id")))
 
   val oracles: Map[String, String] = Map(
+    // identical to q90's batch replay — closed-once + last-open-snapshot
+    // reassembly must equal the batch lag/lead windows
+    "q102_stream_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+        |d AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |  FROM e),
+        |c AS (SELECT user_id, tus, event_id, event_type FROM d
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, tus AS valid_from,
+        |       COALESCE(lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id), -1)
+        |         AS valid_to,
+        |       COALESCE(lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id), -1) = -1
+        |         AS is_current
+        |FROM c ORDER BY user_id, valid_from""".stripMargin,
+
     // identical to q87's batch replay — the streamed state machine's
     // contract is equality with the batch funnel
     "q95_stream_funnel" ->
