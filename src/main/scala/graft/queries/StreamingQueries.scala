@@ -207,6 +207,17 @@ object StreamingQueries {
         .orderBy("tok")
     }),
 
+    // Streaming retention cohorts: first-seen period as ONE long of
+    // per-user state; emitted (cohort, period) activity pairs dedupe and
+    // aggregate into the same triangle as batch q83 (epoch-day domain),
+    // which is the oracle.
+    "q103_stream_cohorts" -> ((s, dir) =>
+      graft.streaming.StreamingCohorts
+        .run(
+          t(s, dir, "events").withColumn("tus", unix_micros(col("ts"))),
+          "user_id", "tus", periodUs = 86400000000L, chunks = 4)
+        .orderBy("cohort_period", "offset")),
+
     // Streaming SCD type-2: dimension history maintained as ONE
     // (attrs, valid_from) state pair per key over 4 time-range
     // micro-batches — closed intervals emit exactly once, the open
@@ -234,6 +245,28 @@ object StreamingQueries {
         .orderBy("user_id")))
 
   val oracles: Map[String, String] = Map(
+    // epoch-day retention triangle — the batch definition the streamed
+    // first-seen state must reproduce
+    "q103_stream_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, d FROM e),
+        |c AS (
+        |  SELECT f.cohort AS cohort_period,
+        |         CAST(a.d - f.cohort AS BIGINT) AS "offset",
+        |         CAST(count(*) AS BIGINT) AS n_users
+        |  FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cohort_period, "offset", n_users,
+        |         max(CASE WHEN "offset" = 0 THEN n_users END)
+        |           OVER (PARTITION BY cohort_period) AS cohort_size
+        |  FROM c)
+        |SELECT cohort_period, "offset", n_users,
+        |       CAST(cohort_size AS BIGINT) AS cohort_size,
+        |       (n_users * 10000) // cohort_size AS retention_bp
+        |FROM w ORDER BY cohort_period, "offset"""".stripMargin,
+
     // identical to q90's batch replay — closed-once + last-open-snapshot
     // reassembly must equal the batch lag/lead windows
     "q102_stream_scd2" ->
