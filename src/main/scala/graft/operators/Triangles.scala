@@ -57,4 +57,30 @@ object Triangles {
         element_at(col("t"), 2).as("y"),
         element_at(col("t"), 3).as("z"))
   }
+
+  /** Per-node local clustering coefficient in integer BASIS POINTS:
+    * cc_bp = ⌊10000·2T(v) / (d(v)(d(v)−1))⌋ — how close the node's
+    * neighborhood is to a clique, with the division floored so the value
+    * is engine-exact. Nodes of degree < 2 report 0 (no possible wedge).
+    * Output: (id, degree, n_triangles, cc_bp).
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = enumerate(und)
+    val triPerNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    deg
+      .join(triPerNode, Seq("id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn(
+        "cc_bp",
+        when(col("degree") < 2, lit(0L))
+          .otherwise(expr("(10000 * 2 * n_triangles) div (degree * (degree - 1))")))
+  }
 }

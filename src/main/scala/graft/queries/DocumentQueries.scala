@@ -790,6 +790,39 @@ object DocumentQueries {
         .ranks(docs.select(col("doc_id").as("id")), edges, iters = 2)
         .select(col("id").as("doc_id"), col("rank"))
         .orderBy("doc_id")
+    }),
+
+    // Local clustering coefficient over the SimHash pair graph: per-node
+    // triangle membership vs possible wedges, in exact basis points —
+    // separates tight duplicate cliques from borderline chains.
+    "q104_clustering_coeff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val edges = Dedup.simhashPairs(toks, maxHamming = 3)
+        .select(col("x_id").as("a"), col("y_id").as("b"))
+      graft.operators.Triangles.clusteringCoefficient(edges)
+        .select(col("id").as("doc_id"), col("degree"), col("n_triangles"), col("cc_bp"))
+        .orderBy("doc_id")
+    }),
+
+    // Simpson diversity per source (corpus-quality metric with NO floats):
+    // 1 − Σp² as exact basis points — 10000 − ⌊10000·Σc²/n²⌋ over token
+    // occurrence counts; a boilerplate-heavy source scores low.
+    "q105_simpson_diversity" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(
+          col("source"),
+          explode(filter(split(col("text"), " "), x => length(x) > 0)).as("tok"))
+      toks
+        .groupBy("source", "tok")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(
+          sum("c").as("n"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("sum_sq"))
+        .withColumn("simpson_bp", expr("10000 - (10000 * sum_sq) div (n * n)"))
+        .orderBy("source")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -1607,6 +1640,60 @@ object DocumentQueries {
         |  FROM n LEFT JOIN c2 ON n.id = c2.id)
         |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank
         |FROM r2 ORDER BY doc_id""".stripMargin,
+
+    // q100's triangle replay exploded per node + degrees + the exact
+    // basis-point division.
+    "q104_clustering_coeff" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS m FROM tok),
+        |sgn AS (
+        |  SELECT doc_id, r.p AS p,
+        |         sum(CASE WHEN ((instr('0123456789abcdef', substr(m, (r.p // 4) + 1, 1)) - 1)
+        |                        >> (r.p % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, range(0, 64) r(p)
+        |  GROUP BY doc_id, r.p),
+        |fp AS (
+        |  SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+        |  FROM sgn GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 3),
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT x AS id FROM pairs UNION ALL SELECT y FROM pairs) GROUP BY id),
+        |tri AS (
+        |  SELECT a.x AS x, a.y AS y, b.y AS z
+        |  FROM pairs a JOIN pairs b ON a.y = b.x JOIN pairs c ON c.x = a.x AND c.y = b.y),
+        |tpn AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |  GROUP BY id)
+        |SELECT deg.id AS doc_id, deg.degree,
+        |       COALESCE(tpn.n_triangles, 0) AS n_triangles,
+        |       CASE WHEN deg.degree < 2 THEN 0
+        |            ELSE (10000 * 2 * COALESCE(tpn.n_triangles, 0))
+        |                 // (deg.degree * (deg.degree - 1)) END AS cc_bp
+        |FROM deg LEFT JOIN tpn ON deg.id = tpn.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // token histogram per source → exact Σc² basis-point Simpson index.
+    "q105_simpson_diversity" ->
+      """WITH t AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |h AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok)
+        |SELECT source,
+        |       CAST(sum(c) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(sum(c * c) AS BIGINT) AS sum_sq,
+        |       CAST(10000 - (10000 * CAST(sum(c * c) AS BIGINT))
+        |                    // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))
+        |            AS BIGINT) AS simpson_bp
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     // 5-gram replay + eval/corpus split + distinct-hit counts.
     "q57_decontamination" ->
