@@ -35,6 +35,19 @@ object ZoneMap {
           Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
   }
 
+  /** Stats ALGEBRA: fold stats of data slices into the stats of their
+    * union — min/max/count all merge associatively, so zone maps of
+    * appended partitions combine without re-scanning old data (the
+    * incremental-maintenance property a lakehouse manifest relies on;
+    * same shape as [[Hll.mergeRegisters]]).
+    */
+  def merge(stats: DataFrame, bucketCol: String, statCols: Seq[String]): DataFrame =
+    stats.groupBy(col(bucketCol))
+      .agg(
+        sum("n_rows").as("n_rows"),
+        statCols.flatMap(c =>
+          Seq(min(col(s"${c}_min")).as(s"${c}_min"), max(col(s"${c}_max")).as(s"${c}_max"))): _*)
+
   /** Bucket ids whose [min,max] ranges overlap EVERY given (col, lo, hi)
     * predicate — the candidates a conjunctive range query must read.
     */

@@ -35,6 +35,22 @@ class ZoneMapSpec extends SparkSpec {
     assert(want.size == 11 * 11)
   }
 
+  test("stats merge: zone map of appended slices == zone map of the union") {
+    val g = grid
+    val maxZ = g.agg(max("z")).head().getLong(0)
+    val bucketed = g.withColumn("zb", expr(s"z div ${maxZ / 16 + 1}L"))
+    val (sliceA, sliceB) =
+      (bucketed.filter(col("x") < 32), bucketed.filter(col("x") >= 32))
+    val whole = ZoneMap.collect(bucketed, "zb", Seq("x", "y"))
+      .orderBy("zb").collect().toSeq
+    val merged = ZoneMap.merge(
+        ZoneMap.collect(sliceA, "zb", Seq("x", "y"))
+          .unionByName(ZoneMap.collect(sliceB, "zb", Seq("x", "y"))),
+        "zb", Seq("x", "y"))
+      .orderBy("zb").collect().toSeq
+    assert(merged == whole)
+  }
+
   test("z-order layout skips buckets on both dims; x-sorted layout cannot skip on y") {
     val g = grid
     val maxZ = g.agg(max("z")).head().getLong(0)
