@@ -287,4 +287,38 @@ object TextAnalysis {
         size(array_distinct(col("sh"))).cast("long").as("n_distinct_shingles"),
         transform(col("sh"), s => xxhash64(s)).as("fingerprints"))
   }
+
+  /** Vocabulary growth curve (Heaps' law empirics): how many NEW distinct
+    * tokens each ingest checkpoint contributes and the cumulative
+    * vocabulary after it — the curve that says whether a corpus slice
+    * still adds lexical coverage or only repeats (diminishing new-token
+    * yield ⇒ dedup/quality passes matter more than more data).
+    *
+    * Scale shape: one explode + `min(idCol)` per token (map-side
+    * combined — each token's FIRST document decides which checkpoint
+    * introduced it), a |vocab|-row bucket agg, and a cumulative window
+    * over `checkpoints` rows. The raw corpus is scanned once.
+    * Output: (checkpoint, new_tokens, vocab_size), checkpoint 0..k−1 by
+    * equal id ranges.
+    */
+  def vocabularyGrowth(
+      items: DataFrame, // (idCol, itemCol) — token/gram occurrences
+      idCol: String,
+      itemCol: String,
+      checkpoints: Int): DataFrame = {
+    require(checkpoints >= 1)
+    val maxId = items.agg(max(col(idCol))).head().getLong(0)
+    val per = maxId / checkpoints + 1
+    val firstSeen = items
+      .groupBy(col(itemCol))
+      .agg(min(col(idCol)).as("first_doc"))
+      .withColumn("checkpoint", expr(s"first_doc div ${per}L"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("checkpoint")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    firstSeen
+      .groupBy("checkpoint")
+      .agg(count(lit(1)).as("new_tokens"))
+      .withColumn("vocab_size", sum("new_tokens").over(w))
+  }
 }

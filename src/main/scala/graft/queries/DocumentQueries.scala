@@ -823,7 +823,20 @@ object DocumentQueries {
           sum(col("c") * col("c")).as("sum_sq"))
         .withColumn("simpson_bp", expr("10000 - (10000 * sum_sq) div (n * n)"))
         .orderBy("source")
-    }))
+    }),
+
+    // Vocabulary growth curve (Heaps empirics) over word BIGRAMS (the
+    // unigram vocab saturates in one checkpoint): new grams per ingest
+    // checkpoint + cumulative vocabulary — each gram charged to the
+    // checkpoint of its FIRST document (one min-agg over the exploded
+    // stream, then a k-row cumulative window).
+    "q106_vocab_growth" -> ((s, dir) =>
+      graft.operators.TextAnalysis
+        .vocabularyGrowth(
+          graft.operators.Decontamination.grams(
+            t(s, dir, "documents"), "doc_id", "text", n = 2),
+          "doc_id", "gram", checkpoints = 10)
+        .orderBy("checkpoint")))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
     * multi-char pieces that make greedy longest-match visible. Shared by
@@ -1694,6 +1707,29 @@ object DocumentQueries {
         |                    // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))
         |            AS BIGINT) AS simpson_bp
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    // first-doc per token → checkpoint buckets (max-id div recipe) →
+    // cumulative window.
+    "q106_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(w[i:i+1], ' ')
+        |                               FOR i IN range(1, len(w))])) AS tok
+        |  FROM w),
+        |fs AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY tok),
+        |ck AS (
+        |  SELECT first_doc // (mx.m // 10 + 1) AS checkpoint FROM fs, mx),
+        |g AS (SELECT checkpoint, CAST(count(*) AS BIGINT) AS new_tokens
+        |      FROM ck GROUP BY checkpoint)
+        |SELECT checkpoint, new_tokens,
+        |       CAST(sum(new_tokens) OVER (ORDER BY checkpoint
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS vocab_size
+        |FROM g ORDER BY checkpoint""".stripMargin,
 
     // 5-gram replay + eval/corpus split + distinct-hit counts.
     "q57_decontamination" ->
