@@ -825,6 +825,37 @@ object DocumentQueries {
         .orderBy("source")
     }),
 
+    // Hybrid retrieval with reciprocal-rank fusion (LLM op): the
+    // keyword ranking (q61's integer-BM25 surrogate) fused with an
+    // embedding cosine ranking (query = vector 0) via integer RRF —
+    // rank-only fusion, no cross-system score calibration. Both input
+    // rankings are bounded top-50 relations; fusion never touches the
+    // corpus.
+    "q107_hybrid_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kw = graft.operators.KeywordSearch
+        .topK(docs, "doc_id", "text", Seq("spark", "vector", "window"), 50)
+        .withColumn(
+          "rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val emb = t(s, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      graft.functions.CosineSimilarity.register(s)
+      val ann = graft.operators.TopK.perGroup(
+          emb.filter(col("vec_id") =!= 0)
+            .crossJoin(broadcast(q0))
+            .withColumn("sim", SimilaritySearch.cosine(col("embedding"), col("q_emb"))),
+          Seq.empty, Seq(col("sim").desc, col("vec_id").asc), 50, rankCol = "rank")
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.operators.Fusion
+        .rrf(Seq(kw, ann), "doc_id", "rank", kConst = 60L, scale = 1000000L, topK = 10)
+        .select(col("doc_id"), col("rrf"), col("n_lists"), col("rk").cast("int").as("rk"))
+        .orderBy("rk")
+    }),
+
     // Vocabulary growth curve (Heaps empirics) over word BIGRAMS (the
     // unigram vocab saturates in one checkpoint): new grams per ingest
     // checkpoint + cumulative vocabulary — each gram charged to the
@@ -1707,6 +1738,42 @@ object DocumentQueries {
         |                    // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))
         |            AS BIGINT) AS simpson_bp
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    // q61's keyword recipe at top-50 + the q22 cosine ranking (query =
+    // vector 0) + integer RRF fusion.
+    "q107_hybrid_retrieval" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf0,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf1,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf2
+        |  FROM documents),
+        |st AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM tf),
+        |sc AS (SELECT doc_id,
+        |  CAST(tf0 * (n - df0) + tf1 * (n - df1) + tf2 * (n - df2) AS BIGINT) AS score
+        |  FROM tf, st),
+        |kw AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM (SELECT doc_id, score FROM sc WHERE score > 0
+        |        ORDER BY score DESC, doc_id LIMIT 50)),
+        |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM embeddings),
+        |q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+        |ann AS (
+        |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+        |  FROM (SELECT c.vec_id, list_cosine_similarity(q.q_emb, c.emb) AS sim
+        |        FROM e c, q WHERE c.vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 50)),
+        |contrib AS (
+        |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM kw
+        |  UNION ALL SELECT doc_id, 1000000 // (60 + rank) FROM ann),
+        |f AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf, CAST(count(*) AS BIGINT) AS n_lists
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, rrf, n_lists,
+        |       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rk
+        |FROM f QUALIFY rk <= 10 ORDER BY rk""".stripMargin,
 
     // first-doc per token → checkpoint buckets (max-id div recipe) →
     // cumulative window.
