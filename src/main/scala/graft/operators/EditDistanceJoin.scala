@@ -54,4 +54,36 @@ object EditDistanceJoin {
       .withColumn("dist", levenshtein(col("a"), col("b")))
       .filter(col("dist") <= k)
   }
+
+  /** Vocabulary canonicalization: cluster the distinct values of
+    * `wordCol` by Levenshtein ≤ k (typo clusters via [[selfJoin]] +
+    * connected components) and map every word to its cluster's MOST
+    * FREQUENT member (ties to the lexicographically smallest) — the
+    * normalize-to-the-common-spelling policy entity resolution actually
+    * wants, vs the dedup family's min-id representative.
+    *
+    * Words get dense long ids for the numeric CC (a row_number over the
+    * DISTINCT vocabulary — vocabulary-sized, not corpus-sized; the only
+    * single-partition window here). Output: (word, canonical, freq).
+    */
+  def canonicalize(df: DataFrame, wordCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(col(wordCol).cast("string").as("w"))
+      .na.drop()
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val ids = freq.withColumn(
+      "id", row_number().over(Window.orderBy("w")).cast("long"))
+    val pairs = selfJoin(freq, "w", k).select("a", "b")
+    val edges = pairs
+      .join(ids.select(col("w").as("a"), col("id").as("ida")), "a")
+      .join(ids.select(col("w").as("b"), col("id").as("idb")), "b")
+      .select(col("ida").as("a"), col("idb").as("b"))
+    val cc = Dedup.connectedComponents(ids.select("id"), edges)
+    val labeled = ids.join(cc, "id")
+    val canon = labeled
+      .groupBy("rep")
+      .agg(min_by(col("w"), struct((-col("freq")).as("nf"), col("w"))).as("canonical"))
+    labeled.join(canon, "rep")
+      .select(col("w").as("word"), col("canonical"), col("freq"))
+  }
 }

@@ -856,6 +856,42 @@ object DocumentQueries {
         .orderBy("rk")
     }),
 
+    // Vocabulary canonicalization: typo clusters (ed ≤ 2) mapped to the
+    // MOST FREQUENT spelling — the entity-resolution representative
+    // policy, vs dedup's min-id.
+    "q109_vocab_canonical" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(filter(split(col("text"), " "), x => length(x) > 0)).as("w"))
+      graft.operators.EditDistanceJoin.canonicalize(words, "w", k = 2)
+        .orderBy("word")
+    }),
+
+    // Count-based bigram LM table (KenLM-shape): top-3 continuations per
+    // word with exact integer conditional-probability numerators —
+    // P(next|w) = cnt/ctx in basis points by floor division. The
+    // n-gram-count relation IS the scale path (billions of rows, all
+    // map-side-combined counts + one sharded per-group top-k).
+    "q108_bigram_lm" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), x => length(x) > 0)
+      val pairs = t(s, dir, "documents")
+        .select(explode(when(
+          size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => struct(element_at(toks, i + 1).as("w"), element_at(toks, i + 2).as("next"))))
+          .otherwise(array().cast("array<struct<w:string,next:string>>"))).as("p"))
+        .select(col("p.w").as("w"), col("p.next").as("next"))
+      val bi = pairs.groupBy("w", "next").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)
+      val ctx = pairs.groupBy("w").agg(count(lit(1)).as("ctx"))
+      graft.operators.TopK
+        .perGroup(
+          bi.join(ctx, "w"),
+          Seq("w"), Seq(col("cnt").desc, col("next").asc), 3)
+        .withColumn("p_bp", expr("(10000 * cnt) div ctx"))
+        .select("w", "next", "cnt", "ctx", "p_bp", "rk")
+        .orderBy("w", "rk")
+    }),
+
     // Vocabulary growth curve (Heaps empirics) over word BIGRAMS (the
     // unigram vocab saturates in one checkpoint): new grams per ingest
     // checkpoint + cumulative vocabulary — each gram charged to the
@@ -1774,6 +1810,52 @@ object DocumentQueries {
         |SELECT doc_id, rrf, n_lists,
         |       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rk
         |FROM f QUALIFY rk <= 10 ORDER BY rk""".stripMargin,
+
+    // ed≤2 clusters via the reach CTE (string domain) + per-cluster
+    // most-frequent representative.
+    "q109_vocab_canonical" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |f AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY w),
+        |p AS (
+        |  SELECT a.w AS x, b.w AS y FROM f a JOIN f b ON a.w < b.w
+        |  WHERE levenshtein(a.w, b.w) <= 2),
+        |edges AS (SELECT x AS a, y AS b FROM p UNION SELECT y, x FROM p),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cl AS (
+        |  SELECT f.w, least(f.w, coalesce(min(r.b), f.w)) AS rep
+        |  FROM f LEFT JOIN reach r ON r.a = f.w GROUP BY f.w),
+        |canon AS (
+        |  SELECT rep, w AS canonical FROM (
+        |    SELECT cl.rep, f.w,
+        |           row_number() OVER (PARTITION BY cl.rep ORDER BY f.freq DESC, f.w) AS rn
+        |    FROM cl JOIN f USING (w)) WHERE rn = 1)
+        |SELECT cl.w AS word, canon.canonical, f.freq
+        |FROM cl JOIN canon USING (rep) JOIN f ON f.w = cl.w
+        |ORDER BY word""".stripMargin,
+
+    // bigram/context counts + per-word top-3 + exact basis-point
+    // conditionals.
+    "q108_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |pairs AS (
+        |  SELECT w[i] AS w, w[i + 1] AS next
+        |  FROM t, unnest(range(1, greatest(len(w), 1))) r(i)),
+        |bi AS (
+        |  SELECT w, next, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pairs GROUP BY w, next HAVING count(*) >= 5),
+        |ctx AS (SELECT w, CAST(count(*) AS BIGINT) AS ctx FROM pairs GROUP BY w),
+        |rk AS (
+        |  SELECT bi.w, bi.next, bi.cnt, ctx.ctx,
+        |         row_number() OVER (PARTITION BY bi.w ORDER BY bi.cnt DESC, bi.next) AS rk
+        |  FROM bi JOIN ctx ON bi.w = ctx.w)
+        |SELECT w, next, cnt, ctx, (10000 * cnt) // ctx AS p_bp, CAST(rk AS INT) AS rk
+        |FROM rk WHERE rk <= 3 ORDER BY w, rk""".stripMargin,
 
     // first-doc per token → checkpoint buckets (max-id div recipe) →
     // cumulative window.

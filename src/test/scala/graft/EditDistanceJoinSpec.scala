@@ -40,4 +40,19 @@ class EditDistanceJoinSpec extends SparkSpec {
       assert(want.nonEmpty)
     }
   }
+
+  test("canonicalize maps typo clusters to the most frequent spelling") {
+    // "spark" x5 dominates its cluster {spark, sparc, spank, park};
+    // "table" x3 dominates {table, cable, tale}; "zebra" isolated
+    val words = Seq.fill(5)("spark") ++ Seq("sparc", "spank", "park") ++
+      Seq.fill(3)("table") ++ Seq("cable", "tale", "zebra")
+    val got = EditDistanceJoin.canonicalize(words.toDF("w"), "w", k = 2)
+      .orderBy("word")
+      .as[(String, String, Long)].collect().toSeq
+    val canon = got.map(r => r._1 -> r._2).toMap
+    assert(canon("sparc") == "spark" && canon("spank") == "spark" && canon("park") == "spark")
+    assert(canon("cable") == "table" && canon("tale") == "table")
+    assert(canon("zebra") == "zebra")
+    assert(got.find(_._1 == "spark").get._3 == 5L)
+  }
 }
