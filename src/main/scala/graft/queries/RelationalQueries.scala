@@ -440,6 +440,28 @@ object RelationalQueries {
         .orderBy("whour", "bucket")
     }),
 
+    // Period-over-period growth (the BI delta report): daily event
+    // counts per type, previous-period lag, and day-over-day change in
+    // exact basis points (floor division; -1 sentinel when no previous
+    // period). The window runs over the AGGREGATED (type, day) relation
+    // — days × types rows, never event-sized.
+    "q110_growth_dod" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(
+          col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("prev_n", lag("n", 1).over(w))
+        .withColumn(
+          "growth_bp",
+          when(col("prev_n").isNull, lit(-1L))
+            .otherwise(expr("((n - prev_n) * 10000) div prev_n")))
+        .withColumn("prev_n", coalesce(col("prev_n"), lit(-1L)))
+        .orderBy("event_type", "day")
+    }),
+
     // Interval-overlap join (the two-sided sibling of as-of/range): user
     // sessions × ±5-minute error windows of the same user, bucketed on
     // 30-minute (key, bucket) equi-join cells — no θ-join explosion —
@@ -578,6 +600,25 @@ object RelationalQueries {
         |WHERE user_id BETWEEN 3 AND 9
         |  AND epoch_us(ts) // 1000000 BETWEEN 1704499200 AND 1704931200
         |ORDER BY event_id""".stripMargin,
+
+    // Spark's `div` TRUNCATES toward zero while DuckDB's `//` floors —
+    // they disagree exactly on negative growth, so the oracle truncs
+    // explicitly via a sign case (prev_n is always positive).
+    "q110_growth_dod" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day, n,
+        |         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        |  FROM d)
+        |SELECT event_type, day, n,
+        |       COALESCE(prev_n, -1) AS prev_n,
+        |       CASE WHEN prev_n IS NULL THEN -1
+        |            WHEN n >= prev_n THEN ((n - prev_n) * 10000) // prev_n
+        |            ELSE -(((prev_n - n) * 10000) // prev_n) END AS growth_bp
+        |FROM l ORDER BY event_type, day""".stripMargin,
 
     // percentile_disc replay (q70's ceil-rank recipe) for median and MAD,
     // then the integer 3-MAD flag.
