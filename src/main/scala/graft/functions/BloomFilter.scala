@@ -106,13 +106,17 @@ object BloomFilter {
     val words = (m / 64).toInt
     import df.sparkSession.implicits._
     val values = df.select(org.apache.spark.sql.functions.col(colName).cast("string")).as[String]
+    // fold, not reduce: a zero-partition/zero-row input (empty eval
+    // relation reaching Decontamination.flagBloom) yields the all-zero
+    // filter instead of reduce's "empty collection" throw
     val bits = values
       .mapPartitions { it =>
         val b = new Array[Long](words)
         it.foreach { s => if (s != null) add(b, k, UTF8String.fromString(s)) }
         Iterator.single(b)
       }
-      .reduce { (a, b) =>
+      .rdd
+      .fold(new Array[Long](words)) { (a, b) =>
         var i = 0
         while (i < a.length) { a(i) |= b(i); i += 1 }
         a

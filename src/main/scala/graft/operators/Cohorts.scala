@@ -23,7 +23,9 @@ object Cohorts {
   private def trunc(granularity: String, c: Column): Column =
     date_trunc(granularity, c)
 
-  /** Retention triangle: (cohort, offset, n_users, retention_pct).
+  /** Retention triangle: (cohort, offset, n_users, cohort_size,
+    * retention_bp) — retention as integer basis points of the cohort's
+    * offset-0 size, so the contract is engine-exact.
     *
     * @param granularity "day" or "week" (any Spark date_trunc unit whose
     *                    offsets divide evenly into days)

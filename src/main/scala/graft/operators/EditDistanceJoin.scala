@@ -62,17 +62,25 @@ object EditDistanceJoin {
     * normalize-to-the-common-spelling policy entity resolution actually
     * wants, vs the dedup family's min-id representative.
     *
-    * Words get dense long ids for the numeric CC (a row_number over the
-    * DISTINCT vocabulary — vocabulary-sized, not corpus-sized; the only
-    * single-partition window here). Output: (word, canonical, freq).
+    * Words get distinct long ids for the numeric CC via `xxhash64(w)` —
+    * CC needs DISTINCT ids, not dense ones, so a deterministic hash
+    * (stable across recomputations, no cache dependency, no shuffle)
+    * replaces any global-sort id assignment; at web scale a typo-laden
+    * vocabulary is 10⁸⁺ rows and a single-partition `row_number` window
+    * would funnel it all through one task. A vocabulary-sized collision
+    * guard (one bounded agg) backs the 2⁻⁶⁴-per-pair hash assumption.
+    * Output: (word, canonical, freq).
     */
   def canonicalize(df: DataFrame, wordCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val freq = df.select(col(wordCol).cast("string").as("w"))
       .na.drop()
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    val ids = freq.withColumn(
-      "id", row_number().over(Window.orderBy("w")).cast("long"))
+    val ids = freq.withColumn("id", xxhash64(col("w")))
+    val collided = ids
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count() > 0
+    require(!collided,
+      "xxhash64 collision over the vocabulary — fall back to a salted re-hash")
     val pairs = selfJoin(freq, "w", k).select("a", "b")
     val edges = pairs
       .join(ids.select(col("w").as("a"), col("id").as("ida")), "a")

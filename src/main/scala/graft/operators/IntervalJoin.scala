@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape (no inequality-join explosion): both sides explode to the
   * fixed-width time buckets their interval covers, candidates form on a
-  * (key, bucket) EQUI-join, pairs dedup (an overlap spanning many
-  * buckets matches in each — the J15 gate again), and the exact
+  * (key, bucket) EQUI-join, the multi-bucket fan-out collapses by
+  * keeping ONLY the first shared bucket (`__bk = max(⌊ls/w⌋, ⌊rs/w⌋)` —
+  * a stateless filter, so genuinely duplicate input rows keep their
+  * multiplicity, unlike a full-row distinct), and the exact
   * `ls ≤ re ∧ rs ≤ le` predicate verifies. Per-row fan-out is
   * ⌈len/width⌉ + 1, so `bucketWidth` set near the typical interval
   * length keeps the explode a small constant while the equi-join hashes
@@ -41,8 +43,14 @@ object IntervalJoin {
     val l = left.withColumn("__bk", buckets(lStart, lEnd))
     val r = right.withColumn("__bk", buckets(rStart, rEnd))
     l.join(r, keyCols :+ "__bk")
+      // an overlapping pair co-occurs in every shared bucket; the FIRST
+      // shared bucket is max of the two start buckets, so this equality
+      // keeps exactly one candidate per pair-instance — preserving input
+      // row multiplicity where a full-row distinct() would collapse
+      // identical input rows into one
+      .filter(col("__bk") ===
+        greatest(expr(s"$lStart div ${bucketWidth}L"), expr(s"$rStart div ${bucketWidth}L")))
       .drop("__bk")
-      .distinct() // multi-bucket overlaps matched once per shared bucket
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
   }
 }

@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * the history is execution-order-independent; consecutive records whose
   * tracked attributes are UNCHANGED are compressed away (no-op updates
   * produce no interval); each surviving change is valid from its ts until
-  * the next surviving change's ts (−1 = open/current).
+  * the next surviving change's ts (−1 = open/current). The unchanged test
+  * is NULL-SAFE (`<=>`): NULL is a value — NULL→NULL compresses, NULL→x
+  * and x→NULL open new intervals (a three-valued `<>` would silently drop
+  * any change touching a NULL attribute; the oracle pins the null-safe
+  * reading via IS DISTINCT FROM).
   *
   * Scale shape: two windows over the same (key × time) partitioning — one
   * lag for compression, one lead for interval close — planned as a single
@@ -33,9 +37,12 @@ object Scd {
     require(attrCols.nonEmpty, "type2History needs at least one tracked attribute")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tiebreakCol))
     val attrs = struct(attrCols.map(col): _*)
+    // one explicit null-safe predicate: a first row's lag is a NULL
+    // struct (struct() itself is never NULL), so `not <=>` both keeps
+    // the first row and compares attribute structs nulls-as-values
     val compressed = changes
       .withColumn("__prev", lag(attrs, 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= attrs)
+      .filter(!(col("__prev") <=> attrs))
     val w2 = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tiebreakCol))
     compressed
       .withColumn("valid_from", col(tsUsCol))

@@ -579,14 +579,18 @@ object RelationalQueries {
         |LEFT JOIN s4 USING (user_id)
         |ORDER BY user_id""".stripMargin,
 
+    // null-safe compression (IS DISTINCT FROM + explicit first-row keep),
+    // pinning the operator's `<=>` nulls-as-values reading: NULL→NULL
+    // compresses, NULL→x / x→NULL open intervals
     "q90_scd2_history" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
         |d AS (
-        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn
         |  FROM e),
         |c AS (SELECT user_id, tus, event_id, event_type FROM d
-        |      WHERE prev IS NULL OR prev <> event_type)
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type, tus AS valid_from,
         |       COALESCE(lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id), -1)
         |         AS valid_to,

@@ -273,10 +273,11 @@ object StreamingQueries {
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
         |d AS (
-        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn
         |  FROM e),
         |c AS (SELECT user_id, tus, event_id, event_type FROM d
-        |      WHERE prev IS NULL OR prev <> event_type)
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type, tus AS valid_from,
         |       COALESCE(lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id), -1)
         |         AS valid_to,

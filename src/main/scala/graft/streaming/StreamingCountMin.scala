@@ -41,7 +41,18 @@ object StreamingCountMin {
     val projected = items.select(
       col(itemCol).cast("string").as("item"),
       col(chunkCol).cast("long").as("ck"))
-    val maxCk = projected.agg(max("ck")).head().getLong(0)
+    val sketchSchema = StructType(Seq(
+      StructField("r", IntegerType, nullable = false),
+      StructField("cell", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+    val bounds = projected.agg(max("ck")).head()
+    // empty input → empty sketch relation, mirroring StreamingFunnel's
+    // emptyResult (max() over zero rows is SQL NULL, not a Long)
+    if (bounds.isNullAt(0)) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], sketchSchema)
+    }
+    val maxCk = bounds.getLong(0)
     val per = maxCk / chunks + 1
     val staged = SemiStreamRuntime.stageByColumn(
       projected.withColumn(
@@ -82,11 +93,6 @@ object StreamingCountMin {
       c <- 0 until width
       if grid(r)(c) != 0L
     } yield Row(r, c.toLong, grid(r)(c))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("r", IntegerType, nullable = false),
-        StructField("cell", LongType, nullable = false),
-        StructField("cnt", LongType, nullable = false))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sketchSchema)
   }
 }

@@ -22,6 +22,13 @@ class BloomFilterSpec extends SparkSpec {
     }
   }
 
+  test("empty input builds the all-zero filter instead of throwing") {
+    val empty = Seq.empty[String].toDF("v")
+    val bloom = BloomFilter.build(empty, "v", fpp = 0.01, expectedItems = 100)
+    assert(bloom.saturation == 0.0)
+    assert(!BloomFilter.mightContain(bloom.bits, bloom.k, UTF8String.fromString("anything")))
+  }
+
   test("false-positive rate is near the configured fpp") {
     val items = (0 until 20000).map(i => s"in-$i")
     val df = items.toDF("v")

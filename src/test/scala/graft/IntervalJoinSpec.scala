@@ -43,6 +43,21 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("duplicate input rows keep their multiplicity") {
+    // two IDENTICAL left rows must produce two pairs, exactly as the
+    // brute-force inequality join counts them — a full-row distinct()
+    // would silently collapse them (ADVICE r8, medium)
+    val l = Seq((1L, 0L, 600L, "e"), (1L, 0L, 600L, "e"), (1L, 50L, 70L, "f"))
+      .toDF("k", "ls", "le", "ln")
+    val r = Seq((1L, 300L, 900L, "w"), (1L, 300L, 900L, "w"))
+      .toDF("k", "rs", "re", "rn")
+    // brute multiset: e×w ×(2·2)=4 pairs; f doesn't overlap w
+    val got = IntervalJoin
+      .overlap(l, r, Seq("k"), "ls", "le", "rs", "re", 100L)
+      .select("ln", "rn").as[(String, String)].collect().toSeq.sorted
+    assert(got == Seq.fill(4)(("e", "w")), s"multiplicity lost: $got")
+  }
+
   test("multi-bucket overlap emits exactly one pair") {
     val l = Seq((1L, 0L, 100L, "x")).toDF("k", "ls", "le", "ln")
     val r = Seq((1L, 0L, 100L, "y")).toDF("k", "rs", "re", "rn")

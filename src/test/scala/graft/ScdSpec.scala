@@ -36,6 +36,22 @@ class ScdSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 10L, 10L, false), (1L, "b", 10L, -1L, true)))
   }
 
+  test("NULL attributes are values: NULL→NULL compresses, NULL↔x opens") {
+    val changes = Seq(
+      (1L, 10L, 1L, Option.empty[String]),
+      (1L, 20L, 2L, Option.empty[String]), // NULL → NULL: compressed
+      (1L, 30L, 3L, Some("gold")), // NULL → gold: opens
+      (1L, 40L, 4L, Option.empty[String])) // gold → NULL: opens
+      .toDF("k", "tus", "id", "tier")
+    val got = Scd.type2History(changes, "k", "tus", "id", Seq("tier"))
+      .orderBy("valid_from")
+      .as[(Long, Option[String], Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, None, 10L, 30L, false),
+      (1L, Some("gold"), 30L, 40L, false),
+      (1L, None, 40L, -1L, true)))
+  }
+
   test("multi-attribute: any tracked column changing opens an interval") {
     val changes = Seq(
       (1L, 10L, 1L, "gold", "us"),

@@ -13,6 +13,13 @@ class StreamingCountMinSpec extends SparkSpec {
   init()
   import spark.implicits._
 
+  test("empty input yields an empty sketch, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("ck", "item")
+    val got = StreamingCountMin.runSketch(empty, "item", "ck", depth = 3, width = 64, chunks = 2)
+    assert(got.count() == 0L)
+    assert(got.columns.toSeq == Seq("r", "cell", "cnt"))
+  }
+
   test("streamed sketch == batch sketch across chunkings") {
     val items = (0 until 400)
       .map(i => (i.toLong, s"tok${i % 13}"))
