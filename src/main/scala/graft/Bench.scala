@@ -111,6 +111,30 @@ object Bench {
       name -> best
     }
 
+    // Second tracked line for the adaptive controller (round-8 verdict):
+    // q17/q41 now bench under FixedRule (deterministic work — the timing
+    // hill-climb feeds measured latencies back into eviction volume, so
+    // its total work varies run-to-run by construction), and the HillClimb
+    // configuration is timed HERE as its own metric so the adaptive path
+    // stays perf-tracked without polluting the comparable q17/q41 series.
+    val hillClimbLines: Seq[(String, Double)] =
+      Seq("q17hc" -> "q17_stream_semistream_join", "q41hc" -> "q41_stream_simjoin")
+        .filter { case (hcName, base) =>
+          selected.exists(_._1 == base) || only.exists(hcName.startsWith)
+        }
+        .map { case (hcName, base) =>
+          graft.queries.StreamingQueries.windowRuleOverride =
+            Some(graft.streaming.HillClimbRule)
+          // min-of-2 is LOAD-BEARING here, not just noise hygiene: the
+          // hill-climb steers by measured batch latencies, so a single
+          // cold draw can wander to 2-2.5× its warm time (observed 83 s
+          // vs a 33-35 s warm band on an idle box)
+          try hcName -> math.min(
+            timeOnce(hcName, SparkEntry.queries(base)),
+            timeOnce(hcName, SparkEntry.queries(base)))
+          finally graft.queries.StreamingQueries.windowRuleOverride = None
+        }
+
     // Dedicated per-batch latency of the streaming semi-stream join —
     // apples-to-apples with the reference's recorded ~2.1 s mean batch
     // latency (BASELINE.md, DSim-Join/log): per-batch stage times from the
@@ -146,7 +170,8 @@ object Bench {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     // query keys abbreviate to their unique qNN prefix (stream metrics stay
     // full): 73 full names (~2.4 KB) would crowd the capture window again
-    val qs = (results.map { case (k, v) => k.takeWhile(_ != '_') -> v } ++ streamBatch)
+    val qs = (results.map { case (k, v) => k.takeWhile(_ != '_') -> v } ++
+      hillClimbLines ++ streamBatch)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val floor = allSentinels.min

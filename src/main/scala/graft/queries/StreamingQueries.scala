@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.streaming.{AdaptiveWindowController, EventTimeWindows, SemiStreamRuntime}
+import graft.streaming.{AdaptiveWindowController, EventTimeWindows, FixedRule, HillClimbRule, SemiStreamRuntime, WindowRule}
 
 /** Streaming query pack: the semi-stream join run through the REAL
   * Structured Streaming runtime (readStream → foreachBatch → CacheManager),
@@ -17,6 +17,25 @@ import graft.streaming.{AdaptiveWindowController, EventTimeWindows, SemiStreamRu
 object StreamingQueries {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** Window rule for the BENCHED/ORACLED q17/q41 runs. Default is the
+    * papers' fixed-interval baseline (`FixedRule(initial)`): the timing
+    * hill-climb feeds measured batch latencies back into eviction volume,
+    * making benched WORK nondeterministic by construction (q41's observed
+    * 33-66 s solo spread, COVERAGE r8) — a fixed window removes the
+    * feedback loop so cross-round bench numbers compare like-for-like.
+    * The join OUTPUT is cache-policy-invariant either way (the bag-union
+    * contract), so correctness is unaffected. `SPARK_GRAFT_WINDOW_RULE=
+    * hillclimb` restores the adaptive controller; [[windowRuleOverride]]
+    * lets Bench time the HillClimb line in-process as a second metric.
+    */
+  @volatile private[graft] var windowRuleOverride: Option[WindowRule] = None
+  private[graft] def benchedWindowRule(initial: Int): WindowRule =
+    windowRuleOverride.getOrElse(sys.env.get("SPARK_GRAFT_WINDOW_RULE") match {
+      case Some("hillclimb") => HillClimbRule
+      case Some(s) if s.startsWith("fixed:") => FixedRule(s.stripPrefix("fixed:").toInt)
+      case _ => FixedRule(initial)
+    })
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full streaming path (SURVEY S1/S2, J1–J9, §2.7): lineitem replayed as
@@ -36,7 +55,8 @@ object StreamingQueries {
       val (out, _) = SemiStreamRuntime.semiStreamJoin(
         li, part, cache,
         key = "p_partkey", chunkKey = "l_orderkey", chunks = 8,
-        config = AdaptiveWindowController.Config(initialWindow = 2, warmupBatches = 2))
+        config = AdaptiveWindowController.Config(initialWindow = 2, warmupBatches = 2),
+        windowRule = benchedWindowRule(2))
       out.groupBy("p_brand")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
         .orderBy("p_brand")
@@ -77,7 +97,8 @@ object StreamingQueries {
     "q41_stream_simjoin" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val r = graft.streaming.SemiStreamSimilarityJoin.run(
-        docs, "doc_id", "text", tau = 0.8, chunks = 4)
+        docs, "doc_id", "text", tau = 0.8, chunks = 4,
+        windowRule = benchedWindowRule(4))
       r.pairs
         .select(
           col("x_id"),
