@@ -201,6 +201,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.trianglesPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("clustering_coefficient"),
+      new ExpressionInfo(
+        classOf[graft.operators.Triangles.type].getName,
+        null,
+        "clustering_coefficient",
+        "clustering_coefficient(edgesTable, aCol, bCol) - per-node local clustering coefficient in basis points: (id, degree, n_triangles, cc_bp).",
+        ""),
+      exprs => GraftExtensions.clusteringCoefficientPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("rrf_fusion"),
+      new ExpressionInfo(
+        classOf[graft.operators.Fusion.type].getName,
+        null,
+        "rrf_fusion",
+        "rrf_fusion(tablesCsv, idCol, rankCol, kConst, scale, topK) - reciprocal-rank fusion of ranked lists: top-k ids by summed scale div (kConst + rank).",
+        ""),
+      exprs => GraftExtensions.rrfFusionPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("edit_distance_join"),
       new ExpressionInfo(
         classOf[graft.operators.EditDistanceJoin.type].getName,
@@ -650,6 +668,41 @@ object GraftExtensions {
           .select(
             org.apache.spark.sql.functions.col(strArg(name, exprs(1), "aCol")).as("a"),
             org.apache.spark.sql.functions.col(strArg(name, exprs(2), "bCol")).as("b")))
+      .queryExecution.logical
+  }
+
+  /** clustering_coefficient(edgesTable, aCol, bCol). */
+  private[graft] def clusteringCoefficientPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "clustering_coefficient"
+    require(exprs.length == 3, s"$name expects (edgesTable, aCol, bCol), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.Triangles
+      .clusteringCoefficient(
+        spark.table(strArg(name, exprs.head, "edgesTable"))
+          .select(
+            org.apache.spark.sql.functions.col(strArg(name, exprs(1), "aCol")).as("a"),
+            org.apache.spark.sql.functions.col(strArg(name, exprs(2), "bCol")).as("b")))
+      .queryExecution.logical
+  }
+
+  /** rrf_fusion(tablesCsv, idCol, rankCol, kConst, scale, topK). */
+  private[graft] def rrfFusionPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "rrf_fusion"
+    require(
+      exprs.length == 6,
+      s"$name expects (tablesCsv, idCol, rankCol, kConst, scale, topK), got ${exprs.length}")
+    val spark = SparkSession.active
+    val tables = strArg(name, exprs.head, "tablesCsv")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(tables.nonEmpty, s"$name needs at least one ranking table")
+    graft.operators.Fusion
+      .rrf(
+        tables.map(spark.table),
+        strArg(name, exprs(1), "idCol"),
+        strArg(name, exprs(2), "rankCol"),
+        longArg(name, exprs(3), "kConst"),
+        longArg(name, exprs(4), "scale"),
+        longArg(name, exprs(5), "topK").toInt)
       .queryExecution.logical
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for `|a ∩ b|` over string arrays — the
@@ -31,23 +31,39 @@ case class ArrayIntersectSize(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        // hashed-token tier: dedup state stored as xxhash64 token ids
+        // verifies in hash space with the same kernel shape
+        TypeCheckResult.TypeCheckSuccess
       case _ =>
         TypeCheckResult.TypeCheckFailure(
-          "intersect_size requires two array<string> arguments, got " +
+          "intersect_size requires two array<string> or two array<bigint> arguments, got " +
             s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
     }
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    ArrayIntersectSize.intersectSize(
-      a.asInstanceOf[ArrayData],
-      b.asInstanceOf[ArrayData])
+  private def isLongVariant: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (isLongVariant)
+      ArrayIntersectSize.intersectSizeLong(
+        a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    else
+      ArrayIntersectSize.intersectSize(
+        a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (isLongVariant) "intersectSizeLong" else "intersectSize"
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.ArrayIntersectSize.intersectSize($a, $b);")
+      s"${ev.value} = graft.functions.ArrayIntersectSize.$kernel($a, $b);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,
@@ -74,6 +90,28 @@ object ArrayIntersectSize {
     var j = 0
     while (j < m) {
       if (!big.isNullAt(j) && set.remove(big.getUTF8String(j))) count += 1
+      j += 1
+    }
+    count
+  }
+
+  /** Long-array kernel (hashed-token tier): sorted-probe-free HashSet
+    * membership count, same smaller-side hashing as the string kernel.
+    */
+  def intersectSizeLong(a: ArrayData, b: ArrayData): Int = {
+    val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = small.numElements()
+    val set = new java.util.HashSet[java.lang.Long](Math.max(4, n * 2))
+    var i = 0
+    while (i < n) {
+      if (!small.isNullAt(i)) set.add(small.getLong(i))
+      i += 1
+    }
+    var count = 0
+    val m = big.numElements()
+    var j = 0
+    while (j < m) {
+      if (!big.isNullAt(j) && set.remove(big.getLong(j))) count += 1
       j += 1
     }
     count

@@ -67,12 +67,31 @@ object SemiStreamJoin {
       cache.columns.sameElements(stored.columns),
       s"cache schema ${cache.columns.mkString(",")} must equal stored schema " +
         s"${stored.columns.mkString(",")} — the cache holds verbatim stored rows")
+    joinWithFetch(batch, cache, missedKeys => stored.join(missedKeys, Seq(key), "left_semi"), key)
+  }
+
+  /** [[joinWithStore]] with a PLUGGABLE store fetch: `fetch` receives the
+    * distinct missed-key relation and returns the stored rows for those
+    * keys (cache-schema'd). This is the seam a remote point-lookup backend
+    * plugs into ([[graft.sources.KeyValueStore.fetchByKeys]] — the
+    * reference's executor-side `$or` fetch, `DS-Join/DS_join_step4/src/
+    * main/scala/streaming.scala:343-377`); the default backend is the
+    * Catalyst-planned semi-join above.
+    */
+  def joinWithFetch(
+      batch: DataFrame,
+      cache: DataFrame,
+      fetch: DataFrame => DataFrame,
+      key: String): JoinResult = {
     val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
     val s = split(b, cache, key)
     val missedKeys = s.misses.select(key).distinct()
-    val fetched = stored
-      .join(missedKeys, Seq(key), "left_semi")
+    val fetched = fetch(missedKeys)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    require(
+      cache.columns.sameElements(fetched.columns),
+      s"fetched schema ${fetched.columns.mkString(",")} must equal cache schema " +
+        s"${cache.columns.mkString(",")} — the cache holds verbatim stored rows")
     val out = s.hits.unionByName(s.misses.join(fetched, Seq(key), "inner"))
     JoinResult(out, fetched, () => { b.unpersist(); fetched.unpersist() })
   }

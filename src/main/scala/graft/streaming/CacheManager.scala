@@ -74,7 +74,13 @@ final class CacheManager(
     checkpointEvery: Int = 8,
     admit: DataFrame => DataFrame = identity,
     policy: EvictionPolicy = LruWindow,
-    windowRule: WindowRule = HillClimbRule) {
+    windowRule: WindowRule = HillClimbRule,
+    // pluggable store backend: receives the distinct missed-key relation,
+    // returns the stored rows for those keys (cache-schema'd). None = the
+    // Catalyst-planned semi-join against `stored`; Some = e.g. a remote
+    // point-lookup connector (KeyValueStore.fetchByKeys), the reference's
+    // executor-side `$or` fetch regime
+    fetchOverride: Option[DataFrame => DataFrame] = None) {
 
   import CacheManager.BatchStats
 
@@ -116,7 +122,10 @@ final class CacheManager(
     val id = batchId
 
     val t0 = System.nanoTime()
-    val r = SemiStreamJoin.joinWithStore(batch, cache, stored, key)
+    val r = fetchOverride match {
+      case Some(f) => SemiStreamJoin.joinWithFetch(batch, cache, f, key)
+      case None => SemiStreamJoin.joinWithStore(batch, cache, stored, key)
+    }
     val missedCount = r.fetched.count() // forces batch persist + split + fetch
     val splitFetchMs = (System.nanoTime() - t0) / 1e6
     // joinWithStore runs split and fetch in one DAG; the controller compares

@@ -53,6 +53,16 @@ trait DedupStateStore {
     * implementation exposes the window.
     */
   def compact(upTo: Long, afterPublish: () => Unit): Unit
+
+  /** Release every NON-DURABLE resource this store holds once its stream
+    * has COMPLETED successfully. Durable state (parquet dirs) is
+    * untouched; the in-memory backend drops its JVM-global commit-log
+    * entry — without this, every completed stream in a long-lived session
+    * (a test JVM running many suites) accretes registry state forever.
+    * Callers must NOT close after a failed run: a crash-resume reads the
+    * state back through the same dir key.
+    */
+  def close(): Unit = ()
 }
 
 /** Parquet implementation: one directory tree partitioned by
@@ -286,6 +296,8 @@ final class InMemoryDedupState(
       .collect().toVector
     log.synchronized { log.batches(batchId) = rows } // replace = idempotent retry
   }
+
+  override def close(): Unit = InMemoryDedupState.drop(dir)
 
   override def compact(upTo: Long, afterPublish: () => Unit): Unit = {
     val gen = -upTo

@@ -144,12 +144,13 @@ object SemiStreamRuntime {
       config: AdaptiveWindowController.Config = AdaptiveWindowController.Config(),
       checkpointEvery: Int = 4,
       policy: EvictionPolicy = LruWindow,
-      windowRule: WindowRule = HillClimbRule): (DataFrame, Seq[CacheManager.BatchStats]) = {
+      windowRule: WindowRule = HillClimbRule,
+      fetchOverride: Option[DataFrame => DataFrame] = None): (DataFrame, Seq[CacheManager.BatchStats]) = {
     val spark = input.sparkSession
     val staged = stage(input, chunkKey, chunks)
     val manager =
       new CacheManager(stored, cacheSeed, key, config, checkpointEvery, policy = policy,
-        windowRule = windowRule)
+        windowRule = windowRule, fetchOverride = fetchOverride)
     try {
       val out = run(spark, staged, input.schema, manager)
       (out, manager.stats.toList)

@@ -139,6 +139,18 @@ object StreamingDedup {
     *                      dedupKeys) — [[ParquetDedupState]] by default;
     *                      [[InMemoryDedupState]] runs the same pipeline on
     *                      the commit-log backend.
+    * @param hashTokens    store the VERIFY tier (`state/toks`) as xxhash64
+    *                      token ids (`array<bigint>`) instead of token
+    *                      strings — the state-size tier for corpora whose
+    *                      token storage dominates. Band signatures (and so
+    *                      LSH candidates) still derive from the ORIGINAL
+    *                      tokens, so the candidate set is bit-identical;
+    *                      the exact-Jaccard verify runs in hash space,
+    *                      where |A∩B|/|A∪B| differs only on an xxhash64
+    *                      collision inside one candidate pair's union
+    *                      (≈2⁻⁶⁴ per token pair — far below the banding
+    *                      scheme's own 1e−10 miss floor, which the oracle
+    *                      already absorbs).
     */
   def run(
       docs: DataFrame,
@@ -154,7 +166,8 @@ object StreamingDedup {
       crashAtBatch: Option[Long] = None,
       crashInCompaction: Boolean = false,
       onBatch: (Long, Long) => Unit = (_, _) => (),
-      store: StateStoreFactory = parquetStore): DataFrame = {
+      store: StateStoreFactory = parquetStore,
+      hashTokens: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.ArrayIntersectSize.register(spark)
     graft.functions.MinHashBands.register(spark)
@@ -184,7 +197,12 @@ object StreamingDedup {
       FsMove.into(spark, new HPath(staged.toString), new HPath(inputDir))
     }
 
-    val tokSchema = SimilarityJoin.tokenize(docs.limit(0), idCol, textCol)
+    // verify-tier representation: token strings, or xxhash64 ids (the
+    // state-size tier — see the hashTokens param doc)
+    val reprToks: DataFrame => DataFrame =
+      if (hashTokens) df => df.withColumn("toks", transform(col("toks"), t => xxhash64(t)))
+      else identity
+    val tokSchema = reprToks(SimilarityJoin.tokenize(docs.limit(0), idCol, textCol))
       .select("sid", "toks").schema
     val sigSchema = Dedup.bandSignatures(
       SimilarityJoin.tokenize(docs.limit(0), idCol, textCol), bands, rowsPerBand).schema
@@ -222,8 +240,9 @@ object StreamingDedup {
       // driver-side collects in the batch loop
       val sigPbs = bSigs.select("pb").distinct().collect().map(_.getInt(0)).toSeq
 
+      val bVToks = reprToks(bToks) // verify-tier representation of the batch
       val xSigs = bSigs.select(col("sid").as("x_id"), col("band"), col("bsig"))
-      val xB = broadcast(bToks.select(col("sid").as("x_id"), col("toks").as("x_toks")))
+      val xB = broadcast(bVToks.select(col("sid").as("x_id"), col("toks").as("x_toks")))
 
       def verified(cand: DataFrame, yToks: DataFrame): DataFrame =
         cand.dropDuplicates("x_id", "y_id")
@@ -266,7 +285,7 @@ object StreamingDedup {
         .join(bSigs.select(col("sid").as("y_id"), col("band"), col("bsig")), Seq("band", "bsig"))
         .filter(col("y_id") < col("x_id"))
         .select("x_id", "y_id")
-      val yBatch = broadcast(bToks.select(col("sid").as("y_id"), col("toks").as("y_toks")))
+      val yBatch = broadcast(bVToks.select(col("sid").as("y_id"), col("toks").as("y_toks")))
 
       val dupOf = verified(stateCand, yFetch)
         .unionByName(verified(batchCand, yBatch))
@@ -290,7 +309,7 @@ object StreamingDedup {
 
       sigState.append(bSigs.select(col("sid"), col("band"), col("bsig"), col("pb")), batchId)
       tokState.append(
-        bToks.select(col("sid"), col("toks"), bucketOf(nBuckets, col("sid")).as("pb")),
+        bVToks.select(col("sid"), col("toks"), bucketOf(nBuckets, col("sid")).as("pb")),
         batchId)
 
       stateCand.unpersist(); needed.unpersist(); bToks.unpersist(); bSigs.unpersist()
@@ -315,6 +334,11 @@ object StreamingDedup {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    // successful completion only (a throw above skips this): non-durable
+    // backends release their JVM-global commit-log entry; a FAILED run
+    // keeps it so crash-resume can read the state back through the dir key
+    sigState.close()
+    tokState.close()
 
     spark.read.parquet(outDir)
       .select(col("out_id").as("doc_id"), col("dup_of"))

@@ -174,6 +174,9 @@ object StreamingSemanticDedup {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    // successful completion only: see StreamingDedup — failed runs keep
+    // their registry entry for crash-resume
+    state.close()
 
     centroids.unpersist()
     spark.read.parquet(outDir)

@@ -38,6 +38,21 @@ class ArrayIntersectSizeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("intersect_size on bigint arrays (hashed-token tier) equals array_intersect") {
+    import spark.implicits._
+    ArrayIntersectSize.register(spark)
+    val gen = for {
+      a <- Gen.listOf(Gen.choose(-25L, 25L))
+      b <- Gen.listOf(Gen.choose(-25L, 25L))
+    } yield (a.distinct, b.distinct)
+    val cases = Gen.listOfN(200, gen).sample.get
+    val df = cases.toDF("a", "b")
+      .select(
+        ArrayIntersectSize.intersect_size(col("a"), col("b")).as("got"),
+        size(array_intersect(col("a"), col("b"))).as("want"))
+    assert(df.filter(col("got") =!= col("want")).isEmpty, "long kernel diverged")
+  }
+
   test("intersect_size runs inside whole-stage codegen on a real scan") {
     ArrayIntersectSize.register(spark)
     graft.core.Tables(spark, sfSmoke, "documents").createOrReplaceTempView("is_docs")

@@ -45,6 +45,20 @@ abstract class DedupStateStoreContract extends SparkSpec {
     assert(keys(st.read(1L, Seq(0))) == Seq("b1", "b2"))
   }
 
+  test(s"[$backend] close releases non-durable resources; durable state survives") {
+    val dir = freshDir(); val st = mk(dir)
+    st.append(rows("a", 3), 0L)
+    assert(live(dir).nonEmpty)
+    st.close()
+    // parquet: close is a no-op (state is durable); in-memory: the
+    // JVM-global registry entry is gone, so a long-lived test session
+    // cannot accrete one log per completed stream
+    val after = live(dir)
+    if (backend == "in-memory")
+      assert(after.isEmpty, s"registry entry leaked after close: $after")
+    else assert(after.nonEmpty, "durable state must survive close")
+  }
+
   test(s"[$backend] read hides in-flight and later batches and prunes by bucket") {
     val dir = freshDir(); val st = mk(dir)
     st.append(rows("a", 2, pb = 0), 0L)

@@ -433,6 +433,27 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(ed == Seq(("sparc", "spark")))
 
+    val cc = spark.sql("SELECT * FROM clustering_coefficient('tvf_edges', 'a', 'b')")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val ccScala = graft.operators.Triangles.clusteringCoefficient(spark.table("tvf_edges"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(cc == ccScala && cc.nonEmpty)
+
+    Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rk").createOrReplaceTempView("tvf_rank1")
+    Seq((11L, 1L), (10L, 2L), (13L, 3L)).toDF("id", "rk").createOrReplaceTempView("tvf_rank2")
+    val rrf = spark.sql(
+      "SELECT * FROM rrf_fusion('tvf_rank1,tvf_rank2', 'id', 'rk', 60, 1000000, 3)")
+      .orderBy("rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rrfScala = graft.operators.Fusion.rrf(
+        Seq(spark.table("tvf_rank1"), spark.table("tvf_rank2")),
+        "id", "rk", 60L, 1000000L, 3)
+      .orderBy("rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rrf == rrfScala && rrf.size == 3)
+
     Seq(1L, 2L, 3L).toDF("id").createOrReplaceTempView("tvf_nodes")
     val pr = spark.sql(
       "SELECT * FROM pagerank('tvf_nodes', 'id', 'tvf_edges', 'a', 'b', 1)")

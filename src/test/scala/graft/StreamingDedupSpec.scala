@@ -22,6 +22,10 @@ abstract class StreamingDedupContract extends SparkSpec {
   def store: StreamingDedup.StateStoreFactory
   /** Live batch/generation ids of a state dir. */
   def backendLive(stateDir: String): Seq[Long]
+  /** Does state survive a SUCCESSFUL run? Durable backends: yes; the
+    * in-memory commit log releases its registry entry on close().
+    */
+  def retainsStateAfterSuccess: Boolean
 
   private def run(
       docs: org.apache.spark.sql.DataFrame,
@@ -29,10 +33,11 @@ abstract class StreamingDedupContract extends SparkSpec {
       workDir: Option[String] = None,
       compactEvery: Int = 8,
       crashAtBatch: Option[Long] = None,
-      crashInCompaction: Boolean = false) =
+      crashInCompaction: Boolean = false,
+      onBatch: (Long, Long) => Unit = (_, _) => ()) =
     StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = chunks,
       workDir = workDir, compactEvery = compactEvery, crashAtBatch = crashAtBatch,
-      crashInCompaction = crashInCompaction, store = store)
+      crashInCompaction = crashInCompaction, onBatch = onBatch, store = store)
 
   /** Ordered brute-force reference: dup_of(x) = min y seen before x
     * (earlier batch, or same batch with smaller id) with J(x,y) ≥ τ.
@@ -92,7 +97,14 @@ abstract class StreamingDedupContract extends SparkSpec {
   test(s"[$backend] compaction bounds the live state segments and preserves decisions") {
     val docs = Tables(spark, sfSmoke, "documents")
     val workDir = java.nio.file.Files.createTempDirectory("graft-dedup-compact-").toString
-    val got = run(docs, chunks = 8, workDir = Some(workDir), compactEvery = 2)
+    // segment census taken DURING the final batches (onBatch fires after
+    // each batch's appends): non-durable backends release their registry
+    // entry once the run completes, so a post-run listing would be empty
+    val liveAtEnd = collection.mutable.Map[String, Seq[Long]]()
+    val got = run(docs, chunks = 8, workDir = Some(workDir), compactEvery = 2,
+      onBatch = (_, _) =>
+        for (state <- Seq("sigs", "toks"))
+          liveAtEnd(state) = backendLive(s"$workDir/state/$state"))
     val expected = bruteDedup(docs, tau = 0.8, chunks = 8)
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
 
@@ -100,9 +112,50 @@ abstract class StreamingDedupContract extends SparkSpec {
     // ladder) + un-folded recent increments — strictly fewer than one per
     // batch
     for (state <- Seq("sigs", "toks")) {
-      val live = backendLive(s"$workDir/state/$state")
+      val live = liveAtEnd(state)
       assert(live.size < 8, s"$state segments not compacted: $live")
       assert(live.exists(_ < 0), s"no consolidated generation in $live")
+    }
+  }
+
+  test(s"[$backend] hashed-token verify tier: identical decisions, measured toks-state bytes") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    def bytesOf(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(dir))
+    }
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-dedup-plain-").toString
+    val hashDir = java.nio.file.Files.createTempDirectory("graft-dedup-hash-").toString
+    val plain = StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 4,
+      workDir = Some(plainDir), compactEvery = 0, store = store)
+    val hashed = StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 4,
+      workDir = Some(hashDir), compactEvery = 0, store = store, hashTokens = true)
+    // candidates are signature-identical (sigs derive from the original
+    // tokens) and the hash-space verify flips only on an xxhash64
+    // collision — so decisions must be EXACTLY equal on this corpus
+    assert(plain.exceptAll(hashed).isEmpty && hashed.exceptAll(plain).isEmpty)
+    if (backend == "parquet") {
+      val (pB, hB) = (bytesOf(s"$plainDir/state/toks"), bytesOf(s"$hashDir/state/toks"))
+      val nDocs = docs.count()
+      info(f"toks state bytes/doc: plain ${pB.toDouble / nDocs}%.1f, " +
+        f"hashed ${hB.toDouble / nDocs}%.1f (ratio ${hB.toDouble / pB}%.2f)")
+      assert(hB > 0 && pB > 0)
+    }
+  }
+
+  test(s"[$backend] successful completion releases non-durable state (registry bound)") {
+    val docs = Tables(spark, sfSmoke, "documents").limit(60)
+    val workDir = java.nio.file.Files.createTempDirectory("graft-dedup-close-").toString
+    run(docs, chunks = 3, workDir = Some(workDir)).count()
+    for (state <- Seq("sigs", "toks")) {
+      val live = backendLive(s"$workDir/state/$state")
+      if (retainsStateAfterSuccess)
+        assert(live.nonEmpty, s"durable $state state vanished after success")
+      else
+        assert(live.isEmpty,
+          s"$state registry entry leaked after successful completion: $live")
     }
   }
 
@@ -153,6 +206,7 @@ abstract class StreamingDedupContract extends SparkSpec {
 class StreamingDedupSpec extends StreamingDedupContract {
   override def backend = "parquet"
   override def store = StreamingDedup.parquetStore
+  override def retainsStateAfterSuccess = true
   override def backendLive(stateDir: String): Seq[Long] = {
     val f = new java.io.File(stateDir).listFiles()
     if (f == null) Seq.empty
@@ -165,6 +219,7 @@ class StreamingDedupSpec extends StreamingDedupContract {
 class StreamingDedupInMemorySpec extends StreamingDedupContract {
   override def backend = "in-memory"
   override def store = StreamingDedup.inMemoryStore
+  override def retainsStateAfterSuccess = false
   override def backendLive(stateDir: String): Seq[Long] =
     InMemoryDedupState.liveBatches(stateDir)
 }
