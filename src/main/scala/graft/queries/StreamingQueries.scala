@@ -62,6 +62,40 @@ object StreamingQueries {
         .orderBy("p_brand")
     }),
 
+    // The q17 semi-stream join with the stored side behind the POINT-LOOKUP
+    // store connector (SURVEY S5 keyed fetch in its remote regime): the
+    // part dimension is published into a hash-bucketed KV store
+    // (graft.sources.KeyValueStore — the reference's MongoDB stand-in,
+    // `DS_join_step4/src/main/scala/streaming.scala:343-377`), and each
+    // micro-batch's cache-missed keys are fetched by the EXECUTOR-SIDE
+    // multi-key point lookup (fetchByKeys — per-partition `$or`-shaped,
+    // no driver collect, fetch volume ∝ missed keys). Same oracle as q17:
+    // the bag-union invariant holds for any store backend.
+    "q111_kv_pointfetch_join" -> ((s, dir) => {
+      import graft.sources.KeyValueStore
+      val part = t(s, dir, "part").select("p_partkey", "p_brand")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-kv-q111-").toString + "/store"
+      KeyValueStore.write(part, root, "p_partkey", "p_brand", 64)
+      val kvStored = KeyValueStore.read(s, root)
+        .select(col("key").as("p_partkey"), col("value").as("p_brand"))
+      val seed = kvStored.filter(pmod(col("p_partkey"), lit(10)) < 3)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
+      val fetch = (keys: org.apache.spark.sql.DataFrame) =>
+        KeyValueStore.fetchByKeys(root, keys, "p_partkey")
+          .select(col("key").as("p_partkey"), col("value").as("p_brand"))
+      val (out, _) = SemiStreamRuntime.semiStreamJoin(
+        li, kvStored, seed,
+        key = "p_partkey", chunkKey = "l_orderkey", chunks = 8,
+        config = AdaptiveWindowController.Config(initialWindow = 2, warmupBatches = 2),
+        windowRule = benchedWindowRule(2),
+        fetchOverride = Some(fetch))
+      out.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
     // Event-time TUMBLING windows through the real streaming runtime
     // (SURVEY §2.7 — the capability the processing-time-only reference
     // lacks): watermarked streaming aggregation in complete mode equals
@@ -361,6 +395,12 @@ object StreamingQueries {
         |SELECT tok, est FROM est, n WHERE est >= n.n // 100 ORDER BY tok""".stripMargin,
 
     "q17_stream_semistream_join" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same oracle as q17: the join result is store-backend-invariant
+    "q111_kv_pointfetch_join" ->
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
