@@ -892,6 +892,24 @@ object DocumentQueries {
         .orderBy("w", "rk")
     }),
 
+    // Exact repeated-substring spans (Lee et al. 2022's verbatim-
+    // duplication pass, re-expressed as k-shingle inversion + per-doc
+    // gaps-and-islands): maximal token spans covered by 5-gram shingles
+    // occurring ≥ 2× corpus-wide — the boilerplate/template passages
+    // document-level dedup can't see.
+    "q112_repeated_spans" -> ((s, dir) =>
+      graft.operators.SubstringDedup
+        .repeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 5, minCount = 2)
+        .orderBy("doc_id", "start_tok")),
+
+    // Per-document duplication load from the q112 spans: covered tokens
+    // and integer-bp share of the doc — the rank signal a curation
+    // pipeline uses to drop or trim template-heavy documents.
+    "q113_duplication_load" -> ((s, dir) =>
+      graft.operators.SubstringDedup
+        .duplicationLoad(t(s, dir, "documents"), "doc_id", "text", k = 5, minCount = 2)
+        .orderBy("doc_id")),
+
     // Vocabulary growth curve (Heaps empirics) over word BIGRAMS (the
     // unigram vocab saturates in one checkpoint): new grams per ingest
     // checkpoint + cumulative vocabulary — each gram charged to the
@@ -1840,6 +1858,55 @@ object DocumentQueries {
 
     // bigram/context counts + per-word top-3 + exact basis-point
     // conditionals.
+    // shingle inversion + HAVING count + gaps-and-islands, mirrored; the
+    // oracle groups by the shingle STRING where the engine groups by its
+    // xxhash64 (collisions only merge counts upward — none at this scale)
+    "q112_repeated_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(ts[i:i+4], ' ') AS shingle
+        |  FROM t, unnest(range(1, greatest(len(ts) - 5 + 2, 1))) r(i)),
+        |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+        |rep AS (SELECT doc_id, pos FROM sh JOIN hot USING (shingle)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM rep)
+        |SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok,
+        |       CAST(count(*) AS BIGINT) AS n_shingles
+        |FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_tok""".stripMargin,
+
+    "q113_duplication_load" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(ts[i:i+4], ' ') AS shingle
+        |  FROM t, unnest(range(1, greatest(len(ts) - 5 + 2, 1))) r(i)),
+        |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+        |rep AS (SELECT doc_id, pos FROM sh JOIN hot USING (shingle)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM rep),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok
+        |  FROM isl GROUP BY doc_id, g),
+        |load AS (
+        |  SELECT doc_id, CAST(sum(end_tok - start_tok + 1) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+        |       COALESCE(load.dup_tokens, 0) AS dup_tokens,
+        |       CASE WHEN len(t.ts) = 0 THEN 0
+        |            ELSE (COALESCE(load.dup_tokens, 0) * 10000) // len(t.ts) END
+        |         AS dup_share_bp
+        |FROM t LEFT JOIN load ON t.doc_id = load.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     "q108_bigram_lm" ->
       """WITH t AS (
         |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
