@@ -62,6 +62,25 @@ class KeyValueStoreSpec extends SparkSpec {
     assert(opened <= neededBuckets, s"read $opened buckets, needed ≤ $neededBuckets")
   }
 
+  test("runtime (DPP-style) filtering prunes a join's scan to the probed buckets") {
+    val (root, _) = mkStore(5000, 64)
+    // DPP injects a runtime filter only when the build side carries a
+    // selective predicate over a V2-filterable scan — a filtered parquet
+    // dimension, the production shape
+    val pdir = Files.createTempDirectory("graft-kvrf-").toString + "/probes"
+    (0 until 2000).map(i => (i.toLong, i % 7)).toDF("pk", "cat").write.parquet(pdir)
+    val probes = spark.read.parquet(pdir).filter(col("cat") === 3 && col("pk") < 200)
+    val before = KeyValueStore.bucketsOpened.get()
+    val j = KeyValueStore.read(spark, root).join(probes, col("key") === col("pk"))
+    val cnt = j.count()
+    val opened = KeyValueStore.bucketsOpened.get() - before
+    assert(cnt == 29) // cat==3 && pk<200 → 29 keys, all present in the store
+    assert(opened < 64, s"runtime filter did not prune: opened $opened of 64 buckets")
+    assert(
+      j.queryExecution.executedPlan.toString.contains("dynamicpruningexpression"),
+      "no runtime filter injected into the kvstore scan")
+  }
+
   test("q17 path through the connector equals the parquet-style semi-join") {
     val part = (0 until 300).map(i => (i.toLong, s"Brand#${i % 25}"))
       .toDF("p_partkey", "p_brand")
