@@ -70,9 +70,33 @@ object SubstringDedup {
       .select(col("sid").as("doc_id"), col("start_tok"), col("end_tok"), col("n_shingles"))
   }
 
-  /** Per-document duplication load: tokens covered by repeated spans
-    * (spans are disjoint by construction, so coverage is Σ lengths) and
-    * the share in integer basis points of the doc's token count.
+  /** [[repeatedSpans]] merged into TOKEN-DISJOINT intervals per doc:
+    * two shingle islands separated by one missing start still overlap in
+    * token coverage (island A ends at p−1+k−1, island B starts at p+1 —
+    * k−2 shared tokens), so consumers that count or excise tokens need
+    * the classic interval merge (per-doc window: running max of end).
+    * Output: (doc_id, start_tok, end_tok).
+    */
+  def mergedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, k, minCount)
+    val w = Window.partitionBy("doc_id").orderBy("start_tok")
+    val prevMax = max("end_tok").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("ni", (col("start_tok") > coalesce(prevMax, lit(-1L))).cast("long"))
+      .withColumn("isl", sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "isl")
+      .agg(min("start_tok").as("start_tok"), max("end_tok").as("end_tok"))
+      .select("doc_id", "start_tok", "end_tok")
+  }
+
+  /** Per-document duplication load: DISTINCT tokens covered by repeated
+    * spans ([[mergedSpans]], so overlaps never double-count) and the
+    * share in integer basis points of the doc's token count.
     * Output: (doc_id, n_tokens, dup_tokens, dup_share_bp).
     */
   def duplicationLoad(
@@ -83,7 +107,7 @@ object SubstringDedup {
       minCount: Long): DataFrame = {
     val toks = filter(split(col(textCol), " "), x => length(x) > 0)
     val lens = docs.select(col(idCol).cast("long").as("doc_id"), size(toks).cast("long").as("n_tokens"))
-    val spans = repeatedSpans(docs, idCol, textCol, k, minCount)
+    val spans = mergedSpans(docs, idCol, textCol, k, minCount)
       .groupBy("doc_id")
       .agg(sum(col("end_tok") - col("start_tok") + 1).as("dup_tokens"))
     lens
@@ -93,5 +117,59 @@ object SubstringDedup {
         "dup_share_bp",
         when(col("n_tokens") === 0, 0L)
           .otherwise(expr("(dup_tokens * 10000) div n_tokens")))
+  }
+
+  /** The ACT half of the pass (Lee et al. §3: keep one occurrence of each
+    * duplicated substring, remove the rest): every merged repeated span
+    * is grouped by its exact token text; the GLOBAL FIRST occurrence
+    * (min (doc_id, start_tok)) is canonical and stays, every other
+    * occurrence's tokens are excised, and documents reassemble from
+    * their kept tokens (single-space joined — the same token contract
+    * both directions). Output: (doc_id, clean_text), every input doc
+    * present (a fully-templated doc comes back empty).
+    *
+    * Scale shape: the canonical choice is a map-side-combinable
+    * `min(struct)` agg keyed by the span-text HASH — a celebrity
+    * boilerplate with 10⁸ occurrences combines locally instead of
+    * funneling one window partition; the excision join is an equi-join
+    * on doc_id against per-doc span lists (bounded), and reassembly
+    * sorts per doc (bounded documents, no global sort).
+    */
+  def removeRepeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long): DataFrame = {
+    val toks = filter(split(col(textCol), " "), x => length(x) > 0)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"), toks.as("ts"))
+    val spans = mergedSpans(docs, idCol, textCol, k, minCount)
+      .join(base, "doc_id")
+      .withColumn(
+        "span_h",
+        xxhash64(expr("array_join(slice(ts, start_tok + 1, end_tok - start_tok + 1), ' ')")))
+      .select("doc_id", "start_tok", "end_tok", "span_h")
+    val canon = spans
+      .groupBy("span_h")
+      .agg(min(struct(col("doc_id"), col("start_tok"))).as("c"))
+    val removable = spans
+      .join(canon, "span_h")
+      .filter(!(struct(col("doc_id"), col("start_tok")) === col("c")))
+      .select(col("doc_id"), col("start_tok").as("rs"), col("end_tok").as("re"))
+    val toksPos = base.select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")))
+    val kept = toksPos
+      .join(removable,
+        toksPos("doc_id") === removable("doc_id") &&
+          col("pos") >= col("rs") && col("pos") <= col("re"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")),
+        " ").as("clean_text"))
+    base.select("doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
   }
 }

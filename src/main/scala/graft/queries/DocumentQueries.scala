@@ -902,12 +902,21 @@ object DocumentQueries {
         .repeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 5, minCount = 2)
         .orderBy("doc_id", "start_tok")),
 
-    // Per-document duplication load from the q112 spans: covered tokens
-    // and integer-bp share of the doc — the rank signal a curation
-    // pipeline uses to drop or trim template-heavy documents.
+    // Per-document duplication load from the q112 spans (interval-merged,
+    // so overlapping islands never double-count): covered tokens and
+    // integer-bp share — the rank signal a curation pipeline uses to
+    // drop or trim template-heavy documents.
     "q113_duplication_load" -> ((s, dir) =>
       graft.operators.SubstringDedup
         .duplicationLoad(t(s, dir, "documents"), "doc_id", "text", k = 5, minCount = 2)
+        .orderBy("doc_id")),
+
+    // The ACT half of the Lee et al. pass: keep the global-first
+    // occurrence of every repeated span, excise the rest, reassemble
+    // each document from its kept tokens.
+    "q114_span_removal" -> ((s, dir) =>
+      graft.operators.SubstringDedup
+        .removeRepeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 5, minCount = 2)
         .orderBy("doc_id")),
 
     // Vocabulary growth curve (Heaps empirics) over word BIGRAMS (the
@@ -1879,6 +1888,8 @@ object DocumentQueries {
         |       CAST(count(*) AS BIGINT) AS n_shingles
         |FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_tok""".stripMargin,
 
+    // raw islands can OVERLAP in token coverage (a one-start gap leaves
+    // k−2 shared tokens), so the load counts over interval-MERGED spans
     "q113_duplication_load" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
@@ -1896,15 +1907,89 @@ object DocumentQueries {
         |spans AS (
         |  SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok
         |  FROM isl GROUP BY doc_id, g),
+        |m AS (
+        |  SELECT doc_id, start_tok, end_tok,
+        |         CASE WHEN start_tok > COALESCE(max(end_tok) OVER (
+        |             PARTITION BY doc_id ORDER BY start_tok
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |           THEN 1 ELSE 0 END AS ni
+        |  FROM spans),
+        |mi AS (
+        |  SELECT doc_id, start_tok, end_tok,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY start_tok
+        |                       ROWS UNBOUNDED PRECEDING) AS isl2
+        |  FROM m),
+        |ms AS (
+        |  SELECT doc_id, min(start_tok) AS start_tok, max(end_tok) AS end_tok
+        |  FROM mi GROUP BY doc_id, isl2),
         |load AS (
         |  SELECT doc_id, CAST(sum(end_tok - start_tok + 1) AS BIGINT) AS dup_tokens
-        |  FROM spans GROUP BY doc_id)
+        |  FROM ms GROUP BY doc_id)
         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
         |       COALESCE(load.dup_tokens, 0) AS dup_tokens,
         |       CASE WHEN len(t.ts) = 0 THEN 0
         |            ELSE (COALESCE(load.dup_tokens, 0) * 10000) // len(t.ts) END
         |         AS dup_share_bp
         |FROM t LEFT JOIN load ON t.doc_id = load.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // the ACT half mirrored end to end: merged spans → span text →
+    // global-first canonical (row_number ≡ the engine's min(struct)) →
+    // excise non-canonical occurrences → reassemble by position
+    "q114_span_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(ts[i:i+4], ' ') AS shingle
+        |  FROM t, unnest(range(1, greatest(len(ts) - 5 + 2, 1))) r(i)),
+        |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+        |rep AS (SELECT doc_id, pos FROM sh JOIN hot USING (shingle)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM rep),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok
+        |  FROM isl GROUP BY doc_id, g),
+        |m AS (
+        |  SELECT doc_id, start_tok, end_tok,
+        |         CASE WHEN start_tok > COALESCE(max(end_tok) OVER (
+        |             PARTITION BY doc_id ORDER BY start_tok
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |           THEN 1 ELSE 0 END AS ni
+        |  FROM spans),
+        |mi AS (
+        |  SELECT doc_id, start_tok, end_tok,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY start_tok
+        |                       ROWS UNBOUNDED PRECEDING) AS isl2
+        |  FROM m),
+        |ms AS (
+        |  SELECT doc_id, min(start_tok) AS start_tok, max(end_tok) AS end_tok
+        |  FROM mi GROUP BY doc_id, isl2),
+        |wt AS (
+        |  SELECT ms.doc_id, ms.start_tok, ms.end_tok,
+        |         array_to_string(t.ts[ms.start_tok + 1 : ms.end_tok + 1], ' ') AS span_text
+        |  FROM ms JOIN t ON ms.doc_id = t.doc_id),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY span_text
+        |                               ORDER BY doc_id, start_tok) AS rn
+        |  FROM wt),
+        |rem AS (SELECT doc_id, start_tok AS rs, end_tok AS re FROM rk WHERE rn > 1),
+        |pos AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS tok
+        |  FROM t, unnest(range(1, len(ts) + 1)) r(i)),
+        |kept AS (
+        |  SELECT p.doc_id, p.pos, p.tok FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM rem
+        |                    WHERE rem.doc_id = p.doc_id
+        |                      AND p.pos BETWEEN rem.rs AND rem.re)),
+        |clean AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(clean.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN clean ON t.doc_id = clean.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
     "q108_bigram_lm" ->

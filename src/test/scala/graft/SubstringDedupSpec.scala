@@ -63,6 +63,40 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got == Seq((1L, 0L, 6L, 5L), (2L, 1L, 7L, 5L)))
   }
 
+  test("overlapping islands merge: a one-start gap must not double-count tokens") {
+    // doc 1 repeats "a b c" (of doc 2) and "c d e" (of doc 3) around a
+    // non-repeated middle: with k=3 the islands are starts {0} and {2},
+    // token ranges [0,2] and [2,4] — OVERLAPPING at token 2. Coverage
+    // must be 5 tokens, not 6.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c y"),
+      (3L, "p c d e q"))
+    val merged = SubstringDedup
+      .mergedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = 3, minCount = 2)
+      .filter($"doc_id" === 1L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(merged == Seq((1L, 0L, 4L)), s"islands did not merge: $merged")
+    val load = SubstringDedup
+      .duplicationLoad(docs.toDF("doc_id", "text"), "doc_id", "text", k = 3, minCount = 2)
+      .filter($"doc_id" === 1L)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(load == ((1L, 5L, 5L, 10000L)), s"coverage double-counted: $load")
+  }
+
+  test("removeRepeatedSpans keeps the global-first occurrence and excises the rest") {
+    val tpl = "t1 t2 t3 t4 t5 t6"
+    val docs = Seq(
+      (1L, s"$tpl alpha"), // canonical (min doc_id): keeps the template
+      (2L, s"beta $tpl gamma"), // template excised
+      (3L, tpl)) // fully templated → empty
+    val got = SubstringDedup
+      .removeRepeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = 3, minCount = 2)
+      .orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, s"$tpl alpha"), (2L, "beta gamma"), (3L, "")))
+  }
+
   test("duplicationLoad covers every doc with exact bp shares") {
     val run = "one two three four five six seven"
     val docs = Seq((1L, s"$run tail1"), (2L, s"head $run"), (3L, "no repeats here"))
