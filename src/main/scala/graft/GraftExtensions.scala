@@ -219,6 +219,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.rrfFusionPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("repeated_spans"),
+      new ExpressionInfo(
+        classOf[graft.operators.SubstringDedup.type].getName,
+        null,
+        "repeated_spans",
+        "repeated_spans(table, idCol, textCol, k, minCount) - maximal token spans covered by k-token shingles repeating >= minCount times corpus-wide.",
+        ""),
+      exprs => GraftExtensions.repeatedSpansPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("span_removal"),
+      new ExpressionInfo(
+        classOf[graft.operators.SubstringDedup.type].getName,
+        null,
+        "span_removal",
+        "span_removal(table, idCol, textCol, k, minCount) - excise every non-canonical occurrence of each repeated span; (doc_id, clean_text).",
+        ""),
+      exprs => GraftExtensions.spanRemovalPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("edit_distance_join"),
       new ExpressionInfo(
         classOf[graft.operators.EditDistanceJoin.type].getName,
@@ -668,6 +686,40 @@ object GraftExtensions {
           .select(
             org.apache.spark.sql.functions.col(strArg(name, exprs(1), "aCol")).as("a"),
             org.apache.spark.sql.functions.col(strArg(name, exprs(2), "bCol")).as("b")))
+      .queryExecution.logical
+  }
+
+  /** repeated_spans(table, idCol, textCol, k, minCount). */
+  private[graft] def repeatedSpansPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "repeated_spans"
+    require(
+      exprs.length == 5,
+      s"$name expects (table, idCol, textCol, k, minCount), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.SubstringDedup
+      .repeatedSpans(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "idCol"),
+        strArg(name, exprs(2), "textCol"),
+        longArg(name, exprs(3), "k").toInt,
+        longArg(name, exprs(4), "minCount"))
+      .queryExecution.logical
+  }
+
+  /** span_removal(table, idCol, textCol, k, minCount). */
+  private[graft] def spanRemovalPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "span_removal"
+    require(
+      exprs.length == 5,
+      s"$name expects (table, idCol, textCol, k, minCount), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.SubstringDedup
+      .removeRepeatedSpans(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "idCol"),
+        strArg(name, exprs(2), "textCol"),
+        longArg(name, exprs(3), "k").toInt,
+        longArg(name, exprs(4), "minCount"))
       .queryExecution.logical
   }
 

@@ -62,6 +62,17 @@ object StreamingQueries {
         .orderBy("p_brand")
     }),
 
+    // Streaming INCREMENTAL repeated-substring detection (q112's
+    // continuous-ingestion form): each arriving doc's spans are judged
+    // against every shingle occurrence seen up to and including its own
+    // batch — arrival-order semantics the oracle replays with a
+    // cumulative per-batch count. State = (shingle-hash, count) on the
+    // DedupStateStore contract.
+    "q115_stream_spans" -> ((s, dir) =>
+      graft.streaming.StreamingSubstringDedup
+        .run(t(s, dir, "documents"), "doc_id", "text", k = 5, minCount = 2, chunks = 4)
+        .orderBy("doc_id", "start_tok")),
+
     // The q17 semi-stream join with the stored side behind the POINT-LOOKUP
     // store connector (SURVEY S5 keyed fetch in its remote regime): the
     // part dimension is published into a hash-bucketed KV store
@@ -450,6 +461,39 @@ object StreamingQueries {
         |SELECT tt.doc_id, coalesce(m.dup_of, -1) AS dup_of
         |FROM tt LEFT JOIN m ON tt.doc_id = m.doc_id
         |ORDER BY tt.doc_id""".stripMargin,
+
+    // q112's shingle pipeline + q49's MD5 arrival order: a shingle is hot
+    // for a doc iff its occurrence count over batches ≤ the doc's batch
+    // reaches minCount (cumulative per-batch window)
+    "q115_stream_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+        |         CAST(floor(
+        |           CAST(list_sum(list_transform(range(0, 8), i ->
+        |             CAST(instr('0123456789abcdef',
+        |                        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                  AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS DOUBLE)
+        |             / 4294967296.0 * 4) AS INT) AS b
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, b, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(ts[i:i+4], ' ') AS shingle
+        |  FROM d, unnest(range(1, greatest(len(ts) - 5 + 2, 1))) r(i)),
+        |bc AS (SELECT shingle, b, count(*) AS cnt FROM sh GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT shingle, b, sum(cnt) OVER (PARTITION BY shingle ORDER BY b) AS c
+        |  FROM bc),
+        |rep AS (
+        |  SELECT sh.doc_id, sh.pos
+        |  FROM sh JOIN cum ON sh.shingle = cum.shingle AND sh.b = cum.b
+        |  WHERE cum.c >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM rep)
+        |SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok,
+        |       CAST(count(*) AS BIGINT) AS n_shingles
+        |FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_tok""".stripMargin,
 
     // q55's deterministic centroids/cells + q49's MD5 arrival order: dup_of
     // = min same-cell earlier-arriving vector at cosine >= tau

@@ -433,6 +433,23 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(ed == Seq(("sparc", "spark")))
 
+    Seq(
+      (1L, "t1 t2 t3 t4 alpha"),
+      (2L, "beta t1 t2 t3 t4"),
+      (3L, "unrelated text entirely here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tvf_docs2")
+    val rs = spark.sql("SELECT * FROM repeated_spans('tvf_docs2', 'doc_id', 'text', 3, 2)")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rs == Seq((1L, 0L, 3L), (2L, 1L, 4L)))
+    val sr = spark.sql("SELECT * FROM span_removal('tvf_docs2', 'doc_id', 'text', 3, 2)")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(sr == Seq(
+      (1L, "t1 t2 t3 t4 alpha"),
+      (2L, "beta"),
+      (3L, "unrelated text entirely here")))
+
     val cc = spark.sql("SELECT * FROM clustering_coefficient('tvf_edges', 'a', 'b')")
       .orderBy("id")
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
