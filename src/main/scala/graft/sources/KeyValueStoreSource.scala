@@ -95,8 +95,9 @@ object KeyValueStore {
   def write(df: DataFrame, root: String, keyCol: String, valueCol: String, nBuckets: Int): Unit = {
     require(nBuckets > 0)
     val dir = new java.io.File(root)
-    require(!dir.exists() || dir.listFiles().forall(_ => false),
-      s"store root $root must not already hold files")
+    require(
+      !dir.exists() || (dir.isDirectory && Option(dir.listFiles()).forall(_.isEmpty)),
+      s"store root $root must be absent or an empty directory")
     dir.mkdirs()
     val prepared = df
       .select(col(keyCol).cast("long").as("key"), col(valueCol).cast("string").as("value"))
@@ -104,8 +105,13 @@ object KeyValueStore {
     prepared
       .repartition(nBuckets, col("__b"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val byBucket = rows.map(r => (r.getInt(2), (r.getLong(0), r.getString(1))))
-          .toSeq.groupBy(_._1)
+        val byBucket = rows.map { r =>
+          // a NULL key would read back as getLong's 0 — a silent key
+          // collision, so reject at write time (store contract)
+          require(!r.isNullAt(0) && !r.isNullAt(1),
+            "KeyValueStore rows must have non-null key and value")
+          (r.getInt(2), (r.getLong(0), r.getString(1)))
+        }.toSeq.groupBy(_._1)
         byBucket.foreach { case (b, kvs) =>
           val tmp = new java.io.File(root, s".tmp-$b")
           val out = new java.io.PrintWriter(tmp, "UTF-8")

@@ -116,14 +116,24 @@ class KeyValueStoreSpec extends SparkSpec {
   }
 
   test("controller A/B: the window climbs when point fetches carry real cost") {
-    val nKeys = 600
-    val stored = (0 until nKeys).map(i => (i.toLong, s"p$i")).toDF("k", "v")
+    val pool = 600
+    // store = recurring key pool + every batch's 40 strictly-novel keys
+    // (present in the store, so fetched>0 and missedEmpty never fires)
+    val stored = ((0 until pool).map(i => (i.toLong, s"p$i")) ++
+      (0 until 16 * 40).map(i => ((10000 + i).toLong, s"n$i"))).toDF("k", "v")
     val root = Files.createTempDirectory("graft-kv-").toString + "/ab"
     KeyValueStore.write(stored, root, "k", "v", 32)
     val kvStored = KeyValueStore.read(spark, root)
       .select(col("key").as("k"), col("value").as("v"))
 
-    def windows(delayUs: Long): Seq[Int] = {
+    // each batch redraws 200 pseudo-random keys from the pool (recurrence
+    // spans MANY past batches, so a larger caching window caches more of
+    // the pool and misses strictly less) + 40 novel keys
+    def batchKeys(b: Int): Seq[Long] =
+      (0 until 200).map(j => ((b * 101 + j * 13) % pool).toLong) ++
+        (0 until 40).map(j => (10000 + b * 40 + j).toLong)
+
+    def runStream(rule: graft.streaming.WindowRule, delayUs: Long): (Seq[Int], Double) = {
       val fetch = (keys: DataFrame) =>
         KeyValueStore.fetchByKeys(root, keys, "k", delayUs)
           .select(col("key").as("k"), col("value").as("v"))
@@ -131,37 +141,32 @@ class KeyValueStoreSpec extends SparkSpec {
         kvStored, kvStored.limit(0), "k",
         config = AdaptiveWindowController.Config(initialWindow = 1, warmupBatches = 2),
         checkpointEvery = 4,
+        windowRule = rule,
         fetchOverride = Some(fetch))
       try {
-        // sliding key window: consecutive batches share 210 of 240 keys, 30
-        // are always novel (missedEmpty never fires), and a LARGER caching
-        // window measurably cuts the per-batch miss set — so when fetches
-        // are costly, climbing is the latency-optimal move the controller
-        // should discover from its own timings
-        (0 until 16).map { b =>
-          val batch = (b * 30 until b * 30 + 240)
-            .map(i => (i.toLong % nKeys, s"payload$i")).toDF("k", "payload")
+        val t0 = System.nanoTime()
+        val ws = (0 until 16).map { b =>
+          val batch = batchKeys(b).zipWithIndex
+            .map { case (k, i) => (k, s"payload$i") }.toDF("k", "payload")
           mgr.processBatch(batch)(_.count()).window
         }
+        (ws, (System.nanoTime() - t0) / 1e9)
       } finally mgr.close()
     }
 
-    // 20 ms/key makes fetch cost dominate any cache-maintenance op even
-    // on a loaded box, so the climb signal is structural; the free-side
-    // window is a noise-driven random walk, so the A/B comparison gets
-    // one retry before failing (both sides re-measured) — the climb
-    // assertion itself is deterministic and gets none
-    def attempt(): (Seq[Int], Seq[Int]) = (windows(delayUs = 20000), windows(delayUs = 0))
-    def tailMean(w: Seq[Int]) = w.takeRight(6).sum.toDouble / 6
-    var (costly, free) = attempt()
+    // CAUSAL half (deterministic dominance at 20 ms/key): a bigger fixed
+    // window caches more, misses less, and pays less per-key RTT — the
+    // latency gradient the adaptive controller is supposed to descend
+    val (_, wallW1) = runStream(graft.streaming.FixedRule(1), delayUs = 20000)
+    val (_, wallW8) = runStream(graft.streaming.FixedRule(8), delayUs = 20000)
+    assert(wallW8 < wallW1,
+      f"window 8 ($wallW8%.1f s) not cheaper than window 1 ($wallW1%.1f s) under costly fetch")
+
+    // CONTROLLER half: from its own timings, the hill-climb must discover
+    // that climbing pays — structural at this fetch cost (fetch dominates
+    // every other per-batch term), so no cross-run noise comparison needed
+    val (costly, _) = runStream(graft.streaming.HillClimbRule, delayUs = 20000)
     assert(costly.max >= 4,
       s"window never climbed under costly fetch: $costly")
-    if (tailMean(costly) <= tailMean(free)) {
-      val again = attempt()
-      costly = again._1; free = again._2
-      assert(costly.max >= 4, s"window never climbed under costly fetch: $costly")
-    }
-    assert(tailMean(costly) > tailMean(free),
-      s"costly-fetch window ${costly} did not exceed free-fetch window ${free}")
   }
 }
