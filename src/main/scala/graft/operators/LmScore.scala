@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-LM familiarity scoring with head/middle/tail bucketing — the
+  * CCNet-style quality partition (Wenzek et al. 2020): score every document
+  * under a language model trained on the corpus itself, then split the
+  * corpus into three buckets by score so downstream mixing can oversample
+  * the "head" (most LM-familiar) slice. Here the LM is the engine's own
+  * count-based bigram model (the q108 KenLM-shape table), and all scoring
+  * is exact fixed-point integer arithmetic so a SQL oracle replays it
+  * bit-for-bit — no floating log-probs whose summation order could differ
+  * across engines.
+  *
+  * Score definition (exact integers end to end):
+  *   - per-bigram probability in basis points: `p_bp = (10000*cnt) div ctx`
+  *     where `cnt` = corpus count of the bigram (admitted only when
+  *     `cnt >= minCount` — rarer bigrams are OOV and score 0) and `ctx` =
+  *     corpus count of the left word as a bigram prefix;
+  *   - per-document `score_bp` = floor-mean of its bigram `p_bp`s
+  *     (0 for documents with < 2 tokens).
+  *
+  * Bucketing is by VALUE thresholds, not by rank: `t1` = the score of the
+  * ceil(n/3)-th document in descending score order, `t2` = the score of the
+  * ceil(2n/3)-th; `score_bp >= t1` → head, `>= t2` → middle, else tail.
+  * Ties share a bucket (so bucket sizes are n/3 only up to ties), which is
+  * what makes the rule computable WITHOUT a global sort: `score_bp` lives
+  * in the bounded domain [0, 10000], so the thresholds come from an exact
+  * 10001-bin histogram — one map-side-combined aggregation and a
+  * bounded-size driver fold, never a single-partition window over the
+  * corpus. At 100 TB the corpus is shuffled ONCE (the per-doc distinct-
+  * bigram rollup); the LM tables are vocabulary-sized derivations of that
+  * rollup, the probe join runs at distinct-bigram granularity, and the
+  * histogram is a bounded aggregation — nothing in the plan is
+  * corpus-sized on one node.
+  */
+object LmScore {
+
+  private def toks(c: Column): Column =
+    filter(split(c, " "), x => length(x) > 0)
+
+  /** (doc_id, n_bigrams, n_oov, score_bp, bucket) for every input row. */
+  def familiarityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5): DataFrame = {
+    val w = toks(col(textCol))
+    // ONE pass over the corpus: per-doc DISTINCT bigrams with their
+    // multiplicity `k`. Everything downstream — the LM's bigram counts,
+    // the prefix context counts, and the per-doc scoring probe — derives
+    // from this single map-side-combined aggregation, so the exploded
+    // corpus is shuffled exactly once and Catalyst's exchange reuse keeps
+    // the two in-plan consumers on the same shuffle output. The probe
+    // join then runs at distinct-bigram granularity (k-weighted), which
+    // on boilerplate-heavy corpora is far below occurrence granularity.
+    val docBi = docs
+      .select(
+        col(idCol),
+        explode(
+          when(
+            size(w) >= 2,
+            transform(
+              sequence(lit(0), size(w) - 2),
+              i => struct(
+                element_at(w, i + 1).as("w"),
+                element_at(w, i + 2).as("next"))))
+            .otherwise(array().cast("array<struct<w:string,next:string>>"))).as("p"))
+      .select(col(idCol), col("p.w").as("w"), col("p.next").as("next"))
+      .groupBy(col(idCol), col("w"), col("next"))
+      .agg(count(lit(1)).as("k"))
+
+    // The LM: bigram counts (admission threshold) + prefix context counts,
+    // both bigram-vocabulary-sized rollups of docBi — never corpus-sized.
+    val biAll = docBi.groupBy("w", "next").agg(sum("k").as("cnt"))
+    val bi = biAll.filter(col("cnt") >= minCount)
+    val ctx = biAll.groupBy("w").agg(sum("cnt").as("ctx"))
+
+    val scored = docBi
+      .join(ctx, "w")
+      .join(bi, Seq("w", "next"), "left")
+      .withColumn(
+        "p_bp",
+        when(col("cnt").isNull, lit(0L))
+          .otherwise(expr("(10000 * cnt) div ctx")))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        sum(when(col("cnt").isNull, col("k")).otherwise(lit(0L))).as("n_oov"),
+        sum(col("k") * col("p_bp")).as("s"))
+
+    // Docs-sized (one row per document) — persisted so the histogram
+    // job and the final result don't each re-execute the scoring DAG.
+    val perDoc = docs
+      .select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("s div n_bigrams")).as("score_bp"))
+      .persist()
+
+    // Exact tercile thresholds from the bounded score histogram. The
+    // collect is ≤ 10001 rows by construction (score_bp ∈ [0, 10000]) —
+    // the bounded-collect pattern, not a data-sized driver pull.
+    val hist = perDoc.groupBy("score_bp").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val n = hist.map(_._2).sum
+    val (t1, t2) = thresholds(hist, n)
+
+    perDoc.withColumn(
+      "bucket",
+      when(col("score_bp") >= t1, lit("head"))
+        .when(col("score_bp") >= t2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
+  /** Score values at descending-order ranks ceil(n/3) and ceil(2n/3):
+    * walk the descending histogram and take the first value whose
+    * cumulative count reaches the rank.
+    */
+  private[operators] def thresholds(
+      histDesc: Seq[(Long, Long)], n: Long): (Long, Long) = {
+    require(n > 0, "familiarityBuckets needs a non-empty corpus")
+    val r1 = (n + 2) / 3
+    val r2 = (2 * n + 2) / 3
+    def at(rank: Long): Long = {
+      var cum = 0L
+      for ((v, c) <- histDesc) {
+        cum += c
+        if (cum >= rank) return v
+      }
+      histDesc.last._1
+    }
+    (at(r1), at(r2))
+  }
+}

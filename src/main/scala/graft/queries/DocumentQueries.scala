@@ -930,7 +930,38 @@ object DocumentQueries {
           graft.operators.Decontamination.grams(
             t(s, dir, "documents"), "doc_id", "text", n = 2),
           "doc_id", "gram", checkpoints = 10)
-        .orderBy("checkpoint")))
+        .orderBy("checkpoint")),
+
+    // CCNet-style LM familiarity buckets: every document scored under the
+    // corpus's own bigram LM (q108's model) in exact basis points, then
+    // head/middle/tail split by value thresholds from the bounded score
+    // histogram — the quality partition a mixing pipeline oversamples
+    // from, with NO global sort anywhere in the plan.
+    "q116_lm_buckets" -> ((s, dir) =>
+      graft.operators.LmScore
+        .familiarityBuckets(t(s, dir, "documents"), "doc_id", "text", minCount = 5)
+        .orderBy("doc_id")),
+
+    // Distributed BPE tokenizer training: 6 merge rounds over the
+    // vocabulary-sized word-count relation — per round one map-side-
+    // combined weighted pair count, a 1-row argmax, and a narrow
+    // spaced-string rewrite. Output is the learned merge table with the
+    // corpus symbol count after each merge (the compression curve).
+    "q117_bpe_train" -> ((s, dir) =>
+      graft.operators.BpeTrain
+        .learnTable(s, t(s, dir, "documents"), "text", nMerges = 6)
+        .orderBy("step")),
+
+    // Corpus encoding under the learned merges: apply the 6 merges to
+    // every word occurrence in learned order, count BPE symbols per
+    // document — the token-budget accounting step after tokenizer
+    // training.
+    "q118_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.BpeTrain.learn(docs, "text", nMerges = 6)
+      graft.operators.BpeTrain.encode(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
     * multi-char pieces that make greedy longest-match visible. Shared by
@@ -954,7 +985,139 @@ object DocumentQueries {
       .map(v => s"WHEN starts_with(rem, '$v') THEN '$v'")
       .mkString("CASE ", " ", " ELSE NULL END")
 
+  /** One BPE training round as oracle CTEs (q117/q118): weighted adjacent
+    * pair counts over the previous word relation, deterministic argmax,
+    * two-pass replace (the operator's documented merge semantics), and the
+    * post-merge corpus symbol count.
+    */
+  private def bpeRound(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""p$i AS (
+       |  SELECT y[j] AS a, y[j + 1] AS b, sum(cnt) AS pc
+       |  FROM (SELECT cnt, list_filter(string_split(s, ' '), x -> x <> '') AS y FROM $prev),
+       |       unnest(range(1, greatest(len(y), 1))) r(j)
+       |  GROUP BY 1, 2),
+       |b$i AS (SELECT a, b, CAST(pc AS BIGINT) AS pc FROM p$i ORDER BY pc DESC, a, b LIMIT 1),
+       |w$i AS (SELECT cnt,
+       |               replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+       |                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+       |        FROM $prev, b$i),
+       |s$i AS (SELECT CAST(sum(cnt * len(list_filter(string_split(s, ' '), x -> x <> ''))) AS BIGINT) AS cs
+       |        FROM w$i)""".stripMargin
+  }
+
+  /** Shared q117/q118 prefix: word counts → spaced symbols → 6 rounds. */
+  private def bpeChain: String =
+    """WITH wd AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |        FROM documents)
+      |  GROUP BY w),
+      |w0 AS (SELECT cnt, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '</w> ' AS s FROM wd),
+      |""".stripMargin + (1 to 6).map(bpeRound).mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    // Exact fixed-point LM scoring replay: LM admission + context counts,
+    // per-doc floor-mean of bigram basis points, tercile thresholds from
+    // descending rank positions (value-identical to the operator's
+    // histogram fold), value-based bucketing.
+    "q116_lm_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, w[i] AS w, w[i + 1] AS next
+        |  FROM t, unnest(range(1, greatest(len(w), 1))) r(i)),
+        |bi AS (
+        |  SELECT w, next, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pairs GROUP BY w, next HAVING count(*) >= 5),
+        |ctx AS (SELECT w, CAST(count(*) AS BIGINT) AS ctx FROM pairs GROUP BY w),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(CASE WHEN bi.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |         CAST(sum(CASE WHEN bi.cnt IS NULL THEN 0
+        |                       ELSE (10000 * bi.cnt) // ctx.ctx END) AS BIGINT) AS s
+        |  FROM pairs p
+        |  LEFT JOIN bi ON p.w = bi.w AND p.next = bi.next
+        |  JOIN ctx ON p.w = ctx.w
+        |  GROUP BY p.doc_id),
+        |d AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |         COALESCE(sc.n_oov, 0) AS n_oov,
+        |         CASE WHEN COALESCE(sc.n_bigrams, 0) = 0 THEN 0
+        |              ELSE sc.s // sc.n_bigrams END AS score_bp
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |r AS (SELECT score_bp,
+        |             row_number() OVER (ORDER BY score_bp DESC, doc_id) AS rk
+        |      FROM d),
+        |th AS (
+        |  SELECT max(CASE WHEN rk = (n + 2) // 3 THEN score_bp END) AS t1,
+        |         max(CASE WHEN rk = (2 * n + 2) // 3 THEN score_bp END) AS t2
+        |  FROM r, n)
+        |SELECT d.doc_id, d.n_bigrams, d.n_oov, d.score_bp,
+        |       CASE WHEN d.score_bp >= th.t1 THEN 'head'
+        |            WHEN d.score_bp >= th.t2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM d, th ORDER BY d.doc_id""".stripMargin,
+
+    "q117_bpe_train" ->
+      (bpeChain + "\n" +
+        """SELECT * FROM (
+          |  SELECT CAST(1 AS INT) AS step, a AS lhs, b AS rhs, pc AS pair_cnt,
+          |         (SELECT cs FROM s1) AS corpus_symbols FROM b1
+          |  UNION ALL SELECT 2, a, b, pc, (SELECT cs FROM s2) FROM b2
+          |  UNION ALL SELECT 3, a, b, pc, (SELECT cs FROM s3) FROM b3
+          |  UNION ALL SELECT 4, a, b, pc, (SELECT cs FROM s4) FROM b4
+          |  UNION ALL SELECT 5, a, b, pc, (SELECT cs FROM s5) FROM b5
+          |  UNION ALL SELECT 6, a, b, pc, (SELECT cs FROM s6) FROM b6)
+          |ORDER BY step""".stripMargin),
+
+    "q118_bpe_encode" ->
+      (bpeChain + ",\n" +
+        """dw AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+          |  FROM documents),
+          |e0 AS (SELECT doc_id,
+          |              ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '</w> ' AS s
+          |       FROM dw),
+          |e1 AS (SELECT doc_id,
+          |              replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+          |                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+          |       FROM e0, b1),
+          |e2 AS (SELECT doc_id,
+          |              replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+          |                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+          |       FROM e1, b2),
+          |e3 AS (SELECT doc_id,
+          |              replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+          |                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+          |       FROM e2, b3),
+          |e4 AS (SELECT doc_id,
+          |              replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+          |                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+          |       FROM e3, b4),
+          |e5 AS (SELECT doc_id,
+          |              replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+          |                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+          |       FROM e4, b5),
+          |e6 AS (SELECT doc_id,
+          |              replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+          |                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+          |       FROM e5, b6),
+          |enc AS (
+          |  SELECT doc_id,
+          |         CAST(count(*) AS BIGINT) AS n_words,
+          |         CAST(sum(len(list_filter(string_split(s, ' '), x -> x <> ''))) AS BIGINT) AS n_bpe
+          |  FROM e6 GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |       COALESCE(enc.n_words, 0) AS n_words,
+          |       COALESCE(enc.n_bpe, 0) AS n_bpe
+          |FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
+
     "q22_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
         |           FROM embeddings),

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LmScore
+
+/** LM familiarity bucketing vs an in-test brute force of the exact
+  * fixed-point definition, plus the plan guarantee that makes it scale: no
+  * window operator anywhere (thresholds come from the bounded histogram,
+  * never a global sort).
+  */
+class LmScoreSpec extends SparkSpec {
+  init()
+  import spark.implicits._
+
+  private def brute(
+      docs: Seq[(Long, String)], minCount: Long): Map[Long, (Long, Long, Long, String)] = {
+    val pairs = docs.flatMap { case (id, t) =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.zip(w.drop(1)).map(p => (id, p))
+    }
+    val biAll = pairs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val bi = biAll.filter(_._2 >= minCount)
+    val ctx = pairs.groupBy(_._2._1).map { case (k, v) => k -> v.size.toLong }
+    val perDoc = docs.map { case (id, _) =>
+      val mine = pairs.filter(_._1 == id).map(_._2)
+      val n = mine.size.toLong
+      val oov = mine.count(p => !bi.contains(p)).toLong
+      val s = mine.map(p => bi.get(p).map(c => 10000L * c / ctx(p._1)).getOrElse(0L)).sum
+      val score = if (n == 0) 0L else s / n
+      id -> (n, oov, score)
+    }.toMap
+    val n = docs.size.toLong
+    val desc = perDoc.toSeq.map { case (id, (_, _, sc)) => (sc, id) }
+      .sortBy { case (sc, id) => (-sc, id) }
+    val t1 = desc(((n + 2) / 3 - 1).toInt)._1
+    val t2 = desc(((2 * n + 2) / 3 - 1).toInt)._1
+    perDoc.map { case (id, (nb, oov, sc)) =>
+      val b = if (sc >= t1) "head" else if (sc >= t2) "middle" else "tail"
+      id -> (nb, oov, sc, b)
+    }
+  }
+
+  test("matches the brute-force fixed-point definition, ties share buckets") {
+    // Three score strata + a tie pair straddling the tercile boundary and
+    // a token-free doc (score 0, counted in n).
+    val docs = Seq[(Long, String)](
+      1L -> "the cat sat the cat sat the cat sat",
+      2L -> "the cat sat the cat sat",
+      3L -> "the cat sat on a rare mat",
+      4L -> "rare words only here now",
+      5L -> "the cat sat the cat sat",
+      6L -> "on a on a on a on a",
+      7L -> "")
+    val got = LmScore
+      .familiarityBuckets(docs.toDF("doc_id", "text"), "doc_id", "text", minCount = 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got == brute(docs, minCount = 3), s"got $got")
+  }
+
+  test("bucket rule is value-based: every head score >= middle >= tail") {
+    val docs = core.Tables(spark, sfSmoke, "documents")
+    val out = LmScore.familiarityBuckets(docs, "doc_id", "text")
+      .select("score_bp", "bucket").as[(Long, String)].collect()
+    val n = out.length.toLong
+    def scores(b: String) = out.filter(_._2 == b).map(_._1)
+    val (h, m, tl) = (scores("head"), scores("middle"), scores("tail"))
+    assert(h.nonEmpty && h.length >= ((n + 2) / 3).toInt)
+    if (m.nonEmpty) assert(h.min >= m.max)
+    if (tl.nonEmpty && m.nonEmpty) assert(m.min > tl.max)
+    if (tl.nonEmpty && m.isEmpty) assert(h.min > tl.max)
+  }
+
+  test("no window operator in the plan (histogram thresholds, not rank)") {
+    val docs = core.Tables(spark, sfSmoke, "documents")
+    val plan = LmScore.familiarityBuckets(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global-sort window leaked into the plan:\n$plan")
+  }
+
+  test("deterministic across runs") {
+    val docs = core.Tables(spark, sfSmoke, "documents")
+    def run() = LmScore.familiarityBuckets(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(run() == run())
+  }
+}
