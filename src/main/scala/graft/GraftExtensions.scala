@@ -237,6 +237,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.spanRemovalPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("lm_buckets"),
+      new ExpressionInfo(
+        classOf[graft.operators.LmScore.type].getName,
+        null,
+        "lm_buckets",
+        "lm_buckets(table, idCol, textCol, minCount) - CCNet-style head/middle/tail familiarity buckets under the corpus's own bigram LM (exact basis points).",
+        ""),
+      exprs => GraftExtensions.lmBucketsPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("bpe_train"),
+      new ExpressionInfo(
+        classOf[graft.operators.BpeTrain.type].getName,
+        null,
+        "bpe_train",
+        "bpe_train(table, textCol, nMerges) - learned BPE merge table (step, lhs, rhs, pair_cnt, corpus_symbols) from distributed pair counting.",
+        ""),
+      exprs => GraftExtensions.bpeTrainPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(
+        classOf[graft.operators.BpeTrain.type].getName,
+        null,
+        "bpe_encode",
+        "bpe_encode(table, idCol, textCol, nMerges) - per-row BPE symbol counts (id, n_words, n_bpe) after training nMerges merges on the same table.",
+        ""),
+      exprs => GraftExtensions.bpeEncodePlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("edit_distance_join"),
       new ExpressionInfo(
         classOf[graft.operators.EditDistanceJoin.type].getName,
@@ -720,6 +747,54 @@ object GraftExtensions {
         strArg(name, exprs(2), "textCol"),
         longArg(name, exprs(3), "k").toInt,
         longArg(name, exprs(4), "minCount"))
+      .queryExecution.logical
+  }
+
+  /** lm_buckets(table, idCol, textCol, minCount). */
+  private[graft] def lmBucketsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "lm_buckets"
+    require(
+      exprs.length == 4,
+      s"$name expects (table, idCol, textCol, minCount), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.LmScore
+      .familiarityBuckets(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "idCol"),
+        strArg(name, exprs(2), "textCol"),
+        longArg(name, exprs(3), "minCount"))
+      .queryExecution.logical
+  }
+
+  /** bpe_train(table, textCol, nMerges). */
+  private[graft] def bpeTrainPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "bpe_train"
+    require(exprs.length == 3, s"$name expects (table, textCol, nMerges), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.BpeTrain
+      .learnTable(
+        spark,
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "textCol"),
+        longArg(name, exprs(2), "nMerges").toInt)
+      .queryExecution.logical
+  }
+
+  /** bpe_encode(table, idCol, textCol, nMerges). */
+  private[graft] def bpeEncodePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "bpe_encode"
+    require(
+      exprs.length == 4,
+      s"$name expects (table, idCol, textCol, nMerges), got ${exprs.length}")
+    val spark = SparkSession.active
+    val docs = spark.table(strArg(name, exprs.head, "table"))
+    val textCol = strArg(name, exprs(2), "textCol")
+    graft.operators.BpeTrain
+      .encode(
+        docs,
+        strArg(name, exprs(1), "idCol"),
+        textCol,
+        graft.operators.BpeTrain.learn(docs, textCol, longArg(name, exprs(3), "nMerges").toInt))
       .queryExecution.logical
   }
 

@@ -483,6 +483,44 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(pr == prScala && pr.nonEmpty)
   }
 
+  test("lm_buckets / bpe_train / bpe_encode TVFs round-trip the Scala paths") {
+    import spark.implicits._
+    Seq(
+      (1L, "the cat sat the cat sat"),
+      (2L, "the cat sat on a mat"),
+      (3L, "rare words only here"),
+      (4L, ""))
+      .toDF("doc_id", "text").createOrReplaceTempView("tvf_docs_lm")
+    val lb = spark.sql("SELECT * FROM lm_buckets('tvf_docs_lm', 'doc_id', 'text', 2)")
+      .orderBy("doc_id").collect().toSeq
+    val lbScala = graft.operators.LmScore
+      .familiarityBuckets(spark.table("tvf_docs_lm"), "doc_id", "text", minCount = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(lb == lbScala && lb.size == 4)
+
+    Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tvf_docs_bpe")
+    val bt = spark.sql("SELECT * FROM bpe_train('tvf_docs_bpe', 'text', 3)")
+      .orderBy("step").collect().toSeq
+    val btScala = graft.operators.BpeTrain
+      .learnTable(spark, spark.table("tvf_docs_bpe"), "text", nMerges = 3)
+      .orderBy("step").collect().toSeq
+    assert(bt == btScala && bt.size == 3)
+
+    val be = spark.sql("SELECT * FROM bpe_encode('tvf_docs_bpe', 'doc_id', 'text', 3)")
+      .orderBy("doc_id").collect().toSeq
+    val beScala = graft.operators.BpeTrain
+      .encode(
+        spark.table("tvf_docs_bpe"), "doc_id", "text",
+        graft.operators.BpeTrain.learn(spark.table("tvf_docs_bpe"), "text", 3))
+      .orderBy("doc_id").collect().toSeq
+    assert(be == beScala && be.size == 4)
+  }
+
   test("simhash64 / minhash_bands / lsh_signature resolve through the extensions") {
     val fresh = spark.newSession()
     val fp = fresh.sql("SELECT simhash64(array('a','b')) AS fp").collect()(0).getLong(0)
