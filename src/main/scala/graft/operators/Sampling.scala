@@ -94,4 +94,74 @@ object Sampling {
         rankCol = "_rk")
       .select(cols.head, cols.tail: _*)
   }
+
+  /** Exact integer square root as a column expression: floor(√x) with a
+    * ±1 correction after the IEEE sqrt, so the result is the true isqrt
+    * even if the correctly-rounded double sqrt lands on the wrong side of
+    * an integer boundary — engine-portable without trusting float→floor.
+    */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val down = s0 - when(s0 * s0 > x, 1L).otherwise(0L)
+    // up-correct via x − down² > 2·down ⟺ (down+1)² ≤ x, written so the
+    // largest intermediate is x itself (no overflow at Long.MaxValue)
+    down + when(x - down * down > down * 2L, 1L).otherwise(0L)
+  }
+
+  /** Temperature-based mixture plan (α = 1/2): the multilingual/
+    * multi-source REBALANCING step (XLM-R / CCNet α-sampling, mBERT
+    * exponent smoothing) — big strata are downweighted toward
+    * p_s ∝ n_s^α so the head language/domain stops drowning the tail.
+    *
+    * α = 1/2 is computed as an EXACT integer sqrt ([[isqrt]]), so
+    * weights and quotas are bit-identical in any engine: weight_s =
+    * isqrt(n_s), quota_s = ⌊totalN·weight_s / Σweights⌋ (floor — the
+    * plan under-fills by < #strata rows rather than oversubscribing).
+    * A quota is also capped at n_s: √-weighting hands small strata a
+    * share they may not be able to fill.
+    *
+    * Scale: one map-side-combined count by stratum → a #strata-row
+    * relation; everything after is arithmetic on that bounded relation.
+    * Output: (stratum, n_in, weight, quota) — stratum keeps `strataCol`'s
+    * name.
+    */
+  def mixturePlan(df: DataFrame, strataCol: String, totalN: Long): DataFrame = {
+    require(totalN > 0, s"totalN must be > 0: $totalN")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_in"))
+    val weighted = counts.withColumn("weight", isqrt(col("n_in")))
+    val tot = weighted.agg(sum("weight").as("wsum"))
+    weighted
+      .crossJoin(broadcast(tot))
+      .withColumn("quota",
+        least(expr(s"($totalN * weight) div wsum"), col("n_in")))
+      .select(col(strataCol), col("n_in"), col("weight"), col("quota"))
+  }
+
+  /** Materialize a [[mixturePlan]]: keep the first `quota_s` rows of each
+    * stratum in MD5 order of the id. Selection rides the two-phase
+    * [[TopK.perGroup]] (capped at the largest quota — a #strata-bounded
+    * driver value, the collect→broadcast dimension idiom), then trims
+    * each stratum to its own quota; no stratum ever sorts in one task and
+    * a document's fate is independent of other strata's sizes beyond the
+    * quota arithmetic. Output: input columns.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      totalN: Long): DataFrame = {
+    val cols = df.columns
+    val plan = mixturePlan(df, strataCol, totalN)
+    val maxQuota = plan.agg(max("quota")).head().getLong(0)
+    TopK
+      .perGroup(
+        df.withColumn("_h", md5(col(idCol).cast("string"))),
+        Seq(strataCol),
+        Seq(col("_h").asc, col(idCol).asc),
+        math.max(maxQuota, 1L).toInt,
+        rankCol = "_rk")
+      .join(broadcast(plan.select(col(strataCol), col("quota"))), strataCol)
+      .filter(col("_rk") <= col("quota"))
+      .select(cols.head, cols.tail: _*)
+  }
 }

@@ -961,7 +961,56 @@ object DocumentQueries {
       val merges = graft.operators.BpeTrain.learn(docs, "text", nMerges = 6)
       graft.operators.BpeTrain.encode(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
-    }))
+    }),
+
+    // Cross-source corpus overlap matrix: exact distinct-3-shingle
+    // |A∩B| per source pair with Jaccard + both containments in basis
+    // points — the "is dump B already inside dump A" ingestion report.
+    // One 8-byte-hash shuffle; pair fan-out bounded by C(#sources, 2).
+    "q119_source_overlap" -> ((s, dir) =>
+      graft.operators.CorpusOverlap
+        .overlapMatrix(t(s, dir, "documents"), "source", "text", k = 3)
+        .orderBy("src_a", "src_b")),
+
+    // Synchronous plurality label propagation (3 rounds) over the SimHash
+    // pair graph: communities one level coarser than connected components
+    // (bridges dissolve under the vote). Deterministic (count, min-label)
+    // tie-break — oracled by 3 unrolled SQL rounds.
+    "q120_label_propagation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val pairs = Dedup.simhashPairs(toks, maxHamming = 3)
+      val edges = pairs.select(col("x_id").as("a"), col("y_id").as("b"))
+        .unionByName(pairs.select(col("y_id").as("a"), col("x_id").as("b")))
+      graft.operators.LabelPropagation
+        .propagate(docs.select(col("doc_id").as("id")), edges, iters = 3)
+        .select(col("id").as("doc_id"), col("label"))
+        .orderBy("doc_id")
+    }),
+
+    // Temperature (α = 1/2) mixture plan over languages — the XLM-R/CCNet
+    // rebalancing step: weight_s = EXACT isqrt(n_s), quota_s =
+    // ⌊N·w_s/Σw⌋ capped at n_s. All integer math on a #langs-row relation.
+    "q121_mixture_plan" -> ((s, dir) =>
+      graft.operators.Sampling
+        .mixturePlan(t(s, dir, "documents"), "lang", totalN = 300)
+        .orderBy("lang")),
+
+    // The materialized α-sample: first quota_s docs per language in MD5
+    // order of the id (ingest-stable, engine-portable selection).
+    "q122_temperature_sample" -> ((s, dir) =>
+      graft.operators.Sampling
+        .temperatureSample(t(s, dir, "documents"), "lang", "doc_id", totalN = 300)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Distinctive terms per source by exact integer lift (observed vs
+    // expected rate in basis points, DECIMAL(38,0) arithmetic), min-count
+    // noise gate, two-phase top-10 per source.
+    "q123_distinctive_terms" -> ((s, dir) =>
+      graft.operators.Keyness
+        .distinctiveTerms(t(s, dir, "documents"), "source", "text", minCount = 3, k = 10)
+        .orderBy("source", "rk")))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
     * multi-char pieces that make greedy longest-match visible. Shared by
@@ -1117,6 +1166,135 @@ object DocumentQueries {
           |       COALESCE(enc.n_bpe, 0) AS n_bpe
           |FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
           |ORDER BY d.doc_id""".stripMargin),
+
+    // distinct 3-shingles per source, pair counts via the shingle
+    // self-join, exact basis-point Jaccard/containment divisions
+    "q119_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, array_to_string(ts[i:i+2], ' ') AS shingle
+        |  FROM t, unnest(range(1, greatest(len(ts) - 3 + 2, 1))) r(i)),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+        |c AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT c.src_a, c.src_b, c.common, na.n AS n_a, nb.n AS n_b,
+        |       (10000 * c.common) // (na.n + nb.n - c.common) AS jaccard_bp,
+        |       (10000 * c.common) // na.n AS contain_a_bp,
+        |       (10000 * c.common) // nb.n AS contain_b_bp
+        |FROM c JOIN n na ON c.src_a = na.source JOIN n nb ON c.src_b = nb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // q101's SimHash edge replay + 3 unrolled plurality rounds with the
+    // (count DESC, label ASC) deterministic argmax
+    "q120_label_propagation" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS m FROM tok),
+        |sgn AS (
+        |  SELECT doc_id, r.p AS p,
+        |         sum(CASE WHEN ((instr('0123456789abcdef', substr(m, (r.p // 4) + 1, 1)) - 1)
+        |                        >> (r.p % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, range(0, 64) r(p)
+        |  GROUP BY doc_id, r.p),
+        |fp AS (
+        |  SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+        |  FROM sgn GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 3),
+        |e AS (SELECT x AS a, y AS b FROM pairs UNION ALL SELECT y, x FROM pairs),
+        |l0 AS (SELECT doc_id AS id, CAST(doc_id AS BIGINT) AS label FROM documents),
+        |v1 AS (SELECT e.b AS id, l.label, count(*) AS c
+        |       FROM e JOIN l0 l ON e.a = l.id GROUP BY 1, 2),
+        |w1 AS (SELECT id, label FROM (
+        |         SELECT id, label,
+        |                row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+        |         FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT l0.id, COALESCE(w1.label, l0.label) AS label
+        |       FROM l0 LEFT JOIN w1 ON l0.id = w1.id),
+        |v2 AS (SELECT e.b AS id, l.label, count(*) AS c
+        |       FROM e JOIN l1 l ON e.a = l.id GROUP BY 1, 2),
+        |w2 AS (SELECT id, label FROM (
+        |         SELECT id, label,
+        |                row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+        |         FROM v2) WHERE rn = 1),
+        |l2 AS (SELECT l1.id, COALESCE(w2.label, l1.label) AS label
+        |       FROM l1 LEFT JOIN w2 ON l1.id = w2.id),
+        |v3 AS (SELECT e.b AS id, l.label, count(*) AS c
+        |       FROM e JOIN l2 l ON e.a = l.id GROUP BY 1, 2),
+        |w3 AS (SELECT id, label FROM (
+        |         SELECT id, label,
+        |                row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+        |         FROM v3) WHERE rn = 1),
+        |l3 AS (SELECT l2.id, COALESCE(w3.label, l2.label) AS label
+        |       FROM l2 LEFT JOIN w3 ON l2.id = w3.id)
+        |SELECT id AS doc_id, CAST(label AS BIGINT) AS label
+        |FROM l3 ORDER BY doc_id""".stripMargin,
+
+    // exact isqrt via the float sqrt ± 1 correction, floor quotas capped
+    // at stratum size
+    "q121_mixture_plan" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_in FROM documents GROUP BY lang),
+        |g0 AS (SELECT lang, n_in,
+        |              CAST(floor(sqrt(CAST(n_in AS DOUBLE))) AS BIGINT) AS s0 FROM c),
+        |g1 AS (SELECT lang, n_in,
+        |              s0 - CASE WHEN s0 * s0 > n_in THEN 1 ELSE 0 END AS s1 FROM g0),
+        |w AS (SELECT lang, n_in,
+        |             s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n_in THEN 1 ELSE 0 END AS weight
+        |      FROM g1),
+        |tot AS (SELECT sum(weight) AS wsum FROM w)
+        |SELECT lang, n_in, CAST(weight AS BIGINT) AS weight,
+        |       CAST(least((300 * weight) // wsum, n_in) AS BIGINT) AS quota
+        |FROM w, tot ORDER BY lang""".stripMargin,
+
+    // q121's quotas + the q47 MD5-rank selection inside each stratum
+    "q122_temperature_sample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_in FROM documents GROUP BY lang),
+        |g0 AS (SELECT lang, n_in,
+        |              CAST(floor(sqrt(CAST(n_in AS DOUBLE))) AS BIGINT) AS s0 FROM c),
+        |g1 AS (SELECT lang, n_in,
+        |              s0 - CASE WHEN s0 * s0 > n_in THEN 1 ELSE 0 END AS s1 FROM g0),
+        |w AS (SELECT lang, n_in,
+        |             s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n_in THEN 1 ELSE 0 END AS weight
+        |      FROM g1),
+        |tot AS (SELECT sum(weight) AS wsum FROM w),
+        |q AS (SELECT lang, least((300 * weight) // wsum, n_in) AS quota FROM w, tot),
+        |r AS (SELECT doc_id, lang,
+        |             row_number() OVER (PARTITION BY lang
+        |                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang
+        |FROM r JOIN q ON r.lang = q.lang WHERE r.rk <= q.quota
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // exact integer lift over (source, token) counts with the min-count
+    // gate; HUGEINT products mirror the operator's DECIMAL(38,0)
+    "q123_distinctive_terms" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |cgt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1, 2),
+        |ng AS (SELECT source, sum(cnt) AS n_g FROM cgt GROUP BY source),
+        |tt AS (SELECT tok, sum(cnt) AS total_t FROM cgt GROUP BY tok),
+        |nn AS (SELECT sum(cnt) AS n_corpus FROM cgt),
+        |sc AS (
+        |  SELECT c.source, c.tok, c.cnt,
+        |         CAST((10000 * c.cnt * nn.n_corpus) // (ng.n_g * tt.total_t) AS BIGINT) AS lift_bp
+        |  FROM cgt c JOIN ng ON c.source = ng.source JOIN tt ON c.tok = tt.tok, nn
+        |  WHERE c.cnt >= 3),
+        |rk AS (SELECT source, tok, cnt, lift_bp,
+        |              row_number() OVER (PARTITION BY source
+        |                                 ORDER BY lift_bp DESC, tok ASC) AS rk
+        |       FROM sc)
+        |SELECT source, tok, cnt, lift_bp, rk FROM rk WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
 
     "q22_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb

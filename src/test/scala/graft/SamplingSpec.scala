@@ -67,4 +67,51 @@ class SamplingSpec extends SparkSpec {
       Seq("s0" -> 0.8, "s1" -> 0.4), defaultRate = 0.1)
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
   }
+
+  test("isqrt: exact over ranges and near perfect squares") {
+    import spark.implicits._
+    // 0..5000 + values straddling perfect-square boundaries at long scale
+    val vals = (0L to 5000L) ++ Seq(
+      (1L << 31) - 1, 1L << 31, 3037000499L * 3037000499L - 1,
+      3037000499L * 3037000499L, 999999999999999999L)
+    val got = vals.toDF("x")
+      .select(col("x"), Sampling.isqrt(col("x")).as("s"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (x, s) =>
+      assert(s >= 0 && s * s <= x, s"isqrt($x) = $s overshoots")
+      assert(x - s * s <= 2 * s, s"isqrt($x) = $s undershoots") // (s+1)² > x
+    }
+  }
+
+  test("mixture plan: sqrt weights flatten skew, quotas floor and cap") {
+    import spark.implicits._
+    // 900 / 100 / 16 / 1 rows: α = 1/2 weights 30 / 10 / 4 / 1
+    val df = ((1L to 900L).map((_, "big")) ++ (1001L to 1100L).map((_, "mid")) ++
+      (2001L to 2016L).map((_, "sml")) ++ Seq((3001L, "one"))).toDF("id", "s")
+    val plan = Sampling.mixturePlan(df, "s", totalN = 90)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(plan("big") == (("big", 900L, 30L, 60L)))  // 90·30/45
+    assert(plan("mid") == (("mid", 100L, 10L, 20L)))
+    assert(plan("sml") == (("sml", 16L, 4L, 8L)))
+    assert(plan("one") == (("one", 1L, 1L, 1L)))      // capped at n_in = 1 (< 90/45)
+    // α = 1/2 compresses a 900:1 ratio to 60:1 quota ratio, never oversubscribes
+    assert(plan.values.map(_._4).sum <= 90)
+  }
+
+  test("temperature sample: quotas met exactly, MD5-prefix stable, deterministic") {
+    import spark.implicits._
+    val df = ((1L to 300L).map((_, "big")) ++ (1001L to 1030L).map((_, "sml")))
+      .toDF("id", "s")
+    val plan = Sampling.mixturePlan(df, "s", totalN = 60)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    val sel = Sampling.temperatureSample(df, "s", "id", totalN = 60)
+    val per = sel.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(per == plan, s"selected $per != quotas $plan")
+    assert(sel.exceptAll(df).isEmpty) // selection only
+    // raising N keeps each stratum's selection a PREFIX (md5 order is fixed)
+    val more = Sampling.temperatureSample(df, "s", "id", totalN = 100)
+    assert(sel.exceptAll(more).isEmpty, "smaller sample must nest in larger")
+    val again = Sampling.temperatureSample(df, "s", "id", totalN = 60)
+    assert(sel.exceptAll(again).isEmpty && again.exceptAll(sel).isEmpty)
+  }
 }
