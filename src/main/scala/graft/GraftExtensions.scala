@@ -264,6 +264,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.bpeEncodePlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("corpus_overlap"),
+      new ExpressionInfo(
+        classOf[graft.operators.CorpusOverlap.type].getName,
+        null,
+        "corpus_overlap",
+        "corpus_overlap(table, groupCol, textCol, k) - cross-group distinct-k-shingle overlap matrix with Jaccard/containment basis points.",
+        ""),
+      exprs => GraftExtensions.corpusOverlapPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("label_propagation"),
+      new ExpressionInfo(
+        classOf[graft.operators.LabelPropagation.type].getName,
+        null,
+        "label_propagation",
+        "label_propagation(nodesTable, idCol, edgesTable, aCol, bCol, iters) - synchronous plurality label propagation communities (deterministic min-label tie-break).",
+        ""),
+      exprs => GraftExtensions.labelPropagationPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("mixture_plan"),
+      new ExpressionInfo(
+        classOf[graft.operators.Sampling.type].getName,
+        null,
+        "mixture_plan",
+        "mixture_plan(table, strataCol, totalN) - temperature (alpha=1/2) mixture quotas: exact isqrt weights, floor quotas capped at stratum size.",
+        ""),
+      exprs => GraftExtensions.mixturePlanPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("temperature_sample"),
+      new ExpressionInfo(
+        classOf[graft.operators.Sampling.type].getName,
+        null,
+        "temperature_sample",
+        "temperature_sample(table, strataCol, idCol, totalN) - materialize the mixture_plan quotas by MD5-prefix selection per stratum.",
+        ""),
+      exprs => GraftExtensions.temperatureSamplePlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("distinctive_terms"),
+      new ExpressionInfo(
+        classOf[graft.operators.Keyness.type].getName,
+        null,
+        "distinctive_terms",
+        "distinctive_terms(table, groupCol, textCol, minCount, k) - top-k tokens per group by exact integer lift (keyness).",
+        ""),
+      exprs => GraftExtensions.distinctiveTermsPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("edit_distance_join"),
       new ExpressionInfo(
         classOf[graft.operators.EditDistanceJoin.type].getName,
@@ -795,6 +840,89 @@ object GraftExtensions {
         strArg(name, exprs(1), "idCol"),
         textCol,
         graft.operators.BpeTrain.learn(docs, textCol, longArg(name, exprs(3), "nMerges").toInt))
+      .queryExecution.logical
+  }
+
+  /** corpus_overlap(table, groupCol, textCol, k). */
+  private[graft] def corpusOverlapPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "corpus_overlap"
+    require(
+      exprs.length == 4,
+      s"$name expects (table, groupCol, textCol, k), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.CorpusOverlap
+      .overlapMatrix(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "groupCol"),
+        strArg(name, exprs(2), "textCol"),
+        longArg(name, exprs(3), "k").toInt)
+      .queryExecution.logical
+  }
+
+  /** label_propagation(nodesTable, idCol, edgesTable, aCol, bCol, iters). */
+  private[graft] def labelPropagationPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "label_propagation"
+    require(
+      exprs.length == 6,
+      s"$name expects (nodesTable, idCol, edgesTable, aCol, bCol, iters), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.LabelPropagation
+      .propagate(
+        spark.table(strArg(name, exprs.head, "nodesTable"))
+          .select(org.apache.spark.sql.functions.col(strArg(name, exprs(1), "idCol")).as("id")),
+        spark.table(strArg(name, exprs(2), "edgesTable"))
+          .select(
+            org.apache.spark.sql.functions.col(strArg(name, exprs(3), "aCol")).as("a"),
+            org.apache.spark.sql.functions.col(strArg(name, exprs(4), "bCol")).as("b")),
+        longArg(name, exprs(5), "iters").toInt)
+      .queryExecution.logical
+  }
+
+  /** mixture_plan(table, strataCol, totalN). */
+  private[graft] def mixturePlanPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "mixture_plan"
+    require(
+      exprs.length == 3,
+      s"$name expects (table, strataCol, totalN), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.Sampling
+      .mixturePlan(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "strataCol"),
+        longArg(name, exprs(2), "totalN"))
+      .queryExecution.logical
+  }
+
+  /** temperature_sample(table, strataCol, idCol, totalN). */
+  private[graft] def temperatureSamplePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "temperature_sample"
+    require(
+      exprs.length == 4,
+      s"$name expects (table, strataCol, idCol, totalN), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.Sampling
+      .temperatureSample(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "strataCol"),
+        strArg(name, exprs(2), "idCol"),
+        longArg(name, exprs(3), "totalN"))
+      .queryExecution.logical
+  }
+
+  /** distinctive_terms(table, groupCol, textCol, minCount, k). */
+  private[graft] def distinctiveTermsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "distinctive_terms"
+    require(
+      exprs.length == 5,
+      s"$name expects (table, groupCol, textCol, minCount, k), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.Keyness
+      .distinctiveTerms(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "groupCol"),
+        strArg(name, exprs(2), "textCol"),
+        longArg(name, exprs(3), "minCount"),
+        longArg(name, exprs(4), "k").toInt)
       .queryExecution.logical
   }
 

@@ -521,6 +521,62 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(be == beScala && be.size == 4)
   }
 
+  test("corpus_overlap / mixture TVFs round-trip the Scala paths") {
+    import spark.implicits._
+    Seq(
+      ("s1", 1L, "the quick brown fox jumps over"),
+      ("s1", 2L, "pack my box with five jugs"),
+      ("s2", 3L, "the quick brown fox sleeps here"),
+      ("s2", 4L, "totally different words appear now"))
+      .toDF("source", "doc_id", "text").createOrReplaceTempView("tvf_docs_ov")
+    val ov = spark.sql("SELECT * FROM corpus_overlap('tvf_docs_ov', 'source', 'text', 3)")
+      .orderBy("src_a", "src_b").collect().toSeq
+    val ovScala = graft.operators.CorpusOverlap
+      .overlapMatrix(spark.table("tvf_docs_ov"), "source", "text", 3)
+      .orderBy("src_a", "src_b").collect().toSeq
+    assert(ov == ovScala && ov.nonEmpty)
+
+    val mp = spark.sql("SELECT * FROM mixture_plan('tvf_docs_ov', 'source', 3)")
+      .orderBy("source").collect().toSeq
+    val mpScala = graft.operators.Sampling
+      .mixturePlan(spark.table("tvf_docs_ov"), "source", 3L)
+      .orderBy("source").collect().toSeq
+    assert(mp == mpScala && mp.size == 2)
+
+    val ts = spark.sql(
+      "SELECT * FROM temperature_sample('tvf_docs_ov', 'source', 'doc_id', 3)")
+      .orderBy("doc_id").collect().toSeq
+    val tsScala = graft.operators.Sampling
+      .temperatureSample(spark.table("tvf_docs_ov"), "source", "doc_id", 3L)
+      .orderBy("doc_id").collect().toSeq
+    assert(ts == tsScala && ts.nonEmpty)
+
+    val dt = spark.sql(
+      "SELECT * FROM distinctive_terms('tvf_docs_ov', 'source', 'text', 1, 5)")
+      .orderBy("source", "rk").collect().toSeq
+    val dtScala = graft.operators.Keyness
+      .distinctiveTerms(spark.table("tvf_docs_ov"), "source", "text", 1, 5)
+      .orderBy("source", "rk").collect().toSeq
+    assert(dt == dtScala && dt.nonEmpty)
+  }
+
+  test("label_propagation TVF round-trips the Scala path") {
+    import spark.implicits._
+    (1L to 8L).toDF("id").createOrReplaceTempView("tvf_lp_nodes")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L), (6L, 7L), (7L, 5L), (3L, 5L))
+    (pairs ++ pairs.map(p => (p._2, p._1)))
+      .toDF("a", "b").createOrReplaceTempView("tvf_lp_edges")
+    val lp = spark.sql(
+      "SELECT * FROM label_propagation('tvf_lp_nodes', 'id', 'tvf_lp_edges', 'a', 'b', 3)")
+      .orderBy("id").collect().toSeq
+    val lpScala = graft.operators.LabelPropagation
+      .propagate(
+        spark.table("tvf_lp_nodes"),
+        spark.table("tvf_lp_edges"), 3)
+      .orderBy("id").collect().toSeq
+    assert(lp == lpScala && lp.size == 8)
+  }
+
   test("simhash64 / minhash_bands / lsh_signature resolve through the extensions") {
     val fresh = spark.newSession()
     val fp = fresh.sql("SELECT simhash64(array('a','b')) AS fp").collect()(0).getLong(0)
