@@ -309,6 +309,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.distinctiveTermsPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("exact_auc"),
+      new ExpressionInfo(
+        classOf[graft.operators.ModelEval.type].getName,
+        null,
+        "exact_auc",
+        "exact_auc(table, scoreCol, labelCol) - exact Mann-Whitney AUC of an integer score vs a 0/1 label (histogram + recursive prefix, never pairs).",
+        ""),
+      exprs => GraftExtensions.exactAucPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("calibration_buckets"),
+      new ExpressionInfo(
+        classOf[graft.operators.ModelEval.type].getName,
+        null,
+        "calibration_buckets",
+        "calibration_buckets(table, scoreCol, labelCol, nBuckets) - equi-width score bands with exact basis-point positive rates.",
+        ""),
+      exprs => GraftExtensions.calibrationBucketsPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("edit_distance_join"),
       new ExpressionInfo(
         classOf[graft.operators.EditDistanceJoin.type].getName,
@@ -923,6 +941,37 @@ object GraftExtensions {
         strArg(name, exprs(2), "textCol"),
         longArg(name, exprs(3), "minCount"),
         longArg(name, exprs(4), "k").toInt)
+      .queryExecution.logical
+  }
+
+  /** exact_auc(table, scoreCol, labelCol). */
+  private[graft] def exactAucPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "exact_auc"
+    require(
+      exprs.length == 3,
+      s"$name expects (table, scoreCol, labelCol), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.ModelEval
+      .exactAuc(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "scoreCol"),
+        strArg(name, exprs(2), "labelCol"))
+      .queryExecution.logical
+  }
+
+  /** calibration_buckets(table, scoreCol, labelCol, nBuckets). */
+  private[graft] def calibrationBucketsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "calibration_buckets"
+    require(
+      exprs.length == 4,
+      s"$name expects (table, scoreCol, labelCol, nBuckets), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.ModelEval
+      .calibrationBuckets(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "scoreCol"),
+        strArg(name, exprs(2), "labelCol"),
+        longArg(name, exprs(3), "nBuckets").toInt)
       .queryExecution.logical
   }
 

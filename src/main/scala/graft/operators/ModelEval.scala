@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact evaluation of a scoring model against binary labels — the
+  * calibration step between training a quality/domain classifier and
+  * turning it into a corpus filter: AUC says whether the score ranks
+  * positives above negatives at all; the calibration table says WHERE to
+  * put the threshold and what precision each score band buys.
+  *
+  * Both are EXACT INTEGER computations over integer scores (the repo's
+  * classifiers emit integer margins — [[TextClassifier]], [[LmScore]],
+  * [[ImportanceResampling]]): no trapezoid floats, no sampled ROC.
+  *
+  * AUC is the Mann–Whitney pair statistic: over all pos×neg pairs, the
+  * fraction with score(pos) > score(neg), ties counting ½ —
+  *
+  *   auc_bp = ⌊10000·(2·concordant + ties) / (2·n_pos·n_neg)⌋
+  *
+  * computed from the per-score histogram, never from pairs: concordant =
+  * Σ_s np(s)·NN(<s) needs only each score's count of negatives below it —
+  * an exclusive prefix sum over the score axis ([[PrefixSum.exclusive]],
+  * every window ≤ blockSize rows). Products run in DECIMAL(38,0)
+  * (n_pos·n_neg at trillion-doc corpora passes 2⁶³).
+  *
+  * Scale shape: ONE map-side-combinable groupBy(score) shuffle
+  * (histogram-sized output), the recursive prefix roll-up over distinct
+  * scores, one bounded final aggregate. Calibration is the same histogram
+  * re-bucketed by exact integer range arithmetic — no second corpus scan.
+  */
+object ModelEval {
+
+  private val dec = "decimal(38,0)"
+
+  /** Per-score histogram: (score, np, nn). `labelCol` must be 0/1. */
+  private def histogram(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    scored
+      .select(col(scoreCol).cast("long").as("score"), col(labelCol).cast("long").as("y"))
+      .groupBy("score")
+      .agg(sum("y").as("np"), sum(lit(1L) - col("y")).as("nn"))
+
+  /** Exact Mann–Whitney AUC. Output: single row
+    * (n_pos, n_neg, n_concordant, n_tie_pairs, auc_bp).
+    * Scores may be negative: the prefix runs over score − min(score)
+    * (PrefixSum keys must be non-negative).
+    */
+  def exactAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val h = histogram(scored, scoreCol, labelCol)
+    val lo = h.agg(min("score").as("minS"))
+    val shifted = h.crossJoin(broadcast(lo))
+      .select((col("score") - col("minS")).as("k"), col("np"), col("nn"))
+    val below = PrefixSum.exclusive(shifted.select(col("k"), col("nn").as("s")))
+      .select(col("k"), col("before").as("nnBelow"))
+    shifted
+      .join(below, "k")
+      .agg(
+        sum("np").cast(dec).as("n_pos"),
+        sum("nn").cast(dec).as("n_neg"),
+        sum(expr(s"cast(np as $dec) * cast(nnBelow as $dec)")).as("n_concordant"),
+        sum(expr(s"cast(np as $dec) * cast(nn as $dec)")).as("n_tie_pairs"))
+      .select(
+        col("n_pos").cast("long").as("n_pos"),
+        col("n_neg").cast("long").as("n_neg"),
+        col("n_concordant").cast("long").as("n_concordant"),
+        col("n_tie_pairs").cast("long").as("n_tie_pairs"),
+        expr(s"""(10000 * (2 * n_concordant + n_tie_pairs))
+                 div (2 * n_pos * n_neg)""").cast("long").as("auc_bp"))
+  }
+
+  /** Equi-width calibration table over [min(score), max(score)]:
+    * bucket b holds scores in [minS + b·width rounding up, …), width =
+    * ceil((maxS − minS + 1)/nBuckets) — exact integer bucketing, top
+    * scores land in bucket nBuckets−1. Output per non-empty bucket:
+    * (bucket, score_lo, n, n_pos, pos_rate_bp), ordered consumers sort.
+    */
+  def calibrationBuckets(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val h = histogram(scored, scoreCol, labelCol)
+    val bounds = h.agg(min("score").as("minS"), max("score").as("maxS"))
+    h.crossJoin(broadcast(bounds))
+      .withColumn("width",
+        expr(s"(maxS - minS + 1 + ${nBuckets - 1}) div $nBuckets"))
+      .withColumn("bucket", expr("(score - minS) div width"))
+      .groupBy("bucket")
+      .agg(
+        min(expr("minS + bucket * width")).as("score_lo"),
+        sum(expr("np + nn")).as("n"),
+        sum("np").as("n_pos"))
+      .withColumn("pos_rate_bp", expr("(10000 * n_pos) div n"))
+      .select("bucket", "score_lo", "n", "n_pos", "pos_rate_bp")
+  }
+}

@@ -127,28 +127,18 @@ object SubsequenceMatch {
 
   val DefaultWidths: Seq[Int] = Seq(25, 50, 100, 200, 400)
 
-  /** Attach inclusive prefix sums to (idx, v) without a global-order
-    * window: block partial sums, block-level prefix (tiny), within-block
-    * running sum.
+  /** Attach inclusive prefix sums to (idx, v) without a series-sized
+    * global-order window: recursive block partial sums
+    * ([[PrefixSum.exclusive]] — every window in its tree sees ≤ blockSize
+    * rows, closing the r8-verdict block-prefix seam) + the row's own
+    * value.
     */
   def withPrefixSum(series: DataFrame, blockSize: Int = 4096): DataFrame = {
-    val withBlk = series.withColumn("blk", (col("idx") / blockSize).cast("long"))
-    val blockSums = withBlk.groupBy("blk").agg(sum("v").as("bsum"))
-    // block-level prefix: one partition over n/blockSize rows — fine even
-    // at very large n (recurse if it ever isn't)
-    val blockPrefix = blockSums
-      .withColumn(
-        "before",
-        coalesce(
-          sum("bsum").over(Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0.0)))
-      .select("blk", "before")
-    val withinW = Window.partitionBy("blk").orderBy("idx")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    withBlk
-      .withColumn("within", sum("v").over(withinW))
-      .join(blockPrefix, "blk")
-      .select(col("idx"), col("v"), (col("within") + col("before")).as("prefix"))
+    val before = PrefixSum.exclusive(
+      series.select(col("idx").as("k"), col("v").as("s")), blockSize)
+    series
+      .join(before.select(col("k").as("idx"), col("before")), "idx")
+      .select(col("idx"), col("v"), (col("before") + col("v")).as("prefix"))
   }
 
   /** Multi-width sliding-mean index: (w, offset, mean) for every complete

@@ -56,6 +56,32 @@ object TextClassifier {
         array_max(col("_sc")).as("best_score"))
   }
 
+  /** Raw linear margin for ONE class — the binary-gate form (quality
+    * classifiers ship as a single score; AUC/threshold calibration read
+    * the raw margin, not the argmax). `weights` is the per-bucket vector
+    * (length nBuckets). Output: (id, score). Same hashed-token scoring as
+    * [[classifyHashedLinear]] with nClasses = 1.
+    */
+  def scoreLinear(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int,
+      weights: Seq[Long]): DataFrame = {
+    require(weights.length == nBuckets, s"need $nBuckets weights, got ${weights.length}")
+    val w: Column = typedlit(weights)
+    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    val buckets = transform(toks, t =>
+      pmod(graft.functions.JavaStringHash.java_hash(t).cast("long"), lit(nBuckets.toLong)))
+    df.select(col(idCol), buckets.as("_bk"))
+      .select(
+        col(idCol),
+        aggregate(
+          col("_bk"),
+          lit(0L),
+          (acc, b) => acc + element_at(w, (b + 1).cast("int"))).as("score"))
+  }
+
   /** The q77 fixture weight table: w(b, c) = ((b·2654435761 + c·40503)
     * mod 1001) − 500 — deterministic integers standing in for a trained
     * matrix (the oracle replays the formula; a production caller passes

@@ -1010,7 +1010,38 @@ object DocumentQueries {
     "q123_distinctive_terms" -> ((s, dir) =>
       graft.operators.Keyness
         .distinctiveTerms(t(s, dir, "documents"), "source", "text", minCount = 3, k = 10)
-        .orderBy("source", "rk")))
+        .orderBy("source", "rk")),
+
+    // Exact Mann–Whitney AUC of the hashed linear margin against the
+    // lang='en' label: histogram + recursive prefix sum, never pos×neg
+    // pairs; DECIMAL(38,0) pair counts, one integer division at the end.
+    "q124_classifier_auc" -> ((s, dir) => {
+      graft.functions.JavaStringHash.register(s)
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextClassifier
+        .scoreLinear(docs, "doc_id", "text", nBuckets = 256,
+          weights = graft.operators.TextClassifier.fixtureWeights(1, 256))
+        .join(
+          docs.select(col("doc_id"), (col("lang") === "en").cast("int").as("y")),
+          "doc_id")
+      graft.operators.ModelEval.exactAuc(scored, "score", "y")
+    }),
+
+    // Equi-width threshold calibration table for the same score/label:
+    // exact integer bucketing of the score range, per-band positive rate
+    // in basis points — where to put the corpus filter threshold.
+    "q125_score_calibration" -> ((s, dir) => {
+      graft.functions.JavaStringHash.register(s)
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextClassifier
+        .scoreLinear(docs, "doc_id", "text", nBuckets = 256,
+          weights = graft.operators.TextClassifier.fixtureWeights(1, 256))
+        .join(
+          docs.select(col("doc_id"), (col("lang") === "en").cast("int").as("y")),
+          "doc_id")
+      graft.operators.ModelEval.calibrationBuckets(scored, "score", "y", nBuckets = 10)
+        .orderBy("bucket")
+    }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
     * multi-char pieces that make greedy longest-match visible. Shared by
@@ -1054,6 +1085,32 @@ object DocumentQueries {
        |s$i AS (SELECT CAST(sum(cnt * len(list_filter(string_split(s, ' '), x -> x <> ''))) AS BIGINT) AS cs
        |        FROM w$i)""".stripMargin
   }
+
+  /** Shared q124/q125 prefix: q77's hashed class-0 margin per doc (docs
+    * with no tokens score 0) + the lang='en' binary label.
+    */
+  private def aucScoreCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |hb AS (
+      |  SELECT doc_id,
+      |         ((list_reduce(
+      |             list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(string_split_regex(w, ''),
+      |                              c -> CAST(unicode(c) AS BIGINT))),
+      |             (h, c) -> ((h * 31 + c + 2147483648) % 4294967296 + 4294967296)
+      |                         % 4294967296 - 2147483648)
+      |           % 256) + 256) % 256 AS b
+      |  FROM tok),
+      |sc AS (
+      |  SELECT d.doc_id,
+      |         CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+      |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents d LEFT JOIN (
+      |    SELECT doc_id, SUM(((b * 2654435761) % 1001 + 1001) % 1001 - 500) AS score
+      |    FROM hb GROUP BY doc_id) s ON d.doc_id = s.doc_id),
+      |""".stripMargin
 
   /** Shared q117/q118 prefix: word counts → spaced symbols → 6 rounds. */
   private def bpeChain: String =
@@ -1295,6 +1352,45 @@ object DocumentQueries {
         |       FROM sc)
         |SELECT source, tok, cnt, lift_bp, rk FROM rk WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin,
+
+    // q77's class-0 hashed margin + the Mann–Whitney histogram identity:
+    // concordant = Σ np(s)·NN(<s) via a window prefix (the operator uses
+    // the recursive block form; sums are order-free so they agree exactly)
+    "q124_classifier_auc" ->
+      (aucScoreCte +
+        """h AS (SELECT score, CAST(sum(y) AS BIGINT) AS np,
+          |              CAST(sum(1 - y) AS BIGINT) AS nn
+          |       FROM sc GROUP BY score),
+          |p AS (SELECT score, np, nn,
+          |             COALESCE(sum(nn) OVER (ORDER BY score
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nnb
+          |      FROM h)
+          |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+          |       CAST(sum(nn) AS BIGINT) AS n_neg,
+          |       CAST(sum(np * nnb) AS BIGINT) AS n_concordant,
+          |       CAST(sum(np * nn) AS BIGINT) AS n_tie_pairs,
+          |       CAST((10000 * (2 * sum(np * nnb) + sum(np * nn)))
+          |            // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_bp
+          |FROM p""".stripMargin),
+
+    // same score/label relation, ceil-width integer bucketing (all
+    // operands non-negative, so DuckDB floor-// equals Spark trunc-div)
+    "q125_score_calibration" ->
+      (aucScoreCte +
+        """bd AS (SELECT min(score) AS minS, max(score) AS maxS FROM sc),
+          |k AS (SELECT sc.score, sc.y, bd.minS,
+          |             (bd.maxS - bd.minS + 1 + 9) // 10 AS width
+          |      FROM sc, bd),
+          |g AS (SELECT (score - minS) // width AS bucket,
+          |             minS + ((score - minS) // width) * width AS score_lo,
+          |             count(*) AS n, sum(y) AS n_pos
+          |      FROM k GROUP BY 1, 2)
+          |SELECT CAST(bucket AS BIGINT) AS bucket,
+          |       CAST(score_lo AS BIGINT) AS score_lo,
+          |       CAST(n AS BIGINT) AS n,
+          |       CAST(n_pos AS BIGINT) AS n_pos,
+          |       CAST((10000 * n_pos) // n AS BIGINT) AS pos_rate_bp
+          |FROM g ORDER BY bucket""".stripMargin),
 
     "q22_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb

@@ -73,6 +73,17 @@ object StreamingQueries {
         .run(t(s, dir, "documents"), "doc_id", "text", k = 5, minCount = 2, chunks = 4)
         .orderBy("doc_id", "start_tok")),
 
+    // Streaming corpus-novelty monitor: each micro-batch's exact 5-shingle
+    // novelty against all STRICTLY earlier batches — the per-increment
+    // "how much of this crawl is new" gate before paying for downstream
+    // curation. State = (shingle-hash, count) on the DedupStateStore
+    // contract (fifth consumer); oracle replays arrival order with a
+    // first-appearance window.
+    "q126_stream_novelty" -> ((s, dir) =>
+      graft.streaming.StreamingNovelty
+        .run(t(s, dir, "documents"), "doc_id", "text", k = 5, chunks = 4)
+        .orderBy("batch")),
+
     // The q17 semi-stream join with the stored side behind the POINT-LOOKUP
     // store connector (SURVEY S5 keyed fetch in its remote regime): the
     // part dimension is published into a hash-bucketed KV store
@@ -494,6 +505,33 @@ object StreamingQueries {
         |SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok,
         |       CAST(count(*) AS BIGINT) AS n_shingles
         |FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_tok""".stripMargin,
+
+    // q115's MD5 batch assignment; a shingle is NEW in the batch where it
+    // first appears (min b) — the strictly-earlier-state contract
+    "q126_stream_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+        |         CAST(floor(
+        |           CAST(list_sum(list_transform(range(0, 8), i ->
+        |             CAST(instr('0123456789abcdef',
+        |                        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                  AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS DOUBLE)
+        |             / 4294967296.0 * 4) AS INT) AS b
+        |  FROM documents),
+        |sh AS (
+        |  SELECT b, array_to_string(ts[i:i+4], ' ') AS shingle
+        |  FROM d, unnest(range(1, greatest(len(ts) - 5 + 2, 1))) r(i)),
+        |tot AS (SELECT b, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY b),
+        |dist AS (SELECT DISTINCT b, shingle FROM sh),
+        |fb AS (SELECT shingle, min(b) AS fb FROM dist GROUP BY shingle),
+        |agg AS (
+        |  SELECT dist.b, CAST(count(*) AS BIGINT) AS n_distinct,
+        |         CAST(sum(CASE WHEN fb.fb = dist.b THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM dist JOIN fb ON dist.shingle = fb.shingle GROUP BY dist.b)
+        |SELECT CAST(tot.b AS BIGINT) AS batch, tot.n_shingles,
+        |       agg.n_distinct, agg.n_new,
+        |       CAST((10000 * agg.n_new) // agg.n_distinct AS BIGINT) AS novelty_bp
+        |FROM tot JOIN agg ON tot.b = agg.b ORDER BY batch""".stripMargin,
 
     // q55's deterministic centroids/cells + q49's MD5 arrival order: dup_of
     // = min same-cell earlier-arriving vector at cosine >= tau

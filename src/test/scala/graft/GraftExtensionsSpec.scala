@@ -560,6 +560,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(dt == dtScala && dt.nonEmpty)
   }
 
+  test("exact_auc / calibration_buckets TVFs round-trip the Scala paths") {
+    import spark.implicits._
+    Seq((10L, 1), (8L, 1), (8L, 0), (3L, 0), (-2L, 0), (7L, 1))
+      .toDF("score", "y").createOrReplaceTempView("tvf_scores")
+    val auc = spark.sql("SELECT * FROM exact_auc('tvf_scores', 'score', 'y')")
+      .collect().toSeq
+    val aucScala = graft.operators.ModelEval
+      .exactAuc(spark.table("tvf_scores"), "score", "y").collect().toSeq
+    assert(auc == aucScala && auc.size == 1)
+    val cal = spark.sql(
+      "SELECT * FROM calibration_buckets('tvf_scores', 'score', 'y', 3)")
+      .orderBy("bucket").collect().toSeq
+    val calScala = graft.operators.ModelEval
+      .calibrationBuckets(spark.table("tvf_scores"), "score", "y", 3)
+      .orderBy("bucket").collect().toSeq
+    assert(cal == calScala && cal.nonEmpty)
+  }
+
   test("label_propagation TVF round-trips the Scala path") {
     import spark.implicits._
     (1L to 8L).toDF("id").createOrReplaceTempView("tvf_lp_nodes")

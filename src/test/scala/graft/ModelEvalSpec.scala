@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.ModelEval
+
+class ModelEvalSpec extends SparkSpec {
+  init()
+
+  import spark.implicits._
+
+  /** Brute Mann–Whitney over all pos×neg pairs. */
+  private def bruteAuc(xs: Seq[(Long, Int)]): (Long, Long, Long, Long, Long) = {
+    val pos = xs.filter(_._2 == 1).map(_._1)
+    val neg = xs.filter(_._2 == 0).map(_._1)
+    val conc = (for (p <- pos; n <- neg if p > n) yield 1L).sum
+    val ties = (for (p <- pos; n <- neg if p == n) yield 1L).sum
+    val auc = BigInt(10000) * (2 * conc + ties) / (BigInt(2) * pos.size * neg.size)
+    (pos.size.toLong, neg.size.toLong, conc, ties, auc.toLong)
+  }
+
+  test("exact AUC equals the all-pairs count (ties, negatives, perfect, random)") {
+    val rnd = new scala.util.Random(11)
+    val fixtures = Seq(
+      // perfect separation → 10000
+      (1L to 10L).map(s => (s + 100, 1)) ++ (1L to 10L).map(s => (s, 0)),
+      // anti-separation → 0
+      (1L to 10L).map(s => (s, 1)) ++ (1L to 10L).map(s => (s + 100, 0)),
+      // all tied → exactly 5000
+      Seq.fill(7)((42L, 1)) ++ Seq.fill(9)((42L, 0)),
+      // negatives + ties + sparse scores
+      Seq((-50L, 1), (-50L, 0), (0L, 1), (3L, 0), (900000L, 1), (900000L, 0), (-1000L, 0)),
+      // random
+      Seq.fill(300)((rnd.nextInt(40).toLong - 20, rnd.nextInt(2))))
+    fixtures.foreach { xs =>
+      val got = ModelEval.exactAuc(xs.toDF("score", "y"), "score", "y")
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(got == bruteAuc(xs), s"fixture ${xs.take(5)}…")
+    }
+    assert(ModelEval.exactAuc(fixtures.head.toDF("score", "y"), "score", "y")
+      .as[(Long, Long, Long, Long, Long)].head()._5 == 10000L)
+  }
+
+  test("AUC histogram path recurses past the prefix block size") {
+    // 20 000 distinct scores at the default 4096 block size → the prefix
+    // roll-up recurses; equality vs all-pairs still exact
+    val xs = (0 until 20000).map(i => (i.toLong * 3, if ((i * 2654435761L) % 5 < 2) 1 else 0))
+    val got = ModelEval.exactAuc(xs.toDF("score", "y"), "score", "y")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == bruteAuc(xs))
+  }
+
+  test("calibration buckets: exact widths, exhaustive, rates match brute") {
+    val xs = Seq((0L, 1), (1L, 0), (5L, 1), (9L, 1), (10L, 0), (19L, 0), (19L, 1))
+    // range [0,19], width ceil(20/4) = 5 → buckets 0..3
+    val got = ModelEval.calibrationBuckets(xs.toDF("score", "y"), "score", "y", 4)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 1L, 5000L),   // scores 0, 1
+      (1L, 5L, 2L, 2L, 10000L),  // scores 5, 9
+      (2L, 10L, 1L, 0L, 0L),     // score 10
+      (3L, 15L, 2L, 1L, 5000L))) // the two 19s
+    assert(got.map(_._3).sum == xs.size)
+  }
+}

