@@ -60,12 +60,15 @@ object ModelEval {
         sum(expr(s"cast(np as $dec) * cast(nnBelow as $dec)")).as("n_concordant"),
         sum(expr(s"cast(np as $dec) * cast(nn as $dec)")).as("n_tie_pairs"))
       .select(
-        col("n_pos").cast("long").as("n_pos"),
-        col("n_neg").cast("long").as("n_neg"),
-        col("n_concordant").cast("long").as("n_concordant"),
-        col("n_tie_pairs").cast("long").as("n_tie_pairs"),
-        expr(s"""(10000 * (2 * n_concordant + n_tie_pairs))
-                 div (2 * n_pos * n_neg)""").cast("long").as("auc_bp"))
+        coalesce(col("n_pos"), lit(0)).cast("long").as("n_pos"),
+        coalesce(col("n_neg"), lit(0)).cast("long").as("n_neg"),
+        coalesce(col("n_concordant"), lit(0)).cast("long").as("n_concordant"),
+        coalesce(col("n_tie_pairs"), lit(0)).cast("long").as("n_tie_pairs"),
+        // AUC is undefined with a single class present (0 pairs): NULL,
+        // not a divide-by-zero throw under ANSI mode
+        expr(s"""CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                 ELSE (10000 * (2 * n_concordant + n_tie_pairs))
+                      div (2 * n_pos * n_neg) END""").cast("long").as("auc_bp"))
   }
 
   /** Equi-width calibration table over [min(score), max(score)]:

@@ -48,6 +48,15 @@ class ModelEvalSpec extends SparkSpec {
     assert(got == bruteAuc(xs))
   }
 
+  test("single-class and empty inputs yield NULL AUC, not a throw") {
+    val onlyPos = Seq((5L, 1), (9L, 1)).toDF("score", "y")
+    val r = ModelEval.exactAuc(onlyPos, "score", "y").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.isNullAt(4))
+    val empty = Seq.empty[(Long, Int)].toDF("score", "y")
+    val e = ModelEval.exactAuc(empty, "score", "y").collect()(0)
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(4))
+  }
+
   test("calibration buckets: exact widths, exhaustive, rates match brute") {
     val xs = Seq((0L, 1), (1L, 0), (5L, 1), (9L, 1), (10L, 0), (19L, 0), (19L, 1))
     // range [0,19], width ceil(20/4) = 5 → buckets 0..3
