@@ -1041,6 +1041,24 @@ object DocumentQueries {
           "doc_id")
       graft.operators.ModelEval.calibrationBuckets(scored, "score", "y", nBuckets = 10)
         .orderBy("bucket")
+    }),
+
+    // End-to-end multilingual mixture pipeline (the q48 composition proof
+    // over the NEW wave): exact-dedup survivors → α=1/2 temperature
+    // rebalance across languages → deterministic reader-shard order.
+    // Every stage an already-oracled operator; oracle = their SQL chained.
+    "q127_curation_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val survivors = Dedup.exactDedup(docs, "doc_id", "text")
+        .filter(col("sid") === col("rep"))
+        .select(col("sid").as("doc_id"))
+      val kept = docs.join(survivors, "doc_id").select("doc_id", "lang")
+      val mixed = graft.operators.Sampling
+        .temperatureSample(kept, "lang", "doc_id", totalN = 250)
+      graft.operators.Packing.trainingOrder(mixed, "doc_id", nShards = 8)
+        .join(mixed, "doc_id")
+        .select("doc_id", "lang", "shard", "pos")
+        .orderBy("doc_id")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -1391,6 +1409,44 @@ object DocumentQueries {
           |       CAST(n_pos AS BIGINT) AS n_pos,
           |       CAST((10000 * n_pos) // n AS BIGINT) AS pos_rate_bp
           |FROM g ORDER BY bucket""".stripMargin),
+
+    // q20's canonical-text dedup + q121's isqrt quotas over survivors +
+    // q76's shard/pos assignment, chained
+    "q127_curation_mix" ->
+      """WITH dedup AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           min(doc_id) OVER (PARTITION BY regexp_replace(trim(text), ' +', ' ', 'g')) AS rep
+        |    FROM documents)
+        |  WHERE doc_id = rep),
+        |surv AS (SELECT d.doc_id, d.lang FROM documents d JOIN dedup USING (doc_id)),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_in FROM surv GROUP BY lang),
+        |g0 AS (SELECT lang, n_in,
+        |              CAST(floor(sqrt(CAST(n_in AS DOUBLE))) AS BIGINT) AS s0 FROM c),
+        |g1 AS (SELECT lang, n_in,
+        |              s0 - CASE WHEN s0 * s0 > n_in THEN 1 ELSE 0 END AS s1 FROM g0),
+        |w AS (SELECT lang, n_in,
+        |             s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n_in THEN 1 ELSE 0 END AS weight
+        |      FROM g1),
+        |tot AS (SELECT sum(weight) AS wsum FROM w),
+        |q AS (SELECT lang, least((250 * weight) // wsum, n_in) AS quota FROM w, tot),
+        |r AS (SELECT doc_id, lang,
+        |             row_number() OVER (PARTITION BY lang
+        |                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM surv),
+        |sel AS (SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang
+        |        WHERE r.rk <= q.quota),
+        |h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM sel),
+        |sh AS (SELECT doc_id, lang, hx,
+        |              CAST(list_sum(list_transform(range(0, 8), i ->
+        |                CAST(instr('0123456789abcdef',
+        |                           substr(hx, CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |                  << CAST(4 * (7 - i) AS INT))) AS BIGINT) % 8 AS shard
+        |       FROM h)
+        |SELECT doc_id, lang, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT)
+        |         AS pos
+        |FROM sh ORDER BY doc_id""".stripMargin,
 
     "q22_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
