@@ -35,4 +35,65 @@ object Salting {
     saltProbe(probe, salts)
       .join(replicateBuild(build, salts), Seq(key, "__salt"))
       .drop("__salt")
+
+  /** PER-KEY salt factors from an observed key histogram — the dynamic
+    * micro-batch partitioning idea (cf. PROMPT, SIGMOD 2020): a
+    * micro-batch runtime computes this on batch N's keys and applies it
+    * to batch N+1, so only keys MEASURED hot pay any replication at all
+    * (the blanket [[saltedJoin]] replicates the whole build side).
+    *
+    * factor(k) = min(maxSalts, ⌈count(k)/threshold⌉) for the top-N keys
+    * with count > threshold; everything else is absent (= factor 1).
+    * Output (key-named column, `__factor`) is a ≤ topN-row relation —
+    * broadcastable by construction, never a driver-side map.
+    */
+  def hotKeyFactors(
+      df: DataFrame,
+      key: String,
+      threshold: Long,
+      maxSalts: Int,
+      topN: Int = 1024): DataFrame = {
+    require(threshold >= 1 && maxSalts >= 1 && topN >= 1)
+    TopK.perGroup(
+        df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") > threshold),
+        Seq.empty,
+        Seq(col("__cnt").desc, col(key).asc),
+        topN,
+        rankCol = "__rk")
+      .select(
+        col(key),
+        least(
+          lit(maxSalts.toLong),
+          expr(s"(__cnt + ${threshold - 1}) div $threshold")).cast("int").as("__factor"))
+  }
+
+  /** Adaptive salted inner equi-join: bag-equal to `probe.join(build,
+    * key)`, but each key listed in `factors` spreads over its own factor
+    * of sub-partitions and ONLY those keys' build rows replicate (cold
+    * keys join exactly as before — zero overhead where there is no
+    * skew). `factors` rides as a broadcast on both sides.
+    */
+  def adaptiveSaltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      factors: DataFrame): DataFrame = {
+    val f = broadcast(factors.select(col(key), col("__factor")))
+    val p = probe
+      .join(f, Seq(key), "left")
+      .withColumn(
+        "__salt",
+        pmod(xxhash64(probe.columns.map(col): _*), coalesce(col("__factor"), lit(1)))
+          .cast("int"))
+      .drop("__factor")
+    val b = build
+      .join(f, Seq(key), "left")
+      .withColumn(
+        "__salt",
+        explode(sequence(lit(0), coalesce(col("__factor"), lit(1)) - 1)))
+      .withColumn("__salt", col("__salt").cast("int"))
+      .drop("__factor")
+    p.join(b, Seq(key, "__salt")).drop("__salt")
+  }
 }
