@@ -327,6 +327,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.calibrationBucketsPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("adaptive_salted_join"),
+      new ExpressionInfo(
+        classOf[graft.operators.Salting.type].getName,
+        null,
+        "adaptive_salted_join",
+        "adaptive_salted_join(probeTable, buildTable, key, threshold, maxSalts) - inner equi-join with per-key skew salting from the probe's measured key histogram.",
+        ""),
+      exprs => GraftExtensions.adaptiveSaltedJoinPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("edit_distance_join"),
       new ExpressionInfo(
         classOf[graft.operators.EditDistanceJoin.type].getName,
@@ -972,6 +981,27 @@ object GraftExtensions {
         strArg(name, exprs(1), "scoreCol"),
         strArg(name, exprs(2), "labelCol"),
         longArg(name, exprs(3), "nBuckets").toInt)
+      .queryExecution.logical
+  }
+
+  /** adaptive_salted_join(probeTable, buildTable, key, threshold, maxSalts). */
+  private[graft] def adaptiveSaltedJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "adaptive_salted_join"
+    require(
+      exprs.length == 5,
+      s"$name expects (probeTable, buildTable, key, threshold, maxSalts), got ${exprs.length}")
+    val spark = SparkSession.active
+    val probe = spark.table(strArg(name, exprs.head, "probeTable"))
+    val key = strArg(name, exprs(2), "key")
+    graft.operators.Salting
+      .adaptiveSaltedJoin(
+        probe,
+        spark.table(strArg(name, exprs(1), "buildTable")),
+        key,
+        graft.operators.Salting.hotKeyFactors(
+          probe, key,
+          longArg(name, exprs(3), "threshold"),
+          longArg(name, exprs(4), "maxSalts").toInt))
       .queryExecution.logical
   }
 

@@ -578,6 +578,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(cal == calScala && cal.nonEmpty)
   }
 
+  test("adaptive_salted_join TVF equals the plain join") {
+    import spark.implicits._
+    (1L to 500L).map(i => (if (i % 2 == 0) 3L else i % 5, s"p$i"))
+      .toDF("k", "pv").createOrReplaceTempView("tvf_salt_probe")
+    (0L to 4L).map(k => (k, s"b$k")).toDF("k", "bv")
+      .createOrReplaceTempView("tvf_salt_build")
+    val got = spark.sql(
+      "SELECT * FROM adaptive_salted_join('tvf_salt_probe', 'tvf_salt_build', 'k', 100, 8)")
+      .orderBy("k", "pv").collect().toSeq
+    val want = spark.table("tvf_salt_probe")
+      .join(spark.table("tvf_salt_build"), "k")
+      .orderBy("k", "pv").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("label_propagation TVF round-trips the Scala path") {
     import spark.implicits._
     (1L to 8L).toDF("id").createOrReplaceTempView("tvf_lp_nodes")
