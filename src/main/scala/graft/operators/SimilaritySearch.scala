@@ -305,4 +305,63 @@ object SimilaritySearch {
       .filter(col("sim") >= tau)
       .select("x_id", "y_id", "sim")
   }
+
+  /** Symmetric int8 quantization of an embedding corpus — the 4×
+    * footprint cut before a vector index is built or served. Per vector:
+    * scale = max|x_i| (an exact float→double, so the oracle replays it
+    * bit-for-bit), code_i = ⌊x_i/scale·127 + ½⌋ ∈ [−127, 127] (every
+    * step an IEEE-correctly-rounded double op in a FIXED order — any
+    * engine computes the identical code), all-zero vectors code to 0.
+    * A pure scan-level projection: no shuffle, no state.
+    * Output: (id, scale, codes array<int>).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol), col(embCol).as("e"))
+      .withColumn("scale", coalesce(
+        array_max(transform(col("e"), x => abs(x.cast("double")))), lit(0.0)))
+      .withColumn(
+        "codes",
+        when(col("scale") === 0.0, transform(col("e"), _ => lit(0)))
+          .otherwise(transform(col("e"),
+            x => floor(x.cast("double") / col("scale") * lit(127.0) + lit(0.5)).cast("int"))))
+      .select(col(idCol), col("scale"), col("codes"))
+
+  /** Cosine over int8 code vectors in EXACT integer numerators: dot and
+    * both norms are long sums (≤ dim·127² — exact in a double), the only
+    * IEEE ops are one sqrt and one division of exactly-representable
+    * integers, so scores are bit-identical cross-engine (cosine is
+    * scale-invariant, so the per-vector scales cancel and never enter).
+    * Zero-norm codes score 0 against everything.
+    */
+  def codeCosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(
+        zip_with(x, y, (p, q) => p.cast("long") * q.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val d = dot(a, b)
+    val na = dot(a, a)
+    val nb = dot(b, b)
+    when(na === 0L || nb === 0L, lit(0.0))
+      .otherwise(d.cast("double") / sqrt((na * nb).cast("double")))
+  }
+
+  /** Exact top-k over the QUANTIZED corpus ([[quantizeInt8]] codes) —
+    * the serving-shape ANN baseline whose recall against the float
+    * ranking certifies a quantization setting. Same scale shape as
+    * [[bruteForceTopK]]: queries broadcast, two-phase per-query top-k.
+    * Output: (q_id, n_id, rank, qsim — rounded 4dp for display; ranking
+    * uses the raw bit-exact score with an id tiebreak).
+    */
+  def quantizedTopK(
+      queries: DataFrame, // (q_id, q_codes)
+      corpus: DataFrame, // (n_id, n_codes)
+      k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("qc", codeCosine(col("q_codes"), col("n_codes")))
+    TopK
+      .perGroup(scored, Seq("q_id"), Seq(col("qc").desc, col("n_id")), k, rankCol = "rank")
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("qc"), 4).as("qsim"))
+  }
 }

@@ -1043,6 +1043,56 @@ object DocumentQueries {
         .orderBy("bucket")
     }),
 
+    // Symmetric int8 embedding quantization (serving/index footprint cut):
+    // exact float→double scale, fixed-order IEEE rounding — every code
+    // replays bit-for-bit in any engine. Exploded to scalar rows for the
+    // oracle (one row per dimension).
+    "q128_embed_quantize" -> ((s, dir) =>
+      graft.operators.SimilaritySearch
+        .quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("codes")).as(Seq("dim", "code")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("code").cast("long").as("code"), col("scale"))
+        .orderBy("vec_id", "dim")),
+
+    // ANN over the QUANTIZED corpus: integer dot/norm numerators, one
+    // sqrt + one division of exactly-representable ints — ranking is
+    // bit-exact cross-engine (scales cancel out of cosine).
+    "q129_quantized_ann" -> ((s, dir) => {
+      val codes = graft.operators.SimilaritySearch
+        .quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val queries = codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("codes").as("q_codes"))
+      val corpus = codes.select(col("vec_id").as("n_id"), col("codes").as("n_codes"))
+      graft.operators.SimilaritySearch.quantizedTopK(queries, corpus, 10)
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"), col("qsim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Recall@10 of the int8 ranking against the float ranking — the
+    // quality certificate for a quantization setting, in exact basis
+    // points per query.
+    "q130_quantization_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fq = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val fc = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val floatTop = graft.operators.SimilaritySearch.bruteForceTopK(fq, fc, 10)
+        .select("q_id", "n_id")
+      val codes = graft.operators.SimilaritySearch
+        .quantizeInt8(emb, "vec_id", "embedding")
+      val qq = codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("codes").as("q_codes"))
+      val qc = codes.select(col("vec_id").as("n_id"), col("codes").as("n_codes"))
+      val intTop = graft.operators.SimilaritySearch.quantizedTopK(qq, qc, 10)
+        .select("q_id", "n_id")
+      floatTop.join(intTop, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+        .withColumn("recall_bp", expr("(10000 * n_overlap) div 10"))
+        .orderBy("q_id")
+    }),
+
     // End-to-end multilingual mixture pipeline (the q48 composition proof
     // over the NEW wave): exact-dedup survivors → α=1/2 temperature
     // rebalance across languages → deterministic reader-shard order.
@@ -1103,6 +1153,47 @@ object DocumentQueries {
        |s$i AS (SELECT CAST(sum(cnt * len(list_filter(string_split(s, ' '), x -> x <> ''))) AS BIGINT) AS cs
        |        FROM w$i)""".stripMargin
   }
+
+  /** Shared q128/q129/q130 prefix: per-vector int8 quantization (exact
+    * scale, fixed-order IEEE rounding — mirrors
+    * SimilaritySearch.quantizeInt8 op for op).
+    */
+  private def quantCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM embeddings),
+      |sv AS (
+      |  SELECT vec_id, emb,
+      |         COALESCE(list_max(list_transform(emb, x -> abs(x))), 0) AS scale
+      |  FROM e),
+      |cd AS (
+      |  SELECT vec_id, scale,
+      |         list_transform(range(1, len(emb) + 1), j ->
+      |           CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+      |                ELSE CAST(floor(emb[j] / scale * 127 + 0.5) AS BIGINT) END) AS codes
+      |  FROM sv),
+      |""".stripMargin
+
+  /** Shared q129/q130 int8 ranking: integer dot/norms, one sqrt + one
+    * division, (score DESC, n_id) order.
+    */
+  private def quantRankCte: String =
+    """qs AS (SELECT vec_id AS q_id, codes AS qc FROM cd WHERE vec_id < 10),
+      |pp AS (
+      |  SELECT qs.q_id, n.vec_id AS n_id,
+      |         list_sum(list_transform(range(1, len(qs.qc) + 1), j -> qs.qc[j] * n.codes[j])) AS d,
+      |         list_sum(list_transform(qs.qc, x -> x * x)) AS na,
+      |         list_sum(list_transform(n.codes, x -> x * x)) AS nb
+      |  FROM qs JOIN cd n ON n.vec_id <> qs.q_id),
+      |qsc AS (
+      |  SELECT q_id, n_id,
+      |         CASE WHEN na = 0 OR nb = 0 THEN 0.0
+      |              ELSE CAST(d AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) END AS qc2
+      |  FROM pp),
+      |irk AS (
+      |  SELECT q_id, n_id, qc2,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY qc2 DESC, n_id) AS rank
+      |  FROM qsc),
+      |""".stripMargin
 
   /** Shared q124/q125 prefix: q77's hashed class-0 margin per doc (docs
     * with no tokens score 0) + the lang='en' binary label.
@@ -1409,6 +1500,42 @@ object DocumentQueries {
           |       CAST(n_pos AS BIGINT) AS n_pos,
           |       CAST((10000 * n_pos) // n AS BIGINT) AS pos_rate_bp
           |FROM g ORDER BY bucket""".stripMargin),
+
+    // exact scale + fixed-order rounding replayed per dimension
+    "q128_embed_quantize" ->
+      (quantCte +
+        """x AS (
+          |  SELECT sv.vec_id, CAST(j - 1 AS BIGINT) AS dim,
+          |         CASE WHEN sv.scale = 0 THEN CAST(0 AS BIGINT)
+          |              ELSE CAST(floor(sv.emb[j] / sv.scale * 127 + 0.5) AS BIGINT) END AS code,
+          |         sv.scale
+          |  FROM sv, unnest(range(1, len(sv.emb) + 1)) r(j))
+          |SELECT vec_id, dim, code, scale FROM x ORDER BY vec_id, dim""".stripMargin),
+
+    // integer-numerator cosine ranking over the codes
+    "q129_quantized_ann" ->
+      ((quantCte + quantRankCte).stripSuffix(",\n") + "\n" +
+        """SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(qc2, 4) AS qsim
+          |FROM irk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
+
+    // q22's float ranking ∩ the int8 ranking, per query in basis points
+    "q130_quantization_recall" ->
+      (quantCte + quantRankCte +
+        """fq AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+          |fsc AS (
+          |  SELECT fq.q_id, c.vec_id AS n_id,
+          |         list_cosine_similarity(fq.q_emb, c.emb) AS sim
+          |  FROM fq JOIN e c ON c.vec_id <> fq.q_id),
+          |frk AS (
+          |  SELECT q_id, n_id,
+          |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+          |  FROM fsc),
+          |fr AS (SELECT q_id, n_id FROM frk WHERE rank <= 10),
+          |ir AS (SELECT q_id, n_id FROM irk WHERE rank <= 10)
+          |SELECT fr.q_id, CAST(count(*) AS BIGINT) AS n_overlap,
+          |       CAST((10000 * count(*)) // 10 AS BIGINT) AS recall_bp
+          |FROM fr JOIN ir ON fr.q_id = ir.q_id AND fr.n_id = ir.n_id
+          |GROUP BY fr.q_id ORDER BY fr.q_id""".stripMargin),
 
     // q20's canonical-text dedup + q121's isqrt quotas over survivors +
     // q76's shard/pos assignment, chained
