@@ -327,6 +327,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.calibrationBucketsPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(
+        classOf[graft.operators.SimilaritySearch.type].getName,
+        null,
+        "quantize_int8",
+        "quantize_int8(table, idCol, embCol) - symmetric int8 embedding quantization: (id, scale, codes array<int>), bit-exact cross-engine.",
+        ""),
+      exprs => GraftExtensions.quantizeInt8Plan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("quantized_ann"),
+      new ExpressionInfo(
+        classOf[graft.operators.SimilaritySearch.type].getName,
+        null,
+        "quantized_ann",
+        "quantized_ann(table, idCol, embCol, maxQueryId, k) - top-k cosine over int8-quantized vectors (queries = id < maxQueryId), integer numerators.",
+        ""),
+      exprs => GraftExtensions.quantizedAnnPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("adaptive_salted_join"),
       new ExpressionInfo(
         classOf[graft.operators.Salting.type].getName,
@@ -981,6 +999,43 @@ object GraftExtensions {
         strArg(name, exprs(1), "scoreCol"),
         strArg(name, exprs(2), "labelCol"),
         longArg(name, exprs(3), "nBuckets").toInt)
+      .queryExecution.logical
+  }
+
+  /** quantize_int8(table, idCol, embCol). */
+  private[graft] def quantizeInt8Plan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "quantize_int8"
+    require(
+      exprs.length == 3,
+      s"$name expects (table, idCol, embCol), got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.SimilaritySearch
+      .quantizeInt8(
+        spark.table(strArg(name, exprs.head, "table")),
+        strArg(name, exprs(1), "idCol"),
+        strArg(name, exprs(2), "embCol"))
+      .queryExecution.logical
+  }
+
+  /** quantized_ann(table, idCol, embCol, maxQueryId, k). */
+  private[graft] def quantizedAnnPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "quantized_ann"
+    require(
+      exprs.length == 5,
+      s"$name expects (table, idCol, embCol, maxQueryId, k), got ${exprs.length}")
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.col
+    val idCol = strArg(name, exprs(1), "idCol")
+    val codes = graft.operators.SimilaritySearch.quantizeInt8(
+      spark.table(strArg(name, exprs.head, "table")),
+      idCol,
+      strArg(name, exprs(2), "embCol"))
+    graft.operators.SimilaritySearch
+      .quantizedTopK(
+        codes.filter(col(idCol) < longArg(name, exprs(3), "maxQueryId"))
+          .select(col(idCol).as("q_id"), col("codes").as("q_codes")),
+        codes.select(col(idCol).as("n_id"), col("codes").as("n_codes")),
+        longArg(name, exprs(4), "k").toInt)
       .queryExecution.logical
   }
 

@@ -578,6 +578,35 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(cal == calScala && cal.nonEmpty)
   }
 
+  test("quantize_int8 / quantized_ann TVFs round-trip the Scala paths") {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.5f, -0.25f)),
+      (1L, Seq(0.9f, 0.6f, -0.2f)),
+      (2L, Seq(-1.0f, 0.1f, 0.8f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("tvf_vecs")
+    val qz = spark.sql("SELECT * FROM quantize_int8('tvf_vecs', 'vec_id', 'embedding')")
+      .orderBy("vec_id").collect().toSeq
+    val qzScala = graft.operators.SimilaritySearch
+      .quantizeInt8(spark.table("tvf_vecs"), "vec_id", "embedding")
+      .orderBy("vec_id").collect().toSeq
+    assert(qz == qzScala && qz.size == 4)
+    val ann = spark.sql(
+      "SELECT * FROM quantized_ann('tvf_vecs', 'vec_id', 'embedding', 2, 2)")
+      .orderBy("q_id", "rank").collect().toSeq
+    val codes = graft.operators.SimilaritySearch
+      .quantizeInt8(spark.table("tvf_vecs"), "vec_id", "embedding")
+    val annScala = graft.operators.SimilaritySearch
+      .quantizedTopK(
+        codes.filter(col("vec_id") < 2)
+          .select(col("vec_id").as("q_id"), col("codes").as("q_codes")),
+        codes.select(col("vec_id").as("n_id"), col("codes").as("n_codes")),
+        2)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(ann == annScala && ann.size == 4)
+  }
+
   test("adaptive_salted_join TVF equals the plain join") {
     import spark.implicits._
     (1L to 500L).map(i => (if (i % 2 == 0) 3L else i % 5, s"p$i"))
