@@ -327,6 +327,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.calibrationBucketsPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("kcore"),
+      new ExpressionInfo(
+        classOf[graft.operators.KCore.type].getName,
+        null,
+        "kcore",
+        "kcore(nodesTable, idCol, edgesTable, aCol, bCol, k, rounds) - survivors of `rounds` synchronous k-peels with their final degree.",
+        ""),
+      exprs => GraftExtensions.kcorePlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("personalized_pagerank"),
+      new ExpressionInfo(
+        classOf[graft.operators.PageRank.type].getName,
+        null,
+        "personalized_pagerank",
+        "personalized_pagerank(nodesTable, idCol, edgesTable, aCol, bCol, sourcesTable, srcIdCol, iters) - exact-integer PPR with restart mass on the source set.",
+        ""),
+      exprs => GraftExtensions.personalizedPagerankPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("bfs_hops"),
+      new ExpressionInfo(
+        classOf[graft.operators.Reachability.type].getName,
+        null,
+        "bfs_hops",
+        "bfs_hops(nodesTable, idCol, edgesTable, aCol, bCol, sourceId, rounds) - bounded-hop BFS distances from a source; -1 beyond the horizon.",
+        ""),
+      exprs => GraftExtensions.bfsHopsPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("quantize_int8"),
       new ExpressionInfo(
         classOf[graft.operators.SimilaritySearch.type].getName,
@@ -999,6 +1026,67 @@ object GraftExtensions {
         strArg(name, exprs(1), "scoreCol"),
         strArg(name, exprs(2), "labelCol"),
         longArg(name, exprs(3), "nBuckets").toInt)
+      .queryExecution.logical
+  }
+
+  private def nodesEdges(
+      name: String,
+      exprs: Seq[Expression]): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkSession.active
+    (
+      spark.table(strArg(name, exprs.head, "nodesTable"))
+        .select(col(strArg(name, exprs(1), "idCol")).as("id")),
+      spark.table(strArg(name, exprs(2), "edgesTable"))
+        .select(
+          col(strArg(name, exprs(3), "aCol")).as("a"),
+          col(strArg(name, exprs(4), "bCol")).as("b")))
+  }
+
+  /** kcore(nodesTable, idCol, edgesTable, aCol, bCol, k, rounds). */
+  private[graft] def kcorePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "kcore"
+    require(
+      exprs.length == 7,
+      s"$name expects (nodesTable, idCol, edgesTable, aCol, bCol, k, rounds), got ${exprs.length}")
+    val (nodes, edges) = nodesEdges(name, exprs)
+    graft.operators.KCore
+      .core(nodes, edges,
+        longArg(name, exprs(5), "k").toInt,
+        longArg(name, exprs(6), "rounds").toInt)
+      .queryExecution.logical
+  }
+
+  /** personalized_pagerank(nodesTable, idCol, edgesTable, aCol, bCol,
+    * sourcesTable, srcIdCol, iters).
+    */
+  private[graft] def personalizedPagerankPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "personalized_pagerank"
+    require(
+      exprs.length == 8,
+      s"$name expects (nodesTable, idCol, edgesTable, aCol, bCol, sourcesTable, srcIdCol, iters), got ${exprs.length}")
+    import org.apache.spark.sql.functions.col
+    val (nodes, edges) = nodesEdges(name, exprs)
+    graft.operators.PageRank
+      .personalizedRanks(
+        nodes, edges,
+        SparkSession.active.table(strArg(name, exprs(5), "sourcesTable"))
+          .select(col(strArg(name, exprs(6), "srcIdCol")).as("id")),
+        longArg(name, exprs(7), "iters").toInt)
+      .queryExecution.logical
+  }
+
+  /** bfs_hops(nodesTable, idCol, edgesTable, aCol, bCol, sourceId, rounds). */
+  private[graft] def bfsHopsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val name = "bfs_hops"
+    require(
+      exprs.length == 7,
+      s"$name expects (nodesTable, idCol, edgesTable, aCol, bCol, sourceId, rounds), got ${exprs.length}")
+    val (nodes, edges) = nodesEdges(name, exprs)
+    graft.operators.Reachability
+      .hopDistances(nodes, edges,
+        longArg(name, exprs(5), "sourceId"),
+        longArg(name, exprs(6), "rounds").toInt)
       .queryExecution.logical
   }
 

@@ -1043,6 +1043,55 @@ object DocumentQueries {
         .orderBy("bucket")
     }),
 
+    // k-core of the SimHash near-dup graph (4 synchronous peels at k=3):
+    // the dense boilerplate/spam cores CC and communities both blur over.
+    // Fixed-round contract — oracle replays the peels verbatim.
+    "q131_kcore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val pairs = Dedup.simhashPairs(toks, maxHamming = 3)
+      val edges = pairs.select(col("x_id").as("a"), col("y_id").as("b"))
+        .unionByName(pairs.select(col("y_id").as("a"), col("x_id").as("b")))
+      graft.operators.KCore
+        .core(docs.select(col("doc_id").as("id")), edges, k = 3, rounds = 4)
+        .select(col("id").as("doc_id"), col("degree"))
+        .orderBy("doc_id")
+    }),
+
+    // Personalized PageRank (2 damped rounds, restart mass on doc_id < 25):
+    // exact-integer floor math — importance relative to a seed set, the
+    // graph-expansion step of seeded retrieval/curation.
+    "q132_ppr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val pairs = Dedup.simhashPairs(toks, maxHamming = 3)
+      val edges = pairs.select(col("x_id").as("a"), col("y_id").as("b"))
+        .unionByName(pairs.select(col("y_id").as("a"), col("x_id").as("b")))
+      graft.operators.PageRank
+        .personalizedRanks(
+          docs.select(col("doc_id").as("id")),
+          edges,
+          docs.filter(col("doc_id") < 25).select(col("doc_id").as("id")),
+          iters = 2)
+        .select(col("id").as("doc_id"), col("rank"))
+        .orderBy("doc_id")
+    }),
+
+    // Bounded-hop BFS from doc 0 over the SimHash graph (4 rounds):
+    // exact hop distances, −1 beyond the horizon — the blast-radius /
+    // neighborhood query of the reachability tier.
+    "q133_bfs_hops" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val pairs = Dedup.simhashPairs(toks, maxHamming = 3)
+      val edges = pairs.select(col("x_id").as("a"), col("y_id").as("b"))
+        .unionByName(pairs.select(col("y_id").as("a"), col("x_id").as("b")))
+      graft.operators.Reachability
+        .hopDistances(docs.select(col("doc_id").as("id")), edges, sourceId = 0L, rounds = 4)
+        .select(col("id").as("doc_id"), col("dist"))
+        .orderBy("doc_id")
+    }),
+
     // Symmetric int8 embedding quantization (serving/index footprint cut):
     // exact float→double scale, fixed-order IEEE rounding — every code
     // replays bit-for-bit in any engine. Exploded to scalar rows for the
@@ -1153,6 +1202,62 @@ object DocumentQueries {
        |s$i AS (SELECT CAST(sum(cnt * len(list_filter(string_split(s, ' '), x -> x <> ''))) AS BIGINT) AS cs
        |        FROM w$i)""".stripMargin
   }
+
+  /** Shared q131/q132/q133 prefix: the q100-family SimHash pair graph as
+    * directed edge relation `e` (both directions) over `documents`.
+    */
+  private def simhashEdgeCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+      |  FROM documents),
+      |th AS (SELECT doc_id, md5(t) AS m FROM tok),
+      |sgn AS (
+      |  SELECT doc_id, r.p AS p,
+      |         sum(CASE WHEN ((instr('0123456789abcdef', substr(m, (r.p // 4) + 1, 1)) - 1)
+      |                        >> (r.p % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th, range(0, 64) r(p)
+      |  GROUP BY doc_id, r.p),
+      |fp AS (
+      |  SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+      |  FROM sgn GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS x, b.doc_id AS y
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |  WHERE len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 3),
+      |e AS (SELECT x AS a, y AS b FROM pairs UNION ALL SELECT y, x FROM pairs),
+      |""".stripMargin
+
+  /** One synchronous k-peel as oracle CTEs (q131). */
+  private def kcoreRound(i: Int, k: Int): String =
+    s"""d$i AS (
+       |  SELECT e.b AS id, count(*) AS d
+       |  FROM e JOIN s${i - 1} x ON e.a = x.id JOIN s${i - 1} y ON e.b = y.id
+       |  GROUP BY e.b),
+       |s$i AS (SELECT id FROM d$i WHERE d >= $k),""".stripMargin
+
+  /** One damped personalized-PageRank round as oracle CTEs (q132). */
+  private def pprRound(i: Int): String =
+    s"""c$i AS (
+       |  SELECT e.b AS id, sum(r${i - 1}.r // od.d) AS s
+       |  FROM e JOIN r${i - 1} ON e.a = r${i - 1}.id JOIN od ON e.a = od.id
+       |  GROUP BY e.b),
+       |r$i AS (
+       |  SELECT sb.id, sb.isrc * 150000000000 + (85 * COALESCE(c$i.s, 0)) // 100 AS r
+       |  FROM sb LEFT JOIN c$i ON sb.id = c$i.id),""".stripMargin
+
+  /** One synchronous BFS relaxation as oracle CTEs (q133). */
+  private def bfsRound(i: Int): String =
+    s"""x$i AS (
+       |  SELECT e.b AS id, min(b${i - 1}.dist + 1) AS nd
+       |  FROM e JOIN b${i - 1} ON e.a = b${i - 1}.id AND b${i - 1}.dist >= 0
+       |  GROUP BY e.b),
+       |b$i AS (
+       |  SELECT b${i - 1}.id,
+       |         CASE WHEN b${i - 1}.dist >= 0
+       |                THEN least(b${i - 1}.dist, COALESCE(x$i.nd, b${i - 1}.dist))
+       |              ELSE COALESCE(x$i.nd, -1) END AS dist
+       |  FROM b${i - 1} LEFT JOIN x$i ON b${i - 1}.id = x$i.id),""".stripMargin
 
   /** Shared q128/q129/q130 prefix: per-vector int8 quantization (exact
     * scale, fixed-order IEEE rounding — mirrors
@@ -1500,6 +1605,40 @@ object DocumentQueries {
           |       CAST(n_pos AS BIGINT) AS n_pos,
           |       CAST((10000 * n_pos) // n AS BIGINT) AS pos_rate_bp
           |FROM g ORDER BY bucket""".stripMargin),
+
+    // 4 unrolled synchronous peels at k=3, then survivor degrees
+    "q131_kcore" ->
+      (simhashEdgeCte +
+        "s0 AS (SELECT doc_id AS id FROM documents),\n" +
+        (1 to 4).map(kcoreRound(_, 3)).mkString("\n") + "\n" +
+        """fd AS (
+          |  SELECT e.b AS id, CAST(count(*) AS BIGINT) AS degree
+          |  FROM e JOIN s4 x ON e.a = x.id JOIN s4 y ON e.b = y.id
+          |  GROUP BY e.b)
+          |SELECT s4.id AS doc_id, fd.degree
+          |FROM s4 JOIN fd ON s4.id = fd.id ORDER BY doc_id""".stripMargin),
+
+    // restart mass on doc_id < 25, 2 unrolled exact-integer rounds
+    "q132_ppr" ->
+      (simhashEdgeCte +
+        """n AS (SELECT doc_id AS id FROM documents),
+          |sb AS (SELECT id, CASE WHEN id < 25 THEN 1 ELSE 0 END AS isrc FROM n),
+          |od AS (SELECT a AS id, count(*) AS d FROM e GROUP BY a),
+          |r0 AS (SELECT id, CAST(isrc * 1000000000000 AS BIGINT) AS r FROM sb),
+          |""".stripMargin +
+        (1 to 2).map(pprRound).mkString("\n").stripSuffix(",") + "\n" +
+        """SELECT id AS doc_id, CAST(r AS BIGINT) AS rank
+          |FROM r2 ORDER BY doc_id""".stripMargin),
+
+    // 4 unrolled BFS relaxations from doc 0; −1 beyond the horizon
+    "q133_bfs_hops" ->
+      (simhashEdgeCte +
+        """n AS (SELECT doc_id AS id FROM documents),
+          |b0 AS (SELECT id, CASE WHEN id = 0 THEN 0 ELSE -1 END AS dist FROM n),
+          |""".stripMargin +
+        (1 to 4).map(bfsRound).mkString("\n").stripSuffix(",") + "\n" +
+        """SELECT id AS doc_id, CAST(dist AS BIGINT) AS dist
+          |FROM b4 ORDER BY doc_id""".stripMargin),
 
     // exact scale + fixed-order rounding replayed per dimension
     "q128_embed_quantize" ->

@@ -578,6 +578,39 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(cal == calScala && cal.nonEmpty)
   }
 
+  test("kcore / personalized_pagerank / bfs_hops TVFs round-trip the Scala paths") {
+    import spark.implicits._
+    (1L to 7L).toDF("id").createOrReplaceTempView("tvf_g_nodes")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 6L))
+    (pairs ++ pairs.map(p => (p._2, p._1)))
+      .toDF("a", "b").createOrReplaceTempView("tvf_g_edges")
+    Seq(1L).toDF("id").createOrReplaceTempView("tvf_g_src")
+    val kc = spark.sql(
+      "SELECT * FROM kcore('tvf_g_nodes', 'id', 'tvf_g_edges', 'a', 'b', 2, 4)")
+      .orderBy("id").collect().toSeq
+    val kcScala = graft.operators.KCore
+      .core(spark.table("tvf_g_nodes"), spark.table("tvf_g_edges"), 2, 4)
+      .orderBy("id").collect().toSeq
+    assert(kc == kcScala && kc.size == 3)
+    val pp = spark.sql(
+      """SELECT * FROM personalized_pagerank(
+        |  'tvf_g_nodes', 'id', 'tvf_g_edges', 'a', 'b', 'tvf_g_src', 'id', 2)""".stripMargin)
+      .orderBy("id").collect().toSeq
+    val ppScala = graft.operators.PageRank
+      .personalizedRanks(
+        spark.table("tvf_g_nodes"), spark.table("tvf_g_edges"),
+        spark.table("tvf_g_src"), 2)
+      .orderBy("id").collect().toSeq
+    assert(pp == ppScala && pp.size == 7)
+    val bf = spark.sql(
+      "SELECT * FROM bfs_hops('tvf_g_nodes', 'id', 'tvf_g_edges', 'a', 'b', 1, 4)")
+      .orderBy("id").collect().toSeq
+    val bfScala = graft.operators.Reachability
+      .hopDistances(spark.table("tvf_g_nodes"), spark.table("tvf_g_edges"), 1L, 4)
+      .orderBy("id").collect().toSeq
+    assert(bf == bfScala && bf.size == 7)
+  }
+
   test("quantize_int8 / quantized_ann TVFs round-trip the Scala paths") {
     import spark.implicits._
     Seq(
