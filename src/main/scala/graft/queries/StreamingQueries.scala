@@ -84,6 +84,17 @@ object StreamingQueries {
         .run(t(s, dir, "documents"), "doc_id", "text", k = 5, chunks = 4)
         .orderBy("batch")),
 
+    // Streaming distribution-drift monitor: per batch, the EXACT L1
+    // distance (basis points of probability mass) between the batch's
+    // token distribution and all strictly earlier batches — the
+    // stale-mixture alarm. History-only tokens fold into a closed form,
+    // so state probes stay pruned to the batch's buckets + one TOTAL
+    // bucket (DedupStateStore contract, sixth consumer).
+    "q134_stream_drift" -> ((s, dir) =>
+      graft.streaming.StreamingDrift
+        .run(t(s, dir, "documents"), "doc_id", "text", chunks = 4)
+        .orderBy("batch")),
+
     // The q17 semi-stream join with the stored side behind the POINT-LOOKUP
     // store connector (SURVEY S5 keyed fetch in its remote regime): the
     // part dimension is published into a hash-bucketed KV store
@@ -532,6 +543,45 @@ object StreamingQueries {
         |       agg.n_distinct, agg.n_new,
         |       CAST((10000 * agg.n_new) // agg.n_distinct AS BIGINT) AS novelty_bp
         |FROM tot JOIN agg ON tot.b = agg.b ORDER BY batch""".stripMargin,
+
+    // q126's MD5 batch assignment; drift replayed with the operator's own
+    // decomposition: Σ_{t∈batch} |cb·Nh − ch·Nb| + Nb·(Nh − Σ ch)
+    "q134_stream_drift" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+        |         CAST(floor(
+        |           CAST(list_sum(list_transform(range(0, 8), i ->
+        |             CAST(instr('0123456789abcdef',
+        |                        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                  AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS DOUBLE)
+        |             / 4294967296.0 * 4) AS INT) AS b
+        |  FROM documents),
+        |tk AS (SELECT b, unnest(ts) AS t FROM d),
+        |bc AS (SELECT b, t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+        |nb AS (SELECT b, CAST(sum(c) AS BIGINT) AS nB,
+        |              CAST(count(*) AS BIGINT) AS nDist
+        |       FROM bc GROUP BY b),
+        |nhh AS (SELECT b1.b,
+        |               COALESCE((SELECT sum(nB) FROM nb b2 WHERE b2.b < b1.b), 0) AS nH
+        |        FROM nb b1),
+        |chx AS (SELECT cb.b, cb.t, cb.c, COALESCE(sum(h.c), 0) AS ch
+        |        FROM bc cb LEFT JOIN bc h ON h.t = cb.t AND h.b < cb.b
+        |        GROUP BY cb.b, cb.t, cb.c),
+        |terms AS (
+        |  SELECT chx.b,
+        |         sum(abs(CAST(chx.c AS HUGEINT) * nhh.nH
+        |                 - CAST(chx.ch AS HUGEINT) * nb.nB)) AS sumIn,
+        |         CAST(sum(chx.ch) AS HUGEINT) AS chIn
+        |  FROM chx JOIN nb ON nb.b = chx.b JOIN nhh ON nhh.b = chx.b
+        |  GROUP BY chx.b)
+        |SELECT CAST(nb.b AS BIGINT) AS batch, nb.nB AS n_tokens,
+        |       nb.nDist AS n_distinct,
+        |       CAST(CASE WHEN nhh.nH = 0 THEN 10000
+        |                 ELSE (10000 * (terms.sumIn
+        |                                + CAST(nb.nB AS HUGEINT) * (nhh.nH - terms.chIn)))
+        |                      // (CAST(nb.nB AS HUGEINT) * nhh.nH) END AS BIGINT) AS drift_bp
+        |FROM nb JOIN nhh ON nhh.b = nb.b JOIN terms ON terms.b = nb.b
+        |ORDER BY batch""".stripMargin,
 
     // q55's deterministic centroids/cells + q49's MD5 arrival order: dup_of
     // = min same-cell earlier-arriving vector at cosine >= tau

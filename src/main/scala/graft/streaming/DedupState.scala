@@ -115,8 +115,14 @@ final class ParquetDedupState(
     spark: SparkSession,
     dir: String,
     dataSchema: StructType,
-    dedupKeys: Seq[String])
+    dedupKeys: Seq[String],
+    sumCols: Seq[String] = Seq.empty)
   extends DedupStateStore {
+
+  require(
+    sumCols.isEmpty ||
+      dataSchema.fieldNames.toSet == (dedupKeys ++ sumCols).toSet,
+    s"sum-fold stores need schema = keys ++ sumCols: ${dataSchema.fieldNames.toSeq} vs $dedupKeys + $sumCols")
 
   private val fullSchema = dataSchema.add("batch", LongType).add("pb", IntegerType)
   private val root = new HPath(dir)
@@ -179,9 +185,21 @@ final class ParquetDedupState(
         }
         val staging = new HPath(s"$dir.staging$upTo")
         if (hfs.exists(staging)) hfs.delete(staging, true) // crashed mid-write
-        spark.read.schema(fullSchema).parquet(dir)
+        val pending = spark.read.schema(fullSchema).parquet(dir)
           .filter(col("batch").isin(buf.map(_.value).toSeq: _*))
-          .dropDuplicates(dedupKeys)
+        // SET stores keep one row per key (a re-asserted fact folds);
+        // INCREMENT stores (sumCols) must SUM per key — keeping an
+        // arbitrary row would silently drop cross-batch count increments
+        val consolidated =
+          if (sumCols.isEmpty) pending.dropDuplicates(dedupKeys)
+          else pending
+            .groupBy((dedupKeys :+ "pb").map(col): _*) // pb = f(key): constant per key
+            .agg(
+              sum(col(sumCols.head)).cast(dataSchema(sumCols.head).dataType).as(sumCols.head),
+              sumCols.tail.map(c =>
+                sum(col(c)).cast(dataSchema(c).dataType).as(c)): _*)
+            .select(fullSchema.fieldNames.filterNot(_ == "batch").map(col).toSeq: _*)
+        consolidated
           .withColumn("batch", lit(gen))
           .repartition(col("pb"))
           .write
@@ -267,14 +285,21 @@ final class InMemoryDedupState(
     spark: SparkSession,
     dir: String,
     dataSchema: StructType,
-    dedupKeys: Seq[String])
+    dedupKeys: Seq[String],
+    sumCols: Seq[String] = Seq.empty)
   extends DedupStateStore {
+
+  require(
+    sumCols.isEmpty ||
+      dataSchema.fieldNames.toSet == (dedupKeys ++ sumCols).toSet,
+    s"sum-fold stores need schema = keys ++ sumCols: ${dataSchema.fieldNames.toSeq} vs $dedupKeys + $sumCols")
 
   private val fullSchema = dataSchema.add("batch", LongType).add("pb", IntegerType)
   private val log = InMemoryDedupState.registry.getOrElseUpdate(dir, new InMemoryDedupState.Log)
   private val batchIdx = fullSchema.fieldIndex("batch")
   private val pbIdx = fullSchema.fieldIndex("pb")
   private val keyIdx = dedupKeys.map(fullSchema.fieldIndex)
+  private val sumIdx = sumCols.map(fullSchema.fieldIndex)
 
   override def read(batchId: Long, buckets: Seq[Int]): DataFrame = {
     val bs = buckets.toSet
@@ -320,13 +345,32 @@ final class InMemoryDedupState(
             val sz = log.batches(g).size.toLong
             if (sz <= foldSize) { buf += g; foldSize += sz }
           }
-        val seen = collection.mutable.HashSet[Seq[Any]]()
-        val genRows = buf.sorted.flatMap(log.batches(_)).flatMap { r =>
-          if (seen.add(keyIdx.map(r.get)))
-            Some(org.apache.spark.sql.Row.fromSeq(
-              r.toSeq.updated(batchIdx, gen)))
-          else None
-        }.toVector
+        val genRows =
+          if (sumCols.isEmpty) {
+            val seen = collection.mutable.HashSet[Seq[Any]]()
+            buf.sorted.flatMap(log.batches(_)).flatMap { r =>
+              if (seen.add(keyIdx.map(r.get)))
+                Some(org.apache.spark.sql.Row.fromSeq(
+                  r.toSeq.updated(batchIdx, gen)))
+              else None
+            }.toVector
+          } else {
+            // INCREMENT semantics: sum the value columns per key — the
+            // set-fold would silently drop cross-batch count increments
+            val acc = collection.mutable.LinkedHashMap[Seq[Any], Array[Any]]()
+            buf.sorted.flatMap(log.batches(_)).foreach { r =>
+              val k = keyIdx.map(r.get)
+              acc.get(k) match {
+                case None => acc(k) = r.toSeq.toArray
+                case Some(prev) =>
+                  sumIdx.foreach(i =>
+                    prev(i) = prev(i).asInstanceOf[Long] + r.getLong(i))
+              }
+            }
+            acc.values.map(a =>
+              org.apache.spark.sql.Row.fromSeq(
+                a.toSeq.updated(batchIdx, gen))).toVector
+          }
         // publish + manifest in ONE atomic step (the rename analogue)
         log.batches(gen) = genRows
         log.manifests(gen) = buf.toSeq

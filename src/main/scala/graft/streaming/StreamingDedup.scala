@@ -103,6 +103,21 @@ object StreamingDedup {
   val inMemoryStore: StateStoreFactory =
     (s, dir, schema, keys) => new InMemoryDedupState(s, dir, schema, keys)
 
+  /** INCREMENT-semantics variants for count states (schema = keys ++ long
+    * value columns): compaction SUMS the value columns per key instead of
+    * keeping one arbitrary row, so summed reads are compaction-invariant
+    * by construction — the contract the (h, cnt) consumers
+    * ([[StreamingSubstringDedup]], [[StreamingNovelty]],
+    * [[StreamingDrift]]) depend on.
+    */
+  val parquetSumStore: StateStoreFactory =
+    (s, dir, schema, keys) => new ParquetDedupState(
+      s, dir, schema, keys, sumCols = schema.fieldNames.filterNot(keys.contains).toSeq)
+
+  val inMemorySumStore: StateStoreFactory =
+    (s, dir, schema, keys) => new InMemoryDedupState(
+      s, dir, schema, keys, sumCols = schema.fieldNames.filterNot(keys.contains).toSeq)
+
   /** State-partition bucket of a signature or an id. */
   private def bucketOf(n: Int, cols: Column*): Column =
     pmod(xxhash64(cols: _*), lit(n)).cast(IntegerType)

@@ -51,7 +51,7 @@ object StreamingNovelty {
       chunks: Int = 4,
       nBuckets: Int = 64,
       compactEvery: Int = 8,
-      store: StreamingDedup.StateStoreFactory = StreamingDedup.parquetStore): DataFrame = {
+      store: StreamingDedup.StateStoreFactory = StreamingDedup.parquetSumStore): DataFrame = {
     require(k >= 1 && chunks > 0)
     val spark = docs.sparkSession
     val storage = StorageLevel.MEMORY_AND_DISK

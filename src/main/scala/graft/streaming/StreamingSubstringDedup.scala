@@ -48,7 +48,7 @@ object StreamingSubstringDedup {
       chunks: Int = 4,
       nBuckets: Int = 64,
       compactEvery: Int = 8,
-      store: StreamingDedup.StateStoreFactory = StreamingDedup.parquetStore): DataFrame = {
+      store: StreamingDedup.StateStoreFactory = StreamingDedup.parquetSumStore): DataFrame = {
     require(k >= 2 && minCount >= 2 && chunks > 0)
     val spark = docs.sparkSession
     val storage = StorageLevel.MEMORY_AND_DISK

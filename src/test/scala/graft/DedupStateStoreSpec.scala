@@ -19,6 +19,7 @@ abstract class DedupStateStoreContract extends SparkSpec {
 
   def backend: String
   def factory: StreamingDedup.StateStoreFactory
+  def sumFactory: StreamingDedup.StateStoreFactory
   def live(dir: String): Seq[Long]
   /** Simulate a crash interrupting the removal loop: drop ONE source. */
   def remove(dir: String, batch: Long): Unit
@@ -76,6 +77,29 @@ abstract class DedupStateStoreContract extends SparkSpec {
     st.compact(4L)
     assert(live(dir).forall(_ < 0), s"increments survived: ${live(dir)}")
     assert(keys(st.read(10L, Seq(0))).size == 8) // all rows, exactly once
+  }
+
+  test(s"[$backend] sum-fold store: summed reads invariant under compaction") {
+    import spark.implicits._
+    val dir = freshDir()
+    val cntSchema = new StructType().add("k", StringType).add("cnt", LongType)
+    val st = sumFactory(spark, dir, cntSchema, Seq("k"))
+    // the SAME key carries increments in several batches — the set-fold
+    // would keep one arbitrary row and silently shrink the sum
+    st.append(Seq(("hot", 5L, 0), ("b0", 1L, 1)).toDF("k", "cnt", "pb"), 0L)
+    st.append(Seq(("hot", 7L, 0), ("b1", 2L, 1)).toDF("k", "cnt", "pb"), 1L)
+    def summed(frontier: Long): Map[String, Long] =
+      st.read(frontier, Seq(0, 1)).groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("cnt").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = summed(2L)
+    assert(before == Map("hot" -> 12L, "b0" -> 1L, "b1" -> 2L))
+    st.compact(2L)
+    assert(summed(2L) == before, "compaction changed summed reads")
+    // a further increment + a refolding compaction (generation + increment)
+    st.append(Seq(("hot", 3L, 0)).toDF("k", "cnt", "pb"), 2L)
+    st.compact(3L)
+    assert(summed(3L) == Map("hot" -> 15L, "b0" -> 1L, "b1" -> 2L))
   }
 
   test(s"[$backend] crash between publish and removal converges on retry") {
@@ -188,6 +212,7 @@ class DedupStateStoreFuzzSpec extends SparkSpec {
 class ParquetDedupStateSpec extends DedupStateStoreContract {
   override def backend = "parquet"
   override def factory = StreamingDedup.parquetStore
+  override def sumFactory = StreamingDedup.parquetSumStore
   override def live(dir: String): Seq[Long] = {
     val f = new java.io.File(dir).listFiles()
     if (f == null) Seq.empty
@@ -206,6 +231,7 @@ class ParquetDedupStateSpec extends DedupStateStoreContract {
 class InMemoryDedupStateSpec extends DedupStateStoreContract {
   override def backend = "in-memory"
   override def factory = StreamingDedup.inMemoryStore
+  override def sumFactory = StreamingDedup.inMemorySumStore
   override def live(dir: String): Seq[Long] = InMemoryDedupState.liveBatches(dir)
   override def remove(dir: String, batch: Long): Unit =
     InMemoryDedupState.dropBatch(dir, batch)

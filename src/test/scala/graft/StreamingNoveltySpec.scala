@@ -80,7 +80,7 @@ class StreamingNoveltySpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     val mem = StreamingNovelty
       .run(corpus.toDF("doc_id", "text"), "doc_id", "text", k = 5, chunks = 4,
-        store = StreamingDedup.inMemoryStore)
+        store = StreamingDedup.inMemorySumStore)
       .orderBy("batch")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(parq == mem && parq.nonEmpty)

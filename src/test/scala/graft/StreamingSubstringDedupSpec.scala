@@ -88,7 +88,7 @@ class StreamingSubstringDedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     val mem = StreamingSubstringDedup
       .run(corpus.toDF("doc_id", "text"), "doc_id", "text", k = 5, minCount = 2, chunks = 4,
-        store = StreamingDedup.inMemoryStore)
+        store = StreamingDedup.inMemorySumStore)
       .orderBy("doc_id", "start_tok")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(pq == mem && pq.nonEmpty)
