@@ -569,6 +569,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "kmeans_assign(table, idCol, embCol, k, iters) - Lloyd k-means over an embedding column on the exact integer grid: (vid, cell, cell_n).",
         ""),
       exprs => GraftExtensions.kmeansAssignPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("kanon_suppress"),
+      new ExpressionInfo(
+        classOf[graft.operators.KAnonymity.type].getName,
+        null,
+        "kanon_suppress",
+        "kanon_suppress(table, qiCsv, k) - k-anonymity release: quasi-identifier combinations covering < k rows are suppressed to NULL; every row ships its anonymity-set size as qi_n.",
+        ""),
+      exprs => GraftExtensions.kanonSuppressPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("semantic_decon"),
+      new ExpressionInfo(
+        classOf[graft.operators.Decontamination.type].getName,
+        null,
+        "semantic_decon",
+        "semantic_decon(corpusTable, idCol, embCol, evalTable, evalId, evalEmb, tau, nCells) - embedding-cosine decontamination; nCells = 0 broadcasts the eval set (exact), nCells > 0 uses the IVF-cell scale path: (id, n_eval_hits, eval_id).",
+        ""),
+      exprs => GraftExtensions.semanticDeconPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("tokenizer_fertility"),
+      new ExpressionInfo(
+        classOf[graft.operators.BpeTrain.type].getName,
+        null,
+        "tokenizer_fertility",
+        "tokenizer_fertility(table, idCol, textCol, strataCol, nMerges) - trains nMerges BPE merges on the corpus and reports per-stratum tokens/word + chars/token in exact basis points: (strata, n_docs, n_words, n_bpe, n_chars, fertility_bp, chars_per_tok_bp).",
+        ""),
+      exprs => GraftExtensions.tokenizerFertilityPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("lsh_recall"),
+      new ExpressionInfo(
+        classOf[graft.operators.Dedup.type].getName,
+        null,
+        "lsh_recall",
+        "lsh_recall(table, idCol, textCol, tau, bands, rowsPerBand, bandBp) - MinHash-LSH recall certificate vs the exact segment join, per Jaccard band: (jacc_band_bp, n_true, n_found, recall_bp).",
+        ""),
+      exprs => GraftExtensions.lshRecallPlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1600,6 +1636,80 @@ object GraftExtensions {
           org.apache.spark.sql.functions.col(strArg(n, exprs(2), "embCol")).as("emb")),
         longArg(n, exprs(3), "k").toInt,
         longArg(n, exprs(4), "iters").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def kanonSuppressPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "kanon_suppress"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, qiCsv, k), got " + exprs.length + " arguments")
+    val qi = strArg(n, exprs(1), "qiCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(qi.nonEmpty, s"$n: qiCsv named no columns")
+    graft.operators.KAnonymity
+      .suppress(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        qi,
+        longArg(n, exprs(2), "k"))
+      .queryExecution.logical
+  }
+
+  private[graft] def semanticDeconPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "semantic_decon"
+    require(
+      exprs.length == 8,
+      s"$n expects (corpusTable, idCol, embCol, evalTable, evalId, evalEmb, tau, nCells), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    val corpus = spark.table(strArg(n, exprs.head, "corpusTable"))
+    val eval = spark.table(strArg(n, exprs(3), "evalTable"))
+    val (idC, embC) = (strArg(n, exprs(1), "idCol"), strArg(n, exprs(2), "embCol"))
+    val (eIdC, eEmbC) = (strArg(n, exprs(4), "evalId"), strArg(n, exprs(5), "evalEmb"))
+    val tau = doubleArg(n, exprs(6), "tau")
+    val nCells = longArg(n, exprs(7), "nCells").toInt
+    val out =
+      if (nCells == 0)
+        graft.operators.Decontamination.flagSemantic(corpus, idC, embC, eval, eIdC, eEmbC, tau)
+      else
+        graft.operators.Decontamination
+          .flagSemanticCells(corpus, idC, embC, eval, eIdC, eEmbC, tau, nCells)
+    out.queryExecution.logical
+  }
+
+  private[graft] def tokenizerFertilityPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "tokenizer_fertility"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, idCol, textCol, strataCol, nMerges), got " + exprs.length +
+        " arguments")
+    val docs = SparkSession.active.table(strArg(n, exprs.head, "table"))
+    val textCol = strArg(n, exprs(2), "textCol")
+    val merges = graft.operators.BpeTrain
+      .learn(docs, textCol, longArg(n, exprs(4), "nMerges").toInt)
+    graft.operators.BpeTrain
+      .fertility(docs, strArg(n, exprs(1), "idCol"), textCol,
+        strArg(n, exprs(3), "strataCol"), merges)
+      .queryExecution.logical
+  }
+
+  private[graft] def lshRecallPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "lsh_recall"
+    require(
+      exprs.length == 7,
+      s"$n expects (table, idCol, textCol, tau, bands, rowsPerBand, bandBp), got " +
+        exprs.length + " arguments")
+    val toks = SimilarityJoin.tokenize(
+      SparkSession.active.table(strArg(n, exprs.head, "table")),
+      strArg(n, exprs(1), "idCol"),
+      strArg(n, exprs(2), "textCol"))
+    graft.operators.Dedup
+      .lshRecallCertificate(
+        toks,
+        doubleArg(n, exprs(3), "tau"),
+        longArg(n, exprs(4), "bands").toInt,
+        longArg(n, exprs(5), "rowsPerBand").toInt,
+        longArg(n, exprs(6), "bandBp").toInt,
+        maxQuadBucket = Int.MaxValue)
       .queryExecution.logical
   }
 

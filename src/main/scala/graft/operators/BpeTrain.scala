@@ -152,4 +152,53 @@ object BpeTrain {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe").cast("long"), lit(0L)).as("n_bpe"))
   }
+
+  /** Tokenizer FERTILITY audit: tokens-per-word and chars-per-token of a
+    * learned merge list, grouped by a stratum column (language, source) —
+    * the fitness report a pipeline runs when a tokenizer trained on one
+    * mixture meets another corpus (fertility spikes on a language mean the
+    * tokenizer fragments it, inflating training cost and degrading that
+    * language's effective context length). Exact integer basis points, so
+    * the contract is engine-portable.
+    *
+    * Scale shape: [[encode]]'s corpus-linear merge application, then ONE
+    * map-side-combining rollup to a stratum-sized relation — no extra
+    * shuffle beyond encode's own per-doc aggregation.
+    *
+    * Output: (strataCol, n_docs, n_words, n_bpe, n_chars,
+    * fertility_bp = ⌊10⁴·n_bpe/n_words⌋,
+    * chars_per_tok_bp = ⌊10⁴·n_chars/n_bpe⌋) — 0 where the denominator is
+    * 0 (an all-empty stratum).
+    */
+  def fertility(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      merges: Seq[MergeStep]): DataFrame = {
+    val enc = encode(docs, idCol, textCol, merges)
+    val perDoc = docs.select(
+      col(idCol),
+      col(strataCol),
+      aggregate(
+        filter(split(col(textCol), " "), w => length(w) > 0),
+        lit(0L),
+        (acc, w) => acc + length(w)).as("n_chars"))
+    perDoc
+      .join(enc, Seq(idCol))
+      .groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe").as("n_bpe"),
+        sum("n_chars").as("n_chars"))
+      .withColumn(
+        "fertility_bp",
+        when(col("n_words") === 0, lit(0L))
+          .otherwise(expr("(10000 * n_bpe) div n_words")))
+      .withColumn(
+        "chars_per_tok_bp",
+        when(col("n_bpe") === 0, lit(0L))
+          .otherwise(expr("(10000 * n_chars) div n_bpe")))
+  }
 }

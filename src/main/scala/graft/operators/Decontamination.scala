@@ -171,6 +171,87 @@ object Decontamination {
         col("uni").cast("long").as("uni"))
   }
 
+  /** SEMANTIC decontamination: flag corpus documents whose EMBEDDING sits
+    * within cosine τ of any eval-set embedding — the paraphrase tier that
+    * both exact n-gram overlap ([[flag]]) and token-set Jaccard
+    * ([[flagFuzzy]]) miss: an eval answer reworded into the corpus shares
+    * few tokens but keeps the embedding direction. Completes the
+    * decontamination family's semantic tier, mirroring
+    * [[SimilaritySearch.semanticDedup]] on the dedup side.
+    *
+    * Scale shape mirrors [[flag]]: benchmark suites are tiny next to a
+    * 100 TB corpus, so the eval embeddings BROADCAST and the corpus
+    * streams — one corpus-linear pass scoring each corpus vector against
+    * the in-memory eval relation (the fused single-pass
+    * [[graft.functions.CosineSimilarity]] kernel, no UDF), then a
+    * map-side-combining per-doc aggregation. The corpus is never
+    * shuffled; the only exchange carries one row per (partition,
+    * contaminated doc).
+    *
+    * Output: one row per CONTAMINATED corpus document,
+    * (id, n_eval_hits, eval_id) — how many eval embeddings are within τ,
+    * and the SMALLEST hitting eval id (a total-order evidence pick, so no
+    * float-argmax tie hazard reaches the contract).
+    */
+  def flagSemantic(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalEmbCol: String,
+      tau: Double): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
+    corpus.select(col(idCol), col(embCol).as("__c_emb"))
+      .crossJoin(broadcast(
+        eval.select(col(evalIdCol).as("__e_id"), col(evalEmbCol).as("__e_emb"))))
+      .filter(
+        graft.functions.CosineSimilarity.cosine_sim(col("__c_emb"), col("__e_emb")) >= tau)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_eval_hits"),
+        min(col("__e_id")).as("eval_id"))
+  }
+
+  /** IVF-celled semantic decontamination — the regime where the eval side
+    * is too big to broadcast (every benchmark × every paraphrase template
+    * × every language, embedded). Centroids are the corpus's own
+    * MD5-sampled SemDeDup centroids ([[SimilaritySearch.centroidsOf]]);
+    * BOTH sides take their best-cosine cell against that one centroid
+    * set, and candidates form on a cell EQUI-join — candidate volume is
+    * Σ|corpus cell|·|eval cell|, never corpus × eval. Pairs straddling a
+    * cell boundary are not compared: recall is governed by nCells exactly
+    * as in SemDeDup (every hit this form reports is a true [[flagSemantic]]
+    * hit — the spec pins containment), and at scale nCells grows with the
+    * corpus so cell populations stay bounded.
+    *
+    * Same output contract as [[flagSemantic]], restricted to same-cell
+    * pairs.
+    */
+  def flagSemanticCells(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalEmbCol: String,
+      tau: Double,
+      nCells: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), col(embCol).as("emb"))
+    val e = eval.select(col(evalIdCol).as("vid"), col(evalEmbCol).as("emb"))
+    val cents = SimilaritySearch.centroidsOf(c, nCells)
+    val cAsg = SimilaritySearch.assignToCentroids(c, cents)
+      .select(col("vid").as(idCol), col("emb").as("__c_emb"), col("cell"))
+    val eAsg = SimilaritySearch.assignToCentroids(e, cents)
+      .select(col("vid").as("__e_id"), col("emb").as("__e_emb"), col("cell"))
+    cAsg.join(eAsg, Seq("cell"))
+      .filter(SimilaritySearch.cosine(col("__c_emb"), col("__e_emb")) >= tau)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_eval_hits"),
+        min(col("__e_id")).as("eval_id"))
+  }
+
   /** Convenience split used by the q57 query/oracle pair: eval set =
     * ids ≡ 0 (mod `evalEvery`), corpus = the rest.
     */

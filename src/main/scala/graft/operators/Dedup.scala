@@ -301,4 +301,53 @@ object Dedup {
       .withColumn("slen", size(col("toks")))
       .select("sid", "toks", "slen")
   }
+
+  // --------------------------------------------------- recall certificate
+
+  /** RECALL certificate for a MinHash-LSH configuration: the measured
+    * fraction of TRUE Jaccard-≥-τ pairs the banded signatures actually
+    * surface, reported per similarity band — the audit a pipeline runs
+    * before trusting (bands, rowsPerBand) on a new corpus, because LSH
+    * recall degrades exactly where it hurts most (pairs just above τ,
+    * where 1−(1−J^r)^b is smallest). Mirrors the quantization tier's
+    * recall certificate (q130) on the dedup side.
+    *
+    * Ground truth comes from [[SimilarityJoin.joinSets]] — the exact,
+    * scale-safe segment join (no brute force anywhere): both sides are
+    * corpus-parallel algorithms, so the certificate itself runs at corpus
+    * scale. Verified LSH pairs are a SUBSET of the exact pairs by
+    * construction (verification is exact), so recall is the only axis.
+    *
+    * Output: one row per `bandBp`-wide Jaccard band,
+    * (jacc_band_bp = band floor in basis points, n_true, n_found,
+    * recall_bp = ⌊10⁴·n_found/n_true⌋).
+    *
+    * At corpus scale, run it over a deterministic hash stratum of the
+    * documents (recall is a per-pair property, so a 1-in-s document sample
+    * estimates it at 1/s² of the pair volume) — the q138 query is that
+    * shape. Pass `maxQuadBucket = Int.MaxValue`: the certificate audits
+    * PAIRS, and the default star-edge mega-bucket cap is a
+    * clustering-only contract that would read as missing recall here.
+    */
+  def lshRecallCertificate(
+      tokens: DataFrame,
+      tau: Double,
+      bands: Int = 32,
+      rowsPerBand: Int = 3,
+      bandBp: Int = 250,
+      maxQuadBucket: Int = 64): DataFrame = {
+    require(bandBp > 0 && bandBp <= 10000, s"bandBp out of range: $bandBp")
+    val exact = SimilarityJoin.joinSets(tokens, tokens, tau, selfJoin = true)
+      .select(col("x_id"), col("y_id"), expr("(10000 * inter) div uni").as("jacc_bp"))
+    val found = minhashDuplicatePairs(tokens, tau, bands, rowsPerBand, maxQuadBucket)
+      .select(col("x_id"), col("y_id"), lit(1L).as("hit"))
+    exact
+      .join(found, Seq("x_id", "y_id"), "left")
+      .withColumn("jacc_band_bp", col("jacc_bp") - pmod(col("jacc_bp"), lit(bandBp)))
+      .groupBy("jacc_band_bp")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall_bp", expr("(10000 * n_found) div n_true"))
+  }
 }

@@ -34,10 +34,13 @@ import org.apache.spark.sql.functions._
   *     aggregation — nothing driver-side.
   *   - A probe segment with `V ≥ 1` joins index segments (exact match);
   *     with `V = 2` it additionally joins index deletions with its own
-  *     segment, and index segments with each of its deletions. (The
-  *     reference also matches deletion×deletion — that combo only serves
-  *     the balanced-substitution case the completeness bound never needs,
-  *     and doubles candidate volume; it is deliberately omitted.)
+  *     segment, and index segments with each of its deletions. The
+  *     reference also matches deletion×deletion (`DimaJoin.scala:764-787`)
+  *     — that combo only serves the balanced-substitution case the
+  *     completeness bound never needs (the proof below charges sd = 2 for
+  *     it), so it is OFF by default; `delDel = true` enables the fourth
+  *     arm, and DeletionJoinSpec proves its verified output IDENTICAL at
+  *     two τ while measuring the extra candidate volume it pays.
   *
   * Completeness: for J(x,y) ≥ τ with probe length s and index length
   * `ly ≤ hi`, the symmetric difference satisfies
@@ -166,7 +169,8 @@ object DeletionJoin {
       groups: DataFrame,
       tau: Double,
       sigFreq: DataFrame,
-      exactCosts: Boolean = false): DataFrame = {
+      exactCosts: Boolean = false,
+      delDel: Boolean = false): DataFrame = {
     val admissible = tokens.join(
       broadcast(groups),
       col("hi") >= ceil(col("slen") * tau - Eps) &&
@@ -222,9 +226,11 @@ object DeletionJoin {
     val withV = costed.join(allocated, Seq("sid", "gid", "seg"))
 
     // V ≥ 1: probe segment ⋈ index segments; V = 2: + probe segment ⋈ index
-    // deletions, probe deletions ⋈ index segments (del×del omitted — see
-    // object scaladoc). `src` tags the probe-side origin (ss/sd/ds) for
-    // volume diagnostics; the candidate join keys on (sig, tkind) only.
+    // deletions, probe deletions ⋈ index segments (del×del OFF by default —
+    // see object scaladoc; `delDel = true` adds it as the reference's
+    // fourth arm, `DimaJoin.scala:764-787`). `src` tags the probe-side
+    // origin (ss/sd/ds/dd) for volume diagnostics; the candidate join keys
+    // on (sig, tkind) only.
     val segVsSeg = withV.filter(col("v") >= 1)
       .select(col("sid"), col("slen"), col("sig"), lit("seg").as("tkind"),
         lit("ss").as("src"))
@@ -234,8 +240,18 @@ object DeletionJoin {
     val delVsSeg = withV.filter(col("v") === 2)
       .select(col("sid"), col("slen"), explode(col("dels")).as("sig"), lit("seg").as("tkind"),
         lit("ds").as("src"))
+    val base = segVsSeg.unionByName(segVsDel).unionByName(delVsSeg)
 
-    segVsSeg.unionByName(segVsDel).unionByName(delVsSeg)
+    if (!delDel) base
+    else base.unionByName(
+      // deletion×deletion: a probe deletion matching an INDEX deletion —
+      // the balanced-substitution case (sd_i = 2 with one differing token
+      // each side). Adds candidates only; the completeness bound already
+      // charges 2 to D for that segment, so the verified OUTPUT is
+      // unchanged (DeletionJoinSpec pins equality at two τ).
+      withV.filter(col("v") === 2)
+        .select(col("sid"), col("slen"), explode(col("dels")).as("sig"),
+          lit("del").as("tkind"), lit("dd").as("src")))
   }
 
   /** All pairs with Jaccard ≥ τ under the deletion scheme; same output
@@ -247,12 +263,14 @@ object DeletionJoin {
       tau: Double,
       alpha: Double = 0.95,
       selfJoin: Boolean = false,
-      exactCosts: Boolean = false): DataFrame = {
+      exactCosts: Boolean = false,
+      delDel: Boolean = false): DataFrame = {
     val groups = groupTable(index, tau, alpha)
     val iSigs = indexSignatures(index, groups)
     val sigFreq = iSigs.groupBy("sig", "kind").agg(count(lit(1)).as("n"))
     val pSigs =
-      probeSignatures(if (selfJoin) index else probe, groups, tau, sigFreq, exactCosts)
+      probeSignatures(
+        if (selfJoin) index else probe, groups, tau, sigFreq, exactCosts, delDel)
 
     val pairFilter =
       if (selfJoin) col("x_id") < col("y_id")
@@ -280,8 +298,9 @@ object DeletionJoin {
       idCol: String,
       textCol: String,
       tau: Double,
-      exactCosts: Boolean = false): DataFrame = {
+      exactCosts: Boolean = false,
+      delDel: Boolean = false): DataFrame = {
     val toks = SimilarityJoin.tokenize(docs, idCol, textCol)
-    joinSets(toks, toks, tau, selfJoin = true, exactCosts = exactCosts)
+    joinSets(toks, toks, tau, selfJoin = true, exactCosts = exactCosts, delDel = delDel)
   }
 }

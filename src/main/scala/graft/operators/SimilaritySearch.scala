@@ -206,14 +206,14 @@ object SimilaritySearch {
       .select("q_id", "n_id", "rank", "sim")
   }
 
-  /** Deterministic IVF cell assignment shared by the SemDeDup family:
-    * MD5-ordered centroid sample, best-cosine cell, smaller cell on ties.
-    * Output: (vid, emb, cell).
+  /** The deterministic centroid sample of the SemDeDup family: `nCells`
+    * vectors spread by MD5 of the decimal id (bit-identical in any engine
+    * — what keeps the whole cell pipeline SQL-oracle-able).
+    * Output: (cell, c_emb), cell ∈ [1, nCells].
     */
-  private[graft] def assignCells(vectors: DataFrame, nCells: Int): DataFrame = {
-    graft.functions.CosineSimilarity.register(vectors.sparkSession)
+  private[graft] def centroidsOf(vectors: DataFrame, nCells: Int): DataFrame = {
     val idHash = md5(col("c_src").cast("string"))
-    val centroids = vectors
+    vectors
       .select(col("vid").as("c_src"), col("emb").as("c_emb"))
       .orderBy(md5(col("c_src").cast("string")), col("c_src"))
       .limit(nCells)
@@ -222,6 +222,17 @@ object SimilaritySearch {
         row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(idHash, col("c_src"))))
       .select("cell", "c_emb")
+  }
+
+  /** Best-cosine cell per vector against an EXPLICIT centroid relation
+    * (smaller cell on ties) — the assignment half of [[assignCells]],
+    * factored out so a second relation (e.g. an eval set in
+    * [[Decontamination.flagSemanticCells]]) can be assigned to the SAME
+    * cells as the corpus that defined them. Centroids broadcast;
+    * assignment is input-linear. Output: (vid, emb, cell).
+    */
+  private[graft] def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.CosineSimilarity.register(vectors.sparkSession)
     vectors
       .crossJoin(broadcast(centroids))
       .groupBy("vid")
@@ -229,6 +240,13 @@ object SimilaritySearch {
         first(col("emb")).as("emb"),
         max_by(col("cell"), struct(cosine(col("emb"), col("c_emb")), -col("cell"))).as("cell"))
   }
+
+  /** Deterministic IVF cell assignment shared by the SemDeDup family:
+    * MD5-ordered centroid sample, best-cosine cell, smaller cell on ties.
+    * Output: (vid, emb, cell).
+    */
+  private[graft] def assignCells(vectors: DataFrame, nCells: Int): DataFrame =
+    assignToCentroids(vectors, centroidsOf(vectors, nCells))
 
   /** Same-cell near-duplicate pairs at cosine ≥ τ — the SemDeDup edge set
     * as ordered pairs (y_id < x_id), for composition with other dedup

@@ -1158,6 +1158,74 @@ object DocumentQueries {
         .join(mixed, "doc_id")
         .select("doc_id", "lang", "shard", "pos")
         .orderBy("doc_id")
+    }),
+
+    // SEMANTIC decontamination (the paraphrase tier q57/q65/q79 miss):
+    // eval embeddings vs corpus embeddings through the IVF-cell scale
+    // path — corpus-sampled MD5 centroids, both sides best-cosine
+    // assigned, cell equi-join, cosine >= 0.99. Eval set = planted
+    // perturbed copies of vec_id < 25 (the q24 construction both engines
+    // express identically), so the oracle replays centroids, both
+    // assignments, and the hit decisions exactly.
+    "q135_semantic_decon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val eval = emb.filter(col("vec_id") < 25).select(
+        (col("vec_id") + 10000).as("eval_id"),
+        zip_with(
+          col("embedding"),
+          sequence(lit(0), lit(63)),
+          (x, i) =>
+            (x.cast("double") +
+              when(pmod(i, lit(2)) === 0, lit(0.003)).otherwise(lit(-0.003)))
+              .cast("float")).as("eval_emb"))
+      graft.operators.Decontamination
+        .flagSemanticCells(
+          emb, "vec_id", "embedding", eval, "eval_id", "eval_emb",
+          tau = 0.99, nCells = 64)
+        .orderBy("vec_id")
+    }),
+
+    // k-anonymity release (privacy tier #2 next to q60's PII redaction):
+    // every (lang, source) combination covering < 5 documents has its
+    // quasi-identifiers suppressed to NULL; each row ships with its
+    // anonymity-set size. Census broadcast, corpus never shuffles.
+    "q136_kanon_release" -> ((s, dir) =>
+      graft.operators.KAnonymity.suppress(
+          t(s, dir, "documents").select("doc_id", "lang", "source"),
+          Seq("lang", "source"), k = 5)
+        .orderBy("doc_id")),
+
+    // Tokenizer fertility per language under the corpus's own 6-merge BPE
+    // (tokens/word, chars/token in exact basis points) — the tokenizer
+    // fitness audit over q117's learned merges. Oracle = the q118 encode
+    // chain rolled up per language.
+    "q137_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.BpeTrain.learn(docs, "text", nMerges = 6)
+      graft.operators.BpeTrain.fertility(docs, "doc_id", "text", "lang", merges)
+        .orderBy("lang")
+    }),
+
+    // MinHash-LSH recall certificate (the dedup-side sibling of q130's
+    // quantization recall): true Jaccard >= 0.8 pairs from the EXACT
+    // segment join vs pairs the banded signatures surfaced, per 250-bp
+    // similarity band, over a deterministic 1-in-5 document stratum (the
+    // production audit shape — the certificate is an estimate, and the
+    // stratum bounds BOTH sides' pair volume; the full-corpus form is the
+    // same call without the filter). At b=32/r=3 the per-pair miss
+    // probability is ~1e-10, so the oracle pins recall_bp = 10000 over
+    // the brute-force band census; the degraded-configuration behavior
+    // (where recall actually drops) is spec'd in DedupSpec against a
+    // per-pair brute-force ground truth. maxQuadBucket is unbounded here
+    // because the certificate audits PAIRS (the star-edge mega-bucket cap
+    // is a clustering-only contract).
+    "q138_lsh_recall_cert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 0)
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      Dedup.lshRecallCertificate(
+          toks, tau = 0.8, bands = 32, rowsPerBand = 3,
+          bandBp = 250, maxQuadBucket = Int.MaxValue)
+        .orderBy("jacc_band_bp")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -1437,6 +1505,60 @@ object DocumentQueries {
           |       COALESCE(enc.n_bpe, 0) AS n_bpe
           |FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
           |ORDER BY d.doc_id""".stripMargin),
+
+    "q137_tokenizer_fertility" ->
+      (bpeChain + ",\n" +
+        """dw AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+          |  FROM documents),
+          |e0 AS (SELECT doc_id, len(w) AS lw,
+          |              ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '</w> ' AS s
+          |       FROM dw),
+          |e1 AS (SELECT doc_id, lw,
+          |              replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+          |                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+          |       FROM e0, b1),
+          |e2 AS (SELECT doc_id, lw,
+          |              replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+          |                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+          |       FROM e1, b2),
+          |e3 AS (SELECT doc_id, lw,
+          |              replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+          |                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+          |       FROM e2, b3),
+          |e4 AS (SELECT doc_id, lw,
+          |              replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+          |                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+          |       FROM e3, b4),
+          |e5 AS (SELECT doc_id, lw,
+          |              replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+          |                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+          |       FROM e4, b5),
+          |e6 AS (SELECT doc_id, lw,
+          |              replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+          |                      ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+          |       FROM e5, b6),
+          |enc AS (
+          |  SELECT doc_id,
+          |         CAST(count(*) AS BIGINT) AS nw,
+          |         CAST(sum(len(list_filter(string_split(s, ' '), x -> x <> ''))) AS BIGINT) AS nb,
+          |         CAST(sum(lw) AS BIGINT) AS nc
+          |  FROM e6 GROUP BY doc_id),
+          |per AS (
+          |  SELECT d.lang, d.doc_id,
+          |         COALESCE(enc.nw, 0) AS nw, COALESCE(enc.nb, 0) AS nb,
+          |         COALESCE(enc.nc, 0) AS nc
+          |  FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id)
+          |SELECT lang,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(nw) AS BIGINT) AS n_words,
+          |       CAST(sum(nb) AS BIGINT) AS n_bpe,
+          |       CAST(sum(nc) AS BIGINT) AS n_chars,
+          |       CAST(CASE WHEN sum(nw) = 0 THEN 0
+          |            ELSE (10000 * sum(nb)) // sum(nw) END AS BIGINT) AS fertility_bp,
+          |       CAST(CASE WHEN sum(nb) = 0 THEN 0
+          |            ELSE (10000 * sum(nc)) // sum(nb) END AS BIGINT) AS chars_per_tok_bp
+          |FROM per GROUP BY lang ORDER BY lang""".stripMargin),
 
     // distinct 3-shingles per source, pair counts via the shingle
     // self-join, exact basis-point Jaccard/containment divisions
@@ -2052,6 +2174,68 @@ object DocumentQueries {
         |SELECT e.vec_id, coalesce(m.dup_of, -1) AS dup_of
         |FROM emb e LEFT JOIN m ON e.vec_id = m.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+
+    "q135_semantic_decon" ->
+      """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),
+        |ev0 AS (
+        |  SELECT vec_id + 10000 AS eid,
+        |         [CAST(CAST(embedding[i] AS DOUBLE) +
+        |            (CASE WHEN (i-1)%2 = 0 THEN 0.003 ELSE -0.003 END) AS FLOAT)
+        |          FOR i IN range(1, 65)] AS emb
+        |  FROM embeddings WHERE vec_id < 25),
+        |ev AS (SELECT eid, [CAST(x AS DOUBLE) FOR x IN emb] AS e FROM ev0),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+        |         e AS c_e
+        |  FROM emb
+        |  QUALIFY cell <= 64),
+        |asg AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT emb.vec_id, emb.e, cent.cell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |                              ORDER BY list_cosine_similarity(emb.e, cent.c_e) DESC, cent.cell) AS rn
+        |    FROM emb, cent) WHERE rn = 1),
+        |easg AS (
+        |  SELECT eid, e, cell FROM (
+        |    SELECT ev.eid, ev.e, cent.cell,
+        |           row_number() OVER (PARTITION BY ev.eid
+        |                              ORDER BY list_cosine_similarity(ev.e, cent.c_e) DESC, cent.cell) AS rn
+        |    FROM ev, cent) WHERE rn = 1)
+        |SELECT a.vec_id,
+        |       count(*) AS n_eval_hits,
+        |       min(x.eid) AS eval_id
+        |FROM asg a JOIN easg x USING (cell)
+        |WHERE list_cosine_similarity(a.e, x.e) >= 0.99
+        |GROUP BY a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "q136_kanon_release" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang, source)
+        |SELECT d.doc_id,
+        |       CASE WHEN c.n >= 5 THEN d.lang END AS lang,
+        |       CASE WHEN c.n >= 5 THEN d.source END AS source,
+        |       c.n AS qi_n
+        |FROM documents d JOIN c ON d.lang = c.lang AND d.source = c.source
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q138_lsh_recall_cert" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |p AS (
+        |  SELECT len(list_intersect(a.toks, b.toks)) AS inter,
+        |         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id),
+        |e AS (SELECT CAST((10000 * inter) // uni AS BIGINT) AS jacc_bp
+        |      FROM p WHERE inter * 1.0 / uni >= 0.8)
+        |SELECT jacc_bp - (jacc_bp % 250) AS jacc_band_bp,
+        |       CAST(count(*) AS BIGINT) AS n_true,
+        |       CAST(count(*) AS BIGINT) AS n_found,
+        |       CAST(10000 AS BIGINT) AS recall_bp
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q43_dedup_simhash" ->
       """WITH tok AS (

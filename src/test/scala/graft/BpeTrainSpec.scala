@@ -70,4 +70,24 @@ class BpeTrainSpec extends SparkSpec {
       .collect().toSeq.sortBy(_.getInt(0))
     assert(run() == run())
   }
+
+  test("fertility rolls encode + char counts into exact per-stratum basis points") {
+    // merges = empty → every word costs len(word) + 1 symbols (chars +
+    // </w>), so every figure is hand-computable:
+    //   en: 1 doc, "ab ab"  → 2 words, 6 bpe, 4 chars
+    //   fr: 2 docs, "abc"/"" → 1 word,  4 bpe, 3 chars
+    //   zh: 1 doc, ""        → all zero → both ratios 0 (no div-by-zero)
+    val docs = Seq(
+      (1L, "ab ab", "en"),
+      (2L, "abc", "fr"),
+      (3L, "", "fr"),
+      (4L, "", "zh")).toDF("doc_id", "text", "lang")
+    val got = BpeTrain.fertility(docs, "doc_id", "text", "lang", Seq.empty)
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("en", 1L, 2L, 6L, 4L, 30000L, 6666L),
+      ("fr", 2L, 1L, 4L, 3L, 40000L, 7500L),
+      ("zh", 1L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }

@@ -73,4 +73,65 @@ class DecontaminationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected a broadcast join over the eval gram set:\n$plan")
   }
+
+  // ------------------------------------------------------- semantic tier
+
+  private lazy val emb = Tables(spark, sfSmoke, "embeddings")
+
+  /** Planted eval set: perturbed copies of vec_id < n (the q24
+    * construction) — cosine ≈ 0.99997 to their source, ≤ ~0.48 to
+    * everything else.
+    */
+  private def plantedEval(n: Int) =
+    emb.filter(col("vec_id") < n).select(
+      (col("vec_id") + 10000).as("eval_id"),
+      zip_with(
+        col("embedding"),
+        sequence(lit(0), lit(63)),
+        (x, i) =>
+          (x.cast("double") +
+            when(pmod(i, lit(2)) === 0, lit(0.003)).otherwise(lit(-0.003)))
+            .cast("float")).as("eval_emb"))
+
+  test("semantic decon (broadcast form) flags exactly the planted sources") {
+    import spark.implicits._
+    val got = Decontamination.flagSemantic(
+        emb, "vec_id", "embedding", plantedEval(10), "eval_id", "eval_emb",
+        tau = 0.99)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == (0L until 10L).map(v => (v, 1L, v + 10000L)))
+  }
+
+  test("semantic decon cell form: hits are a subset of the broadcast form's") {
+    val full = Decontamination.flagSemantic(
+      emb, "vec_id", "embedding", plantedEval(10), "eval_id", "eval_emb",
+      tau = 0.99)
+    val celled = Decontamination.flagSemanticCells(
+      emb, "vec_id", "embedding", plantedEval(10), "eval_id", "eval_emb",
+      tau = 0.99, nCells = 16)
+    // every celled hit is a true hit with the same evidence (a same-cell
+    // pair set is a subset of all pairs, and per-doc aggregates can only
+    // shrink toward the same minimum eval id when both ids survive)
+    assert(celled.join(full, Seq("vec_id")).count() == celled.count())
+    assert(celled.exceptAll(full).isEmpty,
+      "cell-form rows must be exactly the broadcast-form rows whose pair survived the cell")
+  }
+
+  test("semantic decon: empty eval set flags nothing in both forms") {
+    val none = plantedEval(10).limit(0)
+    assert(Decontamination.flagSemantic(
+      emb, "vec_id", "embedding", none, "eval_id", "eval_emb", 0.99).isEmpty)
+    assert(Decontamination.flagSemanticCells(
+      emb, "vec_id", "embedding", none, "eval_id", "eval_emb", 0.99, 16).isEmpty)
+  }
+
+  test("semantic decon broadcast form: eval side is broadcast, corpus is not shuffled by eval") {
+    val plan = Decontamination.flagSemantic(
+        emb, "vec_id", "embedding", plantedEval(10), "eval_id", "eval_emb",
+        tau = 0.99)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected the eval embeddings broadcast:\n$plan")
+  }
 }

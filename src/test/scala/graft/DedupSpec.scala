@@ -164,4 +164,57 @@ class DedupSpec extends SparkSpec {
     assert(perCluster.filter(col("k") =!= 1).isEmpty)
     assert(out.count() == docs.count())
   }
+
+  // ---------------------------------------------------- recall certificate
+
+  /** Per-band brute-force recall ground truth for a given found-pair set. */
+  private def bruteBands(found: org.apache.spark.sql.DataFrame, bandBp: Int) = {
+    val a = toks.select(col("sid").as("x_id"), col("toks").as("x_toks"))
+    val b = toks.select(col("sid").as("y_id"), col("toks").as("y_toks"))
+    a.crossJoin(b).filter(col("x_id") < col("y_id"))
+      .withColumn("inter", size(array_intersect(col("x_toks"), col("y_toks"))))
+      .withColumn("uni", size(col("x_toks")) + size(col("y_toks")) - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= 0.8)
+      .withColumn("jacc_bp", expr("(10000 * inter) div uni"))
+      .withColumn("jacc_band_bp", col("jacc_bp") - pmod(col("jacc_bp"), lit(bandBp)))
+      .join(found.select(col("x_id"), col("y_id"), lit(1L).as("hit")),
+        Seq("x_id", "y_id"), "left")
+      .groupBy("jacc_band_bp")
+      .agg(
+        count(lit(1)).as("n_true"),
+        org.apache.spark.sql.functions.sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+  }
+
+  test("recall certificate: full-strength config certifies 10000 bp per band") {
+    val cert = Dedup.lshRecallCertificate(
+      toks, 0.8, bands = 32, rowsPerBand = 3, bandBp = 250,
+      maxQuadBucket = Int.MaxValue)
+    val rows = cert.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("recall_bp") == 10000L),
+      s"full-strength LSH missed pairs: ${rows.mkString(", ")}")
+    // the band census itself equals the brute-force census
+    val expect = bruteBands(
+      Dedup.minhashDuplicatePairs(toks, 0.8, 32, 3, Int.MaxValue), 250)
+    assert(cert.select("jacc_band_bp", "n_true", "n_found")
+      .exceptAll(expect.select("jacc_band_bp", "n_true", "n_found")).isEmpty)
+  }
+
+  test("recall certificate: degraded config reports the measured misses per band") {
+    // one band of 8 minhash rows: P(surface | J) = J^8 — at J ≈ 0.8 only
+    // ~17% of true pairs surface, so the certificate MUST report sub-10000
+    // recall, and its per-band numbers must equal the brute-force replay
+    val cert = Dedup.lshRecallCertificate(
+      toks, 0.8, bands = 1, rowsPerBand = 8, bandBp = 250,
+      maxQuadBucket = Int.MaxValue)
+    val expect = bruteBands(
+      Dedup.minhashDuplicatePairs(toks, 0.8, 1, 8, Int.MaxValue), 250)
+    assert(cert.select("jacc_band_bp", "n_true", "n_found")
+      .exceptAll(expect.select("jacc_band_bp", "n_true", "n_found")).isEmpty)
+    val total = cert.agg(
+      org.apache.spark.sql.functions.sum("n_true"),
+      org.apache.spark.sql.functions.sum("n_found")).head()
+    assert(total.getLong(1) < total.getLong(0),
+      s"degraded config unexpectedly surfaced all ${total.getLong(0)} pairs")
+  }
 }

@@ -38,6 +38,43 @@ class DeletionJoinSpec extends SparkSpec {
     assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
   }
 
+  test("del×del arm (reference's fourth combo) adds candidates but never pairs") {
+    // the completeness proof charges sd = 2 for the balanced-substitution
+    // case del×del serves, so ΣV = Hls already detects those pairs through
+    // another segment — the dd arm must leave the verified OUTPUT
+    // identical at any tau while only ever ADDING candidate volume
+    for (tau <- Seq(0.8, 0.6)) {
+      val base = DeletionJoin.joinSets(toks, toks, tau, selfJoin = true)
+        .select("x_id", "y_id")
+      val dd = DeletionJoin.joinSets(toks, toks, tau, selfJoin = true, delDel = true)
+        .select("x_id", "y_id")
+      assert(dd.count() == base.count(), s"tau=$tau")
+      assert(dd.exceptAll(base).isEmpty && base.exceptAll(dd).isEmpty, s"tau=$tau")
+    }
+  }
+
+  test("del×del equality holds on adversarial near-miss token sets") {
+    // dense near-tau pairs from a small alphabet — the regime where a
+    // genuinely-needed fourth arm would show up as missing pairs in the
+    // default form
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 250L).map { id =>
+      val n = 4 + rnd.nextInt(12)
+      val t = scala.collection.mutable.LinkedHashSet.empty[String]
+      while (t.size < n) t += s"t${rnd.nextInt(40)}"
+      (id, t.mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val tk = SimilarityJoin.tokenize(docs, "doc_id", "text")
+    val base = DeletionJoin.joinSets(tk, tk, 0.6, selfJoin = true)
+      .select("x_id", "y_id")
+    val dd = DeletionJoin.joinSets(tk, tk, 0.6, selfJoin = true, delDel = true)
+      .select("x_id", "y_id")
+    assert(dd.count() == base.count())
+    assert(dd.exceptAll(base).isEmpty && base.exceptAll(dd).isEmpty)
+  }
+
   test("deletion join equals prefix join on adversarial random token sets") {
     // records built from a small alphabet so near-miss pairs (J just below
     // and at tau) are dense — the regime where an unsound allocation or a

@@ -685,4 +685,54 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()(0).getInt(0)
     assert(nTables == 16)
   }
+
+  test("kanon_suppress / semantic_decon / tokenizer_fertility / lsh_recall TVFs round-trip") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val embs = Tables(spark, sfSmoke, "embeddings")
+
+    docs.select("doc_id", "lang", "source").createOrReplaceTempView("ka_docs")
+    val kaSql = spark.sql("SELECT * FROM kanon_suppress('ka_docs', 'lang,source', 5)")
+    val kaScala = graft.operators.KAnonymity
+      .suppress(docs.select("doc_id", "lang", "source"), Seq("lang", "source"), 5)
+    assert(kaSql.columns.toSeq == kaScala.columns.toSeq)
+    assert(kaSql.exceptAll(kaScala).isEmpty && kaScala.exceptAll(kaSql).isEmpty)
+
+    embs.createOrReplaceTempView("sd_corpus")
+    embs.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("eval_id"), col("embedding").as("eval_emb"))
+      .createOrReplaceTempView("sd_eval")
+    for (cells <- Seq(0, 16)) {
+      val sdSql = spark.sql(
+        "SELECT * FROM semantic_decon('sd_corpus', 'vec_id', 'embedding', " +
+          s"'sd_eval', 'eval_id', 'eval_emb', 0.99, $cells)")
+      val sdScala =
+        if (cells == 0)
+          graft.operators.Decontamination.flagSemantic(
+            embs, "vec_id", "embedding", spark.table("sd_eval"), "eval_id", "eval_emb", 0.99)
+        else
+          graft.operators.Decontamination.flagSemanticCells(
+            embs, "vec_id", "embedding", spark.table("sd_eval"), "eval_id", "eval_emb",
+            0.99, cells)
+      assert(sdSql.columns.toSeq == sdScala.columns.toSeq)
+      assert(sdSql.exceptAll(sdScala).isEmpty && sdScala.exceptAll(sdSql).isEmpty)
+    }
+
+    docs.createOrReplaceTempView("tf_docs")
+    val tfSql = spark.sql(
+      "SELECT * FROM tokenizer_fertility('tf_docs', 'doc_id', 'text', 'lang', 4)")
+    val tfScala = graft.operators.BpeTrain.fertility(
+      docs, "doc_id", "text", "lang",
+      graft.operators.BpeTrain.learn(docs, "text", 4))
+    assert(tfSql.columns.toSeq == tfScala.columns.toSeq)
+    assert(tfSql.exceptAll(tfScala).isEmpty && tfScala.exceptAll(tfSql).isEmpty)
+
+    docs.createOrReplaceTempView("lr_docs")
+    val lrSql = spark.sql(
+      "SELECT * FROM lsh_recall('lr_docs', 'doc_id', 'text', 0.8, 32, 3, 250)")
+    val lrScala = graft.operators.Dedup.lshRecallCertificate(
+      SimilarityJoin.tokenize(docs, "doc_id", "text"),
+      0.8, 32, 3, 250, maxQuadBucket = Int.MaxValue)
+    assert(lrSql.columns.toSeq == lrScala.columns.toSeq)
+    assert(lrSql.exceptAll(lrScala).isEmpty && lrScala.exceptAll(lrSql).isEmpty)
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.KAnonymity
+
+class KAnonymitySpec extends SparkSpec {
+  init()
+
+  import spark.implicits._
+
+  private def fixture = Seq(
+    // (id, lang, source): en×a covers 3 rows, en×b covers 1, fr×a covers 2
+    (1L, "en", "a"),
+    (2L, "en", "a"),
+    (3L, "en", "a"),
+    (4L, "en", "b"),
+    (5L, "fr", "a"),
+    (6L, "fr", "a")).toDF("id", "lang", "source")
+
+  test("census counts every combination and flags keep = n >= k") {
+    val got = KAnonymity.census(fixture, Seq("lang", "source"), 2)
+      .orderBy("lang", "source")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("en", "a", 3L, true),
+      ("en", "b", 1L, false),
+      ("fr", "a", 2L, true)))
+  }
+
+  test("suppress nulls rare combos' QI values, keeps the rest, ships qi_n") {
+    val got = KAnonymity.suppress(fixture, Seq("lang", "source"), 2)
+      .orderBy("id")
+      .as[(Long, Option[String], Option[String], Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("en"), Some("a"), 3L),
+      (2L, Some("en"), Some("a"), 3L),
+      (3L, Some("en"), Some("a"), 3L),
+      (4L, None, None, 1L),
+      (5L, Some("fr"), Some("a"), 2L),
+      (6L, Some("fr"), Some("a"), 2L)))
+  }
+
+  test("NULL QI values census and suppress null-safely (no dropped rows)") {
+    // two rows already carry a NULL lang: they form their own combo and
+    // must still find it through the null-safe join (plain equi-join keys
+    // would drop them, leaving keep/qi_n NULL)
+    val df = Seq(
+      (1L, Option("en"), "a"),
+      (2L, Option("en"), "a"),
+      (3L, Option.empty[String], "a"),
+      (4L, Option.empty[String], "a")).toDF("id", "lang", "source")
+    val got = KAnonymity.suppress(df, Seq("lang", "source"), 2)
+      .orderBy("id")
+      .as[(Long, Option[String], Option[String], Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("en"), Some("a"), 2L),
+      (2L, Some("en"), Some("a"), 2L),
+      (3L, None, Some("a"), 2L),
+      (4L, None, Some("a"), 2L)))
+  }
+
+  test("non-QI columns pass through untouched; suppressed QI keeps its type") {
+    val df = Seq((1L, "en", "a", 42.5), (2L, "fr", "b", 7.25))
+      .toDF("id", "lang", "source", "score")
+    val got = KAnonymity.suppress(df, Seq("lang", "source"), 2).orderBy("id")
+    assert(got.columns.toSeq == Seq("id", "lang", "source", "score", "qi_n"))
+    assert(got.schema("lang").dataType == org.apache.spark.sql.types.StringType)
+    val rows = got.as[(Long, Option[String], Option[String], Double, Long)].collect().toSeq
+    assert(rows == Seq(
+      (1L, None, None, 42.5, 1L),
+      (2L, None, None, 7.25, 1L)))
+  }
+
+  test("the census side is broadcast in the physical plan") {
+    val plan = KAnonymity.suppress(fixture, Seq("lang", "source"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast census join, got:\n$plan")
+  }
+}
