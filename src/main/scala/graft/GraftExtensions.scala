@@ -605,6 +605,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "lsh_recall(table, idCol, textCol, tau, bands, rowsPerBand, bandBp) - MinHash-LSH recall certificate vs the exact segment join, per Jaccard band: (jacc_band_bp, n_true, n_found, recall_bp).",
         ""),
       exprs => GraftExtensions.lshRecallPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("crosslm_buckets"),
+      new ExpressionInfo(
+        classOf[graft.operators.LmScore.type].getName,
+        null,
+        "crosslm_buckets",
+        "crosslm_buckets(table, idCol, textCol, refTable, refTextCol, minCount) - head/middle/tail partition under a bigram LM trained on the REFERENCE table (CCNet shape): (id, n_bigrams, n_oov, score_bp, bucket).",
+        ""),
+      exprs => GraftExtensions.crosslmBucketsPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("hard_negatives"),
+      new ExpressionInfo(
+        classOf[graft.operators.SimilaritySearch.type].getName,
+        null,
+        "hard_negatives",
+        "hard_negatives(queryTable, qId, qEmb, corpusTable, nId, nEmb, k, tauDup) - per-anchor top-k most-similar corpus vectors below the duplicate threshold: (q_id, n_id, rank, sim).",
+        ""),
+      exprs => GraftExtensions.hardNegativesPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("epoch_order"),
+      new ExpressionInfo(
+        classOf[graft.operators.Packing.type].getName,
+        null,
+        "epoch_order",
+        "epoch_order(table, idCol, nShards, epoch) - deterministic per-epoch reader shard/order layout from md5(id || ':' || epoch): (id, epoch, shard, pos).",
+        ""),
+      exprs => GraftExtensions.epochOrderPlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1710,6 +1737,61 @@ object GraftExtensions {
         longArg(n, exprs(5), "rowsPerBand").toInt,
         longArg(n, exprs(6), "bandBp").toInt,
         maxQuadBucket = Int.MaxValue)
+      .queryExecution.logical
+  }
+
+  private[graft] def crosslmBucketsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "crosslm_buckets"
+    require(
+      exprs.length == 6,
+      s"$n expects (table, idCol, textCol, refTable, refTextCol, minCount), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    graft.operators.LmScore
+      .familiarityBucketsAgainst(
+        spark.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "textCol"),
+        spark.table(strArg(n, exprs(3), "refTable")),
+        strArg(n, exprs(4), "refTextCol"),
+        longArg(n, exprs(5), "minCount"))
+      .queryExecution.logical
+  }
+
+  private[graft] def hardNegativesPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "hard_negatives"
+    require(
+      exprs.length == 8,
+      s"$n expects (queryTable, qId, qEmb, corpusTable, nId, nEmb, k, tauDup), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.col
+    graft.operators.SimilaritySearch
+      .hardNegatives(
+        spark.table(strArg(n, exprs.head, "queryTable"))
+          .select(
+            col(strArg(n, exprs(1), "qId")).as("q_id"),
+            col(strArg(n, exprs(2), "qEmb")).as("q_emb")),
+        spark.table(strArg(n, exprs(3), "corpusTable"))
+          .select(
+            col(strArg(n, exprs(4), "nId")).as("n_id"),
+            col(strArg(n, exprs(5), "nEmb")).as("n_emb")),
+        longArg(n, exprs(6), "k").toInt,
+        doubleArg(n, exprs(7), "tauDup"))
+      .queryExecution.logical
+  }
+
+  private[graft] def epochOrderPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "epoch_order"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, idCol, nShards, epoch), got " + exprs.length + " arguments")
+    graft.operators.Packing
+      .epochOrder(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        longArg(n, exprs(2), "nShards").toInt,
+        longArg(n, exprs(3), "epoch").toInt)
       .queryExecution.logical
   }
 

@@ -119,6 +119,101 @@ object LmScore {
         .otherwise(lit("tail")))
   }
 
+  /** CROSS-corpus familiarity: score `docs` under a bigram LM trained on a
+    * SEPARATE reference corpus — the actual CCNet deployment shape (Wenzek
+    * et al. 2020 score Common Crawl under a Wikipedia-trained LM; the
+    * self-corpus [[familiarityBuckets]] is the bootstrap special case).
+    * Training on a curated reference and scoring the wild corpus is what
+    * makes the head/middle/tail partition a QUALITY signal rather than a
+    * familiarity signal: "head" = most reference-like.
+    *
+    * Identical exact-integer contract and output schema as
+    * [[familiarityBuckets]]: (id, n_bigrams, n_oov, score_bp, bucket).
+    * Scale shape: the reference LM is a bigram-vocabulary-sized rollup of
+    * the (usually much smaller) reference corpus; the scored corpus is
+    * shuffled once for its per-doc distinct-bigram rollup and probes the
+    * LM tables at distinct-bigram granularity. Terciles come from the
+    * same bounded [0,10000] histogram — no global sort.
+    *
+    * OOV here means "bigram not admitted into the REFERENCE LM" — on a
+    * corpus far from the reference most bigrams are OOV and score 0,
+    * which is exactly the signal (those documents land in tail).
+    */
+  def familiarityBucketsAgainst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ref: DataFrame,
+      refTextCol: String,
+      minCount: Long = 5): DataFrame = {
+    val w = toks(col(textCol))
+    def bigrams(c: Column) =
+      explode(
+        when(
+          size(c) >= 2,
+          transform(
+            sequence(lit(0), size(c) - 2),
+            i => struct(
+              element_at(c, i + 1).as("w"),
+              element_at(c, i + 2).as("next"))))
+          .otherwise(array().cast("array<struct<w:string,next:string>>"))).as("p")
+
+    // reference LM: admitted bigram counts + prefix context counts, both
+    // bigram-vocabulary-sized rollups of the reference corpus only
+    val refBi = ref
+      .select(bigrams(toks(col(refTextCol))))
+      .select(col("p.w").as("w"), col("p.next").as("next"))
+      .groupBy("w", "next").agg(count(lit(1)).as("cnt"))
+    val bi = refBi.filter(col("cnt") >= minCount)
+    val ctx = refBi.groupBy("w").agg(sum("cnt").as("ctx"))
+
+    val docBi = docs
+      .select(col(idCol), bigrams(w))
+      .select(col(idCol), col("p.w").as("w"), col("p.next").as("next"))
+      .groupBy(col(idCol), col("w"), col("next"))
+      .agg(count(lit(1)).as("k"))
+
+    // a prefix word absent from the reference has no ctx row: the bigram
+    // is OOV (inner ctx join would DROP it and undercount n_bigrams, so
+    // the join is left and p_bp falls to the OOV arm)
+    val scored = docBi
+      .join(ctx, Seq("w"), "left")
+      .join(bi, Seq("w", "next"), "left")
+      .withColumn(
+        "p_bp",
+        when(col("cnt").isNull || col("ctx").isNull, lit(0L))
+          .otherwise(expr("(10000 * cnt) div ctx")))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        sum(when(col("cnt").isNull || col("ctx").isNull, col("k")).otherwise(lit(0L)))
+          .as("n_oov"),
+        sum(col("k") * col("p_bp")).as("s"))
+
+    val perDoc = docs
+      .select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("s div n_bigrams")).as("score_bp"))
+      .persist()
+
+    val hist = perDoc.groupBy("score_bp").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val n = hist.map(_._2).sum
+    val (t1, t2) = thresholds(hist, n)
+
+    perDoc.withColumn(
+      "bucket",
+      when(col("score_bp") >= t1, lit("head"))
+        .when(col("score_bp") >= t2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** Score values at descending-order ranks ceil(n/3) and ceil(2n/3):
     * walk the descending histogram and take the first value whose
     * cumulative count reaches the rank.

@@ -115,4 +115,28 @@ object Packing {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("_h")
   }
+
+  /** Per-EPOCH reshuffle: [[trainingOrder]] with the epoch number salted
+    * into the digest (`md5(id || ':' || epoch)`), so every epoch gets an
+    * independent deterministic permutation AND shard assignment — multi-
+    * epoch training must not replay the identical batch order (gradient
+    * correlation), and re-deriving the order from (id, epoch) alone keeps
+    * it retry/ingest-stable with no stored shuffle state. Same plan shape
+    * as [[trainingOrder]]: one hash exchange on shard, per-shard sorts.
+    * Output: (id, epoch, shard, pos).
+    */
+  def epochOrder(df: DataFrame, idCol: String, nShards: Int, epoch: Int): DataFrame = {
+    require(nShards > 0, s"epochOrder: nShards must be positive, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("_h"), col(idCol))
+    df.select(
+        col(idCol),
+        md5(concat(col(idCol).cast("string"), lit(":"), lit(epoch).cast("string"))).as("_h"))
+      .withColumn(
+        "shard",
+        pmod(conv(substring(col("_h"), 1, 8), 16, 10).cast("long"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("epoch", lit(epoch).cast("long"))
+      .select(col(idCol), col("epoch"), col("shard"), col("pos"))
+  }
 }

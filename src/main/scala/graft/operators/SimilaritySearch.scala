@@ -68,6 +68,33 @@ object SimilaritySearch {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** HARD-NEGATIVE mining for embedding-model training: for each query
+    * (anchor) vector, the `k` MOST similar corpus vectors whose cosine is
+    * still BELOW `tauDup` — the contrastive-training sampler (the hardest
+    * negatives teach the most, but anything at/above `tauDup` is a likely
+    * duplicate/positive and would poison the negative set with false
+    * negatives). Same scale contract as [[bruteForceTopK]]: the anchor
+    * set broadcasts, the corpus streams, per-anchor top-k through the
+    * two-phase [[TopK]]; for corpus-sized anchor sets run the IVF path
+    * first and apply the same `sim < tauDup` gate to its candidates.
+    * Output: (q_id, n_id, rank, sim).
+    */
+  def hardNegatives(
+      queries: DataFrame, // (q_id, q_emb)
+      corpus: DataFrame, // (n_id, n_emb)
+      k: Int,
+      tauDup: Double): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .filter(col("sim") < tauDup)
+    TopK
+      .perGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("n_id")), k, rankCol = "rank")
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
   /** (id, table, bucket) rows: one per vector per table. All bucket ids
     * come from ONE pass of the native [[graft.functions.LshSignature]]
     * expression (precomputed deterministic Rademacher sign matrix, fused

@@ -1226,6 +1226,61 @@ object DocumentQueries {
           toks, tau = 0.8, bands = 32, rowsPerBand = 3,
           bandBp = 250, maxQuadBucket = Int.MaxValue)
         .orderBy("jacc_band_bp")
+    }),
+
+    // CROSS-corpus LM quality partition (the actual CCNet deployment
+    // shape, vs q116's self-corpus bootstrap): the bigram LM trains on
+    // the English slice only and scores EVERY document — head = most
+    // reference-like. Bigrams whose count or prefix never cleared the
+    // reference are OOV and score 0. Exact fixed-point end to end.
+    "q139_crosslm_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.LmScore
+        .familiarityBucketsAgainst(
+          docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text", minCount = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Hard-negative mining for embedding training: per anchor, the 10
+    // MOST similar corpus vectors still BELOW the duplicate threshold.
+    // The corpus carries planted near-copies of each anchor (the q24
+    // construction) — the certificate is that they are EXCLUDED (a naive
+    // top-k would return them as rank-1 false negatives) while the
+    // hardest genuine negatives surface.
+    "q140_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val planted = emb.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 10000).as("n_id"),
+        zip_with(
+          col("embedding"),
+          sequence(lit(0), lit(63)),
+          (x, i) =>
+            (x.cast("double") +
+              when(pmod(i, lit(2)) === 0, lit(0.003)).otherwise(lit(-0.003)))
+              .cast("float")).as("n_emb"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.operators.SimilaritySearch
+        .hardNegatives(queries, base.unionByName(planted), k = 10, tauDup = 0.99)
+        .select(
+          col("q_id"),
+          col("n_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Multi-epoch reader orders: the q76 deterministic shard/order layout
+    // re-derived per epoch from md5(id || ':' || epoch) — independent
+    // permutations per epoch with zero stored shuffle state.
+    "q141_epoch_orders" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      (1 to 2)
+        .map(e => graft.operators.Packing.epochOrder(docs, "doc_id", 16, e))
+        .reduce(_ unionByName _)
+        .orderBy("epoch", "doc_id")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -2219,6 +2274,96 @@ object DocumentQueries {
         |       c.n AS qi_n
         |FROM documents d JOIN c ON d.lang = c.lang AND d.source = c.source
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q139_crosslm_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |rp AS (
+        |  SELECT w[i] AS w, w[i + 1] AS next
+        |  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |        FROM documents WHERE lang = 'en') rw,
+        |       unnest(range(1, greatest(len(w), 1))) r(i)),
+        |refbi AS (
+        |  SELECT w, next, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM rp GROUP BY w, next),
+        |bi AS (SELECT w, next, cnt FROM refbi WHERE cnt >= 5),
+        |ctx AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS ctx FROM refbi GROUP BY w),
+        |docbi AS (
+        |  SELECT doc_id, w[i] AS w, w[i + 1] AS next, CAST(count(*) AS BIGINT) AS k
+        |  FROM t, unnest(range(1, greatest(len(w), 1))) r(i)
+        |  GROUP BY doc_id, w[i], w[i + 1]),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |         CAST(sum(d.k) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(CASE WHEN bi.cnt IS NULL OR ctx.ctx IS NULL
+        |                       THEN d.k ELSE 0 END) AS BIGINT) AS n_oov,
+        |         CAST(sum(CASE WHEN bi.cnt IS NULL OR ctx.ctx IS NULL THEN 0
+        |                       ELSE d.k * ((10000 * bi.cnt) // ctx.ctx) END) AS BIGINT) AS s
+        |  FROM docbi d
+        |  LEFT JOIN ctx ON d.w = ctx.w
+        |  LEFT JOIN bi ON d.w = bi.w AND d.next = bi.next
+        |  GROUP BY d.doc_id),
+        |d AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |         COALESCE(sc.n_oov, 0) AS n_oov,
+        |         CASE WHEN COALESCE(sc.n_bigrams, 0) = 0 THEN 0
+        |              ELSE sc.s // sc.n_bigrams END AS score_bp
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |r AS (SELECT score_bp,
+        |             row_number() OVER (ORDER BY score_bp DESC, doc_id) AS rk
+        |      FROM d),
+        |th AS (
+        |  SELECT max(CASE WHEN rk = (n + 2) // 3 THEN score_bp END) AS t1,
+        |         max(CASE WHEN rk = (2 * n + 2) // 3 THEN score_bp END) AS t2
+        |  FROM r, n)
+        |SELECT d.doc_id, d.n_bigrams, d.n_oov, d.score_bp,
+        |       CASE WHEN d.score_bp >= th.t1 THEN 'head'
+        |            WHEN d.score_bp >= th.t2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM d, th ORDER BY d.doc_id""".stripMargin,
+
+    "q140_hard_negatives" ->
+      """WITH corpus AS (
+        |  SELECT vec_id AS n_id, embedding AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |         [CAST(CAST(embedding[i] AS DOUBLE) +
+        |            (CASE WHEN (i-1)%2 = 0 THEN 0.003 ELSE -0.003 END) AS FLOAT)
+        |          FOR i IN range(1, 65)]
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT n_id, [CAST(x AS DOUBLE) FOR x IN emb] AS e FROM corpus),
+        |q AS (SELECT vec_id AS q_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+        |      FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, c.n_id, list_cosine_similarity(q.e, c.e) AS sim
+        |  FROM q, c
+        |  WHERE q.q_id <> c.n_id AND list_cosine_similarity(q.e, c.e) < 0.99)
+        |SELECT q_id, n_id,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank,
+        |       round(sim, 4) AS sim
+        |FROM scored
+        |QUALIFY rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "q141_epoch_orders" ->
+      """WITH h AS (
+        |  SELECT doc_id, r.epoch AS epoch,
+        |         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r.epoch AS VARCHAR)) AS hx
+        |  FROM documents, range(1, 3) r(epoch)),
+        |s AS (
+        |  SELECT doc_id, epoch, hx,
+        |         CAST(list_sum(list_transform(range(0, 8), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(hx, CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |             << CAST(4 * (7 - i) AS INT))) AS BIGINT) % 16 AS shard
+        |  FROM h)
+        |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, shard,
+        |       CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY hx, doc_id)
+        |            AS BIGINT) AS pos
+        |FROM s ORDER BY epoch, doc_id""".stripMargin,
 
     "q138_lsh_recall_cert" ->
       """WITH tok AS (

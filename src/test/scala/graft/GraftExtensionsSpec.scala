@@ -735,4 +735,37 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(lrSql.columns.toSeq == lrScala.columns.toSeq)
     assert(lrSql.exceptAll(lrScala).isEmpty && lrScala.exceptAll(lrSql).isEmpty)
   }
+
+  test("crosslm_buckets / hard_negatives / epoch_order TVFs round-trip") {
+    val docs = Tables(spark, sfSmoke, "documents")
+    val embs = Tables(spark, sfSmoke, "embeddings")
+
+    docs.createOrReplaceTempView("cl_docs")
+    docs.filter(col("lang") === "en").createOrReplaceTempView("cl_ref")
+    val clSql = spark.sql(
+      "SELECT * FROM crosslm_buckets('cl_docs', 'doc_id', 'text', 'cl_ref', 'text', 5)")
+    val clScala = graft.operators.LmScore.familiarityBucketsAgainst(
+      docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text", 5)
+    assert(clSql.columns.toSeq == clScala.columns.toSeq)
+    assert(clSql.exceptAll(clScala).isEmpty && clScala.exceptAll(clSql).isEmpty)
+
+    embs.createOrReplaceTempView("hn_corpus")
+    embs.filter(col("vec_id") < 5).createOrReplaceTempView("hn_queries")
+    val hnSql = spark.sql(
+      "SELECT * FROM hard_negatives('hn_queries', 'vec_id', 'embedding', " +
+        "'hn_corpus', 'vec_id', 'embedding', 5, 0.99)")
+    val hnScala = graft.operators.SimilaritySearch.hardNegatives(
+      embs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      embs.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+      5, 0.99)
+    assert(hnSql.columns.toSeq == hnScala.columns.toSeq)
+    assert(hnSql.exceptAll(hnScala).isEmpty && hnScala.exceptAll(hnSql).isEmpty)
+
+    docs.createOrReplaceTempView("eo_docs")
+    val eoSql = spark.sql("SELECT * FROM epoch_order('eo_docs', 'doc_id', 16, 3)")
+    val eoScala = graft.operators.Packing.epochOrder(docs, "doc_id", 16, 3)
+    assert(eoSql.columns.toSeq == eoScala.columns.toSeq)
+    assert(eoSql.exceptAll(eoScala).isEmpty && eoScala.exceptAll(eoSql).isEmpty)
+  }
 }

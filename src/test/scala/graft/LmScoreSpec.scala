@@ -85,4 +85,29 @@ class LmScoreSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(run() == run())
   }
+
+  test("cross-corpus form with ref = docs equals the self-corpus form") {
+    // the self-corpus pass is the ref == docs special case of the
+    // cross-corpus pass: the reference LM tables derive from the same
+    // occurrence counts, so every score and bucket must agree
+    val docs = core.Tables(spark, sfSmoke, "documents")
+    val self = LmScore.familiarityBuckets(docs, "doc_id", "text")
+    val cross = LmScore.familiarityBucketsAgainst(docs, "doc_id", "text", docs, "text")
+    assert(cross.exceptAll(self).isEmpty && self.exceptAll(cross).isEmpty)
+  }
+
+  test("cross-corpus: bigrams with reference-unknown prefixes are OOV, not dropped") {
+    import spark.implicits._
+    // ref knows only "a b" (5x, admitted); the scored doc has one admitted
+    // bigram and one whose prefix 'z' the reference never saw — n_bigrams
+    // must count BOTH (an inner ctx join would silently drop the second)
+    val ref = (1L to 5L).map(i => (i, "a b")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b"), (11L, "z q")).toDF("doc_id", "text")
+    val got = LmScore.familiarityBucketsAgainst(docs, "doc_id", "text", ref, "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 10: 1 bigram, admitted, p = 10000*5/5 = 10000; doc 11: 1 bigram, OOV
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq((10L, 1L, 0L, 10000L), (11L, 1L, 1L, 0L)))
+  }
 }

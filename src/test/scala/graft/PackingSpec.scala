@@ -57,4 +57,25 @@ class PackingSpec extends SparkSpec {
     val part = Packing.packSpans(subset, "doc_id", "text", 64, 4)
     assert(full.exceptAll(part).isEmpty && part.exceptAll(full).isEmpty)
   }
+
+  test("epoch orders: valid layout per epoch, decorrelated across epochs, deterministic") {
+    import spark.implicits._
+    val docs = (1L to 400L).toDF("doc_id")
+    val e1 = Packing.epochOrder(docs, "doc_id", 8, 1)
+    val e2 = Packing.epochOrder(docs, "doc_id", 8, 2)
+    // every doc appears once per epoch; positions are dense 1..|shard|
+    assert(e1.count() == 400 && e2.count() == 400)
+    assert(e1.select("doc_id").distinct().count() == 400)
+    val dense = e1.groupBy("shard").agg(
+      org.apache.spark.sql.functions.max("pos").as("mx"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(dense.filter(col("mx") =!= col("n")).isEmpty)
+    // epochs genuinely re-permute: most docs change (shard, pos)
+    val same = e1.as("a").join(e2.as("b"), "doc_id")
+      .filter(col("a.shard") === col("b.shard") && col("a.pos") === col("b.pos"))
+      .count()
+    assert(same < 40, s"epochs look correlated: $same/400 rows kept identical placement")
+    // re-derivable with no stored state
+    assert(Packing.epochOrder(docs, "doc_id", 8, 1).exceptAll(e1).isEmpty)
+  }
 }

@@ -196,4 +196,32 @@ class SimilaritySearchSpec extends SparkSpec {
     // copies are caught (cell-boundary splits are the documented miss mode)
     assert(got.filter(col("dup_of") >= 0).count() > 0)
   }
+
+  test("hard negatives: planted near-duplicates are excluded, hardest genuines kept") {
+    import spark.implicits._
+    // plant a near-copy of each anchor into the corpus: a naive top-k
+    // would return it at rank 1; the miner must drop it
+    val planted = emb.filter(col("vec_id") < 5).select(
+      (col("vec_id") + 10000).as("n_id"),
+      zip_with(
+        col("embedding"),
+        sequence(lit(0), lit(63)),
+        (x, i) =>
+          (x.cast("double") +
+            when(pmod(i, lit(2)) === 0, lit(0.003)).otherwise(lit(-0.003)))
+            .cast("float")).as("n_emb"))
+    val anchors = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val got = SimilaritySearch.hardNegatives(
+      anchors, corpus.unionByName(planted), k = 10, tauDup = 0.99)
+    assert(got.filter(col("n_id") >= 10000).isEmpty, "planted dups must be excluded")
+    assert(got.groupBy("q_id").count().filter(col("count") =!= 10).isEmpty)
+    // with the dup gate above every natural similarity, the miner IS the
+    // exact top-k: equality against bruteForceTopK on the clean corpus
+    val viaBrute = SimilaritySearch.bruteForceTopK(anchors, corpus, 10)
+      .select("q_id", "n_id", "rank")
+    val gotClean = SimilaritySearch.hardNegatives(anchors, corpus, 10, tauDup = 2.0)
+      .select("q_id", "n_id", "rank")
+    assert(gotClean.exceptAll(viaBrute).isEmpty && viaBrute.exceptAll(gotClean).isEmpty)
+  }
 }
