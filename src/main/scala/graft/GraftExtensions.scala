@@ -632,6 +632,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "epoch_order(table, idCol, nShards, epoch) - deterministic per-epoch reader shard/order layout from md5(id || ':' || epoch): (id, epoch, shard, pos).",
         ""),
       exprs => GraftExtensions.epochOrderPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("phash_pairs"),
+      new ExpressionInfo(
+        classOf[graft.operators.Multimodal.type].getName,
+        null,
+        "phash_pairs",
+        "phash_pairs(mediaTable, idCol, payloadCol, maxHamming) - near-duplicate media pairs by 64-bit perceptual-hash fingerprints (md5 block-parity stub) via the block-pigeonhole join: (x_id, y_id, hamming).",
+        ""),
+      exprs => GraftExtensions.phashPairsPlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1792,6 +1801,23 @@ object GraftExtensions {
         strArg(n, exprs(1), "idCol"),
         longArg(n, exprs(2), "nShards").toInt,
         longArg(n, exprs(3), "epoch").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def phashPairsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "phash_pairs"
+    require(
+      exprs.length == 4,
+      s"$n expects (mediaTable, idCol, payloadCol, maxHamming), got " + exprs.length +
+        " arguments")
+    import org.apache.spark.sql.functions.col
+    graft.operators.Multimodal
+      .phashPairs(
+        SparkSession.active.table(strArg(n, exprs.head, "mediaTable"))
+          .select(
+            col(strArg(n, exprs(1), "idCol")).as("media_id"),
+            col(strArg(n, exprs(2), "payloadCol")).as("payload")),
+        longArg(n, exprs(3), "maxHamming").toInt)
       .queryExecution.logical
   }
 

@@ -262,9 +262,21 @@ object Dedup {
     */
   def simhashPairs(tokens: DataFrame, maxHamming: Int = 3): DataFrame = {
     graft.functions.SimHash64.register(tokens.sparkSession)
+    val fp = tokens.select(col("sid"), simhashColumn(col("toks")).as("fp"))
+    fingerprintPairs(fp, maxHamming)
+  }
+
+  /** Near-duplicate pairs over ANY 64-bit fingerprint relation (sid, fp):
+    * the block-pigeonhole candidate join + exact `bit_count(xor)` verify
+    * shared by [[simhashPairs]] and the multimodal perceptual-hash dedup
+    * ([[Multimodal.phashPairs]]). Pairs within Hamming distance d agree
+    * exactly on at least one of the maxHamming+1 bit blocks, so candidates
+    * form on a (block index, block value) EQUI-join — never all-pairs.
+    * Output: (x_id, y_id, hamming).
+    */
+  def fingerprintPairs(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
-    val fp = tokens.select(col("sid"), simhashColumn(col("toks")).as("fp"))
     val blocks = fp.withColumn("bi", explode(sequence(lit(0), lit(nBlocks - 1))))
       .withColumn(
         "bv",
@@ -278,8 +290,12 @@ object Dedup {
         col("x_id"),
         col("y_id"),
         bit_count(col("x_fp").bitwiseXOR(col("y_fp"))).as("hamming"))
-      .dropDuplicates("x_id", "y_id")
+      // filter BEFORE the pair dedup: hamming is a pure function of the
+      // pair so the order is semantically free, survivors are fewer, and
+      // a filter on a non-key column after dropDuplicates trips a
+      // Catalyst attribute-binding bug under exceptAll-style rewrites
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("x_id", "y_id")
   }
 
   // ------------------------------------------------------------- n-grams

@@ -133,6 +133,45 @@ object Multimodal {
         slice.as("frame_payload"))
   }
 
+  /** 64-bit PERCEPTUAL-HASH fingerprint per media row — the multimodal
+    * dedup tier: re-encoded/resized copies of an image keep most payload
+    * structure, so near-identical payloads land within small Hamming
+    * distance and [[phashPairs]] finds them without ever comparing
+    * payloads pairwise (the pHash/PDQ dedup pass of an image pipeline).
+    *
+    * THE BIT DERIVATION IS A STUB, like [[decodeStub]]: a real pHash is a
+    * DCT over decoded pixels, and no codec exists in this container. The
+    * stub keeps the hash's STRUCTURE — one bit per fixed payload region,
+    * so localized payload edits flip few bits — by splitting the payload's
+    * string view into 64 equal blocks and taking bit b = parity of the
+    * first hex digit of md5(block b). Engine-portable (md5 over substrings
+    * — a SQL oracle replays every bit), deterministic, and swap-in-real-
+    * DCT happens at this single site.
+    * Output: (media_id, fp).
+    */
+  def perceptualHash(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), decode(col("payload"), "UTF-8").as("__s"))
+      .withColumn("__bl", greatest(lit(1), (length(col("__s")) / 64).cast("int")))
+      .select(
+        col("media_id"),
+        expr(
+          """aggregate(sequence(0, 63), 0L, (acc, b) ->
+            |  acc + IF(CAST(conv(substring(md5(substr(__s, b * __bl + 1, __bl)), 1, 1),
+            |                     16, 10) AS INT) % 2 = 1,
+            |           shiftleft(1L, b), 0L))""".stripMargin).as("fp"))
+
+  /** Near-duplicate media pairs at Hamming ≤ `maxHamming` over
+    * [[perceptualHash]] fingerprints, through the shared block-pigeonhole
+    * join ([[Dedup.fingerprintPairs]]) — candidates form on exact
+    * 16-bit-block matches, never payload × payload.
+    * Output: (x_id, y_id, hamming).
+    */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.fingerprintPairs(
+      perceptualHash(media).select(col("media_id").as("sid"), col("fp")),
+      maxHamming)
+
   /** Deterministic media table derived from the documents testdata:
     * payload = UTF-8 text bytes, kind cycles by doc_id, meta from n_chars.
     */

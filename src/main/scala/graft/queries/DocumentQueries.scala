@@ -1281,6 +1281,19 @@ object DocumentQueries {
         .map(e => graft.operators.Packing.epochOrder(docs, "doc_id", 16, e))
         .reduce(_ unionByName _)
         .orderBy("epoch", "doc_id")
+    }),
+
+    // Multimodal perceptual-hash dedup: 64-bit block-parity fingerprints
+    // over the media payloads (the pHash STRUCTURE with an md5 stub for
+    // the absent DCT/codec — see Multimodal.perceptualHash), near-dup
+    // pairs at Hamming <= 3 through the shared block-pigeonhole join. The
+    // oracle replays every md5 block bit and brute-forces the Hamming
+    // filter.
+    "q142_phash_dedup" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      graft.operators.Multimodal.phashPairs(media, maxHamming = 3)
+        .select(col("x_id"), col("y_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("x_id", "y_id")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -2364,6 +2377,25 @@ object DocumentQueries {
         |       CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY hx, doc_id)
         |            AS BIGINT) AS pos
         |FROM s ORDER BY epoch, doc_id""".stripMargin,
+
+    "q142_phash_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text AS s,
+        |         greatest(1, CAST(len(text) // 64 AS INT)) AS bl
+        |  FROM documents),
+        |bits AS (
+        |  SELECT media_id, r.b AS b,
+        |         CASE WHEN (instr('0123456789abcdef',
+        |                          substr(md5(substr(s, r.b * bl + 1, bl)), 1, 1)) - 1) % 2 = 1
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM m, range(0, 64) r(b)),
+        |fp AS (SELECT media_id, list(bit ORDER BY b) AS bits FROM bits GROUP BY media_id),
+        |ham AS (
+        |  SELECT a.media_id AS x_id, b.media_id AS y_id,
+        |         len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) AS hamming
+        |  FROM fp a JOIN fp b ON a.media_id < b.media_id)
+        |SELECT x_id, y_id, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
 
     "q138_lsh_recall_cert" ->
       """WITH tok AS (

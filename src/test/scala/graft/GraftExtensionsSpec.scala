@@ -767,5 +767,16 @@ class GraftExtensionsSpec extends SparkSpec {
     val eoScala = graft.operators.Packing.epochOrder(docs, "doc_id", 16, 3)
     assert(eoSql.columns.toSeq == eoScala.columns.toSeq)
     assert(eoSql.exceptAll(eoScala).isEmpty && eoScala.exceptAll(eoSql).isEmpty)
+
+    graft.operators.Multimodal.mediaFromDocuments(docs).createOrReplaceTempView("ph_media")
+    val phSql = spark.sql("SELECT * FROM phash_pairs('ph_media', 'media_id', 'payload', 3)")
+    val phScala = graft.operators.Multimodal.phashPairs(
+      graft.operators.Multimodal.mediaFromDocuments(docs), 3)
+    assert(phSql.columns.toSeq == phScala.columns.toSeq)
+    // set compare on the driver: exceptAll over this plan trips a Spark
+    // attribute-binding bug (dropDuplicates + carried non-key column)
+    def phSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    assert(phSet(phSql) == phSet(phScala) && phSet(phSql).nonEmpty)
   }
 }

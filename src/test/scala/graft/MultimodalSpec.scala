@@ -63,4 +63,54 @@ class MultimodalSpec extends SparkSpec {
     val plan = counts.queryExecution.optimizedPlan.toString
     assert(!plan.contains("frame_payload"), s"payload not pruned:\n$plan")
   }
+
+  test("perceptual hash matches an independent MessageDigest replay") {
+    import spark.implicits._
+    val payload = "the quick brown fox jumps over the lazy dog " * 4 // 180 chars
+    val m = Seq((1L, payload)).toDF("media_id", "s")
+      .select(col("media_id"), encode(col("s"), "UTF-8").as("payload"))
+    val got = Multimodal.perceptualHash(m).head().getLong(1)
+    val bl = math.max(1, payload.length / 64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var expected = 0L
+    for (b <- 0 until 64) {
+      val from = math.min(b * bl, payload.length)
+      val until = math.min(from + bl, payload.length)
+      val hex = md.digest(payload.substring(from, until).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ((Integer.parseInt(hex.substring(0, 1), 16) % 2) == 1)
+        expected |= (1L << b)
+    }
+    assert(got == expected)
+  }
+
+  test("phash pairs: pigeonhole candidates equal the all-pairs Hamming filter") {
+    // brute force on the driver over the (bounded, 500-row) fingerprint set
+    val fps = Multimodal.perceptualHash(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = (for {
+      (x, xf) <- fps
+      (y, yf) <- fps
+      if x < y
+      h = java.lang.Long.bitCount(xf ^ yf)
+      if h <= 3
+    } yield (x, y, h.toLong)).toSet
+    val got = Multimodal.phashPairs(media, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+      .toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "the near-dup corpus should produce phash pairs")
+  }
+
+  test("phash locality: an edit inside one block flips few bits") {
+    import spark.implicits._
+    val base = (1 to 128).map(i => ('a' + i % 26).toChar).mkString // 128 chars, bl = 2
+    val edited = base.updated(10, 'Z') // one char inside block 5
+    val m = Seq((1L, base), (2L, edited)).toDF("media_id", "s")
+      .select(col("media_id"), encode(col("s"), "UTF-8").as("payload"))
+    val pairs = Multimodal.phashPairs(m, maxHamming = 3).collect()
+    assert(pairs.length == 1, "single-block edit must stay within Hamming 3")
+    assert(pairs.head.getAs[Number]("hamming").longValue <= 1L)
+  }
 }
