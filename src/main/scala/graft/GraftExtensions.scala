@@ -641,6 +641,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "phash_pairs(mediaTable, idCol, payloadCol, maxHamming) - near-duplicate media pairs by 64-bit perceptual-hash fingerprints (md5 block-parity stub) via the block-pigeonhole join: (x_id, y_id, hamming).",
         ""),
       exprs => GraftExtensions.phashPairsPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("ivf_upsert"),
+      new ExpressionInfo(
+        classOf[graft.operators.SimilaritySearch.type].getName,
+        null,
+        "ivf_upsert",
+        "ivf_upsert(centroidsTable, addsTable, idCol, embCol) - assign an increment to an existing IVF index's frozen centroids (the no-rebuild index maintenance path): (n_id, n_emb, cell).",
+        ""),
+      exprs => GraftExtensions.ivfUpsertPlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1818,6 +1827,24 @@ object GraftExtensions {
             col(strArg(n, exprs(1), "idCol")).as("media_id"),
             col(strArg(n, exprs(2), "payloadCol")).as("payload")),
         longArg(n, exprs(3), "maxHamming").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def ivfUpsertPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "ivf_upsert"
+    require(
+      exprs.length == 4,
+      s"$n expects (centroidsTable, addsTable, idCol, embCol), got " + exprs.length +
+        " arguments")
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.col
+    graft.operators.SimilaritySearch
+      .upsertIvfIndex(
+        spark.table(strArg(n, exprs.head, "centroidsTable")),
+        spark.table(strArg(n, exprs(1), "addsTable"))
+          .select(
+            col(strArg(n, exprs(2), "idCol")).as("n_id"),
+            col(strArg(n, exprs(3), "embCol")).as("n_emb")))
       .queryExecution.logical
   }
 

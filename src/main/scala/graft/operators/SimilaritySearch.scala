@@ -197,6 +197,27 @@ object SimilaritySearch {
     (centroids, assigned)
   }
 
+  /** Incremental IVF index MAINTENANCE: assign a batch of new vectors to
+    * an existing index's FROZEN centroids — continuous ingest without a
+    * rebuild. The centroid set is fixed at initial build by contract
+    * (re-centering changes every assignment and is a rebuild decision,
+    * not an upsert); additions probe the broadcast centroids in one
+    * input-linear pass, so the returned rows touch only the additions'
+    * cells. Against `partitionBy("cell")` parquet, write them with
+    * dynamic partition overwrite (read-merge-write of ONLY those cells —
+    * IvfIndexSpec pins that untouched cell directories keep their files
+    * byte-identical) and every later [[ivfTopKFromIndex]] probe sees the
+    * merged index. At 100 TB a crawl increment is a few cells' rewrite,
+    * never an index scan.
+    * Input/output rows: (n_id, n_emb[, cell]) — same relation shape as
+    * [[buildIvfIndex]]'s assignments.
+    */
+  def upsertIvfIndex(centroids: DataFrame, additions: DataFrame): DataFrame =
+    assignToCentroids(
+      additions.select(col("n_id").as("vid"), col("n_emb").as("emb")),
+      centroids)
+      .select(col("vid").as("n_id"), col("emb").as("n_emb"), col("cell"))
+
   /** The probe half of [[ivfTopK]] against a (possibly persisted) index.
     * With `pruneCells = true` the distinct probed cells are collected
     * (bounded by nCells — never data-sized) and pushed as an `isin`

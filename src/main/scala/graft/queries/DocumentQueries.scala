@@ -1294,6 +1294,32 @@ object DocumentQueries {
       graft.operators.Multimodal.phashPairs(media, maxHamming = 3)
         .select(col("x_id"), col("y_id"), col("hamming").cast("long").as("hamming"))
         .orderBy("x_id", "y_id")
+    }),
+
+    // IVF index MAINTENANCE: the index is built on the initial corpus
+    // (vec_id >= 100, centroids frozen there), a later increment
+    // (vec_id < 100) is upserted against the frozen centroids, and the
+    // probe runs over the merged index. The oracle replays centroids from
+    // the initial slice and assigns ALL vectors against them — exactly
+    // the frozen-centroid contract.
+    "q144_ivf_upsert" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val initial = emb.filter(col("vec_id") >= 100)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val adds = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val (cents, assigned) = graft.operators.SimilaritySearch.buildIvfIndex(initial, 64)
+      val merged = assigned.unionByName(
+        graft.operators.SimilaritySearch.upsertIvfIndex(cents, adds))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.operators.SimilaritySearch.ivfTopKFromIndex(queries, cents, merged, 10)
+        .select(
+          col("q_id"),
+          col("n_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("q_id", "rank")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -2377,6 +2403,36 @@ object DocumentQueries {
         |       CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY hx, doc_id)
         |            AS BIGINT) AS pos
         |FROM s ORDER BY epoch, doc_id""".stripMargin,
+
+    "q144_ivf_upsert" ->
+      """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+        |         e AS c_e
+        |  FROM emb WHERE vec_id >= 100
+        |  QUALIFY cell <= 64),
+        |asg AS (
+        |  SELECT n_id, n_e, cell FROM (
+        |    SELECT emb.vec_id AS n_id, emb.e AS n_e, cent.cell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |                              ORDER BY list_cosine_similarity(emb.e, cent.c_e) DESC, cent.cell) AS rn
+        |    FROM emb, cent) WHERE rn = 1),
+        |probe AS (
+        |  SELECT q_id, q_e, cell FROM (
+        |    SELECT emb.vec_id AS q_id, emb.e AS q_e, cent.cell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |                              ORDER BY list_cosine_similarity(emb.e, cent.c_e) DESC, cent.cell) AS rn
+        |    FROM emb, cent WHERE emb.vec_id < 10) WHERE rn <= 8),
+        |scored AS (
+        |  SELECT probe.q_id, asg.n_id, list_cosine_similarity(probe.q_e, asg.n_e) AS sim
+        |  FROM probe JOIN asg USING (cell)
+        |  WHERE asg.n_id <> probe.q_id)
+        |SELECT q_id, n_id,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank,
+        |       round(sim, 4) AS sim
+        |FROM scored
+        |QUALIFY rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
 
     "q142_phash_dedup" ->
       """WITH m AS (

@@ -95,6 +95,17 @@ object StreamingQueries {
         .run(t(s, dir, "documents"), "doc_id", "text", chunks = 4)
         .orderBy("batch")),
 
+    // Streaming k-anonymity release (privacy tier, continuous-ingest
+    // form): every arriving document decided at its batch's close under
+    // the quasi-identifier census INCLUDING that batch — census state is
+    // (comboHash, cnt) increments on the DedupStateStore contract
+    // (seventh consumer), probes pruned to the batch's combo buckets.
+    // Oracle replays arrival order: qi_n = combo rows with batch <= own.
+    "q143_stream_kanon" -> ((s, dir) =>
+      graft.streaming.StreamingKAnonymity
+        .run(t(s, dir, "documents"), "doc_id", Seq("lang", "source"), k = 5, chunks = 4)
+        .orderBy("doc_id")),
+
     // The q17 semi-stream join with the stored side behind the POINT-LOOKUP
     // store connector (SURVEY S5 keyed fetch in its remote regime): the
     // part dimension is published into a hash-bucketed KV store
@@ -582,6 +593,27 @@ object StreamingQueries {
         |                      // (CAST(nb.nB AS HUGEINT) * nhh.nH) END AS BIGINT) AS drift_bp
         |FROM nb JOIN nhh ON nhh.b = nb.b JOIN terms ON terms.b = nb.b
         |ORDER BY batch""".stripMargin,
+
+    // q126's MD5 batch assignment; qi_n = same-combo rows with batch <=
+    // own batch (decision at own batch's close)
+    "q143_stream_kanon" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(floor(
+        |           CAST(list_sum(list_transform(range(0, 8), i ->
+        |             CAST(instr('0123456789abcdef',
+        |                        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                  AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS DOUBLE)
+        |             / 4294967296.0 * 4) AS INT) AS b
+        |  FROM documents),
+        |cum AS (
+        |  SELECT a.doc_id, a.b,
+        |         CAST((SELECT count(*) FROM d x
+        |               WHERE x.lang = a.lang AND x.source = a.source AND x.b <= a.b)
+        |              AS BIGINT) AS qi_n
+        |  FROM d a)
+        |SELECT CAST(b AS BIGINT) AS batch, doc_id, qi_n < 5 AS suppressed, qi_n
+        |FROM cum ORDER BY doc_id""".stripMargin,
 
     // q55's deterministic centroids/cells + q49's MD5 arrival order: dup_of
     // = min same-cell earlier-arriving vector at cosine >= tau

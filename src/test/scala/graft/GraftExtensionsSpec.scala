@@ -778,5 +778,19 @@ class GraftExtensionsSpec extends SparkSpec {
     def phSet(d: org.apache.spark.sql.DataFrame) = d.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
     assert(phSet(phSql) == phSet(phScala) && phSet(phSql).nonEmpty)
+
+    val (cents, _) = graft.operators.SimilaritySearch.buildIvfIndex(
+      embs.filter(col("vec_id") >= 200)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), 16)
+    cents.createOrReplaceTempView("iu_cents")
+    embs.filter(col("vec_id") < 20).createOrReplaceTempView("iu_adds")
+    val iuSql = spark.sql(
+      "SELECT * FROM ivf_upsert('iu_cents', 'iu_adds', 'vec_id', 'embedding')")
+    val iuScala = graft.operators.SimilaritySearch.upsertIvfIndex(
+      spark.table("iu_cents"),
+      embs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
+    assert(iuSql.columns.toSeq == iuScala.columns.toSeq)
+    assert(iuSql.exceptAll(iuScala).isEmpty && iuScala.exceptAll(iuSql).isEmpty)
   }
 }

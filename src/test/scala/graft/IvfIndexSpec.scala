@@ -49,4 +49,68 @@ class IvfIndexSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cell"), plan.take(4000))
     assert(probe.count() > 0)
   }
+
+  test("upsert merges additions under frozen centroids; probe equals full assignment") {
+    val initial = emb.filter(col("vec_id") >= 200)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val adds = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val (cents, assigned) = SimilaritySearch.buildIvfIndex(initial, 16)
+    val merged = assigned.unionByName(SimilaritySearch.upsertIvfIndex(cents, adds))
+    // contract: merged index == every vector assigned against the SAME
+    // frozen centroids in one pass
+    val expected = SimilaritySearch.upsertIvfIndex(cents, corpus)
+    assert(merged.select("n_id", "cell").exceptAll(expected.select("n_id", "cell")).isEmpty)
+    assert(expected.select("n_id", "cell").exceptAll(merged.select("n_id", "cell")).isEmpty)
+    val viaMerged = SimilaritySearch.ivfTopKFromIndex(queries, cents, merged, 5)
+      .select("q_id", "n_id", "rank")
+    val viaFull = SimilaritySearch.ivfTopKFromIndex(queries, cents, expected, 5)
+      .select("q_id", "n_id", "rank")
+    assert(viaMerged.exceptAll(viaFull).isEmpty && viaFull.exceptAll(viaMerged).isEmpty)
+  }
+
+  test("dynamic-overwrite upsert rewrites ONLY the additions' cell directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-upsert-").toString + "/idx"
+    val initial = emb.filter(col("vec_id") >= 200)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val adds = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val (cents, assigned) = SimilaritySearch.buildIvfIndex(initial, 16)
+    assigned.write.partitionBy("cell").parquet(dir)
+
+    def cellFiles(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(f => f.getName + ":" + f.lastModified())
+          .toSet).toMap
+    val before = cellFiles()
+
+    val up = SimilaritySearch.upsertIvfIndex(cents, adds).persist()
+    val touched = up.select("cell").distinct().collect().map("cell=" + _.get(0)).toSet
+    // localCheckpoint cuts the file-source lineage so the read-merge-write
+    // back into the same directory is legal (Spark rejects overwriting a
+    // path still being read)
+    val prev = spark.read.parquet(dir).filter(col("cell").isin(
+        touched.map(_.stripPrefix("cell=").toInt).toSeq: _*))
+      .select("n_id", "n_emb", "cell")
+      .localCheckpoint(true)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try prev.unionByName(up).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").partitionBy("cell").parquet(dir)
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+    val after = cellFiles()
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty, "fixture should leave some cells untouched")
+    for (c <- untouched)
+      assert(after(c) == before(c), s"untouched $c was rewritten")
+    // merged read-back equals the one-pass frozen-centroid assignment
+    val expected = SimilaritySearch.upsertIvfIndex(
+      cents, emb.filter(col("vec_id") >= 200 || col("vec_id") < 20)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
+    val got = spark.read.parquet(dir).select("n_id", "cell")
+    assert(got.exceptAll(expected.select("n_id", "cell")).isEmpty &&
+      expected.select("n_id", "cell").exceptAll(got).isEmpty)
+    up.unpersist()
+    ()
+  }
 }
