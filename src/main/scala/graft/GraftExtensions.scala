@@ -650,6 +650,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "ivf_upsert(centroidsTable, addsTable, idCol, embCol) - assign an increment to an existing IVF index's frozen centroids (the no-rebuild index maintenance path): (n_id, n_emb, cell).",
         ""),
       exprs => GraftExtensions.ivfUpsertPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("mean_pool"),
+      new ExpressionInfo(
+        classOf[graft.operators.SimilaritySearch.type].getName,
+        null,
+        "mean_pool",
+        "mean_pool(table, gidCol, embCol, scaleBits) - order-invariant chunk-to-document embedding mean on the 2^scaleBits fixed-point grid: (gid, dim, n_chunks, pooled_q).",
+        ""),
+      exprs => GraftExtensions.meanPoolPlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1845,6 +1854,22 @@ object GraftExtensions {
           .select(
             col(strArg(n, exprs(2), "idCol")).as("n_id"),
             col(strArg(n, exprs(3), "embCol")).as("n_emb")))
+      .queryExecution.logical
+  }
+
+  private[graft] def meanPoolPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "mean_pool"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, gidCol, embCol, scaleBits), got " + exprs.length + " arguments")
+    import org.apache.spark.sql.functions.col
+    graft.operators.SimilaritySearch
+      .meanPoolQuantized(
+        SparkSession.active.table(strArg(n, exprs.head, "table"))
+          .select(
+            col(strArg(n, exprs(1), "gidCol")).as("gid"),
+            col(strArg(n, exprs(2), "embCol")).as("emb")),
+        longArg(n, exprs(3), "scaleBits").toInt)
       .queryExecution.logical
   }
 

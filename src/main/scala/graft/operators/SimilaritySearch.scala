@@ -372,6 +372,40 @@ object SimilaritySearch {
       .select("x_id", "y_id", "sim")
   }
 
+  /** Chunk→document embedding pooling on the exact integer grid: the mean
+    * of each group's chunk embeddings (RAG/doc-retrieval pipelines embed
+    * CHUNKS, then serve one vector per document), with every component
+    * first snapped to a 2^scaleBits fixed-point grid (the
+    * [[quantizeInt8]] floor(x+½) recipe — IEEE-exact, engine-portable)
+    * and then averaged as INTEGER sum ÷ count. Float summation is not
+    * associative, so a float mean would depend on aggregation order —
+    * this form is bit-identical under any shuffle order, retry, or
+    * engine, which is what lets a pooled-embedding relation be content-
+    * addressed and exactly oracled.
+    *
+    * Scale shape: explode to (group, dim) grain, ONE map-side-combining
+    * aggregation — dims are fixed, so exchange volume is groups × dim.
+    * Output: (gid, dim, n_chunks, pooled_q) with
+    * pooled_q = ⌊Σ round(x·2^scaleBits)⌋ div n — consumers needing floats
+    * divide by 2^scaleBits (a lossless power-of-two scale).
+    */
+  def meanPoolQuantized(
+      grouped: DataFrame, // (gid, emb)
+      scaleBits: Int = 20): DataFrame = {
+    require(scaleBits > 0 && scaleBits < 40, s"scaleBits out of range: $scaleBits")
+    val grid = (1L << scaleBits).toDouble
+    grouped
+      .select(col("gid"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .withColumn("q", floor(col("v").cast("double") * grid + lit(0.5)).cast("long"))
+      .groupBy("gid", "dim")
+      .agg(count(lit(1)).as("n_chunks"), sum("q").as("s"))
+      .select(
+        col("gid"),
+        col("dim").cast("long").as("dim"),
+        col("n_chunks"),
+        expr("s div n_chunks").as("pooled_q"))
+  }
+
   /** Symmetric int8 quantization of an embedding corpus — the 4×
     * footprint cut before a vector index is built or served. Per vector:
     * scale = max|x_i| (an exact float→double, so the oracle replays it

@@ -1320,6 +1320,18 @@ object DocumentQueries {
           col("rank").cast("long").as("rank"),
           round(col("sim"), 4).as("sim"))
         .orderBy("q_id", "rank")
+    }),
+
+    // Chunk→document embedding pooling on the exact 2^20 fixed-point grid
+    // (groups of 4 consecutive chunk vectors stand in for one document's
+    // chunks): integer sum ÷ count, so the pooled vector is identical
+    // under any aggregation order — exactly SQL-replayable.
+    "q145_embed_pool" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.SimilaritySearch
+        .meanPoolQuantized(
+          emb.select(expr("vec_id div 4").as("gid"), col("embedding").as("emb")))
+        .orderBy("gid", "dim")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -2403,6 +2415,15 @@ object DocumentQueries {
         |       CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY hx, doc_id)
         |            AS BIGINT) AS pos
         |FROM s ORDER BY epoch, doc_id""".stripMargin,
+
+    "q145_embed_pool" ->
+      """WITH x AS (
+        |  SELECT vec_id // 4 AS gid, CAST(j - 1 AS BIGINT) AS dim,
+        |         CAST(floor(CAST(embedding[j] AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) r(j))
+        |SELECT gid, dim, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(q) // count(*) AS BIGINT) AS pooled_q
+        |FROM x GROUP BY gid, dim ORDER BY gid, dim""".stripMargin,
 
     "q144_ivf_upsert" ->
       """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),

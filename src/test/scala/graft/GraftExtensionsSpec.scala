@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, expr, lit, pmod}
 
 import graft.core.Tables
 import graft.operators.SimilarityJoin
@@ -792,5 +792,13 @@ class GraftExtensionsSpec extends SparkSpec {
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
     assert(iuSql.columns.toSeq == iuScala.columns.toSeq)
     assert(iuSql.exceptAll(iuScala).isEmpty && iuScala.exceptAll(iuSql).isEmpty)
+
+    embs.select(expr("vec_id div 4").as("g"), col("embedding").as("e"))
+      .createOrReplaceTempView("mp_embs")
+    val mpSql = spark.sql("SELECT * FROM mean_pool('mp_embs', 'g', 'e', 20)")
+    val mpScala = graft.operators.SimilaritySearch.meanPoolQuantized(
+      embs.select(expr("vec_id div 4").as("gid"), col("embedding").as("emb")), 20)
+    assert(mpSql.columns.toSeq == mpScala.columns.toSeq)
+    assert(mpSql.exceptAll(mpScala).isEmpty && mpScala.exceptAll(mpSql).isEmpty)
   }
 }

@@ -224,4 +224,28 @@ class SimilaritySearchSpec extends SparkSpec {
       .select("q_id", "n_id", "rank")
     assert(gotClean.exceptAll(viaBrute).isEmpty && viaBrute.exceptAll(gotClean).isEmpty)
   }
+
+  test("mean pooling: hand-computed grid values, negatives, order-invariance") {
+    import spark.implicits._
+    // scaleBits = 2 → grid 4: 0.5 → 2, -0.75 → floor(-3+0.5) = -3, 1.0 → 4
+    val rows = Seq(
+      (1L, Seq(0.5f, -0.75f)),
+      (1L, Seq(1.0f, -0.75f)),
+      (2L, Seq(-0.75f, 0.5f))).toDF("gid", "emb")
+    val got = SimilaritySearch.meanPoolQuantized(rows, scaleBits = 2)
+      .orderBy("gid", "dim")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // g1 d0: (2 + 4) div 2 = 3; g1 d1: (-3 + -3) div 2 = -3
+    assert(got == Seq(
+      (1L, 0L, 2L, 3L), (1L, 1L, 2L, -3L),
+      (2L, 0L, 1L, -3L), (2L, 1L, 1L, 2L)))
+    // bit-identical under any partitioning/aggregation order
+    val grouped = emb.select(
+      org.apache.spark.sql.functions.expr("vec_id div 4").as("gid"),
+      col("embedding").as("emb"))
+    val a = SimilaritySearch.meanPoolQuantized(grouped).orderBy("gid", "dim").collect().toSeq
+    val b = SimilaritySearch.meanPoolQuantized(grouped.repartition(13))
+      .orderBy("gid", "dim").collect().toSeq
+    assert(a == b)
+  }
 }
