@@ -659,6 +659,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "mean_pool(table, gidCol, embCol, scaleBits) - order-invariant chunk-to-document embedding mean on the 2^scaleBits fixed-point grid: (gid, dim, n_chunks, pooled_q).",
         ""),
       exprs => GraftExtensions.meanPoolPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("sign_project"),
+      new ExpressionInfo(
+        classOf[graft.operators.SimilaritySearch.type].getName,
+        null,
+        "sign_project",
+        "sign_project(table, idCol, embCol, dim, outDims, scaleBits) - Johnson-Lindenstrauss Rademacher projection to outDims integer coordinates on the 2^scaleBits grid: (id, proj).",
+        ""),
+      exprs => GraftExtensions.signProjectPlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1870,6 +1879,23 @@ object GraftExtensions {
             col(strArg(n, exprs(1), "gidCol")).as("gid"),
             col(strArg(n, exprs(2), "embCol")).as("emb")),
         longArg(n, exprs(3), "scaleBits").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def signProjectPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "sign_project"
+    require(
+      exprs.length == 6,
+      s"$n expects (table, idCol, embCol, dim, outDims, scaleBits), got " +
+        exprs.length + " arguments")
+    graft.operators.SimilaritySearch
+      .signProject(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "embCol"),
+        longArg(n, exprs(3), "dim").toInt,
+        longArg(n, exprs(4), "outDims").toInt,
+        longArg(n, exprs(5), "scaleBits").toInt)
       .queryExecution.logical
   }
 

@@ -464,4 +464,120 @@ object SimilaritySearch {
       .perGroup(scored, Seq("q_id"), Seq(col("qc").desc, col("n_id")), k, rankCol = "rank")
       .select(col("q_id"), col("n_id"), col("rank"), round(col("qc"), 4).as("qsim"))
   }
+
+  // ------------------------------------------- random projection (JL)
+
+  /** Rademacher sign s(i,j) ∈ {−1,+1} from the parity of the first hex
+    * digit of md5("i:j") — the same engine-portable digest-derivation
+    * trick as SimHash/pHash, so a SQL oracle replays the whole sign
+    * matrix bit-for-bit (`md5(i || ':' || j)`).
+    */
+  private[graft] def jlSign(i: Int, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) % 2 == 1) 1L else -1L
+  }
+
+  /** Johnson–Lindenstrauss SIGN projection: dim → `outDims` with a
+    * deterministic Rademacher (±1) matrix (Achlioptas 2001 — database-
+    * friendly random projections) — the footprint cut BEFORE clustering
+    * or indexing a 100-TB embedding corpus (complementary to
+    * [[quantizeInt8]], which narrows the cell type; this narrows the
+    * DIMENSION, so an IVF build's assignment FLOPs and the index bytes
+    * both drop by dim/outDims).
+    *
+    * Exactness: inputs land on the 2^`scaleBits` fixed-point grid
+    * (q_i = ⌊x_i·2^s + ½⌋, the [[meanPoolQuantized]] recipe), each output
+    * coordinate is an INTEGER sum Σ_i q_i·s(i,j) — |proj_j| ≤
+    * dim·2^(s+1), exact in a long at any sane (dim, s) — and the sign
+    * matrix is md5-derived, so every projected vector is bit-identical
+    * in any engine. The matrix is baked into the plan as literals
+    * (dim × outDims multiply-adds per row inside whole-stage codegen;
+    * no per-row digest calls).
+    *
+    * A pure scan-level map: no shuffle, no state. Output: (idCol, proj
+    * array<long> of length outDims).
+    */
+  def signProject(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      outDims: Int,
+      scaleBits: Int = 14): DataFrame = {
+    require(dim > 0 && outDims > 0, s"signProject: bad dims ($dim → $outDims)")
+    require(scaleBits > 0 && scaleBits < 30, s"signProject: scaleBits out of range: $scaleBits")
+    val grid = (1L << scaleBits).toDouble
+    val q = transform(
+      col(embCol),
+      x => floor(x.cast("double") * grid + lit(0.5)).cast("long"))
+    // stage the quantized array once (the q58 staged-projection lesson),
+    // then one literal-sign fold per output coordinate
+    df.select(col(idCol), q.as("__q"))
+      .select(
+        col(idCol),
+        array((0 until outDims).map { j =>
+          val signs = array((0 until dim).map(i => lit(jlSign(i, j))): _*)
+          aggregate(
+            zip_with(col("__q"), signs, (a, s) => a * s),
+            lit(0L), (acc, v) => acc + v)
+        }: _*).as("proj"))
+  }
+
+  /** Cosine over PROJECTED long vectors. Unlike [[codeCosine]] the norm
+    * product can exceed a long (norms reach ~dim·(dim·2^s)²), so each
+    * factor converts to double BEFORE the product: d / (√na · √nb) —
+    * every step an IEEE-defined op on integer-valued inputs, identical
+    * in any engine that mirrors the parenthesization.
+    */
+  def projCosine(a: Column, b: Column): Column = {
+    def dotL(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    val d = dotL(a, b)
+    val na = dotL(a, a)
+    val nb = dotL(b, b)
+    when(na === 0L || nb === 0L, lit(0.0))
+      .otherwise(d.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+  }
+
+  /** RECALL CERTIFICATE for a sign-projection setting: exact float-cosine
+    * top-k per query vs top-k in the `outDims`-dimensional projected
+    * space, reported as hits and basis-point recall — the measurement
+    * that certifies (or rejects) a dim cut before it's applied
+    * corpus-wide, exactly as [[Dedup.lshRecallCertificate]] certifies an
+    * LSH banding. Both rankings tiebreak on the neighbor id, so the sets
+    * are deterministic. Queries broadcast; the corpus is scanned twice
+    * (once per representation), never paired with itself.
+    * Output: (q_id, k, n_hit, recall_bp).
+    */
+  def jlRecall(
+      queries: DataFrame, // (q_id, q_emb)
+      corpus: DataFrame, // (n_id, n_emb)
+      dim: Int,
+      outDims: Int,
+      k: Int,
+      scaleBits: Int = 14): DataFrame = {
+    val exact = bruteForceTopK(queries, corpus, k).select("q_id", "n_id")
+    val pq = signProject(queries, "q_id", "q_emb", dim, outDims, scaleBits)
+      .select(col("q_id"), col("proj").as("q_proj"))
+    val pc = signProject(corpus, "n_id", "n_emb", dim, outDims, scaleBits)
+      .select(col("n_id"), col("proj").as("n_proj"))
+    val scored = pc
+      .crossJoin(broadcast(pq))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("psim", projCosine(col("q_proj"), col("n_proj")))
+    val approx = TopK
+      .perGroup(scored, Seq("q_id"), Seq(col("psim").desc, col("n_id")), k, rankCol = "rank")
+      .select("q_id", "n_id")
+    exact
+      .join(approx.withColumn("__hit", lit(1)), Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("k"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+      .select(
+        col("q_id"), col("k"),
+        col("n_hit"),
+        expr("(10000 * n_hit) div k").as("recall_bp"))
+  }
 }

@@ -1332,6 +1332,22 @@ object DocumentQueries {
         .meanPoolQuantized(
           emb.select(expr("vec_id div 4").as("gid"), col("embedding").as("emb")))
         .orderBy("gid", "dim")
+    }),
+
+    // Johnson–Lindenstrauss recall certificate: exact top-10 in the
+    // 64-dim float space vs top-10 after the md5-derived ±1 sign
+    // projection to 16 dims — the measurement that certifies a 4×
+    // dimension cut before it's applied corpus-wide (the embedding-space
+    // analogue of q138's LSH banding certificate). Integer projections on
+    // the 2^14 grid; both rankings id-tiebroken, so recall is exact.
+    "q146_jl_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val corpus = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      graft.operators.SimilaritySearch
+        .jlRecall(queries, corpus, dim = 64, outDims = 16, k = 10)
+        .orderBy("q_id")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -2424,6 +2440,50 @@ object DocumentQueries {
         |SELECT gid, dim, CAST(count(*) AS BIGINT) AS n_chunks,
         |       CAST(sum(q) // count(*) AS BIGINT) AS pooled_q
         |FROM x GROUP BY gid, dim ORDER BY gid, dim""".stripMargin,
+
+    "q146_jl_recall" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+        |exact AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q.q_id, c.vec_id AS n_id,
+        |           row_number() OVER (PARTITION BY q.q_id
+        |             ORDER BY list_cosine_similarity(q.q_emb, c.emb) DESC, c.vec_id) AS rank
+        |    FROM q JOIN e c ON c.vec_id <> q.q_id) WHERE rank <= 10),
+        |qt AS (SELECT vec_id,
+        |              [CAST(floor(x * 16384 + 0.5) AS BIGINT) FOR x IN emb] AS qv
+        |       FROM e),
+        |sgn AS (
+        |  SELECT i.i, j.j,
+        |         CASE WHEN (instr('0123456789abcdef',
+        |                          substr(md5(i.i || ':' || j.j), 1, 1)) - 1) % 2 = 1
+        |              THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 64) i(i), range(0, 16) j(j)),
+        |proj AS (
+        |  SELECT vec_id, j, CAST(sum(qv[i + 1] * s) AS BIGINT) AS p
+        |  FROM qt, sgn GROUP BY vec_id, j),
+        |pv AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM proj GROUP BY vec_id),
+        |psc AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |         CAST(list_sum(list_transform(range(1, 17), d -> a.pv[d] * b.pv[d])) AS BIGINT) AS dt,
+        |         CAST(list_sum(list_transform(range(1, 17), d -> a.pv[d] * a.pv[d])) AS BIGINT) AS na,
+        |         CAST(list_sum(list_transform(range(1, 17), d -> b.pv[d] * b.pv[d])) AS BIGINT) AS nb
+        |  FROM pv a JOIN pv b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |approx AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY
+        |             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |                  ELSE CAST(dt AS DOUBLE) /
+        |                       (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END DESC,
+        |             n_id) AS rank
+        |    FROM psc) WHERE rank <= 10)
+        |SELECT e.q_id, CAST(count(*) AS BIGINT) AS k,
+        |       CAST(count(a.n_id) AS BIGINT) AS n_hit,
+        |       CAST((10000 * count(a.n_id)) // count(*) AS BIGINT) AS recall_bp
+        |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id
+        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
 
     "q144_ivf_upsert" ->
       """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),

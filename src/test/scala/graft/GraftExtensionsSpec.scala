@@ -800,5 +800,12 @@ class GraftExtensionsSpec extends SparkSpec {
       embs.select(expr("vec_id div 4").as("gid"), col("embedding").as("emb")), 20)
     assert(mpSql.columns.toSeq == mpScala.columns.toSeq)
     assert(mpSql.exceptAll(mpScala).isEmpty && mpScala.exceptAll(mpSql).isEmpty)
+
+    embs.createOrReplaceTempView("sp_embs")
+    val spSql = spark.sql("SELECT * FROM sign_project('sp_embs', 'vec_id', 'embedding', 64, 16, 14)")
+    val spScala = graft.operators.SimilaritySearch
+      .signProject(embs, "vec_id", "embedding", 64, 16, 14)
+    assert(spSql.columns.toSeq == spScala.columns.toSeq)
+    assert(spSql.exceptAll(spScala).isEmpty && spScala.exceptAll(spSql).isEmpty)
   }
 }

@@ -248,4 +248,84 @@ class SimilaritySearchSpec extends SparkSpec {
       .orderBy("gid", "dim").collect().toSeq
     assert(a == b)
   }
+
+  test("JL sign matrix replays through SQL md5 (the oracle's derivation)") {
+    import spark.implicits._
+    val cells = for (i <- 0 until 8; j <- 0 until 8) yield (i, j)
+    val sql = cells.toDF("i", "j")
+      .select(
+        col("i"), col("j"),
+        expr("""CASE WHEN (instr('0123456789abcdef',
+                          substr(md5(concat(cast(i AS STRING), ':', cast(j AS STRING))), 1, 1)) - 1)
+                          % 2 = 1 THEN 1L ELSE -1L END""").as("s"))
+      .as[(Int, Int, Long)].collect()
+    sql.foreach { case (i, j, s) =>
+      assert(SimilaritySearch.jlSign(i, j) == s, s"sign($i,$j)")
+    }
+    // and the matrix is not degenerate (both signs occur)
+    assert(sql.map(_._3).distinct.sorted.toSeq == Seq(-1L, 1L))
+  }
+
+  test("signProject: hand-computed projection, partition invariance") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.5f, -0.25f, 1.0f))).toDF("id", "e")
+    val got = SimilaritySearch.signProject(df, "id", "e", dim = 3, outDims = 2, scaleBits = 2)
+      .select("proj").head().getSeq[Long](0)
+    val q = Seq(2L, -1L, 4L) // round(x * 4)
+    val expect = (0 until 2).map { j =>
+      (0 until 3).map(i => q(i) * SimilaritySearch.jlSign(i, j)).sum
+    }
+    assert(got == expect)
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("e"))
+    val a = SimilaritySearch.signProject(base, "id", "e", 64, 16)
+      .orderBy("id").collect().toSeq
+    val b = SimilaritySearch.signProject(base.repartition(13), "id", "e", 64, 16)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("JL projection preserves planted structure: projected top-1 is the near-copy") {
+    // near-identical vectors stay near-identical under ANY linear map —
+    // the projected cosine of a planted copy is ~1 while unrelated
+    // near-random vectors project near-orthogonally, so even 16 of 64
+    // dims must put every planted copy at rank 1.
+    val qs = planted.filter(col("vid") >= 10000 && col("vid") < 10020)
+      .select(col("vid").as("q_id"), col("emb").as("q_emb"))
+    val corp = planted.filter(col("vid") < 10000)
+      .select(col("vid").as("n_id"), col("emb").as("n_emb"))
+    val pq = SimilaritySearch.signProject(qs, "q_id", "q_emb", 64, 16)
+      .select(col("q_id"), col("proj").as("q_proj"))
+    val pc = SimilaritySearch.signProject(corp, "n_id", "n_emb", 64, 16)
+      .select(col("n_id"), col("proj").as("n_proj"))
+    val scored = pc.crossJoin(broadcast(pq))
+      .withColumn("psim", SimilaritySearch.projCosine(col("q_proj"), col("n_proj")))
+    val top1 = graft.operators.TopK
+      .perGroup(scored, Seq("q_id"), Seq(col("psim").desc, col("n_id")), 1, rankCol = "rank")
+    import spark.implicits._
+    val got = top1.select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    (10000L until 10020L).foreach { q =>
+      assert(got.get(q).contains(q - 10000), s"query $q projected-top1 ${got.get(q)}")
+    }
+  }
+
+  test("jlRecall: perfect on planted copies; recall grows with outDims on the natural corpus") {
+    // planted: each query's exact top-1 IS its copy and the projected
+    // ranking must recover it — recall@1 = 10000 bp for every query
+    val qs = planted.filter(col("vid") >= 10000 && col("vid") < 10010)
+      .select(col("vid").as("q_id"), col("emb").as("q_emb"))
+    val corp = planted.filter(col("vid") < 10000)
+      .select(col("vid").as("n_id"), col("emb").as("n_emb"))
+    val cert = SimilaritySearch.jlRecall(qs, corp, 64, 16, k = 1).collect()
+    assert(cert.length == 10)
+    cert.foreach(r => assert(r.getAs[Long]("recall_bp") == 10000L, r.toString))
+    // natural corpus: more projected dims → (weakly) better total recall,
+    // and full-width projection beats a 4-dim one decisively
+    val q10 = queries.limit(10)
+    def total(outDims: Int): Long =
+      SimilaritySearch.jlRecall(q10, corpus, 64, outDims, k = 10)
+        .agg(sum("n_hit")).head().getLong(0)
+    val r4 = total(4)
+    val r48 = total(48)
+    assert(r48 > r4, s"recall at 48 dims ($r48) should beat 4 dims ($r4)")
+  }
 }
