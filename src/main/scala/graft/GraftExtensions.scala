@@ -668,6 +668,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sign_project(table, idCol, embCol, dim, outDims, scaleBits) - Johnson-Lindenstrauss Rademacher projection to outDims integer coordinates on the 2^scaleBits grid: (id, proj).",
         ""),
       exprs => GraftExtensions.signProjectPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("decayed_topk"),
+      new ExpressionInfo(
+        classOf[graft.operators.Decay.type].getName,
+        null,
+        "decayed_topk",
+        "decayed_topk(table, keyCol, tsSecCol, asOfSec, genSecs, horizon, k) - k hottest keys by exact-integer exponential time decay (weight 2^(horizon-age) per genSecs generation): (key, n_window, decayed, rank).",
+        ""),
+      exprs => GraftExtensions.decayedTopKPlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1896,6 +1905,24 @@ object GraftExtensions {
         longArg(n, exprs(3), "dim").toInt,
         longArg(n, exprs(4), "outDims").toInt,
         longArg(n, exprs(5), "scaleBits").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def decayedTopKPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "decayed_topk"
+    require(
+      exprs.length == 7,
+      s"$n expects (table, keyCol, tsSecCol, asOfSec, genSecs, horizon, k), got " +
+        exprs.length + " arguments")
+    graft.operators.Decay
+      .decayedTopK(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        Seq(strArg(n, exprs(1), "keyCol")),
+        strArg(n, exprs(2), "tsSecCol"),
+        longArg(n, exprs(3), "asOfSec"),
+        longArg(n, exprs(4), "genSecs"),
+        longArg(n, exprs(5), "horizon").toInt,
+        longArg(n, exprs(6), "k").toInt)
       .queryExecution.logical
   }
 

@@ -462,6 +462,21 @@ object RelationalQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Exponentially time-decayed heavy hitters ("what is hot NOW"): daily
+    // generations, weight 2^(14−age) in exact integers — recency
+    // dominance without float-decay order sensitivity. One map-side-
+    // combining agg over the key, global head via TakeOrderedAndProject.
+    "q147_decayed_topk" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("tsec"))
+      val asOf = ev.agg(max("tsec")).head().getLong(0)
+      graft.operators.Decay
+        .decayedTopK(ev, Seq("user_id"), "tsec", asOf,
+          genSecs = 86400L, horizon = 14, k = 25)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("rank")
+    }),
+
     // Interval-overlap join (the two-sided sibling of as-of/range): user
     // sessions × ±5-minute error windows of the same user, bucketed on
     // 30-minute (key, bucket) equi-join cells — no θ-join explosion —
@@ -623,6 +638,19 @@ object RelationalQueries {
         |            WHEN n >= prev_n THEN ((n - prev_n) * 10000) // prev_n
         |            ELSE -(((prev_n - n) * 10000) // prev_n) END AS growth_bp
         |FROM l ORDER BY event_type, day""".stripMargin,
+
+    "q147_decayed_topk" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS tsec FROM events),
+        |m AS (SELECT max(tsec) // 86400 AS asof_gen FROM e),
+        |w AS (SELECT user_id, asof_gen - (tsec // 86400) AS age
+        |      FROM e, m
+        |      WHERE asof_gen - (tsec // 86400) BETWEEN 0 AND 14),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_window,
+        |             CAST(sum(1::BIGINT << (14 - age)) AS BIGINT) AS decayed
+        |      FROM w GROUP BY user_id)
+        |SELECT user_id, n_window, decayed,
+        |       CAST(row_number() OVER (ORDER BY decayed DESC, user_id) AS BIGINT) AS rank
+        |FROM s ORDER BY rank LIMIT 25""".stripMargin,
 
     // percentile_disc replay (q70's ceil-rank recipe) for median and MAD,
     // then the integer 3-MAD flag.

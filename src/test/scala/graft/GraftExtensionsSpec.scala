@@ -807,5 +807,16 @@ class GraftExtensionsSpec extends SparkSpec {
       .signProject(embs, "vec_id", "embedding", 64, 16, 14)
     assert(spSql.columns.toSeq == spScala.columns.toSeq)
     assert(spSql.exceptAll(spScala).isEmpty && spScala.exceptAll(spSql).isEmpty)
+
+    val dtEvents = graft.core.Tables(spark, sfSmoke, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("tsec"))
+    dtEvents.createOrReplaceTempView("dt_events")
+    val dtAsOf = dtEvents.agg(org.apache.spark.sql.functions.max("tsec")).head().getLong(0)
+    val dtSql = spark.sql(
+      s"SELECT * FROM decayed_topk('dt_events', 'user_id', 'tsec', $dtAsOf, 86400, 14, 5)")
+    val dtScala = graft.operators.Decay
+      .decayedTopK(dtEvents, Seq("user_id"), "tsec", dtAsOf, 86400L, 14, 5)
+    assert(dtSql.columns.toSeq == dtScala.columns.toSeq)
+    assert(dtSql.exceptAll(dtScala).isEmpty && dtScala.exceptAll(dtSql).isEmpty)
   }
 }
