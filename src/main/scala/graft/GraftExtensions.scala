@@ -677,6 +677,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "decayed_topk(table, keyCol, tsSecCol, asOfSec, genSecs, horizon, k) - k hottest keys by exact-integer exponential time decay (weight 2^(horizon-age) per genSecs generation): (key, n_window, decayed, rank).",
         ""),
       exprs => GraftExtensions.decayedTopKPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("cohen_kappa"),
+      new ExpressionInfo(
+        classOf[graft.operators.ModelEval.type].getName,
+        null,
+        "cohen_kappa",
+        "cohen_kappa(table, raterACol, raterBCol) - chance-corrected inter-annotator agreement in exact basis points: one row (n, n_agree, po_bp, pe_bp, kappa_bp).",
+        ""),
+      exprs => GraftExtensions.cohenKappaPlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1923,6 +1932,19 @@ object GraftExtensions {
         longArg(n, exprs(4), "genSecs"),
         longArg(n, exprs(5), "horizon").toInt,
         longArg(n, exprs(6), "k").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def cohenKappaPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "cohen_kappa"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, raterACol, raterBCol), got " + exprs.length + " arguments")
+    graft.operators.ModelEval
+      .cohenKappa(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "raterACol"),
+        strArg(n, exprs(2), "raterBCol"))
       .queryExecution.logical
   }
 

@@ -97,4 +97,48 @@ object ModelEval {
       .withColumn("pos_rate_bp", expr("(10000 * n_pos) div n"))
       .select("bucket", "score_lo", "n", "n_pos", "pos_rate_bp")
   }
+
+  /** Cohen's κ inter-annotator agreement (Cohen 1960) over two
+    * categorical rating columns — the label-quality audit a supervised
+    * curation pipeline runs before trusting its raters (human or model):
+    * raw agreement corrected for the agreement two INDEPENDENT raters
+    * with these marginal distributions would reach by chance.
+    *
+    * Exact basis points: po_bp = (10000·n_agree) div n; pe_bp =
+    * (10000·Σ_c nA_c·nB_c) div n² — the marginal products accumulate in
+    * DECIMAL(38,0) so a 10¹²-row corpus can't overflow the n² term — and
+    * kappa_bp = ((po_bp − pe_bp)·10000) div (10000 − pe_bp), the
+    * fixed-point (po − pe)/(1 − pe). κ is UNDEFINED when pe = 1 (both
+    * raters constant and equal) → NULL. Spark's `div` truncates toward
+    * zero; κ < 0 (worse-than-chance) is legal, so an oracle must replay
+    * the truncation with a sign case (the q110 recipe).
+    *
+    * Scale shape: one agree/count scan plus two category-sized marginal
+    * censuses joined on category — all three aggregations map-side-
+    * combinable; nothing data-sized ever joins or broadcasts.
+    * Output: one row (n, n_agree, po_bp, pe_bp, kappa_bp).
+    */
+  def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
+    val base = df.filter(col(raterA).isNotNull && col(raterB).isNotNull)
+    val tot = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col(raterA) === col(raterB), 1L).otherwise(0L)).as("n_agree"))
+    val ma = base.groupBy(col(raterA).as("cat")).agg(count(lit(1)).as("na"))
+    val mb = base.groupBy(col(raterB).as("cat")).agg(count(lit(1)).as("nb"))
+    val pe = ma.join(mb, "cat")
+      .agg(coalesce(
+        sum(col("na").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("pp"))
+    tot.crossJoin(pe)
+      .withColumn("po_bp", expr("(10000 * n_agree) div n"))
+      .withColumn(
+        "pe_bp",
+        expr("CAST((CAST(10000 AS DECIMAL(38,0)) * pp) div " +
+          "(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS BIGINT)"))
+      .withColumn(
+        "kappa_bp",
+        when(col("pe_bp") === 10000L, lit(null).cast("long"))
+          .otherwise(expr("((po_bp - pe_bp) * 10000) div (10000 - pe_bp)")))
+      .select("n", "n_agree", "po_bp", "pe_bp", "kappa_bp")
+  }
 }

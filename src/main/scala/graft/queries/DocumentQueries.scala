@@ -1348,6 +1348,20 @@ object DocumentQueries {
       graft.operators.SimilaritySearch
         .jlRecall(queries, corpus, dim = 64, outDims = 16, k = 10)
         .orderBy("q_id")
+    }),
+
+    // Cohen's κ between the gold `lang` label and the q26 stopword
+    // language-ID — chance-corrected rater agreement, the label-quality
+    // audit. Gold includes 'zh', which the stopword profiles can never
+    // predict — a structural disagreement κ prices in while raw
+    // agreement ignores.
+    "q148_rater_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = graft.operators.TextAnalysis
+        .languageId(docs, "doc_id", "text")
+        .select("doc_id", "lang_pred")
+      graft.operators.ModelEval
+        .cohenKappa(docs.select("doc_id", "lang").join(pred, "doc_id"), "lang", "lang_pred")
     }))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
@@ -2484,6 +2498,45 @@ object DocumentQueries {
         |       CAST((10000 * count(a.n_id)) // count(*) AS BIGINT) AS recall_bp
         |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id
         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
+
+    "q148_rater_kappa" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','zu','ist','ein','nicht'))) AS DOUBLE) / len(toks) AS r_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(toks) AS r_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','en','es','un','que'))) AS DOUBLE) / len(toks) AS r_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','en','est','un','que'))) AS DOUBLE) / len(toks) AS r_fr
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN r_de >= r_en AND r_de >= r_es AND r_de >= r_fr THEN 'de'
+        |         WHEN r_en >= r_es AND r_en >= r_fr THEN 'en'
+        |         WHEN r_es >= r_fr THEN 'es'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM r),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM p),
+        |ma AS (SELECT lang AS cat, count(*) AS na FROM p GROUP BY 1),
+        |mb AS (SELECT lang_pred AS cat, count(*) AS nb FROM p GROUP BY 1),
+        |pe AS (SELECT COALESCE(sum(na * nb), 0) AS pp FROM ma JOIN mb USING (cat)),
+        |bp AS (
+        |  SELECT n, n_agree,
+        |         CAST((10000 * n_agree) // n AS BIGINT) AS po_bp,
+        |         CAST((10000 * pp) // (n * n) AS BIGINT) AS pe_bp
+        |  FROM tot, pe)
+        |SELECT n, n_agree, po_bp, pe_bp,
+        |       CASE WHEN pe_bp = 10000 THEN NULL
+        |            WHEN po_bp >= pe_bp
+        |              THEN CAST(((po_bp - pe_bp) * 10000) // (10000 - pe_bp) AS BIGINT)
+        |            ELSE -CAST(((pe_bp - po_bp) * 10000) // (10000 - pe_bp) AS BIGINT)
+        |       END AS kappa_bp
+        |FROM bp""".stripMargin,
 
     "q144_ivf_upsert" ->
       """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),

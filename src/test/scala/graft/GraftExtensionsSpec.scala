@@ -818,5 +818,14 @@ class GraftExtensionsSpec extends SparkSpec {
       .decayedTopK(dtEvents, Seq("user_id"), "tsec", dtAsOf, 86400L, 14, 5)
     assert(dtSql.columns.toSeq == dtScala.columns.toSeq)
     assert(dtSql.exceptAll(dtScala).isEmpty && dtScala.exceptAll(dtSql).isEmpty)
+
+    docs.select(col("doc_id"), col("lang"),
+        org.apache.spark.sql.functions.substring(col("text"), 1, 1).as("pred"))
+      .createOrReplaceTempView("ck_rated")
+    val ckSql = spark.sql("SELECT * FROM cohen_kappa('ck_rated', 'lang', 'pred')")
+    val ckScala = graft.operators.ModelEval
+      .cohenKappa(spark.table("ck_rated"), "lang", "pred")
+    assert(ckSql.columns.toSeq == ckScala.columns.toSeq)
+    assert(ckSql.exceptAll(ckScala).isEmpty && ckScala.exceptAll(ckSql).isEmpty)
   }
 }

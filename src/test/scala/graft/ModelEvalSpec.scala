@@ -70,4 +70,39 @@ class ModelEvalSpec extends SparkSpec {
       (3L, 15L, 2L, 1L, 5000L))) // the two 19s
     assert(got.map(_._3).sum == xs.size)
   }
+
+  test("Cohen's kappa: the 1960 textbook confusion matrix") {
+    import spark.implicits._
+    // yes/yes 20, yes/no 5, no/yes 10, no/no 15: po=0.7, pe=0.5, κ=0.4
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+        Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val got = graft.operators.ModelEval
+      .cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(got == ((50L, 35L, 7000L, 5000L, Some(4000L))))
+  }
+
+  test("Cohen's kappa: negative kappa truncates toward zero (the div-vs-floor seam)") {
+    import spark.implicits._
+    // zero agreement, pe_bp = 40000/9 → 4444; κ_bp = −44440000/5556 =
+    // −7998.56…: trunc −7998, floor would be −7999 — pins Spark `div`
+    val rows = Seq(("a", "b"), ("a", "b"), ("b", "a"))
+    val got = graft.operators.ModelEval
+      .cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(got == ((3L, 0L, 0L, 4444L, Some(-7998L))))
+  }
+
+  test("Cohen's kappa: perfect constant raters are undefined (NULL), nulls drop") {
+    import spark.implicits._
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val k1 = graft.operators.ModelEval.cohenKappa(const, "a", "b").head()
+    assert(k1.getAs[Long]("pe_bp") == 10000L && k1.isNullAt(4))
+    val withNulls = Seq(
+      (Some("x"), Some("x")), (Some("y"), Some("y")),
+      (None, Some("x")), (Some("x"), None)).toDF("a", "b")
+    val k2 = graft.operators.ModelEval.cohenKappa(withNulls, "a", "b").head()
+    assert(k2.getAs[Long]("n") == 2L && k2.getAs[Long]("n_agree") == 2L)
+  }
 }
