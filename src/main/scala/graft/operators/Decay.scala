@@ -31,6 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object Decay {
 
+  /** Weight of a generation-id column as of `asOfGen`: 2^(horizon − age)
+    * inside the window, 0 outside (older than horizon, or future). The
+    * ONE source of decay math — shared by the event-grain batch operator
+    * and the census-grain streaming consumer
+    * ([[graft.streaming.StreamingDecay]]).
+    */
+  def generationWeight(
+      genCol: org.apache.spark.sql.Column,
+      asOfGen: Long,
+      horizon: Int): org.apache.spark.sql.Column = {
+    val age = (lit(asOfGen) - genCol).cast("int")
+    when(
+      age >= 0 && age <= horizon,
+      call_function("shiftleft", lit(1L), lit(horizon) - age))
+      .otherwise(lit(0L))
+  }
+
   /** Per-key decayed score: (keyCols…, n_window, decayed) over events
     * inside the `horizon`-generation window ending at `asOfSec`.
     * `tsSecCol` is epoch SECONDS (a long column). Keys with no in-window
@@ -48,11 +65,7 @@ object Decay {
     require(horizon >= 0 && horizon <= 50, s"horizon out of [0,50]: $horizon")
     require(asOfSec >= 0, s"asOfSec must be non-negative, got $asOfSec")
     val asOfGen = asOfSec / genSecs
-    val age = (lit(asOfGen) - expr(s"$tsSecCol div ${genSecs}L")).cast("int")
-    val w = when(
-      age >= 0 && age <= horizon,
-      call_function("shiftleft", lit(1L), lit(horizon) - age))
-      .otherwise(lit(0L))
+    val w = generationWeight(expr(s"$tsSecCol div ${genSecs}L"), asOfGen, horizon)
     df.filter(col(tsSecCol).isNotNull)
       .select((keyCols.map(col) :+ w.as("__w")): _*)
       .filter(col("__w") > 0L)

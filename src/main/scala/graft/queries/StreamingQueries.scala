@@ -106,6 +106,20 @@ object StreamingQueries {
         .run(t(s, dir, "documents"), "doc_id", Seq("lang", "source"), k = 5, chunks = 4)
         .orderBy("doc_id")),
 
+    // Streaming time-decayed heavy hitters ("trending now" per batch
+    // close): events replayed in time order, census state (key, gen, cnt)
+    // increments on the DedupStateStore contract (eighth consumer) with
+    // GENERATION-keyed buckets, so the horizon window IS the probe-prune
+    // predicate. Each tick equals the batch q147 operator over its event
+    // prefix — the oracle replays every tick.
+    "q149_stream_decayed_topk" -> ((s, dir) =>
+      graft.streaming.StreamingDecay
+        .run(
+          t(s, dir, "events")
+            .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("tsec")),
+          "user_id", "tsec", genSecs = 86400L, horizon = 14, k = 10, chunks = 4)
+        .orderBy("batch", "rank")),
+
     // The q17 semi-stream join with the stored side behind the POINT-LOOKUP
     // store connector (SURVEY S5 keyed fetch in its remote regime): the
     // part dimension is published into a hash-bucketed KV store
@@ -596,6 +610,30 @@ object StreamingQueries {
 
     // q126's MD5 batch assignment; qi_n = same-combo rows with batch <=
     // own batch (decision at own batch's close)
+    "q149_stream_decayed_topk" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS tsec FROM events),
+        |bnd AS (SELECT min(tsec) AS lo, max(tsec) AS hi FROM e),
+        |c AS (SELECT user_id, tsec,
+        |             least((tsec - lo) // ((hi - lo) // 4 + 1), 3) AS ck
+        |      FROM e, bnd),
+        |bt AS (SELECT DISTINCT ck FROM c),
+        |a AS (SELECT bt.ck AS batch, max(x.tsec // 86400) AS asof_gen
+        |      FROM bt JOIN c x ON x.ck <= bt.ck GROUP BY bt.ck),
+        |s AS (SELECT a.batch, x.user_id,
+        |             CAST(count(*) AS BIGINT) AS n_window,
+        |             CAST(sum(1::BIGINT << (14 - (a.asof_gen - (x.tsec // 86400))))
+        |                  AS BIGINT) AS decayed
+        |      FROM a JOIN c x
+        |        ON x.ck <= a.batch
+        |       AND a.asof_gen - (x.tsec // 86400) BETWEEN 0 AND 14
+        |      GROUP BY a.batch, x.user_id),
+        |r AS (SELECT batch, user_id, n_window, decayed,
+        |             CAST(row_number() OVER (PARTITION BY batch
+        |                    ORDER BY decayed DESC, user_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT CAST(batch AS BIGINT) AS batch, rank, user_id, n_window, decayed
+        |FROM r WHERE rank <= 10 ORDER BY batch, rank""".stripMargin,
+
     "q143_stream_kanon" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,
