@@ -579,6 +579,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.kanonSuppressPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("ldiverse_suppress"),
+      new ExpressionInfo(
+        classOf[graft.operators.KAnonymity.type].getName,
+        null,
+        "ldiverse_suppress",
+        "ldiverse_suppress(table, qiCsv, sensCol, k, l) - distinct-l-diversity release: QI combos need >= k rows AND >= l distinct sensitive values; rows ship qi_n and qi_nsens.",
+        ""),
+      exprs => GraftExtensions.ldiverseSuppressPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("semantic_decon"),
       new ExpressionInfo(
         classOf[graft.operators.Decontamination.type].getName,
@@ -1732,6 +1741,23 @@ object GraftExtensions {
         SparkSession.active.table(strArg(n, exprs.head, "table")),
         qi,
         longArg(n, exprs(2), "k"))
+      .queryExecution.logical
+  }
+
+  private[graft] def ldiverseSuppressPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "ldiverse_suppress"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, qiCsv, sensCol, k, l), got " + exprs.length + " arguments")
+    val qi = strArg(n, exprs(1), "qiCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(qi.nonEmpty, s"$n: qiCsv named no columns")
+    graft.operators.KAnonymity
+      .suppressDiverse(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        qi,
+        strArg(n, exprs(2), "sensCol"),
+        longArg(n, exprs(3), "k"),
+        longArg(n, exprs(4), "l"))
       .queryExecution.logical
   }
 

@@ -39,22 +39,70 @@ object KAnonymity {
     * combination's census count — the anonymity set size a row ships
     * with). Non-QI columns always pass through untouched.
     */
-  def suppress(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
-    // null-safe join keys: a row whose QI is already NULL must still find
-    // its census combo (plain equi-join drops NULL keys on the floor)
-    val c = qiCols.foldLeft(census(df, qiCols, k)) { (d, q) =>
+  def suppress(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame =
+    suppressWith(df, qiCols, census(df, qiCols, k), Seq(col("n").as("qi_n")))
+
+  /** Distinct-l-diversity census (Machanavajjhala et al. 2006): a combo
+    * that clears `k` rows can still leak its sensitive attribute if those
+    * rows all SHARE one sensitive value (the homogeneity attack — "every
+    * patient in this ZIP+age cell has cancer"). `keep` additionally
+    * requires ≥ `l` distinct values of `sensCol` inside the combo.
+    * Output: (qiCols…, n, n_sens, keep). Same scale shape as [[census]]
+    * — one map-side-combinable aggregation (count_distinct plans as the
+    * two-level partial aggregate), combination-sized output.
+    */
+  def diversityCensus(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensCol: String,
+      k: Long,
+      l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "diversityCensus needs at least one quasi-identifier column")
+    require(!qiCols.contains(sensCol), s"sensitive column $sensCol cannot be a QI")
+    require(k >= 1 && l >= 1, s"diversityCensus: k and l must be >= 1, got k=$k l=$l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        count_distinct(col(sensCol)).as("n_sens"))
+      .withColumn("keep", col("n") >= k && col("n_sens") >= l)
+  }
+
+  /** The l-diverse release: QI columns nulled unless the combination has
+    * ≥ `k` rows AND ≥ `l` distinct sensitive values. Ships `qi_n` and
+    * `qi_nsens` so a release review can audit WHICH gate suppressed.
+    */
+  def suppressDiverse(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensCol: String,
+      k: Long,
+      l: Long): DataFrame =
+    suppressWith(
+      df, qiCols, diversityCensus(df, qiCols, sensCol, k, l),
+      Seq(col("n").as("qi_n"), col("n_sens").as("qi_nsens")))
+
+  /** Shared release core: null-safe join of the data against a
+    * combination-sized census carrying a `keep` flag. Null-safe keys: a
+    * row whose QI is already NULL must still find its census combo (a
+    * plain equi-join drops NULL keys on the floor). The census is
+    * broadcast so the data side stays a scan (Catalyst would often pick
+    * this anyway; the hint makes the 100-TB plan unconditional).
+    */
+  private def suppressWith(
+      df: DataFrame,
+      qiCols: Seq[String],
+      censusDf: DataFrame,
+      auditCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val c = qiCols.foldLeft(censusDf) { (d, q) =>
       d.withColumnRenamed(q, s"__qi_$q")
     }
     val cond = qiCols.map(q => col(q) <=> col(s"__qi_$q")).reduce(_ && _)
-    // the census is combination-sized — broadcast it so the data side
-    // stays a scan (Catalyst would often pick this anyway; the hint makes
-    // the 100-TB plan unconditional)
     val joined = df.join(broadcast(c), cond)
     val out = df.columns.toSeq.map {
       case q if qiCols.contains(q) =>
         when(col("keep"), col(q)).otherwise(lit(null).cast(df.schema(q).dataType)).as(q)
       case o => col(o)
-    } :+ col("n").as("qi_n")
+    } ++ auditCols
     joined.select(out: _*)
   }
 }

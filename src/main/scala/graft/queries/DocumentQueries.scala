@@ -1362,7 +1362,22 @@ object DocumentQueries {
         .select("doc_id", "lang_pred")
       graft.operators.ModelEval
         .cohenKappa(docs.select("doc_id", "lang").join(pred, "doc_id"), "lang", "lang_pred")
-    }))
+    }),
+
+    // Distinct-l-diversity release (the homogeneity-attack fix on top of
+    // q136's k-anonymity): QI = (lang, size bucket), sensitive = source —
+    // a combo clearing k rows is still suppressed unless it carries ≥ l
+    // DISTINCT sources. k=13 passes every combo at sf0.01, so the l gate
+    // alone decides — the case k-anonymity cannot express.
+    "q150_ldiversity" -> ((s, dir) =>
+      graft.operators.KAnonymity
+        .suppressDiverse(
+          t(s, dir, "documents")
+            .select(
+              col("doc_id"), col("lang"),
+              expr("n_chars div 200").cast("long").as("szb"), col("source")),
+          Seq("lang", "szb"), "source", k = 13, l = 13)
+        .orderBy("doc_id")))
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
     * multi-char pieces that make greedy longest-match visible. Shared by
@@ -2537,6 +2552,22 @@ object DocumentQueries {
         |            ELSE -CAST(((pe_bp - po_bp) * 10000) // (10000 - pe_bp) AS BIGINT)
         |       END AS kappa_bp
         |FROM bp""".stripMargin,
+
+    "q150_ldiversity" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(n_chars // 200 AS BIGINT) AS szb, source
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, szb, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS n_sens
+        |  FROM d GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |       CASE WHEN c.n >= 13 AND c.n_sens >= 13 THEN d.lang END AS lang,
+        |       CASE WHEN c.n >= 13 AND c.n_sens >= 13 THEN d.szb END AS szb,
+        |       d.source,
+        |       c.n AS qi_n, c.n_sens AS qi_nsens
+        |FROM d JOIN c ON d.lang = c.lang AND d.szb = c.szb
+        |ORDER BY doc_id""".stripMargin,
 
     "q144_ivf_upsert" ->
       """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),

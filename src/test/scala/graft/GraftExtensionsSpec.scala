@@ -827,5 +827,12 @@ class GraftExtensionsSpec extends SparkSpec {
       .cohenKappa(spark.table("ck_rated"), "lang", "pred")
     assert(ckSql.columns.toSeq == ckScala.columns.toSeq)
     assert(ckSql.exceptAll(ckScala).isEmpty && ckScala.exceptAll(ckSql).isEmpty)
+
+    docs.select(col("doc_id"), col("lang"), col("source")).createOrReplaceTempView("ld_docs")
+    val ldSql = spark.sql("SELECT * FROM ldiverse_suppress('ld_docs', 'lang', 'source', 3, 2)")
+    val ldScala = graft.operators.KAnonymity
+      .suppressDiverse(spark.table("ld_docs"), Seq("lang"), "source", 3, 2)
+    assert(ldSql.columns.toSeq == ldScala.columns.toSeq)
+    assert(ldSql.exceptAll(ldScala).isEmpty && ldScala.exceptAll(ldSql).isEmpty)
   }
 }

@@ -78,4 +78,38 @@ class KAnonymitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"expected a broadcast census join, got:\n$plan")
   }
+
+  // (id, zip, disease): the homogeneity attack — zip 10 clears k=3 but
+  // every row shares one disease; zip 20 has 3 rows AND 3 distinct values
+  private def sensFixture = Seq(
+    (1L, "10", "flu"), (2L, "10", "flu"), (3L, "10", "flu"),
+    (4L, "20", "flu"), (5L, "20", "cold"), (6L, "20", "none"),
+    (7L, "30", "flu"), (8L, "30", "cold")).toDF("id", "zip", "disease")
+
+  test("l-diversity: a k-passing homogeneous combo is suppressed, diverse kept") {
+    val c = KAnonymity.diversityCensus(sensFixture, Seq("zip"), "disease", 3, 2)
+      .orderBy("zip")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(c == Seq(
+      ("10", 3L, 1L, false), // k passes, l fails — the homogeneity case
+      ("20", 3L, 3L, true),
+      ("30", 2L, 2L, false))) // l passes, k fails
+    val rel = KAnonymity.suppressDiverse(sensFixture, Seq("zip"), "disease", 3, 2)
+      .orderBy("id")
+      .as[(Long, Option[String], String, Long, Long)].collect().toSeq
+    assert(rel.map(_._2) == Seq(None, None, None,
+      Some("20"), Some("20"), Some("20"), None, None))
+    // the audit columns name which gate suppressed
+    assert(rel.filter(_._1 <= 3).forall(r => r._4 >= 3 && r._5 < 2))
+    assert(rel.filter(_._1 >= 7).forall(r => r._4 < 3 && r._5 >= 2))
+  }
+
+  test("l-diversity reduces to k-anonymity at l = 1") {
+    val a = KAnonymity.suppress(fixture, Seq("lang", "source"), 2)
+      .select("id", "lang", "source", "qi_n").orderBy("id").collect().toSeq
+    val b = KAnonymity.suppressDiverse(
+        fixture.withColumn("sens", lit("x")), Seq("lang", "source"), "sens", 2, 1)
+      .select("id", "lang", "source", "qi_n").orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }
