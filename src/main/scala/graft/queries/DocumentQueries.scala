@@ -1377,7 +1377,77 @@ object DocumentQueries {
               col("doc_id"), col("lang"),
               expr("n_chars div 200").cast("long").as("szb"), col("source")),
           Seq("lang", "szb"), "source", k = 13, l = 13)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // All decontamination tiers folded into one per-document verdict —
+    // see [[deconVerdict]].
+    "q151_decon_verdict" -> ((s, dir) => deconVerdict(s, dir)))
+
+  /** q151: the decontamination VERDICT — every tier of the family (q57
+    * exact 5-grams, q65 fuzzy Jaccard, q135 semantic embedding) run over
+    * ONE corpus/eval split and folded into a per-document verdict row.
+    * The corpus's chunk embeddings additionally carry PLANTED paraphrase
+    * chunks (eval chunks + ε under synthetic doc ids 10000+evalDoc):
+    * contamination with no text overlap at all, so those docs are caught
+    * by the semantic tier ALONE — the reason the family has three tiers,
+    * visible in one relation.
+    */
+  private def deconVerdict(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val eval = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("e_id"), col("text").as("e_text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val exact = graft.operators.Decontamination
+      .flag(corpus, "doc_id", "text", eval, "e_id", "e_text", n = 5)
+      .select(col("doc_id"), col("n_hit_grams"))
+    val fuzzy = graft.operators.Decontamination
+      .flagFuzzy(corpus, "doc_id", "text", eval, "e_id", "e_text", tau = 0.8)
+      .groupBy("doc_id")
+      .agg(count_distinct(col("eval_id")).as("n_fuzzy_evals"))
+    val emb = t(s, dir, "embeddings")
+    val evalChunks = emb.filter(expr("(vec_id div 4) % 50 = 0"))
+      .select(col("vec_id").as("e_vid"), col("embedding").as("e_emb"))
+    // chunk id carries its document: cid = doc * 100000 + vec (vec_id
+    // stays < 100000 at every SF)
+    val corpusChunks = emb.filter(expr("(vec_id div 4) % 50 <> 0"))
+      .select(expr("(vec_id div 4) * 100000 + vec_id").as("cid"), col("embedding"))
+    val planted = evalChunks.select(
+      (expr("(e_vid div 4) + 10000") * 100000L + col("e_vid")).as("cid"),
+      zip_with(
+        col("e_emb"),
+        sequence(lit(0), lit(63)),
+        (x, i) =>
+          (x.cast("double") +
+            when(pmod(i, lit(2)) === 0, lit(0.003)).otherwise(lit(-0.003)))
+            .cast("float")).as("embedding"))
+    val sem = graft.operators.Decontamination
+      .flagSemantic(
+        corpusChunks.unionByName(planted), "cid", "embedding",
+        evalChunks, "e_vid", "e_emb", tau = 0.99)
+      .select(expr("cid div 100000").as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sem_chunks"))
+    val ids = exact.select("doc_id")
+      .unionByName(fuzzy.select("doc_id"))
+      .unionByName(sem.select("doc_id"))
+      .distinct()
+    ids
+      .join(exact, Seq("doc_id"), "left")
+      .join(fuzzy, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        coalesce(col("n_fuzzy_evals"), lit(0L)).as("n_fuzzy_evals"),
+        coalesce(col("n_sem_chunks"), lit(0L)).as("n_sem_chunks"))
+      .withColumn(
+        "n_tiers",
+        ((col("n_hit_grams") > 0).cast("long") +
+          (col("n_fuzzy_evals") > 0).cast("long") +
+          (col("n_sem_chunks") > 0).cast("long")))
+      .orderBy("doc_id")
+  }
 
   /** q78 fixture vocab: single letters (minus 'd' starts / '##p' conts) +
     * multi-char pieces that make greedy longest-match visible. Shared by
@@ -2568,6 +2638,69 @@ object DocumentQueries {
         |       c.n AS qi_n, c.n_sens AS qi_nsens
         |FROM d JOIN c ON d.lang = c.lang AND d.szb = c.szb
         |ORDER BY doc_id""".stripMargin,
+
+    "q151_decon_verdict" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+        |                               FOR i IN range(1, len(w) - 3)])) AS gram
+        |  FROM w),
+        |evg AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 50 = 0),
+        |ex AS (
+        |  SELECT c.doc_id, CAST(count(DISTINCT c.gram) AS BIGINT) AS n_hit_grams
+        |  FROM g c JOIN evg ON c.gram = evg.gram
+        |  WHERE c.doc_id % 50 <> 0 GROUP BY c.doc_id),
+        |tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents),
+        |evt AS (SELECT doc_id AS eval_id, toks AS e_toks FROM tok WHERE doc_id % 50 = 0),
+        |cot AS (SELECT doc_id, toks FROM tok WHERE doc_id % 50 <> 0),
+        |fz AS (
+        |  SELECT doc_id, CAST(count(DISTINCT eval_id) AS BIGINT) AS n_fuzzy_evals
+        |  FROM (SELECT cot.doc_id, evt.eval_id,
+        |               len(list_intersect(cot.toks, evt.e_toks)) AS inter,
+        |               len(cot.toks) + len(evt.e_toks)
+        |                 - len(list_intersect(cot.toks, evt.e_toks)) AS uni
+        |        FROM cot, evt)
+        |  WHERE inter >= uni * 0.8 GROUP BY doc_id),
+        |emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+        |        FROM embeddings),
+        |evc AS (SELECT vec_id AS e_vid, e AS e_e FROM emb WHERE (vec_id // 4) % 50 = 0),
+        |coc AS (SELECT (vec_id // 4) * 100000 + vec_id AS cid, e
+        |        FROM emb WHERE (vec_id // 4) % 50 <> 0),
+        |pl0 AS (
+        |  SELECT ((vec_id // 4) + 10000) * 100000 + vec_id AS cid,
+        |         [CAST(CAST(embedding[i] AS DOUBLE) +
+        |            (CASE WHEN (i-1)%2 = 0 THEN 0.003 ELSE -0.003 END) AS FLOAT)
+        |          FOR i IN range(1, 65)] AS emb
+        |  FROM embeddings WHERE (vec_id // 4) % 50 = 0),
+        |pl AS (SELECT cid, [CAST(x AS DOUBLE) FOR x IN emb] AS e FROM pl0),
+        |allc AS (SELECT cid, e FROM coc UNION ALL SELECT cid, e FROM pl),
+        |smc AS (SELECT a.cid FROM allc a JOIN evc v
+        |          ON list_cosine_similarity(a.e, v.e_e) >= 0.99
+        |        GROUP BY a.cid),
+        |sm AS (SELECT CAST(cid // 100000 AS BIGINT) AS doc_id,
+        |              CAST(count(*) AS BIGINT) AS n_sem_chunks
+        |       FROM smc GROUP BY 1),
+        |ids AS (SELECT doc_id FROM ex UNION SELECT doc_id FROM fz
+        |        UNION SELECT doc_id FROM sm)
+        |SELECT i.doc_id,
+        |       COALESCE(ex.n_hit_grams, 0) AS n_hit_grams,
+        |       COALESCE(fz.n_fuzzy_evals, 0) AS n_fuzzy_evals,
+        |       COALESCE(sm.n_sem_chunks, 0) AS n_sem_chunks,
+        |       CAST(CASE WHEN COALESCE(ex.n_hit_grams, 0) > 0 THEN 1 ELSE 0 END
+        |            + CASE WHEN COALESCE(fz.n_fuzzy_evals, 0) > 0 THEN 1 ELSE 0 END
+        |            + CASE WHEN COALESCE(sm.n_sem_chunks, 0) > 0 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS n_tiers
+        |FROM ids i
+        |LEFT JOIN ex ON i.doc_id = ex.doc_id
+        |LEFT JOIN fz ON i.doc_id = fz.doc_id
+        |LEFT JOIN sm ON i.doc_id = sm.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
 
     "q144_ivf_upsert" ->
       """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),
