@@ -695,6 +695,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cohen_kappa(table, raterACol, raterBCol) - chance-corrected inter-annotator agreement in exact basis points: one row (n, n_agree, po_bp, pe_bp, kappa_bp).",
         ""),
       exprs => GraftExtensions.cohenKappaPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("fd_profile"),
+      new ExpressionInfo(
+        classOf[graft.operators.Profiling.type].getName,
+        null,
+        "fd_profile",
+        "fd_profile(table, colsCsv) - functional-dependency audit over every ordered column pair: (a, b, n_lhs, n_pairs, holds, violations). One scan, no per-pair rescans.",
+        ""),
+      exprs => GraftExtensions.fdProfilePlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1741,6 +1750,19 @@ object GraftExtensions {
         SparkSession.active.table(strArg(n, exprs.head, "table")),
         qi,
         longArg(n, exprs(2), "k"))
+      .queryExecution.logical
+  }
+
+  private[graft] def fdProfilePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "fd_profile"
+    require(
+      exprs.length == 2,
+      s"$n expects (table, colsCsv), got " + exprs.length + " arguments")
+    val cols = strArg(n, exprs(1), "colsCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    graft.operators.Profiling
+      .functionalDependencies(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        cols)
       .queryExecution.logical
   }
 

@@ -477,6 +477,14 @@ object RelationalQueries {
         .orderBy("rank")
     }),
 
+    // Functional-dependency profile over the orders header: o_orderkey
+    // (the key) determines everything; nothing determines it back — a
+    // mixed holds/fails audit discovered from the data, not the schema.
+    "q152_fd_profile" -> ((s, dir) =>
+      graft.operators.Profiling
+        .functionalDependencies(t(s, dir, "orders"), fdCols)
+        .orderBy("a", "b")),
+
     // Interval-overlap join (the two-sided sibling of as-of/range): user
     // sessions × ±5-minute error windows of the same user, bucketed on
     // 30-minute (key, bucket) equi-join cells — no θ-join explosion —
@@ -774,7 +782,30 @@ object RelationalQueries {
         |GROUP BY iv.user_id, iv.s_start, iv.s_end
         |ORDER BY iv.user_id, iv.s_start""".stripMargin)
 
+  /** q152's profiled column set — one source of truth for the Spark query
+    * and the generated pair-by-pair oracle.
+    */
+  private val fdCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** Generated FD-audit oracle: one UNION ALL arm per ordered pair,
+    * n_lhs/n_pairs from DISTINCT subqueries with the operator's null
+    * exclusion replayed per pair.
+    */
+  private def fdOracle(table: String, cols: Seq[String]): String = {
+    val arms = for { a <- cols; b <- cols if a != b } yield
+      s"""SELECT '$a' AS a, '$b' AS b,
+         |  CAST((SELECT count(DISTINCT $a) FROM $table
+         |        WHERE $a IS NOT NULL AND $b IS NOT NULL) AS BIGINT) AS n_lhs,
+         |  CAST((SELECT count(*) FROM (SELECT DISTINCT $a, $b FROM $table
+         |        WHERE $a IS NOT NULL AND $b IS NOT NULL)) AS BIGINT) AS n_pairs""".stripMargin
+    arms.mkString("WITH u AS (\n", "\nUNION ALL\n", "\n)\n") +
+      "SELECT a, b, n_lhs, n_pairs, n_pairs = n_lhs AS holds,\n" +
+      "       n_pairs - n_lhs AS violations\nFROM u ORDER BY a, b"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q152_fd_profile" -> fdOracle("orders", fdCols),
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

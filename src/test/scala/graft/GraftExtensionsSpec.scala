@@ -834,5 +834,11 @@ class GraftExtensionsSpec extends SparkSpec {
       .suppressDiverse(spark.table("ld_docs"), Seq("lang"), "source", 3, 2)
     assert(ldSql.columns.toSeq == ldScala.columns.toSeq)
     assert(ldSql.exceptAll(ldScala).isEmpty && ldScala.exceptAll(ldSql).isEmpty)
+
+    val fdSql = spark.sql("SELECT * FROM fd_profile('ld_docs', 'doc_id,lang,source')")
+    val fdScala = graft.operators.Profiling
+      .functionalDependencies(spark.table("ld_docs"), Seq("doc_id", "lang", "source"))
+    assert(fdSql.columns.toSeq == fdScala.columns.toSeq)
+    assert(fdSql.exceptAll(fdScala).isEmpty && fdScala.exceptAll(fdSql).isEmpty)
   }
 }
