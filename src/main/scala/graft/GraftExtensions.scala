@@ -704,6 +704,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "fd_profile(table, colsCsv) - functional-dependency audit over every ordered column pair: (a, b, n_lhs, n_pairs, holds, violations). One scan, no per-pair rescans.",
         ""),
       exprs => GraftExtensions.fdProfilePlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("ind_profile"),
+      new ExpressionInfo(
+        classOf[graft.operators.Profiling.type].getName,
+        null,
+        "ind_profile",
+        "ind_profile(sourcesCsv) - inclusion-dependency (FK) discovery over 'table:column' sources: (a, b, n_lhs_values, n_missing, holds). Single value-grouped pass, no per-pair EXCEPT joins.",
+        ""),
+      exprs => GraftExtensions.indProfilePlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1763,6 +1772,26 @@ object GraftExtensions {
       .functionalDependencies(
         SparkSession.active.table(strArg(n, exprs.head, "table")),
         cols)
+      .queryExecution.logical
+  }
+
+  private[graft] def indProfilePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "ind_profile"
+    require(
+      exprs.length == 1,
+      s"$n expects (sourcesCsv of 'table:column' entries), got " + exprs.length + " arguments")
+    val sources = strArg(n, exprs.head, "sourcesCsv")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { entry =>
+        entry.split(":") match {
+          case Array(tbl, c) =>
+            (s"${tbl.trim}.${c.trim}", SparkSession.active.table(tbl.trim), c.trim)
+          case _ => throw new IllegalArgumentException(
+            s"$n: sources must be 'table:column', got '$entry'")
+        }
+      }
+    graft.operators.Profiling
+      .inclusionDependencies(sources)
       .queryExecution.logical
   }
 

@@ -55,4 +55,48 @@ object Profiling {
       .withColumn("holds", col("n_pairs") === col("n_lhs"))
       .withColumn("violations", col("n_pairs") - col("n_lhs"))
   }
+
+  /** Inclusion-dependency (foreign-key) discovery ACROSS relations: for
+    * every ordered pair of profiled columns, does values(a) ⊆ values(b)?
+    * The FK audit next to [[functionalDependencies]]' key audit — which
+    * join directions are safe, which "foreign keys" silently dangle.
+    *
+    * SPIDER/BINDER-style single pass (Bauckmann 2006 / Papenbrock 2015):
+    * one (column, value) relation (each source scanned once, values
+    * distinct per column), grouped BY VALUE into the set of columns
+    * containing it; the pair a ⊆ b is violated by exactly the value
+    * groups containing `a` but not `b`, so every pair's violation count
+    * falls out of ONE value-grouped pass — p² EXCEPT-joins never run.
+    * The value exchange carries each distinct (column, value) once;
+    * group fan-out is |S_v|·p with p the profiled column count.
+    *
+    * Values compare under the injective string cast (integer/string keys
+    * — the FK case; floats don't render identically across engines and
+    * are poor join keys anyway); NULLs are excluded (SQL FK semantics).
+    * Output: (a, b, n_lhs_values, n_missing, holds) — `n_missing` is the
+    * count of a's distinct values absent from b (the dangling-key count).
+    */
+  def inclusionDependencies(sources: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(sources.size >= 2, "need at least two (label, df, column) sources")
+    val labels = sources.map(_._1)
+    require(labels.distinct.size == labels.size, s"duplicate labels: $labels")
+    val values = sources.map { case (label, df, c) =>
+      df.select(lit(label).as("c"), col(c).cast("string").as("v"))
+        .filter(col("v").isNotNull)
+        .distinct()
+    }.reduce(_ unionByName _)
+    val groups = values.groupBy("v").agg(collect_set(col("c")).as("present"))
+    groups
+      .select(explode(col("present")).as("a"), col("present"))
+      .select(
+        col("a"),
+        explode(array(labels.map(lit(_)): _*)).as("b"),
+        col("present"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(
+        count(lit(1)).as("n_lhs_values"),
+        sum(when(!array_contains(col("present"), col("b")), 1L).otherwise(0L)).as("n_missing"))
+      .withColumn("holds", col("n_missing") === 0L)
+  }
 }

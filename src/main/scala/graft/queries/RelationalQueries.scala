@@ -485,6 +485,19 @@ object RelationalQueries {
         .functionalDependencies(t(s, dir, "orders"), fdCols)
         .orderBy("a", "b")),
 
+    // Inclusion-dependency (FK) discovery across lineitem/orders/customer
+    // keys: the TPC-H referential arrows come out of the DATA (l_orderkey
+    // ⊆ o_orderkey, o_custkey ⊆ c_custkey hold; c_custkey ⊄ o_custkey —
+    // customers without orders — with the exact dangling count).
+    "q153_ind_profile" -> ((s, dir) =>
+      graft.operators.Profiling
+        .inclusionDependencies(Seq(
+          ("lineitem.l_orderkey", t(s, dir, "lineitem"), "l_orderkey"),
+          ("orders.o_orderkey", t(s, dir, "orders"), "o_orderkey"),
+          ("orders.o_custkey", t(s, dir, "orders"), "o_custkey"),
+          ("customer.c_custkey", t(s, dir, "customer"), "c_custkey")))
+        .orderBy("a", "b")),
+
     // Interval-overlap join (the two-sided sibling of as-of/range): user
     // sessions × ±5-minute error windows of the same user, bucketed on
     // 30-minute (key, bucket) equi-join cells — no θ-join explosion —
@@ -803,8 +816,39 @@ object RelationalQueries {
       "       n_pairs - n_lhs AS violations\nFROM u ORDER BY a, b"
   }
 
+  /** q153's profiled (label, table, column) sources — shared by the Spark
+    * query's source list and the generated oracle.
+    */
+  private val indSources = Seq(
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("orders.o_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("customer.c_custkey", "customer", "c_custkey"))
+
+  /** Generated IND oracle: per ordered pair, n_lhs_values = distinct
+    * non-null values of a; n_missing = |values(a) EXCEPT values(b)| on
+    * the same string-cast identity the operator uses.
+    */
+  private def indOracle(sources: Seq[(String, String, String)]): String = {
+    val arms = for {
+      (la, ta, ca) <- sources; (lb, tb, cb) <- sources if la != lb
+    } yield
+      s"""SELECT '$la' AS a, '$lb' AS b,
+         |  CAST((SELECT count(DISTINCT CAST($ca AS VARCHAR)) FROM $ta
+         |        WHERE $ca IS NOT NULL) AS BIGINT) AS n_lhs_values,
+         |  CAST((SELECT count(*) FROM (
+         |          SELECT DISTINCT CAST($ca AS VARCHAR) AS v FROM $ta WHERE $ca IS NOT NULL
+         |          EXCEPT
+         |          SELECT DISTINCT CAST($cb AS VARCHAR) FROM $tb WHERE $cb IS NOT NULL))
+         |       AS BIGINT) AS n_missing""".stripMargin
+    arms.mkString("WITH u AS (\n", "\nUNION ALL\n", "\n)\n") +
+      "SELECT a, b, n_lhs_values, n_missing, n_missing = 0 AS holds\n" +
+      "FROM u ORDER BY a, b"
+  }
+
   val oracles: Map[String, String] = Map(
     "q152_fd_profile" -> fdOracle("orders", fdCols),
+    "q153_ind_profile" -> indOracle(indSources),
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -840,5 +840,15 @@ class GraftExtensionsSpec extends SparkSpec {
       .functionalDependencies(spark.table("ld_docs"), Seq("doc_id", "lang", "source"))
     assert(fdSql.columns.toSeq == fdScala.columns.toSeq)
     assert(fdSql.exceptAll(fdScala).isEmpty && fdScala.exceptAll(fdSql).isEmpty)
+
+    graft.core.Tables(spark, sfSmoke, "orders").createOrReplaceTempView("ind_orders")
+    graft.core.Tables(spark, sfSmoke, "customer").createOrReplaceTempView("ind_customer")
+    val indSql = spark.sql(
+      "SELECT * FROM ind_profile('ind_orders:o_custkey,ind_customer:c_custkey')")
+    val indScala = graft.operators.Profiling.inclusionDependencies(Seq(
+      ("ind_orders.o_custkey", spark.table("ind_orders"), "o_custkey"),
+      ("ind_customer.c_custkey", spark.table("ind_customer"), "c_custkey")))
+    assert(indSql.columns.toSeq == indScala.columns.toSeq)
+    assert(indSql.exceptAll(indScala).isEmpty && indScala.exceptAll(indSql).isEmpty)
   }
 }

@@ -43,6 +43,29 @@ class ProfilingSpec extends SparkSpec {
     assert(got(("x", "y")) == ((1L, 1L))) // only row 1 has both
   }
 
+  test("IND audit: subset directions, dangling counts, null exclusion") {
+    val child = Seq(Some(1L), Some(2L), Some(2L), Some(3L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L, 4L, 5L).toDF("pk")
+    val got = Profiling.inclusionDependencies(Seq(
+        ("child.fk", child, "fk"),
+        ("parent.pk", parent, "pk")))
+      .orderBy("a", "b")
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("child.fk", "parent.pk", 3L, 0L, true), // NULL fk excluded, all 3 found
+      ("parent.pk", "child.fk", 5L, 2L, false))) // 4 and 5 dangle
+  }
+
+  test("IND audit: every source scanned once (no per-pair EXCEPT joins)") {
+    val li = graft.core.Tables(spark, sfSmoke, "lineitem")
+    val o = graft.core.Tables(spark, sfSmoke, "orders")
+    val plan = Profiling.inclusionDependencies(Seq(
+        ("li", li, "l_orderkey"), ("o", o, "o_orderkey"), ("oc", o, "o_custkey")))
+      .queryExecution.executedPlan.toString
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 3, s"expected 3 scans (one per source), got $scans:\n$plan")
+  }
+
   test("FD audit plan: one table scan, no per-pair rescans") {
     val orders = graft.core.Tables(spark, sfSmoke, "orders")
     val plan = Profiling
