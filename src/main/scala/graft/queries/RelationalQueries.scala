@@ -530,7 +530,61 @@ object RelationalQueries {
         .orderBy("user_id", "s_start")
     }))
 
+  /** q152's profiled column set — one source of truth for the Spark query
+    * and the generated pair-by-pair oracle.
+    */
+  private val fdCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** Generated FD-audit oracle: one UNION ALL arm per ordered pair,
+    * n_lhs/n_pairs from DISTINCT subqueries with the operator's null
+    * exclusion replayed per pair.
+    */
+  private def fdOracle(table: String, cols: Seq[String]): String = {
+    val arms = for { a <- cols; b <- cols if a != b } yield
+      s"""SELECT '$a' AS a, '$b' AS b,
+         |  CAST((SELECT count(DISTINCT $a) FROM $table
+         |        WHERE $a IS NOT NULL AND $b IS NOT NULL) AS BIGINT) AS n_lhs,
+         |  CAST((SELECT count(*) FROM (SELECT DISTINCT $a, $b FROM $table
+         |        WHERE $a IS NOT NULL AND $b IS NOT NULL)) AS BIGINT) AS n_pairs""".stripMargin
+    arms.mkString("WITH u AS (\n", "\nUNION ALL\n", "\n)\n") +
+      "SELECT a, b, n_lhs, n_pairs, n_pairs = n_lhs AS holds,\n" +
+      "       n_pairs - n_lhs AS violations\nFROM u ORDER BY a, b"
+  }
+
+  /** q153's profiled (label, table, column) sources — shared by the Spark
+    * query's source list and the generated oracle.
+    */
+  private val indSources = Seq(
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("orders.o_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("customer.c_custkey", "customer", "c_custkey"))
+
+  /** Generated IND oracle: per ordered pair, n_lhs_values = distinct
+    * non-null values of a; n_missing = |values(a) EXCEPT values(b)| on
+    * the same string-cast identity the operator uses.
+    */
+  private def indOracle(sources: Seq[(String, String, String)]): String = {
+    val arms = for {
+      (la, ta, ca) <- sources; (lb, tb, cb) <- sources if la != lb
+    } yield
+      s"""SELECT '$la' AS a, '$lb' AS b,
+         |  CAST((SELECT count(DISTINCT CAST($ca AS VARCHAR)) FROM $ta
+         |        WHERE $ca IS NOT NULL) AS BIGINT) AS n_lhs_values,
+         |  CAST((SELECT count(*) FROM (
+         |          SELECT DISTINCT CAST($ca AS VARCHAR) AS v FROM $ta WHERE $ca IS NOT NULL
+         |          EXCEPT
+         |          SELECT DISTINCT CAST($cb AS VARCHAR) FROM $tb WHERE $cb IS NOT NULL))
+         |       AS BIGINT) AS n_missing""".stripMargin
+    arms.mkString("WITH u AS (\n", "\nUNION ALL\n", "\n)\n") +
+      "SELECT a, b, n_lhs_values, n_missing, n_missing = 0 AS holds\n" +
+      "FROM u ORDER BY a, b"
+  }
+
   val gapOracles: Map[String, String] = Map(
+    "q152_fd_profile" -> fdOracle("orders", fdCols),
+    "q153_ind_profile" -> indOracle(indSources),
+
     "q38_table_stats" ->
       """SELECT count(*) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
@@ -795,60 +849,7 @@ object RelationalQueries {
         |GROUP BY iv.user_id, iv.s_start, iv.s_end
         |ORDER BY iv.user_id, iv.s_start""".stripMargin)
 
-  /** q152's profiled column set — one source of truth for the Spark query
-    * and the generated pair-by-pair oracle.
-    */
-  private val fdCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-
-  /** Generated FD-audit oracle: one UNION ALL arm per ordered pair,
-    * n_lhs/n_pairs from DISTINCT subqueries with the operator's null
-    * exclusion replayed per pair.
-    */
-  private def fdOracle(table: String, cols: Seq[String]): String = {
-    val arms = for { a <- cols; b <- cols if a != b } yield
-      s"""SELECT '$a' AS a, '$b' AS b,
-         |  CAST((SELECT count(DISTINCT $a) FROM $table
-         |        WHERE $a IS NOT NULL AND $b IS NOT NULL) AS BIGINT) AS n_lhs,
-         |  CAST((SELECT count(*) FROM (SELECT DISTINCT $a, $b FROM $table
-         |        WHERE $a IS NOT NULL AND $b IS NOT NULL)) AS BIGINT) AS n_pairs""".stripMargin
-    arms.mkString("WITH u AS (\n", "\nUNION ALL\n", "\n)\n") +
-      "SELECT a, b, n_lhs, n_pairs, n_pairs = n_lhs AS holds,\n" +
-      "       n_pairs - n_lhs AS violations\nFROM u ORDER BY a, b"
-  }
-
-  /** q153's profiled (label, table, column) sources — shared by the Spark
-    * query's source list and the generated oracle.
-    */
-  private val indSources = Seq(
-    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
-    ("orders.o_orderkey", "orders", "o_orderkey"),
-    ("orders.o_custkey", "orders", "o_custkey"),
-    ("customer.c_custkey", "customer", "c_custkey"))
-
-  /** Generated IND oracle: per ordered pair, n_lhs_values = distinct
-    * non-null values of a; n_missing = |values(a) EXCEPT values(b)| on
-    * the same string-cast identity the operator uses.
-    */
-  private def indOracle(sources: Seq[(String, String, String)]): String = {
-    val arms = for {
-      (la, ta, ca) <- sources; (lb, tb, cb) <- sources if la != lb
-    } yield
-      s"""SELECT '$la' AS a, '$lb' AS b,
-         |  CAST((SELECT count(DISTINCT CAST($ca AS VARCHAR)) FROM $ta
-         |        WHERE $ca IS NOT NULL) AS BIGINT) AS n_lhs_values,
-         |  CAST((SELECT count(*) FROM (
-         |          SELECT DISTINCT CAST($ca AS VARCHAR) AS v FROM $ta WHERE $ca IS NOT NULL
-         |          EXCEPT
-         |          SELECT DISTINCT CAST($cb AS VARCHAR) FROM $tb WHERE $cb IS NOT NULL))
-         |       AS BIGINT) AS n_missing""".stripMargin
-    arms.mkString("WITH u AS (\n", "\nUNION ALL\n", "\n)\n") +
-      "SELECT a, b, n_lhs_values, n_missing, n_missing = 0 AS holds\n" +
-      "FROM u ORDER BY a, b"
-  }
-
   val oracles: Map[String, String] = Map(
-    "q152_fd_profile" -> fdOracle("orders", fdCols),
-    "q153_ind_profile" -> indOracle(indSources),
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
