@@ -713,6 +713,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "ind_profile(sourcesCsv) - inclusion-dependency (FK) discovery over 'table:column' sources: (a, b, n_lhs_values, n_missing, holds). Single value-grouped pass, no per-pair EXCEPT joins.",
         ""),
       exprs => GraftExtensions.indProfilePlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(
+        classOf[graft.operators.Pq.type].getName,
+        null,
+        "pq_adc",
+        "pq_adc(queries, qIdCol, qEmbCol, corpus, idCol, embCol, dim, m, ks, iters, k) - product-quantization ADC top-k: integer-centroid codebooks trained inline, (q_id, n_id, rank, d2).",
+        ""),
+      exprs => GraftExtensions.pqAdcPlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1772,6 +1781,36 @@ object GraftExtensions {
       .functionalDependencies(
         SparkSession.active.table(strArg(n, exprs.head, "table")),
         cols)
+      .queryExecution.logical
+  }
+
+  private[graft] def pqAdcPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "pq_adc"
+    require(
+      exprs.length == 11,
+      s"$n expects (queries, qIdCol, qEmbCol, corpus, idCol, embCol, dim, m, ks, iters, k), got " +
+        exprs.length + " arguments")
+    import org.apache.spark.sql.functions.col
+    val corpus = SparkSession.active.table(strArg(n, exprs(3), "corpus"))
+      .select(
+        col(strArg(n, exprs(4), "idCol")).as("vid"),
+        col(strArg(n, exprs(5), "embCol")).as("emb"))
+    val dim = longArg(n, exprs(6), "dim").toInt
+    val m = longArg(n, exprs(7), "m").toInt
+    val books = graft.operators.Pq.trainCodebooks(
+      corpus, dim, m,
+      longArg(n, exprs(8), "ks").toInt,
+      longArg(n, exprs(9), "iters").toInt)
+    val codes = graft.operators.Pq.encode(corpus, books, dim, m)
+    graft.operators.Pq
+      .adcTopK(
+        SparkSession.active.table(strArg(n, exprs.head, "queries"))
+          .select(
+            col(strArg(n, exprs(1), "qIdCol")).as("q_id"),
+            col(strArg(n, exprs(2), "qEmbCol")).as("q_emb")),
+        books, codes,
+        longArg(n, exprs(10), "k").toInt,
+        dim, m)
       .queryExecution.logical
   }
 

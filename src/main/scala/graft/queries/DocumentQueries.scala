@@ -1381,7 +1381,23 @@ object DocumentQueries {
 
     // All decontamination tiers folded into one per-document verdict —
     // see [[deconVerdict]].
-    "q151_decon_verdict" -> ((s, dir) => deconVerdict(s, dir)))
+    "q151_decon_verdict" -> ((s, dir) => deconVerdict(s, dir)),
+
+    // Product-quantization ADC search: 4 subspaces × 16 codes (64 float
+    // dims → 4 bytes/vector), integer-centroid Lloyd codebooks, per-query
+    // distance TABLE against codes — the FAISS-style serving shape. Every
+    // distance is an exact integer; the oracle replays seeding, both
+    // Lloyd rounds, encode, and ADC bit-for-bit.
+    "q154_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val vecs = emb.select(col("vec_id").as("vid"), col("embedding").as("emb"))
+      val books = graft.operators.Pq.trainCodebooks(vecs, 64, 4, 16, iters = 2)
+      val codes = graft.operators.Pq.encode(vecs, books, 64, 4)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.operators.Pq.adcTopK(q, books, codes, 10, 64, 4)
+        .orderBy("q_id", "rank")
+    }))
 
   /** q151: the decontamination VERDICT — every tier of the family (q57
     * exact 5-grams, q65 fuzzy Jaccard, q135 semantic embedding) run over
@@ -2701,6 +2717,74 @@ object DocumentQueries {
         |LEFT JOIN fz ON i.doc_id = fz.doc_id
         |LEFT JOIN sm ON i.doc_id = sm.doc_id
         |ORDER BY i.doc_id""".stripMargin,
+
+    "q154_pq_adc" ->
+      """WITH q AS (
+        |  SELECT vec_id AS vid,
+        |         [CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)
+        |          FOR x IN embedding] AS qe
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vid, s.s AS sub, qe[s.s * 16 + 1 : s.s * 16 + 16] AS sq
+        |  FROM q, range(0, 4) s(s)),
+        |b0 AS (
+        |  SELECT sub, cell, sq AS c FROM (
+        |    SELECT sub, vid, sq,
+        |           row_number() OVER (PARTITION BY sub
+        |             ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS cell
+        |    FROM sv) WHERE cell <= 16),
+        |a0 AS (
+        |  SELECT vid, sub, sq, cell FROM (
+        |    SELECT sv.vid, sv.sub, sv.sq, b.cell,
+        |           row_number() OVER (PARTITION BY sv.vid, sv.sub ORDER BY
+        |             list_sum(list_transform(range(1, 17),
+        |               i -> (sv.sq[i] - b.c[i]) * (sv.sq[i] - b.c[i]))), b.cell) AS rn
+        |    FROM sv JOIN b0 b USING (sub)) WHERE rn = 1),
+        |b1 AS (
+        |  SELECT sub, cell,
+        |         list(CAST(floor(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY dim) AS c
+        |  FROM (SELECT sub, cell, i AS dim, CAST(sum(sq[i]) AS BIGINT) AS sv,
+        |               count(*) AS cnt
+        |        FROM a0, range(1, 17) t(i) GROUP BY sub, cell, i)
+        |  GROUP BY sub, cell),
+        |a1 AS (
+        |  SELECT vid, sub, sq, cell FROM (
+        |    SELECT sv.vid, sv.sub, sv.sq, b.cell,
+        |           row_number() OVER (PARTITION BY sv.vid, sv.sub ORDER BY
+        |             list_sum(list_transform(range(1, 17),
+        |               i -> (sv.sq[i] - b.c[i]) * (sv.sq[i] - b.c[i]))), b.cell) AS rn
+        |    FROM sv JOIN b1 b USING (sub)) WHERE rn = 1),
+        |b2 AS (
+        |  SELECT sub, cell,
+        |         list(CAST(floor(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY dim) AS c
+        |  FROM (SELECT sub, cell, i AS dim, CAST(sum(sq[i]) AS BIGINT) AS sv,
+        |               count(*) AS cnt
+        |        FROM a1, range(1, 17) t(i) GROUP BY sub, cell, i)
+        |  GROUP BY sub, cell),
+        |a2 AS (
+        |  SELECT vid, sub, cell FROM (
+        |    SELECT sv.vid, sv.sub, b.cell,
+        |           row_number() OVER (PARTITION BY sv.vid, sv.sub ORDER BY
+        |             list_sum(list_transform(range(1, 17),
+        |               i -> (sv.sq[i] - b.c[i]) * (sv.sq[i] - b.c[i]))), b.cell) AS rn
+        |    FROM sv JOIN b2 b USING (sub)) WHERE rn = 1),
+        |dtable AS (
+        |  SELECT sv.vid AS q_id, sv.sub, b.cell,
+        |         CAST(list_sum(list_transform(range(1, 17),
+        |           i -> (sv.sq[i] - b.c[i]) * (sv.sq[i] - b.c[i]))) AS BIGINT) AS d2
+        |  FROM sv JOIN b2 b USING (sub)
+        |  WHERE sv.vid < 10),
+        |scored AS (
+        |  SELECT d.q_id, a.vid AS n_id, CAST(sum(d.d2) AS BIGINT) AS d2
+        |  FROM a2 a JOIN dtable d ON a.sub = d.sub AND a.cell = d.cell
+        |  WHERE d.q_id <> a.vid
+        |  GROUP BY d.q_id, a.vid)
+        |SELECT q_id, n_id,
+        |       CAST(rank AS BIGINT) AS rank, d2
+        |FROM (SELECT q_id, n_id, d2,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "q144_ivf_upsert" ->
       """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),

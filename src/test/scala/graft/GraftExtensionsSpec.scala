@@ -850,5 +850,19 @@ class GraftExtensionsSpec extends SparkSpec {
       ("ind_customer.c_custkey", spark.table("ind_customer"), "c_custkey")))
     assert(indSql.columns.toSeq == indScala.columns.toSeq)
     assert(indSql.exceptAll(indScala).isEmpty && indScala.exceptAll(indSql).isEmpty)
+
+    embs.filter(col("vec_id") < 5).createOrReplaceTempView("pq_queries")
+    embs.createOrReplaceTempView("pq_corpus")
+    val pqSql = spark.sql(
+      "SELECT * FROM pq_adc('pq_queries', 'vec_id', 'embedding', " +
+        "'pq_corpus', 'vec_id', 'embedding', 64, 4, 8, 1, 5)")
+    val pqCorpus = embs.select(col("vec_id").as("vid"), col("embedding").as("emb"))
+    val pqBooks = graft.operators.Pq.trainCodebooks(pqCorpus, 64, 4, 8, 1)
+    val pqScala = graft.operators.Pq.adcTopK(
+      embs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      pqBooks, graft.operators.Pq.encode(pqCorpus, pqBooks, 64, 4), 5, 64, 4)
+    assert(pqSql.columns.toSeq == pqScala.columns.toSeq)
+    assert(pqSql.exceptAll(pqScala).isEmpty && pqScala.exceptAll(pqSql).isEmpty)
   }
 }
