@@ -155,4 +155,61 @@ object Pq {
       .perGroup(scored, Seq("q_id"), Seq(col("d2").asc, col("n_id").asc), k, rankCol = "rank")
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"), col("d2"))
   }
+
+  /** IVF-PQ: the composed serving index — coarse IVF cells prune the
+    * candidate set ([[SimilaritySearch.buildIvfIndex]]'s cosine cells,
+    * query probes its `nProbe` nearest), and ADC scores ONLY the probed
+    * cells' codes. Candidate volume per query is Σ|probed cells| and the
+    * scored payload is codes, never vectors — at 100 TB the index is
+    * cells × (4-byte codes + 8-byte ids) and a query touches
+    * nProbe/nCells of it. Output: (q_id, n_id, rank, d2).
+    */
+  def ivfPqTopK(
+      queries: DataFrame, // (q_id, q_emb)
+      centroids: DataFrame, // (cell, c_emb) — coarse IVF cells
+      assigned: DataFrame, // (n_id, cell) — coarse assignment
+      books: DataFrame,
+      codes: DataFrame, // (vid, codes)
+      k: Int,
+      dim: Int,
+      m: Int,
+      nProbe: Int = 4,
+      quantBits: Int = 10): DataFrame = {
+    graft.functions.CosineSimilarity.register(queries.sparkSession)
+    // probe cells per query: nProbe best-cosine coarse cells (bounded:
+    // queries × nCells rows, the q44 probe shape)
+    val probes = TopK
+      .perGroup(
+        queries.crossJoin(broadcast(centroids))
+          .withColumn(
+            "csim",
+            graft.functions.CosineSimilarity.cosine_sim(col("q_emb"), col("c_emb"))),
+        Seq("q_id"),
+        Seq(col("csim").desc, col("cell").asc),
+        nProbe,
+        rankCol = "pr")
+      .select(col("q_id").as("__p_qid"), col("cell"))
+    val qsv = subvectors(
+      queries.select(col("q_id").as("vid"), col("q_emb").as("emb")), dim, m, quantBits)
+      .select(col("vid").as("q_id"), col("sub"), col("sq"))
+    val dtable = qsv.join(broadcast(books), "sub")
+      .select(col("q_id"), col("sub"), col("cell"), d2i(col("sq"), col("c")).as("d2"))
+    // candidates: codes of vectors in the query's probed coarse cells
+    val cand = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("__p_qid"), col("n_id"))
+    val scored = cand
+      .join(codes.select(col("vid").as("n_id"), col("codes")), "n_id")
+      .select(
+        col("__p_qid").as("q_id"),
+        col("n_id"),
+        posexplode(col("codes")).as(Seq("sub", "cell")))
+      .join(broadcast(dtable), Seq("q_id", "sub", "cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum("d2").as("d2"))
+    TopK
+      .perGroup(scored, Seq("q_id"), Seq(col("d2").asc, col("n_id").asc), k, rankCol = "rank")
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"), col("d2"))
+  }
 }

@@ -1397,6 +1397,26 @@ object DocumentQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       graft.operators.Pq.adcTopK(q, books, codes, 10, 64, 4)
         .orderBy("q_id", "rank")
+    }),
+
+    // IVF-PQ: the composed serving index — coarse cosine cells prune
+    // candidates (nProbe=4 of 16), ADC scores only the probed cells'
+    // 4-byte codes. The oracle replays the coarse index (q44's recipe),
+    // the PQ training (one Lloyd round), encode, and the pruned ADC.
+    "q155_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val vecs = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val (cents, assigned) =
+        graft.operators.SimilaritySearch.buildIvfIndex(vecs, 16)
+      val pqCorpus = emb.select(col("vec_id").as("vid"), col("embedding").as("emb"))
+      val books = graft.operators.Pq.trainCodebooks(pqCorpus, 64, 4, 16, iters = 1)
+      val codes = graft.operators.Pq.encode(pqCorpus, books, 64, 4)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.operators.Pq
+        .ivfPqTopK(q, cents, assigned.select("n_id", "cell"), books, codes,
+          k = 10, dim = 64, m = 4, nProbe = 4)
+        .orderBy("q_id", "rank")
     }))
 
   /** q151: the decontamination VERDICT — every tier of the family (q57
@@ -2781,6 +2801,80 @@ object DocumentQueries {
         |  GROUP BY d.q_id, a.vid)
         |SELECT q_id, n_id,
         |       CAST(rank AS BIGINT) AS rank, d2
+        |FROM (SELECT q_id, n_id, d2,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q155_ivfpq" ->
+      """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+        |             FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS ccell,
+        |         e AS c_e
+        |  FROM emb QUALIFY ccell <= 16),
+        |asg AS (
+        |  SELECT vec_id AS n_id, ccell FROM (
+        |    SELECT emb.vec_id, cent.ccell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |             ORDER BY list_cosine_similarity(emb.e, cent.c_e) DESC, cent.ccell) AS rn
+        |    FROM emb, cent) WHERE rn = 1),
+        |probes AS (
+        |  SELECT q_id, ccell FROM (
+        |    SELECT emb.vec_id AS q_id, cent.ccell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |             ORDER BY list_cosine_similarity(emb.e, cent.c_e) DESC, cent.ccell) AS pr
+        |    FROM emb, cent WHERE emb.vec_id < 10) WHERE pr <= 4),
+        |q AS (SELECT vec_id AS vid,
+        |             [CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)
+        |              FOR x IN embedding] AS qe
+        |      FROM embeddings),
+        |sv AS (SELECT vid, s.s AS sub, qe[s.s * 16 + 1 : s.s * 16 + 16] AS sq
+        |       FROM q, range(0, 4) s(s)),
+        |b0 AS (
+        |  SELECT sub, cell, sq AS c FROM (
+        |    SELECT sub, vid, sq,
+        |           row_number() OVER (PARTITION BY sub
+        |             ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS cell
+        |    FROM sv) WHERE cell <= 16),
+        |a0 AS (
+        |  SELECT vid, sub, sq, cell FROM (
+        |    SELECT sv.vid, sv.sub, sv.sq, b.cell,
+        |           row_number() OVER (PARTITION BY sv.vid, sv.sub ORDER BY
+        |             list_sum(list_transform(range(1, 17),
+        |               i -> (sv.sq[i] - b.c[i]) * (sv.sq[i] - b.c[i]))), b.cell) AS rn
+        |    FROM sv JOIN b0 b USING (sub)) WHERE rn = 1),
+        |b1 AS (
+        |  SELECT sub, cell,
+        |         list(CAST(floor(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY dim) AS c
+        |  FROM (SELECT sub, cell, i AS dim, CAST(sum(sq[i]) AS BIGINT) AS sv,
+        |               count(*) AS cnt
+        |        FROM a0, range(1, 17) t(i) GROUP BY sub, cell, i)
+        |  GROUP BY sub, cell),
+        |a1 AS (
+        |  SELECT vid, sub, cell FROM (
+        |    SELECT sv.vid, sv.sub, b.cell,
+        |           row_number() OVER (PARTITION BY sv.vid, sv.sub ORDER BY
+        |             list_sum(list_transform(range(1, 17),
+        |               i -> (sv.sq[i] - b.c[i]) * (sv.sq[i] - b.c[i]))), b.cell) AS rn
+        |    FROM sv JOIN b1 b USING (sub)) WHERE rn = 1),
+        |dtable AS (
+        |  SELECT sv.vid AS q_id, sv.sub, b.cell,
+        |         CAST(list_sum(list_transform(range(1, 17),
+        |           i -> (sv.sq[i] - b.c[i]) * (sv.sq[i] - b.c[i]))) AS BIGINT) AS d2
+        |  FROM sv JOIN b1 b USING (sub)
+        |  WHERE sv.vid < 10),
+        |cand AS (
+        |  SELECT p.q_id, a.n_id
+        |  FROM probes p JOIN asg a USING (ccell)),
+        |scored AS (
+        |  SELECT c.q_id, c.n_id, CAST(sum(d.d2) AS BIGINT) AS d2
+        |  FROM cand c
+        |  JOIN a1 ON a1.vid = c.n_id
+        |  JOIN dtable d ON d.q_id = c.q_id AND d.sub = a1.sub AND d.cell = a1.cell
+        |  WHERE c.q_id <> c.n_id
+        |  GROUP BY c.q_id, c.n_id)
+        |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, d2
         |FROM (SELECT q_id, n_id, d2,
         |             row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
         |      FROM scored)

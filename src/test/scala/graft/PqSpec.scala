@@ -77,4 +77,28 @@ class PqSpec extends SparkSpec {
       assert(got(q).contains(q - 10000), s"copy $q missed its source")
     }
   }
+
+  test("IVF-PQ with full probe width equals plain ADC; pruned probes score identically") {
+    val corpus = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val (cents, assigned) =
+      graft.operators.SimilaritySearch.buildIvfIndex(corpus, 8)
+    val books = Pq.trainCodebooks(vecs, 64, 4, 16, iters = 1)
+    val codes = Pq.encode(vecs, books, 64, 4)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val adc = Pq.adcTopK(q, books, codes, 10, 64, 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    // probing EVERY cell removes the pruning: identical result
+    val full = Pq.ivfPqTopK(q, cents, assigned.select("n_id", "cell"), books, codes,
+        10, 64, 4, nProbe = 8)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(full == adc)
+    // pruned probes: a strict candidate subset, but every returned pair
+    // carries the same d2 the full ADC assigns it
+    val pruned = Pq.ivfPqTopK(q, cents, assigned.select("n_id", "cell"), books, codes,
+        10, 64, 4, nProbe = 2)
+      .select("q_id", "n_id", "d2")
+    val fullD2 = Pq.adcTopK(q, books, codes, 2000, 64, 4).select("q_id", "n_id", "d2")
+    assert(pruned.join(fullD2, Seq("q_id", "n_id", "d2")).count() == pruned.count())
+  }
 }
