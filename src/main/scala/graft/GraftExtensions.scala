@@ -722,6 +722,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "pq_adc(queries, qIdCol, qEmbCol, corpus, idCol, embCol, dim, m, ks, iters, k) - product-quantization ADC top-k: integer-centroid codebooks trained inline, (q_id, n_id, rank, d2).",
         ""),
       exprs => GraftExtensions.pqAdcPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("pareto_front"),
+      new ExpressionInfo(
+        classOf[graft.operators.Skyline.type].getName,
+        null,
+        "pareto_front",
+        "pareto_front(table, idCol, dimsCsv) - distributed skyline: rows no other row dominates on ALL (maximizing) dims; two-phase bucket-local fronts, no n-squared theta-join.",
+        ""),
+      exprs => GraftExtensions.paretoFrontPlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1811,6 +1820,21 @@ object GraftExtensions {
         books, codes,
         longArg(n, exprs(10), "k").toInt,
         dim, m)
+      .queryExecution.logical
+  }
+
+  private[graft] def paretoFrontPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "pareto_front"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, idCol, dimsCsv), got " + exprs.length + " arguments")
+    val dims = strArg(n, exprs(2), "dimsCsv").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(dims.nonEmpty, s"$n: dimsCsv named no columns")
+    graft.operators.Skyline
+      .paretoFront(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        dims)
       .queryExecution.logical
   }
 

@@ -116,6 +116,21 @@ object TextAnalysis {
     * r_div = distinct_frac ≥ 0.25; r_rep = dup_2gram_frac ≤ 0.9;
     * `pass` = all four.
     */
+  /** Occurrences of a token array's most frequent token via sort + one
+    * run-length fold — the naive distinct×filter form is O(u·n) per
+    * document. Shared by [[qualityRules]]' repetition signal and the
+    * q156 skyline criteria.
+    */
+  def topTokenCount(tokens: Column): Column =
+    aggregate(
+      array_sort(tokens),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
   def qualityRules(
       df: DataFrame,
       idCol: String,
@@ -129,16 +144,7 @@ object TextAnalysis {
     // CollapseProject keeps the stages (multiply-referenced non-cheap
     // aliases), so each array is computed once per row.
     val t = col("__toks")
-    // occurrences of the most frequent token via sort + one run-length
-    // fold — the naive distinct×filter form is O(u·n) per document
-    val topCount = aggregate(
-      array_sort(t),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
+    val topCount = topTokenCount(t)
     val grams2 = when(
       size(t) >= 2,
       transform(sequence(lit(0), size(t) - 2), i => concat_ws(" ", slice(t, i + 1, lit(2)))))

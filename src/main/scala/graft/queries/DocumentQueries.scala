@@ -1417,6 +1417,25 @@ object DocumentQueries {
         .ivfPqTopK(q, cents, assigned.select("n_id", "cell"), books, codes,
           k = 10, dim = 64, m = 4, nProbe = 4)
         .orderBy("q_id", "rank")
+    }),
+
+    // Pareto-front curation: the documents no other document beats on
+    // ALL of (length, lexical diversity, low repetition) — multi-
+    // objective selection with no scalar score. Two-phase distributed
+    // skyline (bucket-local fronts, then survivors²); oracle = the
+    // brute-force NOT EXISTS dominance.
+    "q156_pareto_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tk = filter(split(col("text"), " "), x => length(x) > 0)
+      val crit = docs.select(col("doc_id"), tk.as("__t"))
+        .select(
+          col("doc_id"),
+          size(col("__t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__t"))).cast("long").as("n_uniq"),
+          (-graft.operators.TextAnalysis.topTokenCount(col("__t"))).cast("long").as("neg_top"))
+      graft.operators.Skyline
+        .paretoFront(crit, "doc_id", Seq("n_tokens", "n_uniq", "neg_top"))
+        .orderBy("doc_id")
     }))
 
   /** q151: the decontamination VERDICT — every tier of the family (q57
@@ -2879,6 +2898,27 @@ object DocumentQueries {
         |             row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
         |      FROM scored)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q156_pareto_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |         CAST(-list_max(list_transform(list_distinct(toks),
+        |           d -> len(list_filter(toks, x -> x = d)))) AS BIGINT) AS neg_top
+        |  FROM t)
+        |SELECT r.doc_id, r.n_tokens, r.n_uniq, r.neg_top
+        |FROM c r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM c d
+        |  WHERE d.n_tokens >= r.n_tokens AND d.n_uniq >= r.n_uniq
+        |    AND d.neg_top >= r.neg_top
+        |    AND (d.n_tokens > r.n_tokens OR d.n_uniq > r.n_uniq
+        |         OR d.neg_top > r.neg_top))
+        |ORDER BY r.doc_id""".stripMargin,
 
     "q144_ivf_upsert" ->
       """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),

@@ -864,5 +864,14 @@ class GraftExtensionsSpec extends SparkSpec {
       pqBooks, graft.operators.Pq.encode(pqCorpus, pqBooks, 64, 4), 5, 64, 4)
     assert(pqSql.columns.toSeq == pqScala.columns.toSeq)
     assert(pqSql.exceptAll(pqScala).isEmpty && pqScala.exceptAll(pqSql).isEmpty)
+
+    docs.select(col("doc_id"), col("n_chars").cast("long").as("a"),
+        (col("doc_id") % 7).cast("long").as("b"))
+      .createOrReplaceTempView("pf_pts")
+    val pfSql = spark.sql("SELECT * FROM pareto_front('pf_pts', 'doc_id', 'a,b')")
+    val pfScala = graft.operators.Skyline
+      .paretoFront(spark.table("pf_pts"), "doc_id", Seq("a", "b"))
+    assert(pfSql.columns.toSeq == pfScala.columns.toSeq)
+    assert(pfSql.exceptAll(pfScala).isEmpty && pfScala.exceptAll(pfSql).isEmpty)
   }
 }
