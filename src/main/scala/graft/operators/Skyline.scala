@@ -60,7 +60,23 @@ object Skyline {
       buckets: Int = 64): DataFrame = {
     require(dims.nonEmpty, "need at least one criterion dimension")
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val vecs = df.select(dims.map(col): _*).distinct()
+    val winning = frontVectors(df.select(dims.map(col): _*).distinct(), dims, buckets)
+    df.select((idCol +: dims).map(col): _*)
+      .join(broadcast(winning), dims)
+      .select((idCol +: dims).map(col): _*)
+  }
+
+  /** The two-phase front over a DISTINCT criteria-vector relation —
+    * shared by [[paretoFront]] and the streaming consumer
+    * ([[graft.streaming.StreamingSkyline]], which carries the running
+    * front through the online-skyline law front(A ∪ B) =
+    * front(front(A) ∪ B): a dominated vector can never re-enter).
+    */
+  private[graft] def frontVectors(
+      vecs0: DataFrame, // dims columns only, distinct
+      dims: Seq[String],
+      buckets: Int): DataFrame = {
+    val vecs = vecs0
       .withColumn("__bk", pmod(xxhash64(dims.map(col): _*), lit(buckets)))
 
     // anti-join away every vector with a dominator; phase 1 keys the
@@ -77,9 +93,6 @@ object Skyline {
         "left_anti")
     }
 
-    val winning = front(front(vecs, Seq("__bk")).drop("__bk"), Seq.empty)
-    df.select((idCol +: dims).map(col): _*)
-      .join(broadcast(winning), dims)
-      .select((idCol +: dims).map(col): _*)
+    front(front(vecs, Seq("__bk")).drop("__bk"), Seq.empty)
   }
 }

@@ -120,6 +120,25 @@ object StreamingQueries {
           "user_id", "tsec", genSecs = 86400L, horizon = 14, k = 10, chunks = 4)
         .orderBy("batch", "rank")),
 
+    // Streaming Pareto front: per batch close, the skyline over every
+    // document seen so far. State = the running front ITSELF (the
+    // online-skyline law front(A∪B) = front(front(A)∪B) makes dominated
+    // history droppable by theorem) — the smallest streaming state in
+    // the repo. Oracle recomputes every batch-prefix front.
+    "q157_stream_pareto" -> ((s, dir) => {
+      val tk = filter(split(col("text"), " "), x => length(x) > 0)
+      val crit = t(s, dir, "documents")
+        .select(col("doc_id"), tk.as("__t"))
+        .select(
+          col("doc_id"),
+          size(col("__t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__t"))).cast("long").as("n_uniq"),
+          (-graft.operators.TextAnalysis.topTokenCount(col("__t"))).cast("long").as("neg_top"))
+      graft.streaming.StreamingSkyline
+        .run(crit, "doc_id", Seq("n_tokens", "n_uniq", "neg_top"), chunks = 4)
+        .orderBy("batch", "n_tokens", "n_uniq", "neg_top")
+    }),
+
     // The q17 semi-stream join with the stored side behind the POINT-LOOKUP
     // store connector (SURVEY S5 keyed fetch in its remote regime): the
     // part dimension is published into a hash-bucketed KV store
@@ -610,6 +629,41 @@ object StreamingQueries {
 
     // q126's MD5 batch assignment; qi_n = same-combo rows with batch <=
     // own batch (decision at own batch's close)
+    "q157_stream_pareto" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |c0 AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |         CAST(-list_max(list_transform(list_distinct(toks),
+        |           d -> len(list_filter(toks, x -> x = d)))) AS BIGINT) AS neg_top
+        |  FROM t),
+        |d AS (
+        |  SELECT c0.*,
+        |         CAST(floor(
+        |           CAST(list_sum(list_transform(range(0, 8), i ->
+        |             CAST(instr('0123456789abcdef',
+        |                        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                  AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS DOUBLE)
+        |             / 4294967296.0 * 4) AS INT) AS b
+        |  FROM c0),
+        |bt AS (SELECT DISTINCT b FROM d),
+        |v AS (
+        |  SELECT DISTINCT bt.b AS batch, x.n_tokens, x.n_uniq, x.neg_top
+        |  FROM bt JOIN d x ON x.b <= bt.b)
+        |SELECT CAST(r.batch AS BIGINT) AS batch, r.n_tokens, r.n_uniq, r.neg_top
+        |FROM v r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM v x
+        |  WHERE x.batch = r.batch
+        |    AND x.n_tokens >= r.n_tokens AND x.n_uniq >= r.n_uniq
+        |    AND x.neg_top >= r.neg_top
+        |    AND (x.n_tokens > r.n_tokens OR x.n_uniq > r.n_uniq
+        |         OR x.neg_top > r.neg_top))
+        |ORDER BY batch, r.n_tokens, r.n_uniq, r.neg_top""".stripMargin,
+
     "q149_stream_decayed_topk" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS tsec FROM events),
         |bnd AS (SELECT min(tsec) AS lo, max(tsec) AS hi FROM e),
