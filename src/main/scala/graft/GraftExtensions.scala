@@ -731,6 +731,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "pareto_front(table, idCol, dimsCsv) - distributed skyline: rows no other row dominates on ALL (maximizing) dims; two-phase bucket-local fronts, no n-squared theta-join.",
         ""),
       exprs => GraftExtensions.paretoFrontPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("percentile_ranks"),
+      new ExpressionInfo(
+        classOf[graft.operators.Quantiles.type].getName,
+        null,
+        "percentile_ranks",
+        "percentile_ranks(table, groupCol, valueCol) - per-group cume_dist of every distinct value in exact basis points, via histogram + recursive prefix sum: (group, value, n_rows, cum_le, pct_bp).",
+        ""),
+      exprs => GraftExtensions.percentileRanksPlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1820,6 +1829,19 @@ object GraftExtensions {
         books, codes,
         longArg(n, exprs(10), "k").toInt,
         dim, m)
+      .queryExecution.logical
+  }
+
+  private[graft] def percentileRanksPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "percentile_ranks"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, groupCol, valueCol), got " + exprs.length + " arguments")
+    graft.operators.Quantiles
+      .percentileRanks(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "groupCol"),
+        strArg(n, exprs(2), "valueCol"))
       .queryExecution.logical
   }
 

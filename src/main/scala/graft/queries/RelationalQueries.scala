@@ -485,6 +485,18 @@ object RelationalQueries {
         .functionalDependencies(t(s, dir, "orders"), fdCols)
         .orderBy("a", "b")),
 
+    // Quantile normalization: within-event-type percentile rank (exact
+    // basis points) of every distinct value — cross-source score
+    // alignment through the histogram + recursive-prefix-sum path (no
+    // data-sized windows anywhere).
+    "q158_quantile_norm" -> ((s, dir) =>
+      graft.operators.Quantiles
+        .percentileRanks(
+          t(s, dir, "events")
+            .select(col("event_type"), round(col("value") * 100).cast("long").as("cents")),
+          "event_type", "cents")
+        .orderBy("event_type", "value")),
+
     // Inclusion-dependency (FK) discovery across lineitem/orders/customer
     // keys: the TPC-H referential arrows come out of the DATA (l_orderkey
     // ⊆ o_orderkey, o_custkey ⊆ c_custkey hold; c_custkey ⊄ o_custkey —
@@ -584,6 +596,23 @@ object RelationalQueries {
   val gapOracles: Map[String, String] = Map(
     "q152_fd_profile" -> fdOracle("orders", fdCols),
     "q153_ind_profile" -> indOracle(indSources),
+
+    "q158_quantile_norm" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, cents AS value, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM v GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, value, n_rows,
+        |         CAST(sum(n_rows) OVER (PARTITION BY event_type ORDER BY value)
+        |              AS BIGINT) AS cum_le,
+        |         CAST(sum(n_rows) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT event_type, value, n_rows, cum_le,
+        |       CAST((cum_le * 10000) // n AS BIGINT) AS pct_bp
+        |FROM c ORDER BY event_type, value""".stripMargin,
 
     "q38_table_stats" ->
       """SELECT count(*) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

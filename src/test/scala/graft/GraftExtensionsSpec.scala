@@ -873,5 +873,13 @@ class GraftExtensionsSpec extends SparkSpec {
       .paretoFront(spark.table("pf_pts"), "doc_id", Seq("a", "b"))
     assert(pfSql.columns.toSeq == pfScala.columns.toSeq)
     assert(pfSql.exceptAll(pfScala).isEmpty && pfScala.exceptAll(pfSql).isEmpty)
+
+    docs.select(col("lang"), col("n_chars").cast("long").as("v"))
+      .createOrReplaceTempView("pr_vals")
+    val prSql = spark.sql("SELECT * FROM percentile_ranks('pr_vals', 'lang', 'v')")
+    val prScala = graft.operators.Quantiles
+      .percentileRanks(spark.table("pr_vals"), "lang", "v")
+    assert(prSql.columns.toSeq == prScala.columns.toSeq)
+    assert(prSql.exceptAll(prScala).isEmpty && prScala.exceptAll(prSql).isEmpty)
   }
 }

@@ -41,4 +41,41 @@ class QuantilesSpec extends SparkSpec {
     // the first aggregate over raw rows must map-side combine
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
   }
+
+  test("percentile ranks equal the cume_dist window form (negatives, sparse, multi-group)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      ("a", -5L), ("a", -5L), ("a", 0L), ("a", 1000000L),
+      ("b", 7L), ("b", 7L), ("b", 7L),
+      ("c", 3L), ("c", 9L)).toDF("g", "v")
+    val got = graft.operators.Quantiles.percentileRanks(df, "g", "v")
+      .orderBy("g", "value").collect().toSeq
+    val expect = df.groupBy("g", "v").count()
+      .withColumn(
+        "cum_le",
+        org.apache.spark.sql.functions.sum("count")
+          .over(Window.partitionBy("g").orderBy("v")))
+      .withColumn(
+        "n",
+        org.apache.spark.sql.functions.sum("count").over(Window.partitionBy("g")))
+      .selectExpr("g", "v AS value", "count AS n_rows", "cum_le",
+        "(cum_le * 10000) div n AS pct_bp")
+      .orderBy("g", "value").collect().toSeq
+    assert(got == expect)
+    // every group tops out at exactly 10000 bp
+    val tops = got.groupBy(_.getString(0)).values.map(_.map(_.getLong(4)).max)
+    assert(tops.forall(_ == 10000L))
+  }
+
+  test("percentile ranks: partition invariance on real data") {
+    val ev = graft.core.Tables(spark, sfSmoke, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr("CAST(round(value * 100) AS LONG)").as("cents"))
+    val a = graft.operators.Quantiles.percentileRanks(ev, "event_type", "cents")
+      .orderBy("event_type", "value").collect().toSeq
+    val b = graft.operators.Quantiles.percentileRanks(ev.repartition(13), "event_type", "cents")
+      .orderBy("event_type", "value").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
