@@ -740,6 +740,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "percentile_ranks(table, groupCol, valueCol) - per-group cume_dist of every distinct value in exact basis points, via histogram + recursive prefix sum: (group, value, n_rows, cum_le, pct_bp).",
         ""),
       exprs => GraftExtensions.percentileRanksPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("golden_record"),
+      new ExpressionInfo(
+        classOf[graft.operators.Survivorship.type].getName,
+        null,
+        "golden_record",
+        "golden_record(table, clusterCol, idCol, longestCsv, maxCsv, modeCsv) - per-cluster survivorship merge under deterministic rules (longest / max / count-desc-value-asc mode); empty CSVs allowed.",
+        ""),
+      exprs => GraftExtensions.goldenRecordPlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1829,6 +1838,25 @@ object GraftExtensions {
         books, codes,
         longArg(n, exprs(10), "k").toInt,
         dim, m)
+      .queryExecution.logical
+  }
+
+  private[graft] def goldenRecordPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "golden_record"
+    require(
+      exprs.length == 6,
+      s"$n expects (table, clusterCol, idCol, longestCsv, maxCsv, modeCsv), got " +
+        exprs.length + " arguments")
+    def csv(i: Int, what: String) =
+      strArg(n, exprs(i), what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    graft.operators.Survivorship
+      .goldenRecord(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "clusterCol"),
+        strArg(n, exprs(2), "idCol"),
+        longestCols = csv(3, "longestCsv"),
+        maxCols = csv(4, "maxCsv"),
+        modeCols = csv(5, "modeCsv"))
       .queryExecution.logical
   }
 

@@ -1419,6 +1419,25 @@ object DocumentQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Golden-record survivorship over the q68 near-dup clusters: each
+    // duplicate class releases ONE record — longest text, max n_chars,
+    // majority lang/source (count-desc value-asc argmax, NOT the
+    // engines' tie-unspecified native mode), min doc_id as canonical.
+    "q159_golden_record" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tokens = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val scores = docs.select(col("doc_id").as("sid"), col("n_chars").as("score"))
+      val labels = Dedup.minhashDedupKeepBest(tokens, scores, tau = 0.8)
+        .select(col("sid").as("doc_id"), col("rep"))
+      graft.operators.Survivorship
+        .goldenRecord(
+          docs.join(labels, "doc_id"), "rep", "doc_id",
+          longestCols = Seq("text"),
+          maxCols = Seq("n_chars"),
+          modeCols = Seq("lang", "source"))
+        .orderBy("rep")
+    }),
+
     // Pareto-front curation: the documents no other document beats on
     // ALL of (length, lexical diversity, low repetition) — multi-
     // objective selection with no scalar score. Two-phase distributed
@@ -2898,6 +2917,56 @@ object DocumentQueries {
         |             row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
         |      FROM scored)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q159_golden_record" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |edges AS (SELECT x AS a, y AS b FROM pairs UNION SELECT y, x FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (
+        |  SELECT d.doc_id,
+        |         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep
+        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |  GROUP BY d.doc_id),
+        |j AS (
+        |  SELECT lab.rep, d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |  FROM lab JOIN documents d ON d.doc_id = lab.doc_id),
+        |base AS (
+        |  SELECT rep, CAST(count(*) AS BIGINT) AS n_members,
+        |         CAST(min(doc_id) AS BIGINT) AS canonical_id,
+        |         CAST(max(n_chars) AS BIGINT) AS n_chars
+        |  FROM j GROUP BY rep),
+        |lt AS (
+        |  SELECT rep, text FROM (
+        |    SELECT rep, text,
+        |           row_number() OVER (PARTITION BY rep
+        |             ORDER BY length(text) DESC, text DESC) AS rn
+        |    FROM j) WHERE rn = 1),
+        |ml AS (
+        |  SELECT rep, lang FROM (
+        |    SELECT rep, lang, count(*) AS c FROM j GROUP BY rep, lang)
+        |  QUALIFY row_number() OVER (PARTITION BY rep ORDER BY c DESC, lang) = 1),
+        |ms AS (
+        |  SELECT rep, source FROM (
+        |    SELECT rep, source, count(*) AS c FROM j GROUP BY rep, source)
+        |  QUALIFY row_number() OVER (PARTITION BY rep ORDER BY c DESC, source) = 1)
+        |SELECT b.rep, b.n_members, b.canonical_id, lt.text, b.n_chars,
+        |       ml.lang, ms.source
+        |FROM base b
+        |JOIN lt ON lt.rep = b.rep
+        |JOIN ml ON ml.rep = b.rep
+        |JOIN ms ON ms.rep = b.rep
+        |ORDER BY b.rep""".stripMargin,
 
     "q156_pareto_docs" ->
       """WITH t AS (

@@ -881,5 +881,15 @@ class GraftExtensionsSpec extends SparkSpec {
       .percentileRanks(spark.table("pr_vals"), "lang", "v")
     assert(prSql.columns.toSeq == prScala.columns.toSeq)
     assert(prSql.exceptAll(prScala).isEmpty && prScala.exceptAll(prSql).isEmpty)
+
+    docs.withColumn("cl", pmod(col("doc_id"), lit(11)))
+      .createOrReplaceTempView("gr_docs")
+    val grSql = spark.sql(
+      "SELECT * FROM golden_record('gr_docs', 'cl', 'doc_id', 'text', 'n_chars', 'lang,source')")
+    val grScala = graft.operators.Survivorship.goldenRecord(
+      spark.table("gr_docs"), "cl", "doc_id",
+      longestCols = Seq("text"), maxCols = Seq("n_chars"), modeCols = Seq("lang", "source"))
+    assert(grSql.columns.toSeq == grScala.columns.toSeq)
+    assert(grSql.exceptAll(grScala).isEmpty && grScala.exceptAll(grSql).isEmpty)
   }
 }
