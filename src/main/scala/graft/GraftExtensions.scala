@@ -749,6 +749,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "golden_record(table, clusterCol, idCol, longestCsv, maxCsv, modeCsv) - per-cluster survivorship merge under deterministic rules (longest / max / count-desc-value-asc mode); empty CSVs allowed.",
         ""),
       exprs => GraftExtensions.goldenRecordPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("rfm"),
+      new ExpressionInfo(
+        classOf[graft.operators.Cohorts.type].getName,
+        null,
+        "rfm",
+        "rfm(table, userCol, tsSecCol, centsCol, asOfSec) - recency/frequency/monetary per user with exact population quintiles: (user, r_days, f, m_cents, r_q, f_q, m_q).",
+        ""),
+      exprs => GraftExtensions.rfmPlan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(
@@ -1838,6 +1847,22 @@ object GraftExtensions {
         books, codes,
         longArg(n, exprs(10), "k").toInt,
         dim, m)
+      .queryExecution.logical
+  }
+
+  private[graft] def rfmPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "rfm"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, userCol, tsSecCol, centsCol, asOfSec), got " +
+        exprs.length + " arguments")
+    graft.operators.Cohorts
+      .rfm(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "userCol"),
+        strArg(n, exprs(2), "tsSecCol"),
+        strArg(n, exprs(3), "centsCol"),
+        longArg(n, exprs(4), "asOfSec"))
       .queryExecution.logical
   }
 

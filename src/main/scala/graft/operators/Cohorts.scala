@@ -63,4 +63,43 @@ object Cohorts {
       // percentage to disagree on
       .withColumn("retention_bp", expr("(n_users * 10000) div cohort_size"))
   }
+
+  /** RFM segmentation (Hughes 1994 — the classic recency/frequency/
+    * monetary customer scoring): per user, days since last event, event
+    * count, and monetary sum in cents, each labeled with its population
+    * QUINTILE — segments like "5-5-5" (recent, frequent, high-value)
+    * drive retention/curation targeting without any model.
+    *
+    * Quintiles come from [[Quantiles.percentileRanks]]' exact cume_dist
+    * (q = ⌈pct_bp/2000⌉ ∈ 1..5), so every label is engine-exact; recency
+    * ranks over NEGATED days (recent = high pct = quintile 5, aligning
+    * all three scales as higher-is-better). The metric aggregation is one
+    * user-keyed pass; each quintile join is histogram-grain (distinct
+    * metric values), broadcast back.
+    * Output: (user_id, r_days, f, m_cents, r_q, f_q, m_q).
+    */
+  def rfm(
+      events: DataFrame,
+      userCol: String,
+      tsSecCol: String,
+      centsCol: String,
+      asOfSec: Long): DataFrame = {
+    val m = events
+      .groupBy(col(userCol))
+      .agg(
+        expr(s"($asOfSec - max($tsSecCol)) div 86400").as("r_days"),
+        count(lit(1)).as("f"),
+        sum(col(centsCol)).as("m_cents"))
+      .withColumn("__negr", -col("r_days"))
+    def quintile(valueCol: String, outCol: String)(df: DataFrame): DataFrame = {
+      val ranks = Quantiles.percentileRanks(m.withColumn("__g", lit(1)), "__g", valueCol)
+        .select(
+          col("value").as(valueCol),
+          expr("CAST((pct_bp + 1999) div 2000 AS INT)").as(outCol))
+      df.join(broadcast(ranks), valueCol)
+    }
+    quintile("m_cents", "m_q")(quintile("f", "f_q")(quintile("__negr", "r_q")(m)))
+      .select(col(userCol), col("r_days"), col("f"), col("m_cents"),
+        col("r_q"), col("f_q"), col("m_q"))
+  }
 }

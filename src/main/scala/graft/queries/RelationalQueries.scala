@@ -485,6 +485,21 @@ object RelationalQueries {
         .functionalDependencies(t(s, dir, "orders"), fdCols)
         .orderBy("a", "b")),
 
+    // RFM segmentation: per-user recency/frequency/monetary with exact
+    // population quintiles from the percentile-rank path — the classic
+    // no-model customer scoring, composed from this round's pieces.
+    "q160_rfm" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(
+          col("user_id"),
+          expr("unix_micros(ts) div 1000000").as("tsec"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val asOf = ev.agg(max("tsec")).head().getLong(0)
+      graft.operators.Cohorts
+        .rfm(ev, "user_id", "tsec", "cents", asOf)
+        .orderBy("user_id")
+    }),
+
     // Quantile normalization: within-event-type percentile rank (exact
     // basis points) of every distinct value — cross-source score
     // alignment through the histogram + recursive-prefix-sum path (no
@@ -596,6 +611,31 @@ object RelationalQueries {
   val gapOracles: Map[String, String] = Map(
     "q152_fd_profile" -> fdOracle("orders", fdCols),
     "q153_ind_profile" -> indOracle(indSources),
+
+    "q160_rfm" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS tsec,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |ao AS (SELECT max(tsec) AS a FROM e),
+        |m AS (
+        |  SELECT user_id,
+        |         CAST((ao.a - max(tsec)) // 86400 AS BIGINT) AS r_days,
+        |         CAST(count(*) AS BIGINT) AS f,
+        |         CAST(sum(cents) AS BIGINT) AS m_cents
+        |  FROM e, ao GROUP BY user_id, ao.a),
+        |q AS (
+        |  SELECT user_id, r_days, f, m_cents,
+        |    count(*) OVER () AS n,
+        |    count(*) OVER (ORDER BY r_days DESC) AS cr,
+        |    count(*) OVER (ORDER BY f) AS cf,
+        |    count(*) OVER (ORDER BY m_cents) AS cm
+        |  FROM m)
+        |SELECT user_id, r_days, f, m_cents,
+        |  CAST(((cr * 10000) // n + 1999) // 2000 AS INT) AS r_q,
+        |  CAST(((cf * 10000) // n + 1999) // 2000 AS INT) AS f_q,
+        |  CAST(((cm * 10000) // n + 1999) // 2000 AS INT) AS m_q
+        |FROM q ORDER BY user_id""".stripMargin,
 
     "q158_quantile_norm" ->
       """WITH v AS (

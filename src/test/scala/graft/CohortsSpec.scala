@@ -48,4 +48,39 @@ class CohortsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((0L, 2L), (1L, 1L)))
   }
+
+  test("RFM: five users with strictly ordered metrics land in quintiles 1..5") {
+    // user u has u events, each of 100·u cents, last event (5−u) days ago:
+    // recency, frequency, monetary all order u=1 (worst) … u=5 (best)
+    val events = (1L to 5L).flatMap { u =>
+      (1L to u).map(i => (u, (5L - u) * -86400L + 1000000000L - i, u * 100L))
+    }.toDF("user_id", "tsec", "cents")
+    val asOf = 1000000000L
+    val got = graft.operators.Cohorts.rfm(events, "user_id", "tsec", "cents", asOf)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Int, Int, Int)].collect().toSeq
+    got.foreach { case (u, rDays, f, m, rq, fq, mq) =>
+      assert(f == u && m == u * u * 100)
+      assert(rDays == 5 - u || rDays == 6 - u) // sub-day offsets floor either side
+      assert(rq == u && fq == u && mq == u, s"user $u got ($rq,$fq,$mq)")
+    }
+  }
+
+  test("RFM quintiles agree with percentileRanks' exact cume_dist") {
+    val ev = graft.core.Tables(spark, sfSmoke, "events")
+      .select(
+        col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("tsec"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val asOf = ev.agg(max("tsec")).head().getLong(0)
+    val got = graft.operators.Cohorts.rfm(ev, "user_id", "tsec", "cents", asOf)
+    // recompute f_q from first principles on the collected metrics
+    val fs = got.select("f").as[Long].collect().sorted
+    val n = fs.length
+    got.select("f", "f_q").as[(Long, Int)].collect().foreach { case (f, fq) =>
+      val cumLe = fs.count(_ <= f).toLong
+      val expect = (((cumLe * 10000) / n + 1999) / 2000).toInt
+      assert(fq == expect, s"f=$f")
+    }
+  }
 }

@@ -891,5 +891,16 @@ class GraftExtensionsSpec extends SparkSpec {
       longestCols = Seq("text"), maxCols = Seq("n_chars"), modeCols = Seq("lang", "source"))
     assert(grSql.columns.toSeq == grScala.columns.toSeq)
     assert(grSql.exceptAll(grScala).isEmpty && grScala.exceptAll(grSql).isEmpty)
+
+    val rfmEv = graft.core.Tables(spark, sfSmoke, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("tsec"),
+        org.apache.spark.sql.functions.round(col("value") * 100).cast("long").as("cents"))
+    rfmEv.createOrReplaceTempView("rfm_ev")
+    val rfmAsOf = rfmEv.agg(org.apache.spark.sql.functions.max("tsec")).head().getLong(0)
+    val rfmSql = spark.sql(
+      s"SELECT * FROM rfm('rfm_ev', 'user_id', 'tsec', 'cents', $rfmAsOf)")
+    val rfmScala = graft.operators.Cohorts.rfm(rfmEv, "user_id", "tsec", "cents", rfmAsOf)
+    assert(rfmSql.columns.toSeq == rfmScala.columns.toSeq)
+    assert(rfmSql.exceptAll(rfmScala).isEmpty && rfmScala.exceptAll(rfmSql).isEmpty)
   }
 }
