@@ -71,11 +71,17 @@ object Cohorts {
     * drive retention/curation targeting without any model.
     *
     * Quintiles come from [[Quantiles.percentileRanks]]' exact cume_dist
-    * (q = ⌈pct_bp/2000⌉ ∈ 1..5), so every label is engine-exact; recency
-    * ranks over NEGATED days (recent = high pct = quintile 5, aligning
-    * all three scales as higher-is-better). The metric aggregation is one
-    * user-keyed pass; each quintile join is histogram-grain (distinct
-    * metric values), broadcast back.
+    * (q = ⌈5·cum_le/n⌉ ∈ 1..5 — derived from cum_le directly, NOT from
+    * the floor-divided pct_bp, whose floor loss once made q = 0 possible
+    * for near-unique metrics at n > 10000), so every label is
+    * engine-exact; recency ranks over NEGATED days (recent = high pct =
+    * quintile 5, aligning all three scales as higher-is-better). The
+    * metric aggregation is one user-keyed pass; each quintile join is
+    * histogram-grain (distinct metric values) and carries NO broadcast
+    * hint — for a near-unique metric (m_cents) the rank relation is
+    * user-grain, so a forced broadcast would OOM at exactly the scale
+    * this targets; AQE still broadcasts when the relation is small. The
+    * only hinted broadcast is the one-row population total.
     * Output: (user_id, r_days, f, m_cents, r_q, f_q, m_q).
     */
   def rfm(
@@ -92,11 +98,17 @@ object Cohorts {
         sum(col(centsCol)).as("m_cents"))
       .withColumn("__negr", -col("r_days"))
     def quintile(valueCol: String, outCol: String)(df: DataFrame): DataFrame = {
-      val ranks = Quantiles.percentileRanks(m.withColumn("__g", lit(1)), "__g", valueCol)
+      val pr = Quantiles.percentileRanks(m.withColumn("__g", lit(1)), "__g", valueCol)
+      // population size as a broadcast singleton (n = max cum_le over the
+      // single group) — the quintile needs exact n, which percentileRanks
+      // does not ship
+      val nRel = pr.agg(max("cum_le").as("__n"))
+      val ranks = pr
+        .crossJoin(broadcast(nRel))
         .select(
           col("value").as(valueCol),
-          expr("CAST((pct_bp + 1999) div 2000 AS INT)").as(outCol))
-      df.join(broadcast(ranks), valueCol)
+          expr("CAST((5 * cum_le + __n - 1) div __n AS INT)").as(outCol))
+      df.join(ranks, valueCol)
     }
     quintile("m_cents", "m_q")(quintile("f", "f_q")(quintile("__negr", "r_q")(m)))
       .select(col(userCol), col("r_days"), col("f"), col("m_cents"),

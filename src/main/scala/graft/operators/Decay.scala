@@ -51,7 +51,13 @@ object Decay {
   /** Per-key decayed score: (keyCols…, n_window, decayed) over events
     * inside the `horizon`-generation window ending at `asOfSec`.
     * `tsSecCol` is epoch SECONDS (a long column). Keys with no in-window
-    * events are absent (their score is exactly 0).
+    * events are absent (their score is exactly 0). The as-of cutoff is
+    * EVENT-exact here: events with ts > asOfSec are filtered out even
+    * inside the as-of generation (the streaming consumer
+    * [[graft.streaming.StreamingDecay]] keeps generation-grain state, so
+    * its cutoff is generation-granular by construction — equal to this
+    * operator whenever asOfSec is the newest event seen, the arrival-order
+    * contract it runs under).
     */
   def decayedCounts(
       df: DataFrame,
@@ -66,19 +72,40 @@ object Decay {
     require(asOfSec >= 0, s"asOfSec must be non-negative, got $asOfSec")
     val asOfGen = asOfSec / genSecs
     val w = generationWeight(expr(s"$tsSecCol div ${genSecs}L"), asOfGen, horizon)
-    df.filter(col(tsSecCol).isNotNull)
+    df.filter(col(tsSecCol).isNotNull && col(tsSecCol) <= asOfSec)
       .select((keyCols.map(col) :+ w.as("__w")): _*)
       .filter(col("__w") > 0L)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_window"), sum("__w").as("decayed"))
   }
 
+  /** Window-free rank over an already-`orderBy(…).limit(k)` relation
+    * carrying (keyCols…, n_window, decayed): rank = 1 + #{strictly
+    * better rows} by (decayed desc, keyCols asc), via a broadcast
+    * self-join over the ≤ k survivors. The single-partition
+    * `Window.orderBy` this replaces was bounded too, but fired Spark's
+    * "No Partition Defined" warning on every run — this form has no
+    * window at all (round-11 hygiene item; shared with
+    * [[graft.streaming.StreamingDecay]]).
+    */
+  private[graft] def rankLimited(top: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val rhs = broadcast(top.select(top.columns.map(c => col(c).as(s"__r_$c")): _*))
+    val keyLex = keyCols.foldRight(lit(false)) { (kc, rest) =>
+      col(s"__r_$kc") < col(kc) || (col(s"__r_$kc") === col(kc) && rest)
+    }
+    val better = col("__r_decayed") > col("decayed") ||
+      (col("__r_decayed") === col("decayed") && keyLex)
+    top.join(rhs, better, "left")
+      .groupBy(top.columns.map(col): _*)
+      .agg((count(col("__r_decayed")) + 1).cast("int").as("rank"))
+  }
+
   /** The k hottest keys by decayed score, rank tiebroken on the key
     * columns so the result is set-deterministic. The scored relation is
     * key-cardinality-sized and the global head plans as
     * TakeOrderedAndProject (per-partition heads, never a full sort); the
-    * rank window runs over the k survivors — bounded at any scale (the
-    * q12 / IVF post-limit-window recipe).
+    * rank comes from [[rankLimited]]'s broadcast self-join over the k
+    * survivors — bounded at any scale, and window-free.
     * Output: (keyCols…, n_window, decayed, rank).
     */
   def decayedTopK(
@@ -91,12 +118,10 @@ object Decay {
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val order = col("decayed").desc +: keyCols.map(col(_).asc)
-    decayedCounts(df, keyCols, tsSecCol, asOfSec, genSecs, horizon)
-      .orderBy(order: _*)
-      .limit(k)
-      .withColumn(
-        "rank",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+    rankLimited(
+      decayedCounts(df, keyCols, tsSecCol, asOfSec, genSecs, horizon)
+        .orderBy(order: _*)
+        .limit(k),
+      keyCols)
   }
 }

@@ -40,7 +40,7 @@ object KAnonymity {
     * with). Non-QI columns always pass through untouched.
     */
   def suppress(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame =
-    suppressWith(df, qiCols, census(df, qiCols, k), Seq(col("n").as("qi_n")))
+    suppressWith(df, qiCols, census(df, qiCols, k), Seq("n" -> "qi_n"))
 
   /** Distinct-l-diversity census (Machanavajjhala et al. 2006): a combo
     * that clears `k` rows can still leak its sensitive attribute if those
@@ -79,7 +79,7 @@ object KAnonymity {
       l: Long): DataFrame =
     suppressWith(
       df, qiCols, diversityCensus(df, qiCols, sensCol, k, l),
-      Seq(col("n").as("qi_n"), col("n_sens").as("qi_nsens")))
+      Seq("n" -> "qi_n", "n_sens" -> "qi_nsens"))
 
   /** Shared release core: null-safe join of the data against a
     * combination-sized census carrying a `keep` flag. Null-safe keys: a
@@ -87,22 +87,30 @@ object KAnonymity {
     * plain equi-join drops NULL keys on the floor). The census is
     * broadcast so the data side stays a scan (Catalyst would often pick
     * this anyway; the hint makes the 100-TB plan unconditional).
+    *
+    * EVERY census column is renamed to a reserved `__kanon_`-prefixed
+    * name before the join — not just the QI keys: a table that
+    * legitimately carries columns named `n`/`keep`/`n_sens` would
+    * otherwise make `col("keep")` ambiguous and fail analysis (ADVICE
+    * r10). `auditCols` are (censusName → outputName) pairs resolved
+    * against the renamed side.
     */
   private def suppressWith(
       df: DataFrame,
       qiCols: Seq[String],
       censusDf: DataFrame,
-      auditCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val c = qiCols.foldLeft(censusDf) { (d, q) =>
-      d.withColumnRenamed(q, s"__qi_$q")
+      auditCols: Seq[(String, String)]): DataFrame = {
+    val c = censusDf.columns.foldLeft(censusDf) { (d, q) =>
+      d.withColumnRenamed(q, s"__kanon_$q")
     }
-    val cond = qiCols.map(q => col(q) <=> col(s"__qi_$q")).reduce(_ && _)
+    val cond = qiCols.map(q => col(q) <=> col(s"__kanon_$q")).reduce(_ && _)
     val joined = df.join(broadcast(c), cond)
     val out = df.columns.toSeq.map {
       case q if qiCols.contains(q) =>
-        when(col("keep"), col(q)).otherwise(lit(null).cast(df.schema(q).dataType)).as(q)
+        when(col("__kanon_keep"), col(q))
+          .otherwise(lit(null).cast(df.schema(q).dataType)).as(q)
       case o => col(o)
-    } ++ auditCols
+    } ++ auditCols.map { case (from, to) => col(s"__kanon_$from").as(to) }
     joined.select(out: _*)
   }
 }

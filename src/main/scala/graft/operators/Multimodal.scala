@@ -134,19 +134,27 @@ object Multimodal {
   }
 
   /** 64-bit PERCEPTUAL-HASH fingerprint per media row — the multimodal
-    * dedup tier: re-encoded/resized copies of an image keep most payload
+    * dedup tier: re-encoded copies of an image keep most payload
     * structure, so near-identical payloads land within small Hamming
     * distance and [[phashPairs]] finds them without ever comparing
     * payloads pairwise (the pHash/PDQ dedup pass of an image pipeline).
     *
     * THE BIT DERIVATION IS A STUB, like [[decodeStub]]: a real pHash is a
     * DCT over decoded pixels, and no codec exists in this container. The
-    * stub keeps the hash's STRUCTURE — one bit per fixed payload region,
-    * so localized payload edits flip few bits — by splitting the payload's
-    * string view into 64 equal blocks and taking bit b = parity of the
-    * first hex digit of md5(block b). Engine-portable (md5 over substrings
-    * — a SQL oracle replays every bit), deterministic, and swap-in-real-
-    * DCT happens at this single site.
+    * stub keeps the hash's STRUCTURE — one bit per proportional payload
+    * region (length/64-char blocks, pHash's resample-to-fixed-grid
+    * analogue), bit b = parity of the first hex digit of md5(block b).
+    * Engine-portable (md5 over substrings — a SQL oracle replays every
+    * bit), deterministic, and swap-in-real-DCT happens at this single
+    * site.
+    *
+    * LOCALITY CONTRACT (scoped per ADVICE r10): few bits flip for
+    * SAME-LENGTH localized edits only — blocks derive from the payload
+    * length, so an insertion/deletion (a size-changing re-encode) shifts
+    * block boundaries and decorrelates downstream bits, like any
+    * linear-layout block fingerprint. Length-robust near-dup detection is
+    * [[cdcFingerprint]]'s job: its content-defined boundaries realign
+    * after insertions.
     * Output: (media_id, fp).
     */
   def perceptualHash(media: DataFrame): DataFrame =

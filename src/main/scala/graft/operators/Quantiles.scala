@@ -63,10 +63,10 @@ object Quantiles {
     * × domain| rows), then the recursive [[PrefixSum]] over a composite
     * key (groupIndex · 2^41 + shifted value — monotone within a group, so
     * in-group order is key order) with per-group offsets subtracted back
-    * out; every window anywhere sees ≤ blockSize or ≤ |groups| rows. A
-    * plain `cume_dist` window would funnel each group's whole histogram
-    * (fine) but the JOIN BACK to rows is never needed — consumers join on
-    * (group, value).
+    * out; every window anywhere is PARTITIONED and sees ≤ blockSize or
+    * ≤ |groups|/partitions rows. A plain `cume_dist` window would funnel
+    * each group's whole histogram (fine) but the JOIN BACK to rows is
+    * never needed — consumers join on (group, value).
     *
     * Output: (group, value, n_rows, cum_le, pct_bp) with pct_bp =
     * (10000·cum_le) div n — the cume_dist of the value in exact basis
@@ -86,16 +86,55 @@ object Quantiles {
     require(
       bounds.getLong(1) - minV < (1L << 41),
       s"value span too wide for the composite key: ${bounds.getLong(1) - minV}")
-    // deterministic group index + per-group start offset (both windows
-    // run over the GROUP relation — bounded by the group count)
-    val gw = Window.orderBy(groupCol)
-    val groups = h.groupBy(groupCol).agg(sum("__c").as("__n"))
-      .withColumn("__gi", row_number().over(gw).cast("long") - 1)
+    // deterministic group index + per-group start offset, TWO-PHASE: the
+    // group relation range-partitions on the group key (pid order = key
+    // order), numbers and prefix-sums WITHIN each partition (partitioned
+    // windows — no single-partition global window, no WindowExec
+    // warning), and per-partition offsets come from the ≤ #partitions
+    // partition stats (a bounded driver value, like the bucket-id
+    // collects elsewhere). Correct under ANY range boundary choice: the
+    // final numbering is the dense rank by group key regardless of where
+    // the sampler cuts.
+    val gparts = h.groupBy(groupCol).agg(sum("__c").as("__n"))
+      .repartitionByRange(col(groupCol))
+      .withColumn("__pid", spark_partition_id())
+    val pw = Window.partitionBy("__pid").orderBy(groupCol)
+    val local = gparts
+      .withColumn("__li", row_number().over(pw).cast("long"))
       .withColumn(
-        "__off",
+        "__loff",
         coalesce(
-          sum("__n").over(gw.rowsBetween(Window.unboundedPreceding, -1)),
+          sum("__n").over(pw.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
+      .persist()
+    val pstats = local.groupBy("__pid")
+      .agg(count(lit(1)).as("pc"), sum("__n").as("pn"))
+      .collect()
+      .sortBy(_.getInt(0))
+    var cumRows = 0L
+    var cumSum = 0L
+    val offs = pstats.map { r =>
+      val o = (r.getInt(0), cumRows, cumSum)
+      cumRows += r.getLong(1)
+      cumSum += r.getLong(2)
+      o
+    }
+    // composite-key headroom: __gi rides the top bits of a long above the
+    // 41-bit value offset, so the group count must stay below 2^22 —
+    // enforced, not assumed (ADVICE r10: silent overflow corrupted key
+    // order beyond ~4.2M groups)
+    require(
+      cumRows < (1L << 22),
+      s"percentileRanks: group count $cumRows exceeds the composite-key headroom 2^22")
+    import df.sparkSession.implicits._
+    val offDf = df.sparkSession.createDataset(offs.toSeq)
+      .toDF("__pid", "__prow", "__psum")
+    val groups = local.join(broadcast(offDf), "__pid")
+      .select(
+        col(groupCol),
+        col("__n"),
+        (col("__li") - 1L + col("__prow")).as("__gi"),
+        (col("__loff") + col("__psum")).as("__off"))
     val keyed = h.join(broadcast(groups), groupCol)
       .withColumn("k", col("__gi") * (1L << 41) + (col("__v") - lit(minV)))
     val before = PrefixSum.exclusive(keyed.select(col("k"), col("__c").as("s")))

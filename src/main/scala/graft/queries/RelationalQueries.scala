@@ -632,9 +632,9 @@ object RelationalQueries {
         |    count(*) OVER (ORDER BY m_cents) AS cm
         |  FROM m)
         |SELECT user_id, r_days, f, m_cents,
-        |  CAST(((cr * 10000) // n + 1999) // 2000 AS INT) AS r_q,
-        |  CAST(((cf * 10000) // n + 1999) // 2000 AS INT) AS f_q,
-        |  CAST(((cm * 10000) // n + 1999) // 2000 AS INT) AS m_q
+        |  CAST((5 * cr + n - 1) // n AS INT) AS r_q,
+        |  CAST((5 * cf + n - 1) // n AS INT) AS f_q,
+        |  CAST((5 * cm + n - 1) // n AS INT) AS m_q
         |FROM q ORDER BY user_id""".stripMargin,
 
     "q158_quantile_norm" ->

@@ -102,16 +102,15 @@ object StreamingDecay {
 
       val w = Decay.generationWeight(col("gen"), asOfGen, horizon)
       val order = Seq(col("decayed").desc, col(keyCol).asc)
-      census
-        .select(col(keyCol), col("cnt"), (w * col("cnt")).as("wc"))
-        .groupBy(col(keyCol))
-        .agg(sum("cnt").as("n_window"), sum("wc").as("decayed"))
-        .orderBy(order: _*)
-        .limit(k)
-        .withColumn(
-          "rank",
-          row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(order: _*)).cast("long"))
+      Decay.rankLimited(
+          census
+            .select(col(keyCol), col("cnt"), (w * col("cnt")).as("wc"))
+            .groupBy(col(keyCol))
+            .agg(sum("cnt").as("n_window"), sum("wc").as("decayed"))
+            .orderBy(order: _*)
+            .limit(k),
+          Seq(keyCol))
+        .withColumn("rank", col("rank").cast("long"))
         .select(lit(batchId).as("batch"), col("rank"), col(keyCol), col("n_window"), col("decayed"))
         .write
         .mode("overwrite")

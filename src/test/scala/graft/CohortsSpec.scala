@@ -79,8 +79,48 @@ class CohortsSpec extends SparkSpec {
     val n = fs.length
     got.select("f", "f_q").as[(Long, Int)].collect().foreach { case (f, fq) =>
       val cumLe = fs.count(_ <= f).toLong
-      val expect = (((cumLe * 10000) / n + 1999) / 2000).toInt
+      val expect = ((5 * cumLe + n - 1) / n).toInt
       assert(fq == expect, s"f=$f")
     }
+  }
+
+  test("RFM: quintile never 0 on a near-unique metric above 10k users") {
+    // 10007 users, all-distinct m_cents: the old pct_bp-floor formula gave
+    // q = 0 to the lowest earner once 10000·cum_le < n (ADVICE r10); the
+    // cum_le-derived quintile stays in 1..5 with exact 1/5 buckets
+    val events = (1L to 10007L).map(u => (u, 1000000000L - u, u * 7L))
+      .toDF("user_id", "tsec", "cents")
+    val got = Cohorts.rfm(events, "user_id", "tsec", "cents", 1000000000L)
+      .select("m_cents", "m_q").as[(Long, Int)].collect()
+    assert(got.forall { case (_, q) => q >= 1 && q <= 5 })
+    // m_cents = 7u is rank u: u=1 must be quintile 1, u=n quintile 5
+    val byCents = got.toMap
+    assert(byCents(7L) == 1 && byCents(7L * 10007L) == 5)
+    // exact quintile populations: ceil(5u/n) buckets differ by at most 1
+    val sizes = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+  }
+
+  test("RFM plan: no mandatory broadcast of a value-grain rank relation") {
+    // the only hinted broadcast is the one-row population total; the three
+    // quintile joins must stay hint-free (a near-unique metric makes the
+    // rank relation user-grain — a forced broadcast there OOMs at scale)
+    val events = Seq((1L, 100L, 5L), (2L, 90L, 6L)).toDF("user_id", "tsec", "cents")
+    val plan = Cohorts.rfm(events, "user_id", "tsec", "cents", 1000L)
+      .queryExecution.analyzed
+    // every broadcast hint in the tree must wrap a bounded relation
+    // (percentileRanks' group/offset relations, the one-row population
+    // total) — never one that ships the metric VALUES or quintile labels,
+    // i.e. the distinct-value-grain rank relation of the old forced
+    // broadcast (user-grain for m_cents at scale)
+    val valueGrain = Set("m_cents", "f", "__negr", "r_q", "f_q", "m_q", "user_id")
+    val hinted = plan.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+    }
+    assert(hinted.nonEmpty, "expected the bounded singleton hints to be present")
+    val offending = hinted.filter(_.output.map(_.name).toSet.intersect(valueGrain).nonEmpty)
+    assert(offending.isEmpty,
+      s"value-grain relation under a broadcast hint:\n${offending.mkString("\n")}")
   }
 }

@@ -14,11 +14,14 @@ class DecaySpec extends SparkSpec {
   //   k=b: events at 100 (gen 10, age 0, w 8), 60 (age 4 > horizon, w 0)
   //   k=c: event at 110 (future gen, age < 0, w 0) only → absent
   //   k=d: event at 70 (gen 7, age 3, w 1)
+  //   k=e: event at 105 — INSIDE the as-of generation but AFTER asOfSec:
+  //        the event-exact cutoff excludes it (ADVICE r10) → absent
   private lazy val fixture = Seq(
     ("a", 95L), ("a", 85L), ("a", 85L),
     ("b", 100L), ("b", 60L),
     ("c", 110L),
-    ("d", 70L)).toDF("k", "tsec")
+    ("d", 70L),
+    ("e", 105L)).toDF("k", "tsec")
 
   test("decayedCounts: hand-computed weights, horizon cutoff, future exclusion") {
     val got = Decay.decayedCounts(fixture, Seq("k"), "tsec", asOfSec = 100L,
@@ -27,7 +30,7 @@ class DecaySpec extends SparkSpec {
     assert(got == Map(
       "a" -> ((3L, 8L)), // 4 + 2 + 2
       "b" -> ((1L, 8L)), // the age-4 event is outside the horizon
-      "d" -> ((1L, 1L)))) // age 3 → weight 2^0; "c" absent (future only)
+      "d" -> ((1L, 1L)))) // age 3 → weight 2^0; "c"/"e" absent (future-only)
   }
 
   test("half-life dominance: a key must double per generation older to tie") {

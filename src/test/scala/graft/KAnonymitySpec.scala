@@ -104,6 +104,30 @@ class KAnonymitySpec extends SparkSpec {
     assert(rel.filter(_._1 >= 7).forall(r => r._4 < 3 && r._5 >= 2))
   }
 
+  test("input columns named n/keep/n_sens do not collide with census metadata") {
+    // ADVICE r10: the census side once shipped bare n/keep columns into the
+    // join, so a table legitimately carrying those names failed analysis
+    // with an ambiguous-reference error; reserved __kanon_ names fix it
+    val df = Seq(
+      (1L, "en", 10L, true, 7L),
+      (2L, "en", 20L, false, 8L),
+      (3L, "fr", 30L, true, 9L)).toDF("id", "lang", "n", "keep", "n_sens")
+    val got = KAnonymity.suppress(df, Seq("lang"), 2)
+      .orderBy("id")
+      .as[(Long, Option[String], Long, Boolean, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("en"), 10L, true, 7L, 2L),
+      (2L, Some("en"), 20L, false, 8L, 2L),
+      (3L, None, 30L, true, 9L, 1L)))
+    // the diverse path's n_sens metadata column likewise
+    val div = KAnonymity.suppressDiverse(df, Seq("lang"), "id", 2, 2)
+      .orderBy("id")
+      .select("lang", "qi_n", "qi_nsens")
+      .as[(Option[String], Long, Long)].collect().toSeq
+    assert(div == Seq(
+      (Some("en"), 2L, 2L), (Some("en"), 2L, 2L), (None, 1L, 1L)))
+  }
+
   test("l-diversity reduces to k-anonymity at l = 1") {
     val a = KAnonymity.suppress(fixture, Seq("lang", "source"), 2)
       .select("id", "lang", "source", "qi_n").orderBy("id").collect().toSeq
