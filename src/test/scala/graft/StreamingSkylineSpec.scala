@@ -36,6 +36,28 @@ class StreamingSkylineSpec extends SparkSpec {
     ()
   }
 
+  test("crash-resume: kill at batch 2, restart on the same root, outputs identical") {
+    // the durable state is the per-batch output partition itself: a fresh
+    // process rebuilds its prior front from partition b-1 (scaladoc
+    // contract). Run A is killed by the injected failure before batch 2
+    // processes; run B resumes from the same root and checkpoint.
+    val pts = (1L to 80L).map(i => (i, (i * 13) % 17, (i * 5) % 19)).toDF("id", "x", "y")
+      .select(col("id"), col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+    val root = java.nio.file.Files.createTempDirectory("graft-skyresume-").toString
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingSkyline.run(pts, "id", Seq("x", "y"), chunks = 4,
+        resumeRoot = Some(root), failAtBatch = Some(2L))
+    }
+    assert(died.getMessage.contains("injected failure"))
+    val resumed = StreamingSkyline.run(pts, "id", Seq("x", "y"), chunks = 4,
+        resumeRoot = Some(root))
+      .select("batch", "x", "y").as[(Long, Long, Long)].collect().toSet
+    val clean = StreamingSkyline.run(pts, "id", Seq("x", "y"), chunks = 4)
+      .select("batch", "x", "y").as[(Long, Long, Long)].collect().toSet
+    assert(resumed == clean)
+    assert(resumed.map(_._1) == Set(0L, 1L, 2L, 3L))
+  }
+
   test("the online-skyline law: a dominated vector never re-enters a later front") {
     // batch order is md5-derived; whatever it is, front sizes per batch
     // are monotone in COVERAGE of the prefix: any vector on batch b's
