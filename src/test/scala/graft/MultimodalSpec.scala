@@ -103,6 +103,98 @@ class MultimodalSpec extends SparkSpec {
     assert(got.nonEmpty, "the near-dup corpus should produce phash pairs")
   }
 
+  // --- real-codec seam (round-11): pure-JVM PPM decode + pixel aHash ---
+
+  private def ppm(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val body = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      val p = (y * w + x) * 3
+      body(p) = r.toByte
+      body(p + 1) = g.toByte
+      body(p + 2) = b.toByte
+    }
+    header ++ body
+  }
+
+  test("PPM parser decodes a handcrafted image to exact pixels and features") {
+    // 4x4 gray image: pixel (x,y) = gray level x + 4y; the 4x4 feature
+    // grid has one pixel per cell, so feature g = its exact luminance
+    val img = ppm(4, 4)((x, y) => { val v = 10 * (x + 4 * y); (v, v, v) })
+    val parsed = Multimodal.parsePpm(img)
+    assert(parsed.w == 4 && parsed.h == 4 && parsed.rgb.length == 48)
+    assert((parsed.rgb(0) & 0xff) == 0 && (parsed.rgb(45) & 0xff) == 150)
+    val feats = Multimodal.decodePpm(img)
+    val expect = (0 until 16).map { g =>
+      val v = 10.0 * g
+      (0.299 * v + 0.587 * v + 0.114 * v).toFloat
+    }
+    assert(feats.toSeq == expect)
+    // malformed payloads are rejected, not misparsed
+    intercept[IllegalArgumentException](Multimodal.parsePpm("P5\n1 1\n255\nx".getBytes))
+    intercept[IllegalArgumentException](Multimodal.parsePpm(img.dropRight(5)))
+  }
+
+  test("the real codec rides the extractFeatures seam unchanged") {
+    import spark.implicits._
+    val imgs = Seq(
+      (1L, ppm(8, 8)((x, y) => (x * 30, y * 30, 128))),
+      (2L, ppm(6, 4)((x, y) => (200 - x * 20, 10, y * 50))))
+    val media = imgs.toDF("media_id", "payload").withColumn("kind", lit("image"))
+    val got = Multimodal.extractFeatures(media, Multimodal.decodePpm)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    imgs.foreach { case (id, bytes) =>
+      assert(got(id) == Multimodal.decodePpm(bytes).toSeq, s"media $id")
+    }
+  }
+
+  test("pixel aHash: brightness-invariant, localized edits flip few bits") {
+    def base(dx: Int) = ppm(32, 32)((x, y) => {
+      val v = (x * 7 + y * 13 + dx) % 200
+      (v, v, v)
+    })
+    val a = Multimodal.pixelAHash(base(0))
+    // uniform +10 brightness (no clamping: values stay < 255): every cell
+    // and the mean shift together, the hash is bit-identical
+    val brighter = ppm(32, 32)((x, y) => {
+      val v = (x * 7 + y * 13) % 200 + 10
+      (v, v, v)
+    })
+    assert(Multimodal.pixelAHash(brighter) == a)
+    // blow out one 4x4-pixel patch (= one 8x8-grid cell): that cell's bit
+    // moves, plus at most a few cells sitting within the tiny mean shift
+    val edited = ppm(32, 32)((x, y) =>
+      if (x < 4 && y < 4) (255, 255, 255)
+      else { val v = (x * 7 + y * 13) % 200; (v, v, v) })
+    val hamEdit = java.lang.Long.bitCount(a ^ Multimodal.pixelAHash(edited))
+    assert(hamEdit >= 1 && hamEdit <= 6, s"localized edit flipped $hamEdit bits")
+    // an unrelated image (inverted gradient) decorrelates
+    val other = ppm(32, 32)((x, y) => {
+      val v = 199 - (x * 7 + y * 13) % 200
+      (v, v, v)
+    })
+    assert(java.lang.Long.bitCount(a ^ Multimodal.pixelAHash(other)) > 10)
+  }
+
+  test("pixelPhashPairs finds the real near-dup pair over decoded pixels") {
+    import spark.implicits._
+    def grad(flip: Boolean) = ppm(32, 32)((x, y) => {
+      val v0 = (x * 7 + y * 13) % 200
+      val v = if (flip) 199 - v0 else v0
+      (v, v, v)
+    })
+    // 2 = copy of 1 with a 2x2-pixel touch-up inside one grid cell
+    val touched = ppm(32, 32)((x, y) =>
+      if (x >= 8 && x < 10 && y >= 8 && y < 10) (255, 255, 255)
+      else { val v = (x * 7 + y * 13) % 200; (v, v, v) })
+    val media = Seq((1L, grad(false)), (2L, touched), (3L, grad(true)))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.pixelPhashPairs(media, maxHamming = 3)
+      .select("x_id", "y_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("phash locality: an edit inside one block flips few bits") {
     import spark.implicits._
     val base = (1 to 128).map(i => ('a' + i % 26).toChar).mkString // 128 chars, bl = 2
