@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   * startup before anything is timed, and evaluation forces EVERY output
   * column — `count()` would let Catalyst prune unreferenced projections, so
   * projection-only queries (e.g. scalar-function surfaces) would never
-  * execute their expressions.
+  * execute their expressions. Load adjudication is automatic (round-10
+  * verdict): lines whose noise sentinel ran >= 2x the floor re-run up to
+  * twice, and the JSON ships both the final min and the pre-retry number
+  * (`retried`), so no round spends its verdict on load forensics.
   */
 object Bench {
 
@@ -96,7 +99,7 @@ object Bench {
     }
     val allSentinels = collection.mutable.Buffer(sentinel())
     val querySentinel = collection.mutable.Map[String, Double]()
-    val results = selected.map { case (name, fn) =>
+    val results0 = selected.map { case (name, fn) =>
       val first = timeOnce(name, fn)
       val best =
         if (first < 1.0) first
@@ -109,6 +112,31 @@ object Bench {
           math.min(first, second)
         }
       name -> best
+    }
+
+    // AUTO-ADJUDICATION (round-10 verdict: every round burned its verdict
+    // on load forensics for lines whose sentinel ran hot): any line whose
+    // surrounding sentinel hit >= 2x the floor re-runs — up to 2 retries,
+    // stopping as soon as a retry's own sentinels come back clean. The
+    // reported number is the min across all runs; `retried` carries the
+    // pre-retry number so both sides of the adjudication ship in the JSON.
+    val retriedOrig = collection.mutable.Map[String, Double]()
+    val results = results0.map { case (name, best) =>
+      var cur = best
+      var attempts = 0
+      while (attempts < 2 &&
+        querySentinel.get(name).exists(_ / allSentinels.min >= 2.0)) {
+        val fn = SparkEntry.queries(name)
+        val sBefore = sentinel()
+        val again = timeOnce(name, fn)
+        val sAfter = sentinel()
+        allSentinels += sBefore += sAfter
+        if (!retriedOrig.contains(name)) retriedOrig(name) = cur
+        cur = math.min(cur, again)
+        querySentinel(name) = math.max(sBefore, sAfter)
+        attempts += 1
+      }
+      name -> cur
     }
 
     // Second tracked line for the adaptive controller (round-8 verdict):
@@ -183,9 +211,13 @@ object Bench {
       .filter(_._2 >= 1.5)
       .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + v }
       .mkString("{", ",", "}")
+    // pre-retry numbers for auto-adjudicated lines (absent = no retry)
+    val retriedJson = retriedOrig.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"retried":$retriedJson,"sf":"$sfName"}""")
     spark.stop()
     // spark.stop() does not end the JVM: streaming-harness non-daemon
     // threads (observed post-print in solo runs) keep it alive until the

@@ -144,7 +144,7 @@ final class ParquetDedupState(
     * Dynamic partition overwrite keyed by `batchId` makes the write
     * idempotent under batch retry.
     */
-  override def append(df: DataFrame, batchId: Long): Unit =
+  override def append(df: DataFrame, batchId: Long): Unit = {
     df.withColumn("batch", lit(batchId))
       .repartition(col("pb"))
       .write
@@ -152,6 +152,13 @@ final class ParquetDedupState(
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "pb")
       .parquet(dir)
+    // state telemetry (opt-in, by-name: zero cost when disabled) — the
+    // increment count + post-append level a deployment alarms on
+    StateTelemetry.record(StateTelemetry.StatePoint(
+      dir, batchId, df.count(),
+      hfs.getContentSummary(root).getLength,
+      listBatchDirs().size.toLong))
+  }
 
   /** The fold is written to a sibling staging dir, then published with one
     * atomic rename; `afterPublish` is the contract's crash hook between the
@@ -320,6 +327,10 @@ final class InMemoryDedupState(
       .select(fullSchema.fieldNames.map(col).toSeq: _*)
       .collect().toVector
     log.synchronized { log.batches(batchId) = rows } // replace = idempotent retry
+    // no byte notion in a JVM commit log: rows are the level proxy
+    StateTelemetry.record(StateTelemetry.StatePoint(
+      dir, batchId, rows.size.toLong, -1L,
+      log.synchronized(log.batches.size.toLong)))
   }
 
   override def close(): Unit = InMemoryDedupState.drop(dir)

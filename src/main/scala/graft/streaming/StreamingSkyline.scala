@@ -100,6 +100,11 @@ object StreamingSkyline {
       // otherwise nest one anti-join pair per batch forever
       val next = Skyline.frontVectors(union, dims, buckets).localCheckpoint(true)
       front = Some(next)
+      // state telemetry: the running front IS this consumer's state, so
+      // its size is the growth curve a deployment alarms on (opt-in,
+      // by-name — the count reads the fresh local checkpoint)
+      StateTelemetry.record(StateTelemetry.StatePoint(
+        outDir, batchId, next.count(), -1L, 1L))
       next.select(lit(batchId).as("batch") +: dims.map(col): _*)
         .write
         .mode("overwrite")
