@@ -651,6 +651,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.phashPairsPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("cdc_fingerprint"),
+      new ExpressionInfo(
+        classOf[graft.operators.Multimodal.type].getName,
+        null,
+        "cdc_fingerprint",
+        "cdc_fingerprint(mediaTable, idCol, payloadCol, w) - content-defined-chunking fingerprint (length-robust: insert/delete flips O(1) bits via boundary realignment): (media_id, fp).",
+        ""),
+      exprs => GraftExtensions.cdcFingerprintPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("ivf_upsert"),
       new ExpressionInfo(
         classOf[graft.operators.SimilaritySearch.type].getName,
@@ -2078,6 +2087,23 @@ object GraftExtensions {
             col(strArg(n, exprs(1), "idCol")).as("media_id"),
             col(strArg(n, exprs(2), "payloadCol")).as("payload")),
         longArg(n, exprs(3), "maxHamming").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def cdcFingerprintPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "cdc_fingerprint"
+    require(
+      exprs.length == 4,
+      s"$n expects (mediaTable, idCol, payloadCol, w), got " + exprs.length +
+        " arguments")
+    import org.apache.spark.sql.functions.col
+    graft.operators.Multimodal
+      .cdcFingerprint(
+        SparkSession.active.table(strArg(n, exprs.head, "mediaTable"))
+          .select(
+            col(strArg(n, exprs(1), "idCol")).as("media_id"),
+            col(strArg(n, exprs(2), "payloadCol")).as("payload")),
+        longArg(n, exprs(3), "w").toInt)
       .queryExecution.logical
   }
 

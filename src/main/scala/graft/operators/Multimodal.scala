@@ -288,6 +288,59 @@ object Multimodal {
       perceptualHash(media).select(col("media_id").as("sid"), col("fp")),
       maxHamming)
 
+  /** Content-defined-chunking fingerprint — the LENGTH-ROBUST complement
+    * of [[perceptualHash]] (whose locality contract is scoped to
+    * same-length edits): chunk boundaries come from CONTENT, not from
+    * positions — a boundary opens right after any `w`-gram whose md5
+    * leads with hex '0' (mean chunk ≈ w + 16 chars) — so an insertion or
+    * deletion re-aligns the chunking within one chunk and every
+    * untouched chunk contributes the SAME bit. fp = XOR over chunks of a
+    * one-hot bit (md5(chunk)'s first two hex digits mod 64): a k-chunk
+    * edit flips ≤ 2(k+1) bits regardless of length change — the CDC
+    * boundary-realignment property (rsync/LBFS; Muthitacharoen et al.
+    * 2001) no linear-block fingerprint has.
+    *
+    * Engine-portable (md5 over substrings — the SQL oracle replays every
+    * boundary and bit). The w-gram scan is O(len·w) md5 work as written,
+    * the exact-oracle tax; a production swap-in is a gear/Rabin rolling
+    * hash at O(len) behind the same boundary semantics. One narrow
+    * mapPartitions-free projection per row — embarrassingly parallel,
+    * no shuffle.
+    * Output: (media_id, fp).
+    */
+  def cdcFingerprint(media: DataFrame, w: Int = 8): DataFrame = {
+    require(w >= 1, s"w-gram width must be >= 1: $w")
+    media
+      .select(col("media_id"), decode(col("payload"), "UTF-8").as("__s"))
+      .withColumn(
+        "__starts",
+        expr(
+          s"""IF(length(__s) <= $w, array(1),
+             |   concat(array(1),
+             |     filter(transform(sequence(1, length(__s) - $w),
+             |                      i -> IF(substring(md5(substr(__s, i, $w)), 1, 1) = '0',
+             |                              i + $w, -1)),
+             |            p -> p > 1)))""".stripMargin))
+      .select(
+        col("media_id"),
+        expr(
+          """aggregate(sequence(1, size(__starts)), 0L, (acc, ci) ->
+            |  acc ^ shiftleft(1L,
+            |    CAST(conv(substring(md5(substr(__s,
+            |           element_at(__starts, ci),
+            |           IF(ci = size(__starts), length(__s),
+            |              element_at(__starts, ci + 1) - element_at(__starts, ci)))),
+            |         1, 2), 16, 10) AS INT) % 64))""".stripMargin).as("fp"))
+  }
+
+  /** Near-duplicate pairs over [[cdcFingerprint]]s — the pigeonhole join
+    * again, now robust to length-changing edits.
+    * Output: (x_id, y_id, hamming). */
+  def cdcPairs(media: DataFrame, maxHamming: Int = 6, w: Int = 8): DataFrame =
+    Dedup.fingerprintPairs(
+      cdcFingerprint(media, w).select(col("media_id").as("sid"), col("fp")),
+      maxHamming)
+
   /** Deterministic media table derived from the documents testdata:
     * payload = UTF-8 text bytes, kind cycles by doc_id, meta from n_chars.
     */

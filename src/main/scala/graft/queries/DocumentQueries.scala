@@ -1296,6 +1296,17 @@ object DocumentQueries {
         .orderBy("x_id", "y_id")
     }),
 
+    // Content-defined-chunking fingerprint (round-11): the length-robust
+    // complement of q142's linear-block pHash — chunk boundaries come
+    // from w-gram content (rsync/LBFS boundary realignment), so an
+    // insertion flips O(1) bits where q142 decorrelates everything after
+    // the edit. The oracle replays every boundary and every XOR'd bit.
+    "q161_cdc_fingerprint" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      graft.operators.Multimodal.cdcFingerprint(media, w = 8)
+        .orderBy("media_id")
+    }),
+
     // IVF index MAINTENANCE: the index is built on the initial corpus
     // (vec_id >= 100, centroids frozen there), a later increment
     // (vec_id < 100) is upserted against the frozen centroids, and the
@@ -3037,6 +3048,41 @@ object DocumentQueries {
         |  FROM fp a JOIN fp b ON a.media_id < b.media_id)
         |SELECT x_id, y_id, CAST(hamming AS BIGINT) AS hamming
         |FROM ham WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+
+    "q161_cdc_fingerprint" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS s FROM documents),
+        |st AS (
+        |  SELECT media_id, s,
+        |    CASE WHEN len(s) <= 8 THEN [1]
+        |         ELSE [1] || list_filter(
+        |                list_transform(range(1, len(s) - 8 + 1),
+        |                  i -> CASE WHEN substr(md5(substr(s, i, 8)), 1, 1) = '0'
+        |                            THEN i + 8 ELSE -1 END),
+        |                p -> p > 1)
+        |    END AS starts
+        |  FROM m),
+        |poss AS (
+        |  SELECT media_id,
+        |    list_transform(range(1, len(starts) + 1),
+        |      ci -> (16 * (instr('0123456789abcdef',
+        |                         substr(md5(substr(s, starts[ci],
+        |                           CASE WHEN ci = len(starts) THEN len(s)
+        |                                ELSE starts[ci + 1] - starts[ci] END)), 1, 1)) - 1)
+        |             + instr('0123456789abcdef',
+        |                     substr(md5(substr(s, starts[ci],
+        |                       CASE WHEN ci = len(starts) THEN len(s)
+        |                            ELSE starts[ci + 1] - starts[ci] END)), 2, 1)) - 1) % 64) AS ps
+        |  FROM st),
+        |fp AS (
+        |  SELECT media_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(ps, p -> CASE WHEN p = 63
+        |                                     THEN CAST(-9223372036854775807 AS BIGINT) - 1
+        |                                     ELSE CAST(1 AS BIGINT) << CAST(p AS INT) END)),
+        |      (a, b) -> xor(a, b)) AS fp
+        |  FROM poss)
+        |SELECT media_id, fp FROM fp ORDER BY media_id""".stripMargin,
 
     "q138_lsh_recall_cert" ->
       """WITH tok AS (

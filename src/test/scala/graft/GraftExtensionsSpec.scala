@@ -779,6 +779,12 @@ class GraftExtensionsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
     assert(phSet(phSql) == phSet(phScala) && phSet(phSql).nonEmpty)
 
+    val cdcSql = spark.sql("SELECT * FROM cdc_fingerprint('ph_media', 'media_id', 'payload', 8)")
+    val cdcScala = graft.operators.Multimodal.cdcFingerprint(
+      graft.operators.Multimodal.mediaFromDocuments(docs), 8)
+    assert(cdcSql.columns.toSeq == cdcScala.columns.toSeq)
+    assert(cdcSql.exceptAll(cdcScala).isEmpty && cdcScala.exceptAll(cdcSql).isEmpty)
+
     val (cents, _) = graft.operators.SimilaritySearch.buildIvfIndex(
       embs.filter(col("vec_id") >= 200)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), 16)

@@ -195,6 +195,39 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("CDC fingerprint: insertions/deletions flip O(1) bits (boundaries realign)") {
+    import spark.implicits._
+    // LCG stream: aperiodic over the sample (a periodic pattern makes
+    // chunks repeat and collapses the fingerprint to a few bits)
+    def lcgText(seed: Long, n: Int): String = {
+      var v = seed
+      (1 to n).map { _ => v = (v * 48271 + 11) % 1009; ('a' + v % 26).toChar }.mkString
+    }
+    val base = lcgText(7, 300)
+    val variants = Seq(
+      1L -> base,
+      2L -> (base.take(150) + "XYZZY" + base.drop(150)), // 5-char insertion
+      3L -> (base.take(100) + base.drop(107)),           // 7-char deletion
+      4L -> (base.take(150) + "Q" + base.drop(151)),     // same-length edit
+      5L -> lcgText(993, 300))                           // unrelated content
+    val media = variants.toDF("media_id", "s")
+      .select(col("media_id"), encode(col("s"), "UTF-8").as("payload"))
+    val fps = Multimodal.cdcFingerprint(media, w = 8)
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    // length-CHANGING edits stay local — the property the linear-block
+    // pHash cannot have (its locality contract is scoped to same-length)
+    assert(ham(1, 2) >= 1 && ham(1, 2) <= 6, s"insert flipped ${ham(1, 2)}")
+    assert(ham(1, 3) >= 1 && ham(1, 3) <= 6, s"delete flipped ${ham(1, 3)}")
+    assert(ham(1, 4) >= 1 && ham(1, 4) <= 4, s"substitution flipped ${ham(1, 4)}")
+    assert(ham(1, 5) > 6, s"unrelated content only ${ham(1, 5)} apart")
+    // and the pigeonhole pair join surfaces exactly the near-dups
+    val pairs = Multimodal.cdcPairs(media, maxHamming = 6)
+      .select("x_id", "y_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("phash locality: an edit inside one block flips few bits") {
     import spark.implicits._
     val base = (1 to 128).map(i => ('a' + i % 26).toChar).mkString // 128 chars, bl = 2
