@@ -660,6 +660,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.cdcFingerprintPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("cdc_apply"),
+      new ExpressionInfo(
+        classOf[graft.operators.Cdc.type].getName,
+        null,
+        "cdc_apply",
+        "cdc_apply(baseTable, changesTable, keyCol, seqCol, opCol, valueColsCsv) - lakehouse MERGE: apply a keyed upsert/delete changelog (max-seq winner per key) to a base snapshot: (keyCol, valueCols...).",
+        ""),
+      exprs => GraftExtensions.cdcApplyPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("cdc_changelog"),
+      new ExpressionInfo(
+        classOf[graft.operators.Cdc.type].getName,
+        null,
+        "cdc_changelog",
+        "cdc_changelog(oldTable, newTable, keyCol, valueColsCsv) - minimal changelog between two snapshots: (keyCol, op, valueCols...) with op in {upsert, delete}; unchanged keys absent.",
+        ""),
+      exprs => GraftExtensions.cdcChangelogPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("ivf_upsert"),
       new ExpressionInfo(
         classOf[graft.operators.SimilaritySearch.type].getName,
@@ -2104,6 +2122,44 @@ object GraftExtensions {
             col(strArg(n, exprs(1), "idCol")).as("media_id"),
             col(strArg(n, exprs(2), "payloadCol")).as("payload")),
         longArg(n, exprs(3), "w").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def cdcApplyPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "cdc_apply"
+    require(
+      exprs.length == 6,
+      s"$n expects (baseTable, changesTable, keyCol, seqCol, opCol, valueColsCsv), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    val valueCols = strArg(n, exprs(5), "valueColsCsv")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    graft.operators.Cdc
+      .applyChangelog(
+        spark.table(strArg(n, exprs.head, "baseTable")),
+        spark.table(strArg(n, exprs(1), "changesTable")),
+        strArg(n, exprs(2), "keyCol"),
+        strArg(n, exprs(3), "seqCol"),
+        strArg(n, exprs(4), "opCol"),
+        valueCols)
+      .queryExecution.logical
+  }
+
+  private[graft] def cdcChangelogPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "cdc_changelog"
+    require(
+      exprs.length == 4,
+      s"$n expects (oldTable, newTable, keyCol, valueColsCsv), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    val valueCols = strArg(n, exprs(3), "valueColsCsv")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    graft.operators.Cdc
+      .changelog(
+        spark.table(strArg(n, exprs.head, "oldTable")),
+        spark.table(strArg(n, exprs(1), "newTable")),
+        strArg(n, exprs(2), "keyCol"),
+        valueCols)
       .queryExecution.logical
   }
 

@@ -1307,6 +1307,22 @@ object DocumentQueries {
         .orderBy("media_id")
     }),
 
+    // Minimal changelog extraction (round-11): the inverse of q162's
+    // MERGE over the q75 snapshot fixture — upserts carry new values,
+    // deletes carry NULLs, unchanged keys are absent; digests (not
+    // documents) ride the comparison shuffle.
+    "q163_cdc_changelog" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 1, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(9)) =!= 4)
+      graft.operators.Cdc
+        .changelog(oldSnap, newSnap, "doc_id", Seq("text", "lang", "source"))
+        .orderBy("doc_id")
+    }),
+
     // IVF index MAINTENANCE: the index is built on the initial corpus
     // (vec_id >= 100, centroids frozen there), a later increment
     // (vec_id < 100) is upserted against the frozen centroids, and the
@@ -3083,6 +3099,30 @@ object DocumentQueries {
         |      (a, b) -> xor(a, b)) AS fp
         |  FROM poss)
         |SELECT media_id, fp FROM fp ORDER BY media_id""".stripMargin,
+
+    "q163_cdc_changelog" ->
+      """WITH olds AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 1 THEN text || ' rev2' ELSE text END AS text,
+        |         lang, source
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |news AS (
+        |  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 9 <> 4),
+        |o AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS od FROM olds),
+        |n AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS nd,
+        |         text, lang, source
+        |  FROM news),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, od, nd,
+        |         n.text, n.lang, n.source
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN nd IS NULL THEN 'delete' ELSE 'upsert' END AS op,
+        |       text, lang, source
+        |FROM j WHERE od IS NULL OR nd IS NULL OR od <> nd
+        |ORDER BY doc_id""".stripMargin,
 
     "q138_lsh_recall_cert" ->
       """WITH tok AS (

@@ -213,6 +213,34 @@ object RelationalQueries {
 
   /** Gap-fill pack: small reference aggregates with direct SQL oracles. */
   val gapDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CDC MERGE (round-11): base snapshot + keyed upsert/delete changelog
+    // -> next snapshot via one map-side-combinable max(struct) winner
+    // reduction and one full-outer key join (the minimal lakehouse MERGE
+    // plan). Fixture exercises multi-version winners (k%6 gets r2 over
+    // r1), deletes beating earlier upserts (k%15), deletes of absent
+    // keys (k%20 ∩ k%4=0 base gaps), log-only inserts (k%12), and
+    // untouched carry-through.
+    "q162_cdc_apply" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"),
+        col("o_orderstatus").as("status"))
+      val base = o.filter(pmod(col("k"), lit(4)) =!= 0)
+      val up1 = o.filter(pmod(col("k"), lit(3)) === 0).select(
+        col("k"), lit(1L).as("seq"), lit("upsert").as("op"),
+        col("cust"), concat(col("status"), lit("-r1")).as("status"))
+      val up2 = o.filter(pmod(col("k"), lit(6)) === 0).select(
+        col("k"), lit(2L).as("seq"), lit("upsert").as("op"),
+        (col("cust") + 1000000L).as("cust"),
+        concat(col("status"), lit("-r2")).as("status"))
+      val del = o.filter(pmod(col("k"), lit(5)) === 0).select(
+        col("k"), lit(3L).as("seq"), lit("delete").as("op"),
+        lit(null).cast("long").as("cust"), lit(null).cast("string").as("status"))
+      graft.operators.Cdc.applyChangelog(
+          base, up1.unionByName(up2).unionByName(del),
+          "k", "seq", "op", Seq("cust", "status"))
+        .orderBy("k")
+    }),
     // min/max/count/avg stats (SURVEY A5 — the multigroup stats pass as a
     // first-class query) + MSE between value and the global mean (A8).
     "q38_table_stats" -> ((s, dir) => {
@@ -609,6 +637,32 @@ object RelationalQueries {
   }
 
   val gapOracles: Map[String, String] = Map(
+    "q162_cdc_apply" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_custkey AS cust, o_orderstatus AS status
+        |  FROM orders),
+        |base AS (SELECT k, cust, status FROM o WHERE k % 4 <> 0),
+        |changes AS (
+        |  SELECT k, 1 AS seq, 'upsert' AS op, cust, status || '-r1' AS status
+        |  FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, 2, 'upsert', cust + 1000000, status || '-r2'
+        |  FROM o WHERE k % 6 = 0
+        |  UNION ALL
+        |  SELECT k, 3, 'delete', NULL, NULL FROM o WHERE k % 5 = 0),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM changes),
+        |l AS (SELECT k, op, cust, status FROM w WHERE rn = 1),
+        |m AS (
+        |  SELECT coalesce(b.k, l.k) AS k,
+        |         CASE WHEN l.k IS NOT NULL THEN l.cust ELSE b.cust END AS cust,
+        |         CASE WHEN l.k IS NOT NULL THEN l.status ELSE b.status END AS status,
+        |         l.op AS op
+        |  FROM base b FULL OUTER JOIN l ON b.k = l.k)
+        |SELECT k, cust, status FROM m
+        |WHERE op IS NULL OR op <> 'delete' ORDER BY k""".stripMargin,
+
     "q152_fd_profile" -> fdOracle("orders", fdCols),
     "q153_ind_profile" -> indOracle(indSources),
 

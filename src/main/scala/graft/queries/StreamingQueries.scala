@@ -362,6 +362,26 @@ object StreamingQueries {
           "user_id", "tus", "event_id", "event_type", chunks = 4)
         .orderBy("user_id", "valid_from")),
 
+    // Streaming CDC apply (round-11): last-writer-wins keyed state over 4
+    // seq-range micro-batches emitting the incremental-view-maintenance
+    // DELTA stream (one row per key per batch whose visible value
+    // changed); the folded deltas ARE the snapshot. Seq-ordered arrival
+    // makes the fold equal the batch MERGE, whose SQL is the oracle.
+    "q164_stream_cdc" -> ((s, dir) => {
+      val ch = t(s, dir, "events").select(
+        col("user_id"),
+        unix_micros(col("ts")).as("tus"),
+        col("event_id"),
+        when(col("event_type") === "click", lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        col("event_type").as("value"))
+      val deltas = graft.streaming.StreamingCdc
+        .run(ch, "user_id", "tus", "event_id", "op", "value", chunks = 4)
+      graft.streaming.StreamingCdc
+        .snapshotFromDeltas(deltas, "user_id", "value")
+        .orderBy("user_id")
+    }),
+
     // Streaming funnel: per-user step-time keyed state over 4 time-range
     // micro-batches. Time-ordered arrival makes the incremental greedy
     // equal the batch funnel (q87's semantics), so the oracle is the
@@ -377,6 +397,18 @@ object StreamingQueries {
         .orderBy("user_id")))
 
   val oracles: Map[String, String] = Map(
+    // last change per user decides presence (delete = click) and value —
+    // the batch MERGE the seq-ordered incremental fold must equal
+    "q164_stream_cdc" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+        |w AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, event_type AS value
+        |FROM w WHERE rn = 1 AND event_type <> 'click'
+        |ORDER BY user_id""".stripMargin,
     // epoch-day retention triangle — the batch definition the streamed
     // first-seen state must reproduce
     "q103_stream_cohorts" ->
