@@ -660,6 +660,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.cdcFingerprintPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("constraint_checks"),
+      new ExpressionInfo(
+        classOf[graft.operators.Constraints.type].getName,
+        null,
+        "constraint_checks",
+        "constraint_checks(table, spec) - Deequ-shaped data-quality suite; spec is ';'-separated checks: complete:col:bp | in_range:col:lo:hi:bp | in_set:col:v1|v2:bp | regex:col:re:bp (no ':' in re) | row_count:lo:hi | unique:col:bp | fk:col:refTable:refCol. Output (check, target, metric_bp, threshold_bp, pass).",
+        ""),
+      exprs => GraftExtensions.constraintChecksPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("cdc_apply"),
       new ExpressionInfo(
         classOf[graft.operators.Cdc.type].getName,
@@ -2122,6 +2131,32 @@ object GraftExtensions {
             col(strArg(n, exprs(1), "idCol")).as("media_id"),
             col(strArg(n, exprs(2), "payloadCol")).as("payload")),
         longArg(n, exprs(3), "w").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def constraintChecksPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "constraint_checks"
+    require(
+      exprs.length == 2,
+      s"$n expects (table, spec), got " + exprs.length + " arguments")
+    val spark = SparkSession.active
+    import graft.operators.Constraints._
+    val checks = strArg(n, exprs(1), "spec").split(";").map(_.trim).filter(_.nonEmpty)
+      .map { s =>
+        (s.split(":", -1).map(_.trim).toSeq match {
+          case Seq("complete", c, bp)          => Complete(c, bp.toLong)
+          case Seq("in_range", c, lo, hi, bp)  => InRange(c, lo.toLong, hi.toLong, bp.toLong)
+          case Seq("in_set", c, vs, bp)        => InSet(c, vs.split("\\|").toSeq, bp.toLong)
+          case Seq("regex", c, re, bp)         => MatchesRegex(c, re, bp.toLong)
+          case Seq("row_count", lo, hi)        => RowCount(lo.toLong, hi.toLong)
+          case Seq("unique", c, bp)            => Unique(c, bp.toLong)
+          case Seq("fk", c, ref, rc)           => ForeignKey(c, spark.table(ref), rc)
+          case other =>
+            throw new IllegalArgumentException(s"$n: unparseable check '$s'")
+        }): Check
+      }.toSeq
+    graft.operators.Constraints
+      .validate(spark.table(strArg(n, exprs.head, "table")), checks)
       .queryExecution.logical
   }
 

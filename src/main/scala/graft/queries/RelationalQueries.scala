@@ -220,6 +220,25 @@ object RelationalQueries {
     // r1), deletes beating earlier upserts (k%15), deletes of absent
     // keys (k%20 ∩ k%4=0 base gaps), log-only inserts (k%12), and
     // untouched carry-through.
+    // Deequ-shaped constraint validation (round-11): eight declarative
+    // checks compile into ONE scan-level aggregation (melted via stack +
+    // broadcast spec join), two uniqueness groupings, and one FK
+    // anti-join — passes scale with check KINDS, not check count.
+    "q165_constraints" -> ((s, dir) => {
+      import graft.operators.Constraints._
+      val o = t(s, dir, "orders")
+      graft.operators.Constraints.validate(o, Seq(
+          Complete("o_custkey", 9999L),
+          InRange("o_custkey", 1L, 100000000L, 10000L),
+          InSet("o_orderstatus", Seq("F", "O", "P"), 10000L),
+          MatchesRegex("o_orderpriority", "^[1-5]-", 10000L),
+          RowCount(1L, 100000000L),
+          Unique("o_orderkey"),
+          Unique("o_custkey", 1L),
+          ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey")))
+        .orderBy("check", "target")
+    }),
+
     "q162_cdc_apply" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(
         col("o_orderkey").as("k"),
@@ -637,6 +656,76 @@ object RelationalQueries {
   }
 
   val gapOracles: Map[String, String] = Map(
+    "q165_constraints" ->
+      """WITH t AS (SELECT count(*) AS n FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'complete' AS "check", 'o_custkey' AS target,
+        |         (SELECT count(o_custkey) FROM orders) * 10000 // n AS metric_bp,
+        |         CAST(9999 AS BIGINT) AS threshold_bp,
+        |         (SELECT count(o_custkey) FROM orders) * 10000 // n >= 9999 AS pass
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'in_range', 'o_custkey[1,100000000]',
+        |         (SELECT count(*) FROM orders
+        |          WHERE o_custkey BETWEEN 1 AND 100000000) * 10000 // n,
+        |         10000,
+        |         (SELECT count(*) FROM orders
+        |          WHERE o_custkey BETWEEN 1 AND 100000000) * 10000 // n >= 10000
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'in_set', 'o_orderstatus{F|O|P}',
+        |         (SELECT count(*) FROM orders
+        |          WHERE o_orderstatus IN ('F','O','P')) * 10000 // n,
+        |         10000,
+        |         (SELECT count(*) FROM orders
+        |          WHERE o_orderstatus IN ('F','O','P')) * 10000 // n >= 10000
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'regex', 'o_orderpriority~^[1-5]-',
+        |         (SELECT count(*) FROM orders
+        |          WHERE o_orderpriority IS NOT NULL
+        |            AND regexp_matches(o_orderpriority, '^[1-5]-')) * 10000 // n,
+        |         10000,
+        |         (SELECT count(*) FROM orders
+        |          WHERE o_orderpriority IS NOT NULL
+        |            AND regexp_matches(o_orderpriority, '^[1-5]-')) * 10000 // n >= 10000
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'row_count', '[1,100000000]', n, 1, n BETWEEN 1 AND 100000000 FROM t
+        |  UNION ALL
+        |  SELECT 'unique', 'o_orderkey',
+        |         ((SELECT count(DISTINCT o_orderkey) FROM orders)
+        |          + (SELECT CASE WHEN count(*) > count(o_orderkey) THEN 1 ELSE 0 END
+        |             FROM orders)) * 10000 // n,
+        |         10000,
+        |         ((SELECT count(DISTINCT o_orderkey) FROM orders)
+        |          + (SELECT CASE WHEN count(*) > count(o_orderkey) THEN 1 ELSE 0 END
+        |             FROM orders)) * 10000 // n >= 10000
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'unique', 'o_custkey',
+        |         ((SELECT count(DISTINCT o_custkey) FROM orders)
+        |          + (SELECT CASE WHEN count(*) > count(o_custkey) THEN 1 ELSE 0 END
+        |             FROM orders)) * 10000 // n,
+        |         1,
+        |         ((SELECT count(DISTINCT o_custkey) FROM orders)
+        |          + (SELECT CASE WHEN count(*) > count(o_custkey) THEN 1 ELSE 0 END
+        |             FROM orders)) * 10000 // n >= 1
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'foreign_key', 'o_custkey->c_custkey',
+        |         (SELECT count(*) FROM orders o
+        |          WHERE o.o_custkey IS NOT NULL
+        |            AND NOT EXISTS (SELECT 1 FROM customer c
+        |                            WHERE c.c_custkey = o.o_custkey)),
+        |         0,
+        |         (SELECT count(*) FROM orders o
+        |          WHERE o.o_custkey IS NOT NULL
+        |            AND NOT EXISTS (SELECT 1 FROM customer c
+        |                            WHERE c.c_custkey = o.o_custkey)) = 0
+        |  FROM t)
+        |ORDER BY "check", target""".stripMargin,
+
     "q162_cdc_apply" ->
       """WITH o AS (
         |  SELECT o_orderkey AS k, o_custkey AS cust, o_orderstatus AS status
