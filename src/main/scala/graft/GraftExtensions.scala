@@ -660,6 +660,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.cdcFingerprintPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("pps_sample"),
+      new ExpressionInfo(
+        classOf[graft.operators.Sampling.type].getName,
+        null,
+        "pps_sample",
+        "pps_sample(table, idCol, weightCol, k) - PPS systematic sampling: k draws with inclusion probability exactly proportional to the integer weight; (idCol, weight, n_hits), sum(n_hits) = k.",
+        ""),
+      exprs => GraftExtensions.ppsSamplePlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("constraint_checks"),
       new ExpressionInfo(
         classOf[graft.operators.Constraints.type].getName,
@@ -2131,6 +2140,20 @@ object GraftExtensions {
             col(strArg(n, exprs(1), "idCol")).as("media_id"),
             col(strArg(n, exprs(2), "payloadCol")).as("payload")),
         longArg(n, exprs(3), "w").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def ppsSamplePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "pps_sample"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, idCol, weightCol, k), got " + exprs.length + " arguments")
+    graft.operators.Sampling
+      .ppsSystematic(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "weightCol"),
+        longArg(n, exprs(3), "k").toInt)
       .queryExecution.logical
   }
 

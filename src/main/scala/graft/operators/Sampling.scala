@@ -164,4 +164,45 @@ object Sampling {
       .filter(col("_rk") <= col("quota"))
       .select(cols.head, cols.tail: _*)
   }
+
+  /** PPS systematic sampling (Madow 1949; the survey-sampling classic,
+    * and the shape a token-budget corpus selection takes at scale):
+    * draw k of n with inclusion probability EXACTLY proportional to an
+    * integer weight (tokens, bytes, quality mass), in ONE pass with no
+    * RNG and no global sort.
+    *
+    * Rows lay out on a weight line in id order — row i owns the interval
+    * [c_i, c_i + w_i) where c_i is the exclusive prefix sum of weights
+    * (the [[PrefixSum]] recursion; ids must be unique non-negative) —
+    * and k midpoint targets t_j = (2j+1)·W/(2k) select whatever interval
+    * contains them. All arithmetic stays integer by comparing
+    * 2k·c against (2j+1)·W, so hits per row close-form to
+    *
+    *   n_hits(i) = ⌊(2k·(c_i+w_i) + W − 1) / 2W⌋ − ⌊(2k·c_i + W − 1) / 2W⌋
+    *
+    * which telescopes to Σ n_hits = k exactly, and per row lands in
+    * {⌊k·w/W⌋, ⌈k·w/W⌉} — the textbook PPS-systematic guarantee (a row
+    * with weight > W/k is drawn multiple times; n_hits is its sampling
+    * multiplicity and must be kept for unbiased estimation). Both
+    * invariants are spec-pinned. Zero-weight rows are never selected.
+    *
+    * Output: (idCol, weight, n_hits) for rows with n_hits ≥ 1.
+    */
+  def ppsSystematic(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val kv = df.select(col(idCol).cast("long").as("k"), col(weightCol).cast("long").as("s"))
+    val totalW = kv.agg(sum("s")).head().getLong(0)
+    require(totalW >= 1, s"total weight must be >= 1: $totalW")
+    require(
+      totalW <= Long.MaxValue / (2L * k),
+      s"2k*W overflows long: k=$k W=$totalW — widen to decimal before use")
+    val before = PrefixSum.exclusive(kv)
+    kv.join(before, "k")
+      .select(
+        col("k").as(idCol),
+        col("s").as("weight"),
+        (expr(s"(2*${k}L*(before+s) + ${totalW}L - 1) div ${2L * totalW}L") -
+          expr(s"(2*${k}L*before + ${totalW}L - 1) div ${2L * totalW}L")).as("n_hits"))
+      .filter(col("n_hits") >= 1L)
+  }
 }

@@ -1307,6 +1307,17 @@ object DocumentQueries {
         .orderBy("media_id")
     }),
 
+    // PPS systematic sampling (round-11): k=100 draws with inclusion
+    // probability exactly proportional to document length, one prefix-sum
+    // pass, integer midpoint-target arithmetic — Σ n_hits = k by
+    // telescoping, per-row hits ∈ {⌊kw/W⌋, ⌈kw/W⌉} (spec-pinned).
+    "q166_pps_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+      graft.operators.Sampling.ppsSystematic(docs, "doc_id", "w", k = 100)
+        .orderBy("doc_id")
+    }),
+
     // Minimal changelog extraction (round-11): the inverse of q162's
     // MERGE over the q75 snapshot fixture — upserts carry new values,
     // deletes carry NULLs, unchanged keys are absent; digests (not
@@ -3099,6 +3110,22 @@ object DocumentQueries {
         |      (a, b) -> xor(a, b)) AS fp
         |  FROM poss)
         |SELECT media_id, fp FROM fp ORDER BY media_id""".stripMargin,
+
+    "q166_pps_sample" ->
+      """WITH d AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS w FROM documents),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d),
+        |c AS (
+        |  SELECT doc_id, w,
+        |         CAST(COALESCE(sum(w) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id, w,
+        |         CAST((200*(cb+w) + t.tw - 1) // (2*t.tw)
+        |           - (200*cb + t.tw - 1) // (2*t.tw) AS BIGINT) AS n_hits
+        |  FROM c, t)
+        |SELECT doc_id, w AS weight, n_hits FROM h
+        |WHERE n_hits >= 1 ORDER BY doc_id""".stripMargin,
 
     "q163_cdc_changelog" ->
       """WITH olds AS (

@@ -114,4 +114,42 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.temperatureSample(df, "s", "id", totalN = 60)
     assert(sel.exceptAll(again).isEmpty && again.exceptAll(sel).isEmpty)
   }
+
+  test("PPS systematic: sum(n_hits) = k and per-row hits in {floor,ceil}(kw/W)") {
+    import spark.implicits._
+    // skewed integer weights incl. one heavy row owning ~1/3 of the mass
+    val rows = (1L to 200L).map(i => (i, 1L + (i * 7) % 23)) :+ (500L, 1200L)
+    val df = rows.toDF("id", "w")
+    val totalW = rows.map(_._2).sum
+    val k = 30
+    val got = Sampling.ppsSystematic(df, "id", "w", k)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._3).sum == k, s"hits must telescope to k: ${got.map(_._3).sum}")
+    got.foreach { case (id, w, h) =>
+      val lo = (k.toLong * w) / totalW
+      val hi = lo + (if ((k.toLong * w) % totalW == 0) 0 else 1)
+      assert(h >= lo && h <= hi, s"row $id: $h not in [$lo,$hi] for w=$w")
+    }
+    // the heavy row (k·w/W = 30·1200/3586 ≈ 10) is multi-drawn
+    val heavy = got.find(_._1 == 500L).get
+    assert(heavy._3 >= 2, s"heavy row drew ${heavy._3}")
+    // determinism + zero-weight exclusion
+    val again = Sampling.ppsSystematic(df, "id", "w", k)
+      .as[(Long, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val withZero = (rows :+ (600L, 0L)).toDF("id", "w")
+    val z = Sampling.ppsSystematic(withZero, "id", "w", k)
+      .as[(Long, Long, Long)].collect()
+    assert(!z.exists(_._1 == 600L) && z.map(_._3).sum == k)
+  }
+
+  test("pps_sample TVF matches the operator") {
+    import spark.implicits._
+    (1L to 50L).map(i => (i, 1L + i % 9)).toDF("id", "w")
+      .createOrReplaceTempView("pps_in")
+    val sqlDf = spark.sql("SELECT * FROM pps_sample('pps_in', 'id', 'w', 10)")
+    val scalaDf = Sampling.ppsSystematic(spark.table("pps_in"), "id", "w", 10)
+    assert(sqlDf.columns.toSeq == scalaDf.columns.toSeq)
+    assert(sqlDf.exceptAll(scalaDf).isEmpty && scalaDf.exceptAll(sqlDf).isEmpty)
+  }
 }
