@@ -660,6 +660,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.cdcFingerprintPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("leakage_safe_split"),
+      new ExpressionInfo(
+        classOf[graft.operators.Sampling.type].getName,
+        null,
+        "leakage_safe_split",
+        "leakage_safe_split(table, idCol, clustersTable, clusterIdCol, repCol, 'train:0.8|val:0.1|test:0.1') - split keyed on the dup-cluster representative: near-duplicates never straddle splits.",
+        ""),
+      exprs => GraftExtensions.leakageSafeSplitPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("pps_sample"),
       new ExpressionInfo(
         classOf[graft.operators.Sampling.type].getName,
@@ -2140,6 +2149,29 @@ object GraftExtensions {
             col(strArg(n, exprs(1), "idCol")).as("media_id"),
             col(strArg(n, exprs(2), "payloadCol")).as("payload")),
         longArg(n, exprs(3), "w").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def leakageSafeSplitPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "leakage_safe_split"
+    require(
+      exprs.length == 6,
+      s"$n expects (table, idCol, clustersTable, clusterIdCol, repCol, splitsSpec), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    val splits = strArg(n, exprs(5), "splitsSpec").split("\\|").map(_.trim)
+      .filter(_.nonEmpty).map { s =>
+        val Array(name, frac) = s.split(":", 2)
+        name.trim -> frac.trim.toDouble
+      }.toSeq
+    graft.operators.Sampling
+      .leakageSafeSplit(
+        spark.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        spark.table(strArg(n, exprs(2), "clustersTable")),
+        strArg(n, exprs(3), "clusterIdCol"),
+        strArg(n, exprs(4), "repCol"),
+        splits)
       .queryExecution.logical
   }
 

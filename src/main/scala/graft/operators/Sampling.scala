@@ -165,6 +165,37 @@ object Sampling {
       .select(cols.head, cols.tail: _*)
   }
 
+  /** Leakage-safe train/val/test split: assign every row the split of
+    * its DUPLICATE CLUSTER, not of itself — the eval-hygiene step a
+    * per-document [[hashSplit]] cannot provide: two near-duplicate
+    * documents split independently land one in train and one in test
+    * with probability 2·p·(1−p), and the eval set silently contains
+    * training data (the contamination Lee et al. 2022 measure). Keying
+    * the split on the cluster representative makes co-membership a
+    * THEOREM: equal rep ⇒ equal split, whatever the fractions.
+    *
+    * `clusters` maps `clusterIdCol` → `repCol` (e.g.
+    * [[Dedup.minhashDedup]]'s (sid, rep)); rows absent from the map
+    * split as their own singleton cluster. One broadcast-or-shuffle
+    * left join + a scan-level projection — no new shuffle beyond the
+    * cluster map itself. Output: df columns + (repCol, split).
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      clusterIdCol: String,
+      repCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val joined = df
+      .join(
+        clusters.select(col(clusterIdCol).as(idCol), col(repCol)),
+        Seq(idCol),
+        "left")
+      .withColumn(repCol, coalesce(col(repCol), col(idCol)))
+    hashSplit(joined, repCol, splits)
+  }
+
   /** PPS systematic sampling (Madow 1949; the survey-sampling classic,
     * and the shape a token-budget corpus selection takes at scale):
     * draw k of n with inclusion probability EXACTLY proportional to an

@@ -1307,6 +1307,21 @@ object DocumentQueries {
         .orderBy("media_id")
     }),
 
+    // Leakage-safe split (round-11): the 80/10/10 split keyed on q19's
+    // MinHash dup-cluster representative, so near-duplicate documents
+    // can never straddle train and test — co-membership is a theorem
+    // (equal rep => equal split), the eval-contamination guarantee a
+    // per-document hash split cannot give.
+    "q167_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = graft.operators.Dedup.minhashDedup(
+        SimilarityJoin.tokenize(docs, "doc_id", "text"), tau = 0.8)
+      graft.operators.Sampling.leakageSafeSplit(
+          docs.select("doc_id"), "doc_id", clusters, "sid", "rep",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    }),
+
     // PPS systematic sampling (round-11): k=100 draws with inclusion
     // probability exactly proportional to document length, one prefix-sum
     // pass, integer midpoint-target arithmetic — Σ n_hits = k by
@@ -3110,6 +3125,42 @@ object DocumentQueries {
         |      (a, b) -> xor(a, b)) AS fp
         |  FROM poss)
         |SELECT media_id, fp FROM fp ORDER BY media_id""".stripMargin,
+
+    // q19's exact-Jaccard + recursive-CC replay, then the q46 md5-uniform
+    // split idiom keyed on the REP instead of the doc
+    "q167_leakage_safe_split" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |edges AS (SELECT x AS a, y AS b FROM pairs UNION SELECT y, x FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |reps AS (
+        |  SELECT d.doc_id,
+        |         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep
+        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |  GROUP BY d.doc_id),
+        |u AS (
+        |  SELECT doc_id, rep,
+        |         CAST(list_sum(list_transform(range(0, 8), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(md5(CAST(rep AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS DOUBLE)
+        |           / 4294967296.0 AS u
+        |  FROM reps)
+        |SELECT doc_id, rep,
+        |       CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+        |            WHEN u < CAST(0.9 AS DOUBLE) THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "q166_pps_sample" ->
       """WITH d AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS w FROM documents),

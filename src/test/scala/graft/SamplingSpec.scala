@@ -115,6 +115,47 @@ class SamplingSpec extends SparkSpec {
     assert(sel.exceptAll(again).isEmpty && again.exceptAll(sel).isEmpty)
   }
 
+  test("leakage-safe split: co-membership is a theorem; naive split leaks") {
+    import spark.implicits._
+    // 400 docs in 100 four-member clusters (rep = min id of each)
+    val docs = (1L to 400L).toDF("id")
+    val clusters = (1L to 400L).map(i => (i, ((i - 1) / 4) * 4 + 1)).toDF("cid", "rep")
+    val split = Sampling.leakageSafeSplit(
+      docs, "id", clusters, "cid", "rep",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // every cluster lands in exactly one split
+    val perCluster = split.groupBy("rep")
+      .agg(countDistinct("split").as("ns")).agg(max("ns")).head().getLong(0)
+    assert(perCluster == 1L)
+    // and the naive per-doc split separates at least one planted cluster
+    val naive = Sampling.hashSplit(
+      clusters.select(col("cid"), col("rep")), "cid",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val leaked = naive.groupBy("rep")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(leaked > 0, "fixture should demonstrate the leak the operator prevents")
+    // docs absent from the cluster map become singleton clusters
+    val partial = Sampling.leakageSafeSplit(
+      docs, "id", clusters.filter(col("cid") <= 100), "cid", "rep",
+      Seq("train" -> 0.5, "test" -> 0.5))
+    assert(partial.filter(col("id") > 100 && col("rep") =!= col("id")).isEmpty)
+  }
+
+  test("leakage_safe_split TVF matches the operator") {
+    import spark.implicits._
+    (1L to 60L).toDF("id").createOrReplaceTempView("lss_docs")
+    (1L to 60L).map(i => (i, ((i - 1) / 3) * 3 + 1)).toDF("cid", "rep")
+      .createOrReplaceTempView("lss_clusters")
+    val sqlDf = spark.sql(
+      "SELECT * FROM leakage_safe_split('lss_docs', 'id', 'lss_clusters', " +
+        "'cid', 'rep', 'train:0.8|val:0.1|test:0.1')")
+    val scalaDf = Sampling.leakageSafeSplit(
+      spark.table("lss_docs"), "id", spark.table("lss_clusters"), "cid", "rep",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(sqlDf.columns.toSeq == scalaDf.columns.toSeq)
+    assert(sqlDf.exceptAll(scalaDf).isEmpty && scalaDf.exceptAll(sqlDf).isEmpty)
+  }
+
   test("PPS systematic: sum(n_hits) = k and per-row hits in {floor,ceil}(kw/W)") {
     import spark.implicits._
     // skewed integer weights incl. one heavy row owning ~1/3 of the mass
