@@ -70,11 +70,16 @@ object Bench {
     // rerun (or a later query sharing a subplan) would silently read the
     // previous run's cached blocks and report a fantasy number (observed:
     // the similarity-join family at 0.4-1.5 s vs its real 15-30 s).
+    // failures are NOT silent: the name ships in the JSON's "failed" list
+    // (round-11: an overflow-guarded query printed a plausible 1.3 s line
+    // and the failure was only caught by an A/B probe)
+    val failedQueries = collection.mutable.SortedSet[String]()
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try exhaust(fn(spark, sfDir))
       catch { case e: Throwable =>
+        failedQueries += name.takeWhile(_ != '_')
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -217,7 +222,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"retried":$retriedJson,"sf":"$sfName"}""")
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"retried":$retriedJson,"failed":$failedJson,"sf":"$sfName"}""")
     spark.stop()
     // spark.stop() does not end the JVM: streaming-harness non-daemon
     // threads (observed post-print in solo runs) keep it alive until the

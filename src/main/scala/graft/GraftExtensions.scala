@@ -660,6 +660,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.cdcFingerprintPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("fs_link"),
+      new ExpressionInfo(
+        classOf[graft.operators.RecordLinkage.type].getName,
+        null,
+        "fs_link",
+        "fs_link(aTable, bTable, idA, idB, labeledTable, candidatesTable, attrsCsv, thetaNum) - Fellegi-Sunter record linkage: exact integer m/u likelihood-ratio scores over candidate pairs; labeled/candidates tables carry (x_id, y_id).",
+        ""),
+      exprs => GraftExtensions.fsLinkPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("leakage_safe_split"),
       new ExpressionInfo(
         classOf[graft.operators.Sampling.type].getName,
@@ -2149,6 +2158,28 @@ object GraftExtensions {
             col(strArg(n, exprs(1), "idCol")).as("media_id"),
             col(strArg(n, exprs(2), "payloadCol")).as("payload")),
         longArg(n, exprs(3), "w").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def fsLinkPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "fs_link"
+    require(
+      exprs.length == 8,
+      s"$n expects (aTable, bTable, idA, idB, labeledTable, candidatesTable, attrsCsv, thetaNum), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    val a = spark.table(strArg(n, exprs.head, "aTable"))
+    val b = spark.table(strArg(n, exprs(1), "bTable"))
+    val idA = strArg(n, exprs(2), "idA")
+    val idB = strArg(n, exprs(3), "idB")
+    val labeled = spark.table(strArg(n, exprs(4), "labeledTable"))
+    val cands = spark.table(strArg(n, exprs(5), "candidatesTable"))
+    val attrs = strArg(n, exprs(6), "attrsCsv")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val weights = graft.operators.RecordLinkage.fsWeights(a, b, idA, idB, labeled, attrs)
+    graft.operators.RecordLinkage
+      .scorePairs(a, b, idA, idB, attrs, cands, weights,
+        thetaNum = longArg(n, exprs(7), "thetaNum"))
       .queryExecution.logical
   }
 

@@ -1307,6 +1307,46 @@ object DocumentQueries {
         .orderBy("media_id")
     }),
 
+    // Fellegi–Sunter record linkage (round-11): m/u weights estimated
+    // from the data as exact integer ratios (u = Σf²/n² chance
+    // agreement; m Laplace-smoothed over a labeled sample), gcd-reduced,
+    // and pair scores carried as exact DECIMAL(38,0) likelihood-ratio
+    // products — the classical log-sum ordering without a single float.
+    // Fixture: a perturbed second source (name/nation/segment/cents
+    // edits on disjoint mod classes), true-alignment + decoy candidates.
+    "q168_record_linkage" -> ((s, dir) => {
+      import graft.operators.RecordLinkage
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val off = 1000000L
+      val b = c.select(
+        (col("id") + off).as("id"),
+        when(pmod(col("id"), lit(7)) === 0, concat(col("name"), lit("~")))
+          .otherwise(col("name")).as("name"),
+        when(pmod(col("id"), lit(5)) === 0, pmod(col("nat") + 1, lit(25)))
+          .otherwise(col("nat")).as("nat"),
+        when(pmod(col("id"), lit(11)) === 0, lit("UNKNOWN"))
+          .otherwise(col("seg")).as("seg"),
+        when(pmod(col("id"), lit(3)) === 0, col("cents") + 1)
+          .otherwise(col("cents")).as("cents"))
+      val labeled = c.filter(pmod(col("id"), lit(10)) === 0)
+        .select(col("id").as("x_id"), (col("id") + off).as("y_id"))
+      val attrs = Seq("name", "nat", "seg", "cents")
+      val w = RecordLinkage.fsWeights(c, b, "id", "id", labeled, attrs)
+      val n = c.agg(max("id")).head().getLong(0) + 1
+      val cands = c.select(col("id").as("x_id"), (col("id") + off).as("y_id"))
+        .unionByName(c.select(
+          col("id").as("x_id"),
+          (pmod(col("id") + 1, lit(n)) + off).as("y_id")))
+      RecordLinkage
+        .scorePairs(c, b, "id", "id", attrs, cands, w, thetaNum = 1000L)
+        .orderBy("x_id", "y_id")
+    }),
+
     // Leakage-safe split (round-11): the 80/10/10 split keyed on q19's
     // MinHash dup-cluster representative, so near-duplicate documents
     // can never straddle train and test — co-membership is a theorem
@@ -3125,6 +3165,104 @@ object DocumentQueries {
         |      (a, b) -> xor(a, b)) AS fp
         |  FROM poss)
         |SELECT media_id, fp FROM fp ORDER BY media_id""".stripMargin,
+
+    "q168_record_linkage" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |         CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |b AS (
+        |  SELECT id + 1000000 AS yid,
+        |         CASE WHEN id % 7 = 0 THEN name || '~' ELSE name END AS bname,
+        |         CASE WHEN id % 5 = 0 THEN (nat + 1) % 25 ELSE nat END AS bnat,
+        |         CASE WHEN id % 11 = 0 THEN 'UNKNOWN' ELSE seg END AS bseg,
+        |         CASE WHEN id % 3 = 0 THEN cents + 1 ELSE cents END AS bcents
+        |  FROM a),
+        |u AS (
+        |  SELECT 'name' AS attr, CAST(sum(f*f) AS BIGINT) AS un,
+        |         CAST(sum(f)*sum(f) AS BIGINT) AS ud
+        |  FROM (SELECT count(*) AS f FROM a GROUP BY name)
+        |  UNION ALL
+        |  SELECT 'nat', CAST(sum(f*f) AS BIGINT), CAST(sum(f)*sum(f) AS BIGINT)
+        |  FROM (SELECT count(*) AS f FROM a GROUP BY nat)
+        |  UNION ALL
+        |  SELECT 'seg', CAST(sum(f*f) AS BIGINT), CAST(sum(f)*sum(f) AS BIGINT)
+        |  FROM (SELECT count(*) AS f FROM a GROUP BY seg)
+        |  UNION ALL
+        |  SELECT 'cents', CAST(sum(f*f) AS BIGINT), CAST(sum(f)*sum(f) AS BIGINT)
+        |  FROM (SELECT count(*) AS f FROM a GROUP BY cents)),
+        |l AS (
+        |  SELECT a.name AS an, b.bname AS bn, a.nat AS at2, b.bnat AS bt,
+        |         a.seg AS asg, b.bseg AS bsg, a.cents AS ac, b.bcents AS bc
+        |  FROM a JOIN b ON b.yid = a.id + 1000000
+        |  WHERE a.id % 10 = 0),
+        |m AS (
+        |  SELECT 'name' AS attr,
+        |         CAST(count(*) FILTER (WHERE an IS NOT DISTINCT FROM bn) + 1 AS BIGINT) AS mn,
+        |         CAST(count(*) + 2 AS BIGINT) AS md FROM l
+        |  UNION ALL
+        |  SELECT 'nat',
+        |         CAST(count(*) FILTER (WHERE at2 IS NOT DISTINCT FROM bt) + 1 AS BIGINT),
+        |         CAST(count(*) + 2 AS BIGINT) FROM l
+        |  UNION ALL
+        |  SELECT 'seg',
+        |         CAST(count(*) FILTER (WHERE asg IS NOT DISTINCT FROM bsg) + 1 AS BIGINT),
+        |         CAST(count(*) + 2 AS BIGINT) FROM l
+        |  UNION ALL
+        |  SELECT 'cents',
+        |         CAST(count(*) FILTER (WHERE ac IS NOT DISTINCT FROM bc) + 1 AS BIGINT),
+        |         CAST(count(*) + 2 AS BIGINT) FROM l),
+        |w0 AS (
+        |  SELECT m.attr, mn, md, un // gcd(un, ud) AS un2, ud // gcd(un, ud) AS ud2
+        |  FROM m JOIN u USING (attr)),
+        |w1 AS (
+        |  SELECT attr,
+        |         (mn * ud2) // gcd(mn * ud2, md * un2) AS an,
+        |         (md * un2) // gcd(mn * ud2, md * un2) AS ad,
+        |         ((md - mn) * ud2) // gcd((md - mn) * ud2, md * (ud2 - un2)) AS dn,
+        |         (md * (ud2 - un2)) // gcd((md - mn) * ud2, md * (ud2 - un2)) AS dd
+        |  FROM w0),
+        |ws AS (
+        |  SELECT attr, an, ad, dn, dd,
+        |         (greatest(an, ad) + 999999) // 1000000 AS sa,
+        |         (greatest(dn, dd) + 999999) // 1000000 AS sd
+        |  FROM w1),
+        |w AS (
+        |  SELECT attr,
+        |         greatest(1, an // sa) AS an, greatest(1, ad // sa) AS ad,
+        |         greatest(1, dn // sd) AS dn, greatest(1, dd // sd) AS dd
+        |  FROM ws),
+        |cand AS (
+        |  SELECT id AS x, id + 1000000 AS y FROM a
+        |  UNION ALL
+        |  SELECT id, ((id + 1) % (SELECT count(*) FROM a)) + 1000000 FROM a),
+        |p AS (
+        |  SELECT c.x, c.y,
+        |         a.name IS NOT DISTINCT FROM b.bname AS agree_name,
+        |         a.nat IS NOT DISTINCT FROM b.bnat AS agree_nat,
+        |         a.seg IS NOT DISTINCT FROM b.bseg AS agree_seg,
+        |         a.cents IS NOT DISTINCT FROM b.bcents AS agree_cents
+        |  FROM cand c JOIN a ON a.id = c.x JOIN b ON b.yid = c.y),
+        |s AS (
+        |  SELECT x AS x_id, y AS y_id, agree_name, agree_nat, agree_seg, agree_cents,
+        |         (CASE WHEN agree_name THEN wn.an ELSE wn.dn END)::HUGEINT
+        |           * (CASE WHEN agree_nat THEN wt.an ELSE wt.dn END)
+        |           * (CASE WHEN agree_seg THEN ws.an ELSE ws.dn END)
+        |           * (CASE WHEN agree_cents THEN wc.an ELSE wc.dn END) AS score_num,
+        |         (CASE WHEN agree_name THEN wn.ad ELSE wn.dd END)::HUGEINT
+        |           * (CASE WHEN agree_nat THEN wt.ad ELSE wt.dd END)
+        |           * (CASE WHEN agree_seg THEN ws.ad ELSE ws.dd END)
+        |           * (CASE WHEN agree_cents THEN wc.ad ELSE wc.dd END) AS score_den
+        |  FROM p,
+        |       (SELECT * FROM w WHERE attr = 'name') wn,
+        |       (SELECT * FROM w WHERE attr = 'nat') wt,
+        |       (SELECT * FROM w WHERE attr = 'seg') ws,
+        |       (SELECT * FROM w WHERE attr = 'cents') wc)
+        |SELECT x_id, y_id, agree_name, agree_nat, agree_seg, agree_cents,
+        |       score_num, score_den,
+        |       score_num >= score_den * 1000 AS is_match
+        |FROM s ORDER BY x_id, y_id""".stripMargin,
 
     // q19's exact-Jaccard + recursive-CC replay, then the q46 md5-uniform
     // split idiom keyed on the REP instead of the doc
