@@ -39,6 +39,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => JavaStringHash(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("luhn_check"),
+      new ExpressionInfo(
+        classOf[graft.functions.LuhnCheck].getName,
+        null,
+        "luhn_check",
+        "luhn_check(str) - true iff str (spaces/hyphens allowed) is a 13-19-digit run passing the Luhn checksum (ISO/IEC 7812).",
+        ""),
+      exprs => graft.functions.LuhnCheck(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("intersect_size"),
       new ExpressionInfo(
         classOf[ArrayIntersectSize].getName,
@@ -659,6 +668,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cdc_fingerprint(mediaTable, idCol, payloadCol, w) - content-defined-chunking fingerprint (length-robust: insert/delete flips O(1) bits via boundary realignment): (media_id, fp).",
         ""),
       exprs => GraftExtensions.cdcFingerprintPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("event_pattern"),
+      new ExpressionInfo(
+        classOf[graft.operators.EventPattern.type].getName,
+        null,
+        "event_pattern",
+        "event_pattern(table, keyCol, tsCol, idCol, typeCol, symbolsSpec, pattern) - MATCH_RECOGNIZE-lite: regex over per-key event-symbol sequences; symbolsSpec like 'view:v,click:c'. Output (key, seq, n_events, n_matches, first_match).",
+        ""),
+      exprs => GraftExtensions.eventPatternPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("kn_familiarity"),
+      new ExpressionInfo(
+        classOf[graft.operators.LmScore.type].getName,
+        null,
+        "kn_familiarity",
+        "kn_familiarity(docsTable, idCol, textCol, trainTable, trainTextCol) - interpolated Kneser-Ney (d=3/4) bigram familiarity in exact fixed point: (id, n_bigrams, n_backoff, score_bp).",
+        ""),
+      exprs => GraftExtensions.knFamiliarityPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("multi_touch"),
+      new ExpressionInfo(
+        classOf[graft.operators.Attribution.type].getName,
+        null,
+        "multi_touch",
+        "multi_touch(table, userCol, tsUsCol, idCol, typeCol, touchTypesCsv, convType, windowUs, model) - multi-touch attribution ('linear' | 'u') in exact basis points; each touch credits the next conversion within the window.",
+        ""),
+      exprs => GraftExtensions.multiTouchPlan(exprs)))
     ext.injectTableFunction((
       FunctionIdentifier("fs_link"),
       new ExpressionInfo(
@@ -2158,6 +2194,67 @@ object GraftExtensions {
             col(strArg(n, exprs(1), "idCol")).as("media_id"),
             col(strArg(n, exprs(2), "payloadCol")).as("payload")),
         longArg(n, exprs(3), "w").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def eventPatternPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "event_pattern"
+    require(
+      exprs.length == 7,
+      s"$n expects (table, keyCol, tsCol, idCol, typeCol, symbolsSpec, pattern), got " +
+        exprs.length + " arguments")
+    val symbols = strArg(n, exprs(5), "symbolsSpec").split(",").map(_.trim)
+      .filter(_.nonEmpty).map { s =>
+        val Array(ty, sym) = s.split(":", 2)
+        ty.trim -> sym.trim
+      }.toMap
+    graft.operators.EventPattern
+      .matchPattern(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "keyCol"),
+        strArg(n, exprs(2), "tsCol"),
+        strArg(n, exprs(3), "idCol"),
+        strArg(n, exprs(4), "typeCol"),
+        symbols,
+        strArg(n, exprs(6), "pattern"))
+      .queryExecution.logical
+  }
+
+  private[graft] def knFamiliarityPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "kn_familiarity"
+    require(
+      exprs.length == 5,
+      s"$n expects (docsTable, idCol, textCol, trainTable, trainTextCol), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    graft.operators.LmScore
+      .knFamiliarity(
+        spark.table(strArg(n, exprs.head, "docsTable")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "textCol"),
+        spark.table(strArg(n, exprs(3), "trainTable")),
+        strArg(n, exprs(4), "trainTextCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def multiTouchPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "multi_touch"
+    require(
+      exprs.length == 9,
+      s"$n expects (table, userCol, tsUsCol, idCol, typeCol, touchTypesCsv, convType, windowUs, model), got " +
+        exprs.length + " arguments")
+    graft.operators.Attribution
+      .multiTouch(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "userCol"),
+        strArg(n, exprs(2), "tsUsCol"),
+        strArg(n, exprs(3), "idCol"),
+        strArg(n, exprs(4), "typeCol"),
+        strArg(n, exprs(5), "touchTypesCsv")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        strArg(n, exprs(6), "convType"),
+        longArg(n, exprs(7), "windowUs"),
+        strArg(n, exprs(8), "model"))
       .queryExecution.logical
   }
 

@@ -214,6 +214,101 @@ object LmScore {
         .otherwise(lit("tail")))
   }
 
+  /** Interpolated Kneser–Ney familiarity — the smoothing tier the MLE
+    * scorers above lack: an UNSEEN bigram scores its continuation
+    * probability instead of 0 (Kneser & Ney 1995; Chen & Goodman 1999's
+    * interpolated form), which is what makes held-out scoring a real
+    * perplexity signal rather than an OOV counter. Discount fixed at
+    * d = 3/4 (the Chen–Goodman-recommended region), so every probability
+    * stays in ℚ and the fixed-point integer form replays bit-for-bit:
+    *
+    *   seen (cnt ≥ 1, ctx seen):
+    *     p_bp = ⌊10000·((4·cnt − 3)·NT + 3·N1w·Ncont) / (4·ctx·NT)⌋
+    *   unseen bigram, seen context:
+    *     p_bp = ⌊10000·3·N1w·Ncont / (4·ctx·NT)⌋      (the backoff mass)
+    *   unseen context:
+    *     p_bp = ⌊10000·Ncont / NT⌋                    (pure continuation)
+    *
+    * where ctx = Σ counts with prefix w, N1w = distinct continuations of
+    * w, Ncont = distinct left-contexts of `next`, NT = distinct bigram
+    * types — all exact longs from the training rollup (cnt·NT must stay
+    * under ~2·10¹⁴; beyond that widen to decimal). No admission
+    * threshold: smoothing IS the rare-bigram treatment.
+    *
+    * Scale shape mirrors [[familiarityBucketsAgainst]]: the LM is a
+    * bigram-vocabulary-sized rollup of the training corpus (+ two
+    * distinct-count rollups and one scalar NT); the scored corpus
+    * shuffles once and probes at distinct-bigram granularity.
+    * Output: (id, n_bigrams, n_backoff, score_bp) where n_backoff counts
+    * bigram occurrences scored through either backoff arm and score_bp =
+    * ⌊Σ k·p_bp / Σ k⌋.
+    */
+  def knFamiliarity(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      train: DataFrame,
+      trainTextCol: String): DataFrame = {
+    def bigrams(c: Column) =
+      explode(
+        when(
+          size(c) >= 2,
+          transform(
+            sequence(lit(0), size(c) - 2),
+            i => struct(
+              element_at(c, i + 1).as("w"),
+              element_at(c, i + 2).as("next"))))
+          .otherwise(array().cast("array<struct<w:string,next:string>>"))).as("p")
+
+    val trainBi = train
+      .select(bigrams(toks(col(trainTextCol))))
+      .select(col("p.w").as("w"), col("p.next").as("next"))
+      .groupBy("w", "next").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val ctx = trainBi.groupBy("w")
+      .agg(sum("cnt").as("ctx"), count(lit(1)).as("n1w"))
+    val cont = trainBi.groupBy("next").agg(count(lit(1)).as("ncont"))
+    val nTypes = trainBi.count() // one scalar
+    require(nTypes > 0, "knFamiliarity needs a non-empty training corpus")
+
+    val docBi = docs
+      .select(col(idCol), bigrams(toks(col(textCol))))
+      .select(col(idCol), col("p.w").as("w"), col("p.next").as("next"))
+      .groupBy(col(idCol), col("w"), col("next"))
+      .agg(count(lit(1)).as("k"))
+
+    val scored = docBi
+      .join(ctx, Seq("w"), "left")
+      .join(trainBi, Seq("w", "next"), "left")
+      .join(cont, Seq("next"), "left")
+      .withColumn("__nc", coalesce(col("ncont"), lit(0L)))
+      .withColumn(
+        "p_bp",
+        when(
+          col("ctx").isNotNull && col("cnt").isNotNull,
+          expr(s"(10000 * ((4*cnt - 3) * ${nTypes}L + 3 * n1w * __nc)) div (4 * ctx * ${nTypes}L)"))
+          .when(
+            col("ctx").isNotNull,
+            expr(s"(10000 * 3 * n1w * __nc) div (4 * ctx * ${nTypes}L)"))
+          .otherwise(expr(s"(10000 * __nc) div ${nTypes}L")))
+      .withColumn("__backoff", col("cnt").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        sum(when(col("__backoff"), col("k")).otherwise(lit(0L))).as("n_backoff"),
+        sum(col("k") * col("p_bp")).as("s"))
+
+    docs
+      .select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("s div n_bigrams")).as("score_bp"))
+  }
+
   /** Score values at descending-order ranks ceil(n/3) and ceil(2n/3):
     * walk the descending histogram and take the first value whose
     * cumulative count reaches the rank.

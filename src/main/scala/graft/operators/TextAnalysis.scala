@@ -269,6 +269,30 @@ object TextAnalysis {
         col(s"_t${patterns.size}").as("clean_text")): _*)
   }
 
+  /** Checksum-gated card redaction — the PII tier's PRECISION upgrade
+    * over [[redactPii]]'s pattern-only masking: every 13-19-digit run
+    * (spaces/hyphens allowed) is extracted, but only runs passing the
+    * Luhn checksum ([[graft.functions.LuhnCheck]], a codegen'd native
+    * expression) are masked. Random digit runs (timestamps, invoice
+    * ids) pass Luhn only 1-in-10, so the false-positive mass drops ~90 %
+    * while no real card number survives. Pure scan-level projection:
+    * extract-all → HOF filter (the Luhn check inlines into codegen) →
+    * fold of replaces. Output: (id, n_cards, clean_text).
+    */
+  def redactCards(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.LuhnCheck.register(df.sparkSession)
+    df.select(
+        col(idCol),
+        col(textCol).as("__t"),
+        expr(s"filter(regexp_extract_all($textCol, '[0-9][0-9 -]{11,21}[0-9]', 0), " +
+          "r -> luhn_check(r))").as("__cards"))
+      .select(
+        col(idCol),
+        size(col("__cards")).cast("long").as("n_cards"),
+        expr("aggregate(__cards, __t, (acc, r) -> replace(acc, r, '[CARD]'))")
+          .as("clean_text"))
+  }
+
   /** w-shingle fingerprint table: per document the distinct/total shingle
     * counts plus the shingle fingerprint array (xxhash64 of each w-token
     * window — the rolling-hash document-fingerprint shape). The hash

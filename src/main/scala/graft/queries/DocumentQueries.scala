@@ -1307,6 +1307,43 @@ object DocumentQueries {
         .orderBy("media_id")
     }),
 
+    // Kneser–Ney familiarity (round-11): LM trained on the even half of
+    // the corpus, ALL docs scored — held-out docs exercise both backoff
+    // arms (unseen bigram / unseen context), which under the MLE scorers
+    // would flatten to OOV-zero. d = 3/4 exact fixed point.
+    "q171_kn_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.LmScore.knFamiliarity(
+          docs, "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
+        .orderBy("doc_id")
+    }),
+
+    // Luhn-gated card redaction (round-11): docs get a deterministic
+    // 16-digit run appended — Luhn-VALID on doc_id%3=0 (masked), the
+    // same digits with a bumped check digit on doc_id%3=1 (an invoice-id
+    // look-alike that must SURVIVE), nothing on the rest. The native
+    // luhn_check expression gates the masking; pattern-only redaction
+    // would have masked both.
+    "q170_luhn_redact" -> ((s, dir) => {
+      val valid = Seq(
+        "4100003703703673", "4200004938271568", "4300006172839454",
+        "4400007407407348", "4500008641975230")
+      val invalid = valid.map(c =>
+        c.init + (((c.last - '0') + 1) % 10).toString)
+      def pick(cs: Seq[String]) = element_at(
+        array(cs.map(lit): _*), (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" card "), pick(valid)))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(col("text"), lit(" ref "), pick(invalid)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.TextAnalysis.redactCards(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Fellegi–Sunter record linkage (round-11): m/u weights estimated
     // from the data as exact integer ratios (u = Σf²/n² chance
     // agreement; m Laplace-smoothed over a labeled sample), gcd-reduced,
@@ -3165,6 +3202,93 @@ object DocumentQueries {
         |      (a, b) -> xor(a, b)) AS fp
         |  FROM poss)
         |SELECT media_id, fp FROM fp ORDER BY media_id""".stripMargin,
+
+    "q171_kn_lm" ->
+      """WITH tr AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tp AS (
+        |  SELECT w[i] AS w, w[i + 1] AS next
+        |  FROM tr, unnest(range(1, greatest(len(w), 1))) r(i)),
+        |bi AS (SELECT w, next, CAST(count(*) AS BIGINT) AS cnt FROM tp GROUP BY 1, 2),
+        |ctx AS (
+        |  SELECT w, CAST(sum(cnt) AS BIGINT) AS ctx,
+        |         CAST(count(*) AS BIGINT) AS n1w
+        |  FROM bi GROUP BY 1),
+        |cont AS (SELECT next, CAST(count(*) AS BIGINT) AS ncont FROM bi GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bi),
+        |dt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |dp AS (
+        |  SELECT doc_id, w[i] AS w, w[i + 1] AS next
+        |  FROM dt, unnest(range(1, greatest(len(w), 1))) r(i)),
+        |db AS (
+        |  SELECT doc_id, w, next, CAST(count(*) AS BIGINT) AS k
+        |  FROM dp GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT db.doc_id, db.k,
+        |         CASE WHEN ctx.ctx IS NOT NULL AND bi.cnt IS NOT NULL
+        |              THEN (10000 * ((4 * bi.cnt - 3) * nt.nt
+        |                             + 3 * ctx.n1w * COALESCE(cont.ncont, 0)))
+        |                   // (4 * ctx.ctx * nt.nt)
+        |              WHEN ctx.ctx IS NOT NULL
+        |              THEN (10000 * 3 * ctx.n1w * COALESCE(cont.ncont, 0))
+        |                   // (4 * ctx.ctx * nt.nt)
+        |              ELSE (10000 * COALESCE(cont.ncont, 0)) // nt.nt END AS p_bp,
+        |         CASE WHEN bi.cnt IS NULL THEN db.k ELSE 0 END AS bk
+        |  FROM db
+        |  LEFT JOIN ctx ON ctx.w = db.w
+        |  LEFT JOIN bi ON bi.w = db.w AND bi.next = db.next
+        |  LEFT JOIN cont ON cont.next = db.next
+        |  CROSS JOIN nt),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(bk) AS BIGINT) AS n_backoff, sum(k * p_bp) AS s
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(COALESCE(a.n_backoff, 0) AS BIGINT) AS n_backoff,
+        |       CAST(CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
+        |                 ELSE a.s // a.n_bigrams END AS BIGINT) AS score_bp
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q170_luhn_redact" ->
+      """WITH v AS (
+        |  SELECT ['4100003703703673','4200004938271568','4300006172839454',
+        |          '4400007407407348','4500008641975230'] AS vc,
+        |         ['4100003703703674','4200004938271569','4300006172839455',
+        |          '4400007407407349','4500008641975231'] AS ic),
+        |d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN text || ' card ' || vc[CAST(doc_id % 5 + 1 AS INT)]
+        |              WHEN doc_id % 3 = 1 THEN text || ' ref ' || ic[CAST(doc_id % 5 + 1 AS INT)]
+        |              ELSE text END AS text
+        |  FROM documents, v),
+        |runs AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(text, '[0-9][0-9 -]{11,21}[0-9]') AS rs
+        |  FROM d),
+        |cards AS (
+        |  SELECT doc_id, text,
+        |         list_transform(
+        |           list_filter(
+        |             list_transform(rs, r ->
+        |               struct_pack(r := r, d := regexp_replace(r, '[ -]', '', 'g'))),
+        |             s -> len(s.d) BETWEEN 13 AND 19 AND
+        |                  list_sum(list_transform(range(1, len(s.d) + 1), i ->
+        |                    CASE WHEN (len(s.d) - i) % 2 = 1
+        |                         THEN CASE WHEN 2 * (ascii(substr(s.d, CAST(i AS INT), 1)) - 48) > 9
+        |                                   THEN 2 * (ascii(substr(s.d, CAST(i AS INT), 1)) - 48) - 9
+        |                                   ELSE 2 * (ascii(substr(s.d, CAST(i AS INT), 1)) - 48) END
+        |                         ELSE ascii(substr(s.d, CAST(i AS INT), 1)) - 48 END)) % 10 = 0),
+        |           s -> s.r) AS cs
+        |  FROM runs)
+        |SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_cards,
+        |       list_reduce(list_prepend(text, cs),
+        |                   (acc, r) -> replace(acc, r, '[CARD]')) AS clean_text
+        |FROM cards ORDER BY doc_id""".stripMargin,
 
     "q168_record_linkage" ->
       """WITH a AS (

@@ -220,6 +220,36 @@ object RelationalQueries {
     // r1), deletes beating earlier upserts (k%15), deletes of absent
     // keys (k%20 ∩ k%4=0 base gaps), log-only inserts (k%12), and
     // untouched carry-through.
+    // MATCH_RECOGNIZE-lite (round-11): each user's events spell a symbol
+    // string in (ts, id) order; a regex over symbols finds CEP matches —
+    // here "two or more views, an optional click, then a purchase".
+    // Row-pattern recognition (SQL:2016) without a window chain.
+    "q172_event_pattern" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tus", unix_micros(col("ts")))
+      graft.operators.EventPattern.matchPattern(
+          ev, "user_id", "tus", "event_id", "event_type",
+          symbols = Map(
+            "signup" -> "s", "view" -> "v", "click" -> "c", "purchase" -> "p"),
+          pattern = "v{2,}c?p")
+        .orderBy("user_id")
+    }),
+
+    // Multi-touch attribution (round-11): view/click touches credit the
+    // NEXT purchase of the same user within 7 days, in exact basis
+    // points (Σ = 10000 per conversion; floor remainders to the earliest
+    // touches). Windowed assignment — one user exchange, no range join.
+    // Linear and U-shaped models side by side.
+    "q169_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tus", unix_micros(col("ts")))
+      def run(model: String) = graft.operators.Attribution.multiTouch(
+        ev, "user_id", "tus", "event_id", "event_type",
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        windowUs = 7L * 24 * 3600 * 1000000, model = model)
+        .withColumn("model", lit(model))
+      run("linear").unionByName(run("u"))
+        .orderBy("model", "user_id", "conv_tus", "conv_id", "touch_rank")
+    }),
+
     // Deequ-shaped constraint validation (round-11): eight declarative
     // checks compile into ONE scan-level aggregation (melted via stack +
     // broadcast spec join), two uniqueness groupings, and one FK
@@ -656,6 +686,72 @@ object RelationalQueries {
   }
 
   val gapOracles: Map[String, String] = Map(
+    "q172_event_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |         CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+        |              WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' END AS sym
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+        |s AS (
+        |  SELECT user_id,
+        |         string_agg(sym, '' ORDER BY tus, event_id) AS seq,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, seq, n_events,
+        |       CAST(len(regexp_extract_all(seq, 'v{2,}c?p')) AS BIGINT) AS n_matches,
+        |       CASE WHEN len(regexp_extract_all(seq, 'v{2,}c?p')) > 0
+        |            THEN regexp_extract(seq, 'v{2,}c?p') ELSE '' END AS first_match
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    "q169_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id AS id, event_type AS ty
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |a AS (
+        |  SELECT *,
+        |         min(CASE WHEN ty = 'purchase'
+        |                  THEN struct_pack(tus := tus, id := id) END)
+        |           OVER (PARTITION BY user_id ORDER BY tus DESC, id DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv
+        |  FROM e),
+        |t2 AS (
+        |  SELECT user_id, conv.tus AS conv_tus, conv.id AS conv_id,
+        |         id AS event_id, tus
+        |  FROM a
+        |  WHERE ty <> 'purchase' AND conv IS NOT NULL
+        |    AND conv.tus - tus <= 604800000000),
+        |rk AS (
+        |  SELECT user_id, conv_tus, conv_id, event_id,
+        |         CAST(row_number() OVER
+        |           (PARTITION BY user_id, conv_tus, conv_id
+        |            ORDER BY tus, event_id) AS BIGINT) AS touch_rank,
+        |         CAST(count(*) OVER
+        |           (PARTITION BY user_id, conv_tus, conv_id) AS BIGINT) AS n_touches
+        |  FROM t2),
+        |lin AS (
+        |  SELECT user_id, conv_tus, conv_id, event_id, touch_rank, n_touches,
+        |         CAST(10000 // n_touches
+        |              + CASE WHEN touch_rank <= 10000 % n_touches THEN 1 ELSE 0 END
+        |              AS BIGINT) AS credit_bp,
+        |         'linear' AS model
+        |  FROM rk),
+        |uu AS (
+        |  SELECT user_id, conv_tus, conv_id, event_id, touch_rank, n_touches,
+        |         CAST(CASE
+        |           WHEN n_touches = 1 THEN 10000
+        |           WHEN n_touches = 2 THEN 5000
+        |           WHEN touch_rank = 1 THEN 4000
+        |           WHEN touch_rank = n_touches THEN 4000
+        |           ELSE 2000 // (n_touches - 2)
+        |                + CASE WHEN touch_rank - 1 <= 2000 % (n_touches - 2)
+        |                       THEN 1 ELSE 0 END
+        |         END AS BIGINT) AS credit_bp,
+        |         'u' AS model
+        |  FROM rk)
+        |SELECT * FROM (SELECT * FROM lin UNION ALL SELECT * FROM uu)
+        |ORDER BY model, user_id, conv_tus, conv_id, touch_rank""".stripMargin,
+
     "q165_constraints" ->
       """WITH t AS (SELECT count(*) AS n FROM orders)
         |SELECT * FROM (

@@ -110,4 +110,48 @@ class LmScoreSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2, r._3, r._4)) ==
       Seq((10L, 1L, 0L, 10000L), (11L, 1L, 1L, 0L)))
   }
+
+  test("Kneser-Ney: seen / unseen-bigram / unseen-context arms, exact fixed point") {
+    import spark.implicits._
+    // train bigrams: (a,b)x2, (a,c)x1, (d,b)x1 -> NT=3
+    // ctx(a)=3, n1w(a)=2; ctx(d)=1, n1w(d)=1
+    // ncont(b)=2, ncont(c)=1
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d b"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b"), // seen:  ((4*2-3)*3 + 3*2*2)/(4*3*3) = 27/36 -> 7500
+      (11L, "a d"), // unseen bigram, seen ctx a: 3*2*0/(4*3*3) -> 0 (d has no ncont)
+      (12L, "a c"), // seen:  ((4*1-3)*3 + 3*2*1)/36 = 9/36 -> 2500
+      (13L, "z b"), // unseen ctx: ncont(b)/NT = 2/3 -> 6666
+      (14L, "z z")  // unseen ctx, unseen next -> 0
+    ).toDF("doc_id", "text")
+    val got = LmScore.knFamiliarity(docs, "doc_id", "text", train, "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, 1L, 0L, 7500L),
+      (11L, 1L, 1L, 0L),
+      (12L, 1L, 0L, 2500L),
+      (13L, 1L, 1L, 6666L),
+      (14L, 1L, 1L, 0L)))
+    // the KN distribution is proper: summing p over ALL nexts of a seen
+    // context stays under 10000 (strictly, by the floor)
+    val nexts = Seq((20L, "a b"), (21L, "a c"), (22L, "a d")).toDF("doc_id", "text")
+    val mass = LmScore.knFamiliarity(nexts, "doc_id", "text", train, "text")
+      .agg(sum("score_bp")).head().getLong(0)
+    assert(mass <= 10000L && mass >= 9990L, s"KN mass over context 'a' = $mass")
+  }
+
+  test("kn_familiarity TVF matches the operator") {
+    import spark.implicits._
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c"), (11L, "b a")).toDF("doc_id", "text")
+    train.createOrReplaceTempView("kn_train")
+    docs.createOrReplaceTempView("kn_docs")
+    val sqlDf = spark.sql(
+      "SELECT * FROM kn_familiarity('kn_docs', 'doc_id', 'text', 'kn_train', 'text')")
+    val scalaDf = LmScore.knFamiliarity(docs, "doc_id", "text", train, "text")
+    assert(sqlDf.columns.toSeq == scalaDf.columns.toSeq)
+    assert(sqlDf.exceptAll(scalaDf).isEmpty && scalaDf.exceptAll(sqlDf).isEmpty)
+  }
 }
