@@ -1307,6 +1307,51 @@ object DocumentQueries {
         .orderBy("media_id")
     }),
 
+    // End-to-end entity resolution (round-11 composition): BLOCK
+    // (name-digit key ∪ cents key — near-singleton blocks, never n²) →
+    // SCORE (q168's Fellegi–Sunter weights + θ decision) → CLUSTER
+    // (min-label connected components over match edges). The MDM
+    // pipeline a warehouse actually runs, end to end under one oracle.
+    "q173_er_pipeline" -> ((s, dir) => {
+      import graft.operators.RecordLinkage
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val off = 1000000L
+      val b = c.select(
+        (col("id") + off).as("id"),
+        when(pmod(col("id"), lit(7)) === 0, concat(col("name"), lit("~")))
+          .otherwise(col("name")).as("name"),
+        when(pmod(col("id"), lit(5)) === 0, pmod(col("nat") + 1, lit(25)))
+          .otherwise(col("nat")).as("nat"),
+        when(pmod(col("id"), lit(11)) === 0, lit("UNKNOWN"))
+          .otherwise(col("seg")).as("seg"),
+        when(pmod(col("id"), lit(3)) === 0, col("cents") + 1)
+          .otherwise(col("cents")).as("cents"))
+      val labeled = c.filter(pmod(col("id"), lit(10)) === 0)
+        .select(col("id").as("x_id"), (col("id") + off).as("y_id"))
+      val attrs = Seq("name", "nat", "seg", "cents")
+      val w = RecordLinkage.fsWeights(c, b, "id", "id", labeled, attrs)
+      val byName = c
+        .select(col("id").as("x_id"), substring(col("name"), 10, 9).as("bk"))
+        .join(b.select(col("id").as("y_id"), substring(col("name"), 10, 9).as("bk")), "bk")
+        .select("x_id", "y_id")
+      val byCents = c.select(col("id").as("x_id"), col("cents").as("bk"))
+        .join(b.select(col("id").as("y_id"), col("cents").as("bk")), "bk")
+        .select("x_id", "y_id")
+      val cands = byName.unionByName(byCents).distinct()
+      val matched = RecordLinkage
+        .scorePairs(c, b, "id", "id", attrs, cands, w, thetaNum = 1000L)
+        .filter(col("is_match"))
+      graft.operators.Dedup.connectedComponents(
+          c.select(col("id")).unionByName(b.select(col("id"))),
+          matched.select(col("x_id").as("a"), col("y_id").as("b")))
+        .orderBy("id")
+    }),
+
     // Kneser–Ney familiarity (round-11): LM trained on the even half of
     // the corpus, ALL docs scored — held-out docs exercise both backoff
     // arms (unseen bigram / unseen context), which under the MLE scorers
@@ -3202,6 +3247,114 @@ object DocumentQueries {
         |      (a, b) -> xor(a, b)) AS fp
         |  FROM poss)
         |SELECT media_id, fp FROM fp ORDER BY media_id""".stripMargin,
+
+    "q173_er_pipeline" ->
+      """WITH RECURSIVE a AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |         CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |b AS (
+        |  SELECT id + 1000000 AS yid,
+        |         CASE WHEN id % 7 = 0 THEN name || '~' ELSE name END AS bname,
+        |         CASE WHEN id % 5 = 0 THEN (nat + 1) % 25 ELSE nat END AS bnat,
+        |         CASE WHEN id % 11 = 0 THEN 'UNKNOWN' ELSE seg END AS bseg,
+        |         CASE WHEN id % 3 = 0 THEN cents + 1 ELSE cents END AS bcents
+        |  FROM a),
+        |u AS (
+        |  SELECT 'name' AS attr, CAST(sum(f*f) AS BIGINT) AS un,
+        |         CAST(sum(f)*sum(f) AS BIGINT) AS ud
+        |  FROM (SELECT count(*) AS f FROM a GROUP BY name)
+        |  UNION ALL
+        |  SELECT 'nat', CAST(sum(f*f) AS BIGINT), CAST(sum(f)*sum(f) AS BIGINT)
+        |  FROM (SELECT count(*) AS f FROM a GROUP BY nat)
+        |  UNION ALL
+        |  SELECT 'seg', CAST(sum(f*f) AS BIGINT), CAST(sum(f)*sum(f) AS BIGINT)
+        |  FROM (SELECT count(*) AS f FROM a GROUP BY seg)
+        |  UNION ALL
+        |  SELECT 'cents', CAST(sum(f*f) AS BIGINT), CAST(sum(f)*sum(f) AS BIGINT)
+        |  FROM (SELECT count(*) AS f FROM a GROUP BY cents)),
+        |l AS (
+        |  SELECT a.name AS an, b.bname AS bn, a.nat AS at2, b.bnat AS bt,
+        |         a.seg AS asg, b.bseg AS bsg, a.cents AS ac, b.bcents AS bc
+        |  FROM a JOIN b ON b.yid = a.id + 1000000
+        |  WHERE a.id % 10 = 0),
+        |m AS (
+        |  SELECT 'name' AS attr,
+        |         CAST(count(*) FILTER (WHERE an IS NOT DISTINCT FROM bn) + 1 AS BIGINT) AS mn,
+        |         CAST(count(*) + 2 AS BIGINT) AS md FROM l
+        |  UNION ALL
+        |  SELECT 'nat',
+        |         CAST(count(*) FILTER (WHERE at2 IS NOT DISTINCT FROM bt) + 1 AS BIGINT),
+        |         CAST(count(*) + 2 AS BIGINT) FROM l
+        |  UNION ALL
+        |  SELECT 'seg',
+        |         CAST(count(*) FILTER (WHERE asg IS NOT DISTINCT FROM bsg) + 1 AS BIGINT),
+        |         CAST(count(*) + 2 AS BIGINT) FROM l
+        |  UNION ALL
+        |  SELECT 'cents',
+        |         CAST(count(*) FILTER (WHERE ac IS NOT DISTINCT FROM bc) + 1 AS BIGINT),
+        |         CAST(count(*) + 2 AS BIGINT) FROM l),
+        |w0 AS (
+        |  SELECT m.attr, mn, md, un // gcd(un, ud) AS un2, ud // gcd(un, ud) AS ud2
+        |  FROM m JOIN u USING (attr)),
+        |w1 AS (
+        |  SELECT attr,
+        |         (mn * ud2) // gcd(mn * ud2, md * un2) AS an,
+        |         (md * un2) // gcd(mn * ud2, md * un2) AS ad,
+        |         ((md - mn) * ud2) // gcd((md - mn) * ud2, md * (ud2 - un2)) AS dn,
+        |         (md * (ud2 - un2)) // gcd((md - mn) * ud2, md * (ud2 - un2)) AS dd
+        |  FROM w0),
+        |ws AS (
+        |  SELECT attr, an, ad, dn, dd,
+        |         (greatest(an, ad) + 999999) // 1000000 AS sa,
+        |         (greatest(dn, dd) + 999999) // 1000000 AS sd
+        |  FROM w1),
+        |w AS (
+        |  SELECT attr,
+        |         greatest(1, an // sa) AS an, greatest(1, ad // sa) AS ad,
+        |         greatest(1, dn // sd) AS dn, greatest(1, dd // sd) AS dd
+        |  FROM ws),
+        |cand AS (
+        |  SELECT DISTINCT x, y FROM (
+        |    SELECT a.id AS x, b.yid AS y
+        |    FROM a JOIN b ON substr(a.name, 10, 9) = substr(b.bname, 10, 9)
+        |    UNION ALL
+        |    SELECT a.id, b.yid FROM a JOIN b ON a.cents = b.bcents)),
+        |p AS (
+        |  SELECT c.x, c.y,
+        |         a.name IS NOT DISTINCT FROM b.bname AS agree_name,
+        |         a.nat IS NOT DISTINCT FROM b.bnat AS agree_nat,
+        |         a.seg IS NOT DISTINCT FROM b.bseg AS agree_seg,
+        |         a.cents IS NOT DISTINCT FROM b.bcents AS agree_cents
+        |  FROM cand c JOIN a ON a.id = c.x JOIN b ON b.yid = c.y),
+        |s AS (
+        |  SELECT x, y,
+        |         (CASE WHEN agree_name THEN wn.an ELSE wn.dn END)::HUGEINT
+        |           * (CASE WHEN agree_nat THEN wt.an ELSE wt.dn END)
+        |           * (CASE WHEN agree_seg THEN ws2.an ELSE ws2.dn END)
+        |           * (CASE WHEN agree_cents THEN wc.an ELSE wc.dn END) AS num,
+        |         (CASE WHEN agree_name THEN wn.ad ELSE wn.dd END)::HUGEINT
+        |           * (CASE WHEN agree_nat THEN wt.ad ELSE wt.dd END)
+        |           * (CASE WHEN agree_seg THEN ws2.ad ELSE ws2.dd END)
+        |           * (CASE WHEN agree_cents THEN wc.ad ELSE wc.dd END) AS den
+        |  FROM p,
+        |       (SELECT * FROM w WHERE attr = 'name') wn,
+        |       (SELECT * FROM w WHERE attr = 'nat') wt,
+        |       (SELECT * FROM w WHERE attr = 'seg') ws2,
+        |       (SELECT * FROM w WHERE attr = 'cents') wc),
+        |match0 AS (SELECT x, y FROM s WHERE num >= den * 1000),
+        |edges AS (SELECT x AS ea, y AS eb FROM match0
+        |          UNION SELECT y, x FROM match0),
+        |reach AS (
+        |  SELECT ea, eb FROM edges
+        |  UNION
+        |  SELECT r.ea, e.eb FROM reach r JOIN edges e ON r.eb = e.ea),
+        |nodes AS (SELECT id FROM a UNION ALL SELECT yid FROM b)
+        |SELECT n.id, least(n.id, coalesce(min(r.eb), n.id)) AS rep
+        |FROM nodes n LEFT JOIN reach r ON r.ea = n.id
+        |GROUP BY n.id
+        |ORDER BY n.id""".stripMargin,
 
     "q171_kn_lm" ->
       """WITH tr AS (
