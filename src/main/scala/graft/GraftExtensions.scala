@@ -669,6 +669,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.cdcFingerprintPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("phrase_count"),
+      new ExpressionInfo(
+        classOf[graft.operators.KeywordSearch.type].getName,
+        null,
+        "phrase_count",
+        "phrase_count(table, idCol, textCol, 'space separated phrase') - exact-phrase occurrences per document (overlapping counted): (id, n_occ, first_pos).",
+        ""),
+      exprs => GraftExtensions.phraseCountPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("event_pattern"),
       new ExpressionInfo(
         classOf[graft.operators.EventPattern.type].getName,
@@ -2194,6 +2203,20 @@ object GraftExtensions {
             col(strArg(n, exprs(1), "idCol")).as("media_id"),
             col(strArg(n, exprs(2), "payloadCol")).as("payload")),
         longArg(n, exprs(3), "w").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def phraseCountPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "phrase_count"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, idCol, textCol, phrase), got " + exprs.length + " arguments")
+    graft.operators.KeywordSearch
+      .phraseCount(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "textCol"),
+        strArg(n, exprs(3), "phrase").split(" ").filter(_.nonEmpty).toSeq)
       .queryExecution.logical
   }
 

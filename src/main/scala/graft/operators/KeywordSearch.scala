@@ -46,6 +46,74 @@ import org.apache.spark.sql.functions._
   */
 object KeywordSearch {
 
+  /** Exact-phrase occurrence counting, SCAN path: for a known m-token
+    * phrase, one pass over the token array per document — every start
+    * position whose m-slice equals the phrase counts (OVERLAPPING
+    * occurrences included: "a a a" contains "a a" twice — the convention
+    * positional indexes use). No shuffle, no explode; whole-stage
+    * codegen over array HOFs. Output: (id, n_occ, first_pos) for
+    * documents with ≥ 1 occurrence (positions 1-based).
+    */
+  def phraseCount(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(phrase.forall(t => !t.contains("'")), s"unquotable phrase token: $phrase")
+    val m = phrase.size
+    val phraseSql = phrase.map(t => s"'$t'").mkString("array(", ", ", ")")
+    df.select(
+        col(idCol),
+        filter(split(col(textCol), " "), t => length(t) > 0).as("__t"))
+      .select(
+        col(idCol),
+        expr(
+          s"""IF(size(__t) < $m, array(),
+             |   filter(sequence(1, size(__t) - $m + 1),
+             |          i -> slice(__t, i, $m) == $phraseSql))""".stripMargin)
+          .as("__pos"))
+      .select(
+        col(idCol),
+        size(col("__pos")).cast("long").as("n_occ"),
+        expr("try_element_at(__pos, 1)").cast("long").as("first_pos"))
+      .filter(col("n_occ") >= 1L)
+  }
+
+  /** Positional postings index: (token, id, pos), pos 1-based — the
+    * classic inverted index with positions. Materialize to parquet
+    * SORTED BY token (the q35 sig-index discipline): a phrase query then
+    * reads only the row groups whose min/max token range covers its
+    * terms (pushed filters), never the whole index.
+    */
+  def buildPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        posexplode(filter(split(col(textCol), " "), t => length(t) > 0)))
+      .select(col("col").as("token"), col("id"), (col("pos") + 1).cast("long").as("pos"))
+
+  /** Exact-phrase counting, INDEX path: m-way self-join of the postings
+    * relation with position arithmetic (term k at pos + k). Cost scales
+    * with the SELECTIVITY of the phrase terms (Σ posting-list lengths),
+    * not the corpus: rare phrases over a token-sorted parquet index read
+    * a few row groups where the scan path reads every document. Returns
+    * the same (id, n_occ, first_pos) as [[phraseCount]] — the spec pins
+    * path equality.
+    */
+  def phraseCountIndexed(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val first = postings.filter(col("token") === phrase.head)
+      .select(col("id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (t, k)) =>
+      acc.join(
+        postings.filter(col("token") === t)
+          .select(col("id"), (col("pos") - k).as("pos")),
+        Seq("id", "pos"))
+    }
+    matched.groupBy("id")
+      .agg(count(lit(1)).as("n_occ"), min("pos").as("first_pos"))
+  }
+
   def topK(
       df: DataFrame,
       idCol: String,

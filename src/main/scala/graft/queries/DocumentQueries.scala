@@ -1307,6 +1307,29 @@ object DocumentQueries {
         .orderBy("media_id")
     }),
 
+    // Positional phrase search (round-11): postings index (token, id,
+    // pos) materialized to token-sorted parquet (the q35 index
+    // discipline — pushed token filters open only covering row groups),
+    // then m-way position-arithmetic joins per phrase. Two phrases
+    // exercise m=2 and m=3; the scan path equals this (spec-pinned).
+    "q174_phrase_search" -> ((s, dir) => {
+      import graft.operators.KeywordSearch
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-postings-").toString + "/idx"
+      KeywordSearch.buildPostings(docs, "doc_id", "text")
+        .repartitionByRange(col("token"))
+        .sortWithinPartitions("token")
+        .write.parquet(idx)
+      val postings = s.read.parquet(idx)
+      def run(ph: Seq[String]) = KeywordSearch.phraseCountIndexed(postings, ph)
+        .withColumn("phrase", lit(ph.mkString(" ")))
+      run(Seq("value", "table"))
+        .unionByName(run(Seq("table", "table", "part")))
+        .select(col("phrase"), col("id").as("doc_id"), col("n_occ"), col("first_pos"))
+        .orderBy("phrase", "doc_id")
+    }),
+
     // End-to-end entity resolution (round-11 composition): BLOCK
     // (name-digit key ∪ cents key — near-singleton blocks, never n²) →
     // SCORE (q168's Fellegi–Sunter weights + θ decision) → CLUSTER
@@ -3247,6 +3270,26 @@ object DocumentQueries {
         |      (a, b) -> xor(a, b)) AS fp
         |  FROM poss)
         |SELECT media_id, fp FROM fp ORDER BY media_id""".stripMargin,
+
+    "q174_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT 'value table' AS phrase, doc_id,
+        |         list_filter(range(1, len(w)),
+        |                     i -> w[i] = 'value' AND w[i+1] = 'table') AS ps
+        |  FROM t),
+        |p2 AS (
+        |  SELECT 'table table part' AS phrase, doc_id,
+        |         list_filter(range(1, len(w) - 1),
+        |                     i -> w[i] = 'table' AND w[i+1] = 'table'
+        |                          AND w[i+2] = 'part') AS ps
+        |  FROM t),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |SELECT phrase, doc_id, CAST(len(ps) AS BIGINT) AS n_occ,
+        |       CAST(ps[1] AS BIGINT) AS first_pos
+        |FROM u WHERE len(ps) >= 1 ORDER BY phrase, doc_id""".stripMargin,
 
     "q173_er_pipeline" ->
       """WITH RECURSIVE a AS (
