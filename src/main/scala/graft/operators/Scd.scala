@@ -27,6 +27,30 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
+  /** BITEMPORAL reconstruction — the dimension history "as the warehouse
+    * KNEW it at transaction time T": filter the change log to records
+    * whose transaction (ingest/commit) timestamp is ≤ T, then build the
+    * valid-time history from what remains. Late-arriving corrections
+    * (tx ≫ valid ts) are invisible before their tx time and splice in
+    * after — so `asKnownAt(log, t1)` vs `asKnownAt(log, t2)` answers the
+    * audit question "what did this report say last Tuesday, and why did
+    * it change?". The two time axes never mix: valid time orders
+    * intervals inside [[type2History]]; transaction time only gates
+    * VISIBILITY. Same scale shape as type2History (the tx filter is
+    * scan-level, pushed to the log's storage).
+    */
+  def asKnownAt(
+      changes: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      txUsCol: String,
+      tiebreakCol: String,
+      attrCols: Seq[String],
+      asOfTxUs: Long): DataFrame =
+    type2History(
+      changes.filter(col(txUsCol).cast("long") <= asOfTxUs),
+      keyCol, tsUsCol, tiebreakCol, attrCols)
+
   /** History rows: (keyCol, attrCols…, valid_from, valid_to, is_current). */
   def type2History(
       changes: DataFrame,

@@ -220,6 +220,52 @@ object RelationalQueries {
     // r1), deletes beating earlier upserts (k%15), deletes of absent
     // keys (k%20 ∩ k%4=0 base gaps), log-only inserts (k%12), and
     // untouched carry-through.
+    // Window-function catalog (round-11 breadth): the full SQL window
+    // surface a migrating user expects — lag/lead with offsets, ntile,
+    // percent_rank, cume_dist, nth_value, framed first/last — in one
+    // oracled projection. Ratios are single divisions of the same
+    // integers in both engines (no summation-order float risk).
+    "q176_window_catalog" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .withColumn("tus", unix_micros(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev.select(
+          col("user_id"), col("event_id"),
+          row_number().over(w).cast("long").as("rn"),
+          lag("event_type", 1).over(w).as("prev_type"),
+          lead("event_type", 2).over(w).as("next2_type"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          nth_value(col("event_type"), 3).over(full).as("third_type"),
+          first(col("event_type")).over(full).as("first_type"),
+          last(col("event_type")).over(full).as("last_type"))
+        .orderBy("user_id", "rn")
+    }),
+
+    // Bitemporal history (round-11): the q90 dimension history AS KNOWN
+    // at transaction time T — each change commits 1-97 hours after its
+    // valid time (synthetic ingest lag), and the snapshot at the 70th
+    // percentile of the tx range hides the not-yet-committed tail.
+    // Valid time orders intervals; transaction time only gates
+    // visibility.
+    "q175_bitemporal" -> ((s, dir) => {
+      val ch = t(s, dir, "events").select(
+        col("user_id"),
+        unix_micros(col("ts")).as("tus"),
+        col("event_id"),
+        col("event_type"),
+        (unix_micros(col("ts")) +
+          (pmod(col("event_id"), lit(97)) + 1) * 3600000000L).as("txus"))
+      val b = ch.agg(min("txus"), max("txus")).head()
+      val asOf = b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 7L / 10L
+      graft.operators.Scd.asKnownAt(
+          ch, "user_id", "tus", "txus", "event_id", Seq("event_type"), asOf)
+        .orderBy("user_id", "valid_from")
+    }),
+
     // MATCH_RECOGNIZE-lite (round-11): each user's events spell a symbol
     // string in (ts, id) order; a regex over symbols finds CEP matches —
     // here "two or more views, an optional click, then a purchase".
@@ -686,6 +732,47 @@ object RelationalQueries {
   }
 
   val gapOracles: Map[String, String] = Map(
+    "q176_window_catalog" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+        |  FROM events WHERE user_id < 20)
+        |SELECT user_id, event_id,
+        |       CAST(row_number() OVER w AS BIGINT) AS rn,
+        |       lag(event_type, 1) OVER w AS prev_type,
+        |       lead(event_type, 2) OVER w AS next2_type,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cdist,
+        |       nth_value(event_type, 3) OVER wf AS third_type,
+        |       first_value(event_type) OVER wf AS first_type,
+        |       last_value(event_type) OVER wf AS last_type
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id),
+        |       wf AS (PARTITION BY user_id ORDER BY tus, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "q175_bitemporal" ->
+      """WITH e0 AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+        |         epoch_us(ts) + (event_id % 97 + 1) * 3600000000 AS txus
+        |  FROM events),
+        |ao AS (SELECT min(txus) + (max(txus) - min(txus)) * 7 // 10 AS t FROM e0),
+        |e AS (SELECT user_id, tus, event_id, event_type
+        |      FROM e0, ao WHERE txus <= ao.t),
+        |d AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn
+        |  FROM e),
+        |c AS (SELECT user_id, tus, event_id, event_type FROM d
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, tus AS valid_from,
+        |       COALESCE(lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id), -1)
+        |         AS valid_to,
+        |       COALESCE(lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id), -1) = -1
+        |         AS is_current
+        |FROM c ORDER BY user_id, valid_from""".stripMargin,
+
     "q172_event_pattern" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS tus, event_id,

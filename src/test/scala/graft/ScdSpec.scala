@@ -65,4 +65,30 @@ class ScdSpec extends SparkSpec {
       (1L, "gold", "us", 10L, 20L, false),
       (1L, "gold", "eu", 20L, -1L, true)))
   }
+
+  test("bitemporal: a late correction is invisible before its tx time, splices after") {
+    // key 1: state A valid from 10 (committed at 11), state B valid from 30
+    // (committed at 31), and a LATE CORRECTION: state C valid from 20 but
+    // only committed at 50.
+    val log = Seq(
+      (1L, 10L, 11L, 1L, "A"),
+      (1L, 30L, 31L, 2L, "B"),
+      (1L, 20L, 50L, 3L, "C"))
+      .toDF("k", "tus", "txus", "id", "state")
+    def snap(t: Long) =
+      Scd.asKnownAt(log, "k", "tus", "txus", "id", Seq("state"), t)
+        .orderBy("valid_from")
+        .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    // as known at 40: the correction has not committed — A then B
+    assert(snap(40L) == Seq(
+      (1L, "A", 10L, 30L, false),
+      (1L, "B", 30L, -1L, true)))
+    // as known at 60: C splices between A and B by VALID time
+    assert(snap(60L) == Seq(
+      (1L, "A", 10L, 20L, false),
+      (1L, "C", 20L, 30L, false),
+      (1L, "B", 30L, -1L, true)))
+    // before anything committed: empty history
+    assert(snap(5L).isEmpty)
+  }
 }
