@@ -382,6 +382,26 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // Streaming IVM (round-11): maintain `SELECT current_state,
+    // sum(cents), count(*) GROUP BY current_state` over the per-user
+    // last-writer-wins stream — per-batch view deltas (the Gupta–Mumick
+    // counting algorithm, keyed form), folded to the final view. The
+    // oracle is the batch aggregate over the arg-max snapshot.
+    "q177_stream_ivm" -> ((s, dir) => {
+      val ch = t(s, dir, "events").select(
+        col("user_id"),
+        unix_micros(col("ts")).as("tus"),
+        col("event_id"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        col("event_type").as("dim"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val deltas = graft.streaming.StreamingIvmAggregate
+        .run(ch, "user_id", "tus", "event_id", "op", "dim", "cents", chunks = 4)
+      graft.streaming.StreamingIvmAggregate.viewFromDeltas(deltas, "dim")
+        .orderBy("dim")
+    }),
+
     // Streaming funnel: per-user step-time keyed state over 4 time-range
     // micro-batches. Time-ordered arrival makes the incremental greedy
     // equal the batch funnel (q87's semantics), so the oracle is the
@@ -397,6 +417,24 @@ object StreamingQueries {
         .orderBy("user_id")))
 
   val oracles: Map[String, String] = Map(
+    // the view over the last-writer-wins snapshot: per user the final
+    // change decides presence (error = delete) and (dim, cents)
+    "q177_stream_ivm" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+        |  FROM e),
+        |snap AS (
+        |  SELECT user_id, event_type AS dim, cents
+        |  FROM w WHERE rn = 1 AND event_type <> 'error')
+        |SELECT dim, CAST(sum(cents) AS BIGINT) AS total,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM snap GROUP BY dim ORDER BY dim""".stripMargin,
+
     // last change per user decides presence (delete = click) and value —
     // the batch MERGE the seq-ordered incremental fold must equal
     "q164_stream_cdc" ->

@@ -96,6 +96,35 @@ class CdcSpec extends SparkSpec {
     assert(sqlApplied.exceptAll(newSnap).isEmpty && newSnap.exceptAll(sqlApplied).isEmpty)
   }
 
+  test("streaming IVM: view deltas are change-proportional and fold to the batch view") {
+    import graft.streaming.StreamingIvmAggregate
+    // batches (seq ranges of width 10):
+    // b0: k1 -> (red, 5); k2 -> (blue, 3)
+    // b1: k1 -> (red, 5) again  -> NO delta (cancelled)
+    // b2: k1 -> (blue, 7)       -> (red, -5, -1), (blue, +7, +1)
+    // b3: k2 deleted            -> (blue, -3, -1); k3 -> (red, 2)
+    val changes = Seq(
+      (1L, 10L, 0L, "upsert", "red", 5L),
+      (2L, 11L, 0L, "upsert", "blue", 3L),
+      (1L, 20L, 0L, "upsert", "red", 5L),
+      (1L, 30L, 0L, "upsert", "blue", 7L),
+      (2L, 39L, 0L, "delete", null.asInstanceOf[String], 0L),
+      (3L, 40L, 0L, "upsert", "red", 2L)
+    ).toDF("k", "seq", "tb", "op", "dim", "m")
+    val deltas = StreamingIvmAggregate
+      .run(changes, "k", "seq", "tb", "op", "dim", "m", chunks = 4)
+      .as[(Int, String, Long, Long)].collect().toSet
+    assert(deltas == Set(
+      (0, "red", 5L, 1L), (0, "blue", 3L, 1L),
+      (2, "red", -5L, -1L), (2, "blue", 7L, 1L),
+      (3, "blue", -3L, -1L), (3, "red", 2L, 1L)))
+    // fold == the batch view over the last-writer-wins snapshot
+    val view = StreamingIvmAggregate.viewFromDeltas(
+        spark.createDataset(deltas.toSeq).toDF("batch", "dim", "d_sum", "d_cnt"), "dim")
+      .as[(String, Long, Long)].collect().toSet
+    assert(view == Set(("blue", 7L, 1L), ("red", 2L, 1L)))
+  }
+
   test("streaming CDC: deltas are minimal and fold to the batch MERGE") {
     // key 1: set a, then re-set a (no-op batch), then delete
     // key 2: set b then update to b2 across batches
