@@ -62,6 +62,34 @@ object Cdc {
               .otherwise(col(s"__b.$c")).as(c)): _*)
   }
 
+  /** Log compaction — Kafka's compacted-topic semantics as an operator:
+    * keep only each key's WINNING change (the same `(seq, op, values…)`
+    * struct order [[applyChangelog]] resolves by), dropping every
+    * superseded record. The contract is an algebraic LAW the spec pins:
+    * `applyChangelog(base, log) == applyChangelog(base, compact(log))`
+    * for EVERY base — so compaction can run any time, on any prefix
+    * boundary, without changing a single downstream snapshot. One
+    * map-side-combinable max(struct) aggregation; output is key-grain
+    * (≤ one row per key) whatever the log length — the state-bounding
+    * step a long-lived changelog needs. Output: (keyCol, seqCol, opCol,
+    * valueCols…) with the winner's seq preserved (re-compaction and
+    * later merges keep ordering against fresh changes).
+    */
+  def compact(
+      changes: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      opCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "compact needs at least one value column")
+    changes
+      .groupBy(col(keyCol))
+      .agg(max(struct((Seq(seqCol, opCol) ++ valueCols).map(col): _*)).as("__w"))
+      .select(
+        col(keyCol) +:
+          (Seq(seqCol, opCol) ++ valueCols).map(c => col(s"__w.$c").as(c)): _*)
+  }
+
   /** Minimal changelog between two snapshots: (keyCol, op, valueCols…)
     * with op ∈ {'upsert', 'delete'} — upsert for keys only in `newDf` or
     * present in both with different content (new values ride along),

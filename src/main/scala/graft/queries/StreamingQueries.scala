@@ -382,6 +382,30 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // Streaming constraint monitoring (round-11): per-batch quality
+    // metrics in exact basis points + the cross-batch metric a single
+    // batch cannot know (cumulative key uniqueness via first-seen keyed
+    // state) — the Deequ metrics-repository shape on ingest.
+    "q178_stream_constraints" -> ((s, dir) => {
+      val ch = t(s, dir, "events").select(
+        col("user_id"),
+        unix_micros(col("ts")).as("tus"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      graft.streaming.StreamingConstraints.run(
+          ch, "user_id", "tus",
+          flagChecks = Seq(
+            "cents_under_2500" -> (col("cents") < 2500L),
+            "type_known" -> col("event_type")
+              .isInCollection(Seq("signup", "view", "click", "purchase"))),
+          minBp = Map(
+            "cents_under_2500" -> 2000L,
+            "type_known" -> 7500L,
+            "cumulative_unique" -> 100L),
+          chunks = 4)
+        .orderBy("batch", "check")
+    }),
+
     // Streaming IVM (round-11): maintain `SELECT current_state,
     // sum(cents), count(*) GROUP BY current_state` over the per-user
     // last-writer-wins stream — per-batch view deltas (the Gupta–Mumick
@@ -417,6 +441,45 @@ object StreamingQueries {
         .orderBy("user_id")))
 
   val oracles: Map[String, String] = Map(
+    // chunking replayed from the seq-range formula; cumulative distinct
+    // = first-seen batch per key
+    "q178_stream_constraints" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT min(tus) AS lo, max(tus) AS hi FROM e),
+        |c AS (
+        |  SELECT user_id, event_type, cents,
+        |         CAST(least((tus - b.lo) // ((b.hi - b.lo) // 4 + 1), 3) AS INT) AS batch
+        |  FROM e, b),
+        |pb AS (
+        |  SELECT batch, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(*) FILTER (WHERE cents < 2500) AS BIGINT) AS c0,
+        |         CAST(count(*) FILTER (WHERE event_type IN
+        |           ('signup', 'view', 'click', 'purchase')) AS BIGINT) AS c1
+        |  FROM c GROUP BY batch),
+        |fs AS (SELECT user_id, min(batch) AS fb FROM c GROUP BY user_id),
+        |nw AS (SELECT fb AS batch, CAST(count(*) AS BIGINT) AS nk FROM fs GROUP BY fb),
+        |cum AS (
+        |  SELECT pb.batch, pb.n, pb.c0, pb.c1,
+        |         CAST((SELECT sum(n) FROM pb p2 WHERE p2.batch <= pb.batch) AS BIGINT) AS cumn,
+        |         CAST((SELECT COALESCE(sum(nk), 0) FROM nw
+        |               WHERE nw.batch <= pb.batch) AS BIGINT) AS cumd
+        |  FROM pb)
+        |SELECT * FROM (
+        |  SELECT batch, 'cents_under_2500' AS "check", c0 * 10000 // n AS metric_bp,
+        |         CAST(2000 AS BIGINT) AS threshold_bp, c0 * 10000 // n >= 2000 AS pass
+        |  FROM cum
+        |  UNION ALL
+        |  SELECT batch, 'type_known', c1 * 10000 // n, 7500, c1 * 10000 // n >= 7500
+        |  FROM cum
+        |  UNION ALL
+        |  SELECT batch, 'cumulative_unique', cumd * 10000 // cumn, 100,
+        |         cumd * 10000 // cumn >= 100
+        |  FROM cum)
+        |ORDER BY batch, "check"""".stripMargin,
+
     // the view over the last-writer-wins snapshot: per user the final
     // change decides presence (error = delete) and (dim, cents)
     "q177_stream_ivm" ->

@@ -96,6 +96,31 @@ class CdcSpec extends SparkSpec {
     assert(sqlApplied.exceptAll(newSnap).isEmpty && newSnap.exceptAll(sqlApplied).isEmpty)
   }
 
+  test("compaction law: applyChangelog(base, log) == applyChangelog(base, compact(log)) for every base") {
+    val log = Seq(
+      (1L, 1L, "upsert", "a1", 1L), (1L, 3L, "upsert", "a3", 3L),
+      (1L, 2L, "delete", null.asInstanceOf[String], 0L),
+      (2L, 1L, "upsert", "b", 2L), (2L, 4L, "delete", null.asInstanceOf[String], 0L),
+      (3L, 9L, "upsert", "c", 9L),
+      (4L, 2L, "delete", null.asInstanceOf[String], 0L)
+    ).toDF("k", "seq", "op", "name", "score")
+    val compacted = Cdc.compact(log, "k", "seq", "op", Seq("name", "score"))
+    assert(compacted.count() == 4) // key-grain whatever the log length
+    // the law over three different bases, incl. empty and overlapping
+    val bases = Seq(
+      snap(),
+      snap((1L, "x", 0L), (2L, "y", 0L)),
+      snap((4L, "z", 4L), (9L, "w", 9L)))
+    bases.foreach { base =>
+      val full = Cdc.applyChangelog(base, log, "k", "seq", "op", Seq("name", "score"))
+      val comp = Cdc.applyChangelog(base, compacted, "k", "seq", "op", Seq("name", "score"))
+      assert(full.exceptAll(comp).isEmpty && comp.exceptAll(full).isEmpty)
+    }
+    // re-compaction is idempotent
+    val again = Cdc.compact(compacted, "k", "seq", "op", Seq("name", "score"))
+    assert(again.exceptAll(compacted).isEmpty && compacted.exceptAll(again).isEmpty)
+  }
+
   test("streaming IVM: view deltas are change-proportional and fold to the batch view") {
     import graft.streaming.StreamingIvmAggregate
     // batches (seq ranges of width 10):
