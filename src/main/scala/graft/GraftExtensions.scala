@@ -29,6 +29,9 @@ import graft.operators.SimilarityJoin
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer tier: plain-Spark `size(array_intersect(a, b))` fuses to
+    // the intersect_size kernel (semantics-gated; see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.IntersectSizeRewrite)
     ext.injectFunction((
       FunctionIdentifier("java_hash"),
       new ExpressionInfo(

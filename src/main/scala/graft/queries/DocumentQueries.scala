@@ -1307,6 +1307,27 @@ object DocumentQueries {
         .orderBy("media_id")
     }),
 
+    // Optimizer-rule gate (round-11): this query is written in PLAIN
+    // Spark — size(array_intersect(...)) — and the injected
+    // IntersectSizeRewrite rule fuses it to the intersect_size kernel
+    // (plan-asserted in the spec); the oracle checks the VALUES either
+    // way, so correctness and the rewrite are gated together.
+    "q179_rule_fused_verify" -> ((s, dir) => {
+      val toks = SimilarityJoin.tokenize(t(s, dir, "documents"), "doc_id", "text")
+      val a = toks.select(col("sid").as("x_id"), col("toks").as("a"), col("slen").as("la"))
+      val b = toks.select((col("sid") - 1).as("x_id"), col("sid").as("y_id"),
+        col("toks").as("b"), col("slen").as("lb"))
+      a.join(b, "x_id")
+        .select(
+          col("x_id"), col("y_id"),
+          size(array_intersect(col("a"), col("b"))).cast("long").as("inter"),
+          col("la"), col("lb"))
+        .select(
+          col("x_id"), col("y_id"), col("inter"),
+          expr("inter * 10000 div (la + lb - inter)").as("jac_bp"))
+        .orderBy("x_id")
+    }),
+
     // Positional phrase search (round-11): postings index (token, id,
     // pos) materialized to token-sorted parquet (the q35 index
     // discipline — pushed token filters open only covering row groups),
@@ -3270,6 +3291,21 @@ object DocumentQueries {
         |      (a, b) -> xor(a, b)) AS fp
         |  FROM poss)
         |SELECT media_id, fp FROM fp ORDER BY media_id""".stripMargin,
+
+    "q179_rule_fused_verify" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, toks, len(toks) AS l FROM t WHERE len(toks) > 0),
+        |j AS (
+        |  SELECT a.doc_id AS x_id, b.doc_id AS y_id,
+        |         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+        |         a.l AS la, b.l AS lb
+        |  FROM f a JOIN f b ON b.doc_id = a.doc_id + 1)
+        |SELECT x_id, y_id, inter,
+        |       inter * 10000 // (la + lb - inter) AS jac_bp
+        |FROM j ORDER BY x_id""".stripMargin,
 
     "q174_phrase_search" ->
       """WITH t AS (
