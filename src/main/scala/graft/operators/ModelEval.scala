@@ -98,6 +98,62 @@ object ModelEval {
       .select("bucket", "score_lo", "n", "n_pos", "pos_rate_bp")
   }
 
+  /** Exact average precision — the PR-side companion of [[exactAuc]]
+    * (class-imbalanced corpus filters live on the PR curve, not ROC):
+    * thresholds at the DISTINCT scores descending (the
+    * `average_precision_score` step-function definition — deterministic,
+    * no tie-order dependence),
+    *
+    *   AP = Σ_s (np(s)/n_pos) · (cumP(s) / cumT(s))
+    *
+    * with cum* = counts at score ≥ s. Emitted as a TERM-FLOORED fixed
+    * point, `ap_mbp = (Σ_s np(s)·⌊10⁷·cumP(s)/cumT(s)⌋) div n_pos`
+    * (milli-basis-points): each precision term floors once at scale 10⁷,
+    * so the number is a well-defined exact integer both engines replay
+    * bit-for-bit — the [[LmScore]] fixed-point discipline, trading
+    * ≤ 10⁻⁷ per-term bias for oracle-exactness.
+    *
+    * Scale shape mirrors [[exactAuc]]: one histogram shuffle, one
+    * [[PrefixSum]] recursion per axis (positives / totals), bounded
+    * final aggregate. Output: one row
+    * (n_pos, n, ap_mbp, p_at_all_bp) — p_at_all_bp = base rate, the
+    * PR curve's floor.
+    */
+  def averagePrecision(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val h = histogram(scored, scoreCol, labelCol)
+    val lo = h.agg(min("score").as("minS"))
+    val shifted = h.crossJoin(broadcast(lo))
+      .select((col("score") - col("minS")).as("k"), col("np"), col("nn"))
+    val pBelow = PrefixSum.exclusive(shifted.select(col("k"), col("np").as("s")))
+      .select(col("k"), col("before").as("pBelow"))
+    val tBelow = PrefixSum.exclusive(
+      shifted.select(col("k"), (col("np") + col("nn")).as("s")))
+      .select(col("k"), col("before").as("tBelow"))
+    val tot = shifted.agg(
+      sum("np").as("totP"), sum(col("np") + col("nn")).as("totT"))
+    shifted
+      .join(pBelow, "k").join(tBelow, "k")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("np"),
+        (col("totP") - col("pBelow")).as("cumP"), // at score ≥ k
+        (col("totT") - col("tBelow")).as("cumT"),
+        col("totP"), col("totT"))
+      .agg(
+        first("totP").as("n_pos"),
+        first("totT").as("n"),
+        // products in DECIMAL(38,0): 10⁷·cumP passes 2⁶³ near 10¹² rows
+        sum(expr(s"cast(np as $dec) * ((cast(10000000 as $dec) * cumP) div cumT)"))
+          .as("__s"))
+      .select(
+        col("n_pos").cast("long").as("n_pos"),
+        col("n").cast("long").as("n"),
+        expr("CASE WHEN n_pos = 0 THEN NULL ELSE __s div n_pos END")
+          .cast("long").as("ap_mbp"),
+        expr("CASE WHEN n = 0 THEN NULL ELSE (10000 * n_pos) div n END")
+          .cast("long").as("p_at_all_bp"))
+  }
+
   /** Cohen's κ inter-annotator agreement (Cohen 1960) over two
     * categorical rating columns — the label-quality audit a supervised
     * curation pipeline runs before trusting its raters (human or model):

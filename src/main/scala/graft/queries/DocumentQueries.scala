@@ -1027,6 +1027,21 @@ object DocumentQueries {
       graft.operators.ModelEval.exactAuc(scored, "score", "y")
     }),
 
+    // Exact average precision over the same score/label (round-11): the
+    // PR-side companion of q124 — thresholds at distinct scores
+    // descending, term-floored 10^7 fixed point, never a per-item sort.
+    "q180_classifier_ap" -> ((s, dir) => {
+      graft.functions.JavaStringHash.register(s)
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextClassifier
+        .scoreLinear(docs, "doc_id", "text", nBuckets = 256,
+          weights = graft.operators.TextClassifier.fixtureWeights(1, 256))
+        .join(
+          docs.select(col("doc_id"), (col("lang") === "en").cast("int").as("y")),
+          "doc_id")
+      graft.operators.ModelEval.averagePrecision(scored, "score", "y")
+    }),
+
     // Equi-width threshold calibration table for the same score/label:
     // exact integer bucketing of the score range, per-band positive rate
     // in basis points — where to put the corpus filter threshold.
@@ -2221,6 +2236,25 @@ object DocumentQueries {
           |       CAST(sum(np * nn) AS BIGINT) AS n_tie_pairs,
           |       CAST((10000 * (2 * sum(np * nnb) + sum(np * nn)))
           |            // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_bp
+          |FROM p""".stripMargin),
+
+    // same score/label relation; thresholds at distinct scores DESC,
+    // precision terms floored at 10^7 before the sum (all non-negative)
+    "q180_classifier_ap" ->
+      (aucScoreCte +
+        """h AS (SELECT score, CAST(sum(y) AS BIGINT) AS np,
+          |              CAST(count(*) AS BIGINT) AS nt
+          |       FROM sc GROUP BY score),
+          |p AS (SELECT score, np, nt,
+          |             CAST(sum(np) OVER (ORDER BY score DESC
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cump,
+          |             CAST(sum(nt) OVER (ORDER BY score DESC
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumt
+          |      FROM h)
+          |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+          |       CAST(sum(nt) AS BIGINT) AS n,
+          |       CAST(sum(np * ((10000000 * cump) // cumt)) // sum(np) AS BIGINT) AS ap_mbp,
+          |       CAST((10000 * sum(np)) // sum(nt) AS BIGINT) AS p_at_all_bp
           |FROM p""".stripMargin),
 
     // same score/label relation, ceil-width integer bucketing (all

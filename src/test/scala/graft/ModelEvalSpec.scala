@@ -105,4 +105,28 @@ class ModelEvalSpec extends SparkSpec {
     val k2 = graft.operators.ModelEval.cohenKappa(withNulls, "a", "b").head()
     assert(k2.getAs[Long]("n") == 2L && k2.getAs[Long]("n_agree") == 2L)
   }
+
+  test("average precision: distinct-threshold definition, ties, hand-computed") {
+    import spark.implicits._
+    // scores desc: 9 (1 pos), 7 (1 pos + 1 neg TIED), 3 (1 neg)
+    // thresholds: >=9: P=1/1; >=7: P=2/3; >=3: P=2/4
+    // AP = (1·⌊10⁷·1/1⌋ + 1·⌊10⁷·2/3⌋) / 2 = (10000000 + 6666666) / 2
+    val scored = Seq((9L, 1), (7L, 1), (7L, 0), (3L, 0)).toDF("score", "y")
+    val r = graft.operators.ModelEval.averagePrecision(scored, "score", "y").head()
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("ap_mbp") == (10000000L + 6666666L) / 2)
+    assert(r.getAs[Long]("p_at_all_bp") == 5000L)
+    // a perfect ranker reaches 10^7; random-ish base rate is the floor
+    val perfect = Seq((5L, 1), (4L, 1), (1L, 0), (0L, 0)).toDF("score", "y")
+    val rp = graft.operators.ModelEval.averagePrecision(perfect, "score", "y").head()
+    assert(rp.getAs[Long]("ap_mbp") == 10000000L)
+    // single-class: NULL, not a throw
+    val onlyNeg = Seq((5L, 0), (4L, 0)).toDF("score", "y")
+    val rn = graft.operators.ModelEval.averagePrecision(onlyNeg, "score", "y").head()
+    assert(rn.isNullAt(2))
+    // negative scores shift cleanly
+    val neg = Seq((-5L, 1), (-9L, 0)).toDF("score", "y")
+    val rg = graft.operators.ModelEval.averagePrecision(neg, "score", "y").head()
+    assert(rg.getAs[Long]("ap_mbp") == 10000000L)
+  }
 }
