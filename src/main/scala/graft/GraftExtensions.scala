@@ -672,6 +672,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.cdcFingerprintPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("iqr_outliers"),
+      new ExpressionInfo(
+        classOf[graft.operators.Anomaly.type].getName,
+        null,
+        "iqr_outliers",
+        "iqr_outliers(table, groupCol, valueCol, kNum, kDen) - Tukey boxplot fences per group (exact percentile_disc quartiles, pure-integer decisions): rows outside Q1 - k*IQR / Q3 + k*IQR.",
+        ""),
+      exprs => GraftExtensions.iqrOutliersPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("phrase_count"),
       new ExpressionInfo(
         classOf[graft.operators.KeywordSearch.type].getName,
@@ -2206,6 +2215,22 @@ object GraftExtensions {
             col(strArg(n, exprs(1), "idCol")).as("media_id"),
             col(strArg(n, exprs(2), "payloadCol")).as("payload")),
         longArg(n, exprs(3), "w").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def iqrOutliersPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "iqr_outliers"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, groupCol, valueCol, kNum, kDen), got " +
+        exprs.length + " arguments")
+    graft.operators.Anomaly
+      .iqrOutliers(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "groupCol"),
+        strArg(n, exprs(2), "valueCol"),
+        longArg(n, exprs(3), "kNum"),
+        longArg(n, exprs(4), "kDen"))
       .queryExecution.logical
   }
 

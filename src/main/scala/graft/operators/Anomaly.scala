@@ -42,4 +42,37 @@ object Anomaly {
       .join(mad, groupCol)
       .filter(col("dev") > lit(k) * col("mad"))
   }
+
+  /** Tukey IQR fences — the boxplot rule, the OTHER classic robust
+    * flag next to [[madOutliers]] (a reviewer expects both; they
+    * disagree exactly on skewed tails, which is the point of offering
+    * two). Per group: Q1 and Q3 from [[Quantiles.exactQuantiles]]
+    * (percentile_disc contract), fence factor k = kNum/kDen (default
+    * 3/2), flag = v < Q1 − k·IQR or v > Q3 + k·IQR — compared as
+    * `kDen·v` vs `kDen·Q1 − kNum·IQR` so the decision is pure longs
+    * whatever the factor. One histogram aggregation + one ≤ |groups|
+    * join; same replay-exact contract as the MAD flag.
+    * Output: flagged rows + (q1, q3, lo_fence_num, hi_fence_num) with
+    * the fences carried ×kDen (exact, avoids a division).
+    */
+  def iqrOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      kNum: Long = 3L,
+      kDen: Long = 2L): DataFrame = {
+    require(kNum >= 0 && kDen >= 1, s"bad fence factor $kNum/$kDen")
+    val q = Quantiles
+      .exactQuantiles(df, groupCol, valueCol, Seq(("q1", 1L, 4L), ("q3", 3L, 4L)))
+      .select(
+        col(groupCol), col("q1"), col("q3"),
+        (lit(kDen) * col("q1") - lit(kNum) * (col("q3") - col("q1")))
+          .as("lo_fence_num"),
+        (lit(kDen) * col("q3") + lit(kNum) * (col("q3") - col("q1")))
+          .as("hi_fence_num"))
+    df.join(q, groupCol)
+      .filter(
+        lit(kDen) * col(valueCol) < col("lo_fence_num") ||
+          lit(kDen) * col(valueCol) > col("hi_fence_num"))
+  }
 }

@@ -220,6 +220,19 @@ object RelationalQueries {
     // r1), deletes beating earlier upserts (k%15), deletes of absent
     // keys (k%20 ∩ k%4=0 base gaps), log-only inserts (k%12), and
     // untouched carry-through.
+    // Tukey IQR fences (round-11): the boxplot outlier rule next to
+    // q92's MAD flag — exact percentile_disc quartiles per priority,
+    // fence decisions as pure longs (×kDen, no division).
+    "q181_iqr_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_id"),
+        col("event_type").as("ty"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      graft.operators.Anomaly.iqrOutliers(e, "ty", "cents")
+        .select("event_id", "ty", "cents", "q1", "q3")
+        .orderBy("event_id")
+    }),
+
     // Window-function catalog (round-11 breadth): the full SQL window
     // surface a migrating user expects — lag/lead with offsets, ntile,
     // percent_rank, cume_dist, nth_value, framed first/last — in one
@@ -732,6 +745,28 @@ object RelationalQueries {
   }
 
   val gapOracles: Map[String, String] = Map(
+    "q181_iqr_outliers" ->
+      """WITH o AS (
+        |  SELECT event_id, event_type AS ty,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT ty, cents, count(*) AS c FROM o GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT ty, cents,
+        |         sum(c) OVER (PARTITION BY ty ORDER BY cents) AS cl,
+        |         sum(c) OVER (PARTITION BY ty) AS n
+        |  FROM h),
+        |q AS (
+        |  SELECT ty,
+        |         CAST(min(CASE WHEN cl >= (n + 3) // 4 THEN cents END) AS BIGINT) AS q1,
+        |         CAST(min(CASE WHEN cl >= (3 * n + 3) // 4 THEN cents END) AS BIGINT) AS q3
+        |  FROM cum GROUP BY ty)
+        |SELECT o.event_id, o.ty, o.cents, q.q1, q.q3
+        |FROM o JOIN q USING (ty)
+        |WHERE 2 * o.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+        |   OR 2 * o.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+        |ORDER BY o.event_id""".stripMargin,
+
     "q176_window_catalog" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type

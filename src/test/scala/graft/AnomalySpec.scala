@@ -41,4 +41,33 @@ class AnomalySpec extends SparkSpec {
     // 500 is an outlier in group a, normal in group b
     assert(got == Seq(4L))
   }
+
+  test("IQR fences: exact percentile_disc quartiles, per-group, both tails") {
+    import spark.implicits._
+    // group a: values 1..8 plus outliers -100 and 100.
+    // n = 10: q1 = value at rank ceil(10/4)=3 -> 2; q3 at rank 8 -> 7;
+    // IQR = 5, fences (k=3/2): [2-7.5, 7+7.5] = [-5.5, 14.5]
+    val df = ((1L to 8L).map(v => (v, "a", v)) ++
+      Seq((100L, "a", -100L), (101L, "a", 100L)) ++
+      (1L to 8L).map(v => (200L + v, "b", 1000L * v)))
+      .toDF("id", "g", "v")
+    val got = Anomaly.iqrOutliers(df, "g", "v")
+      .select("id", "q1", "q3").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(100L, 101L), s"got $got")
+    assert(got.head._2 == 2L && got.head._3 == 7L)
+    // k = 0 collapses the fences to the quartiles themselves
+    val strict = Anomaly.iqrOutliers(df.filter($"g" === "a"), "g", "v", kNum = 0L)
+      .select("v").as[Long].collect().toSet
+    assert(strict == Set(-100L, 1L, 100L, 8L)) // everything outside [2, 7]
+  }
+
+  test("iqr_outliers TVF matches the operator") {
+    import spark.implicits._
+    val df = ((1L to 20L).map(v => (v, "g", v * v))).toDF("id", "g", "v")
+    df.createOrReplaceTempView("iqr_in")
+    val sqlDf = spark.sql("SELECT * FROM iqr_outliers('iqr_in', 'g', 'v', 3, 2)")
+    val scalaDf = Anomaly.iqrOutliers(df, "g", "v")
+    assert(sqlDf.columns.toSeq == scalaDf.columns.toSeq)
+    assert(sqlDf.exceptAll(scalaDf).isEmpty && scalaDf.exceptAll(sqlDf).isEmpty)
+  }
 }
