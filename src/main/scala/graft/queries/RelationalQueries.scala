@@ -220,6 +220,36 @@ object RelationalQueries {
     // r1), deletes beating earlier upserts (k%15), deletes of absent
     // keys (k%20 ∩ k%4=0 base gaps), log-only inserts (k%12), and
     // untouched carry-through.
+    // Trending rank-delta (round-11): top-25 users by event count in
+    // each timeline half, full-outer joined — (rank_prev, rank_now,
+    // entered/left) is the "what's moving" report a decayed-top-k
+    // dashboard renders. Two-phase TopK per period, no global sort.
+    "q182_trending_delta" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("tus", unix_micros(col("ts")))
+      val b = e.agg(min("tus"), max("tus")).head()
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val counted = e
+        .withColumn("period", when(col("tus") < mid, lit("prev")).otherwise(lit("now")))
+        .groupBy("period", "user_id")
+        .agg(count(lit(1)).as("n"))
+      val ranked = graft.operators.TopK.perGroup(
+        counted, Seq("period"),
+        Seq(col("n").desc, col("user_id").asc), 25, rankCol = "rk")
+      val prev = ranked.filter(col("period") === "prev")
+        .select(col("user_id"), col("rk").as("rank_prev"))
+      val now = ranked.filter(col("period") === "now")
+        .select(col("user_id"), col("rk").as("rank_now"))
+      prev.join(now, Seq("user_id"), "full_outer")
+        .select(
+          col("user_id"),
+          col("rank_prev").cast("long").as("rank_prev"),
+          col("rank_now").cast("long").as("rank_now"),
+          (coalesce(col("rank_prev"), lit(26L)) -
+            coalesce(col("rank_now"), lit(26L))).cast("long").as("delta"))
+        .orderBy("user_id")
+    }),
+
     // Tukey IQR fences (round-11): the boxplot outlier rule next to
     // q92's MAD flag — exact percentile_disc quartiles per priority,
     // fence decisions as pure longs (×kDen, no division).
@@ -745,6 +775,30 @@ object RelationalQueries {
   }
 
   val gapOracles: Map[String, String] = Map(
+    "q182_trending_delta" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |b AS (SELECT min(tus) AS lo, max(tus) AS hi FROM e),
+        |c AS (
+        |  SELECT user_id,
+        |         CASE WHEN tus < b.lo + (b.hi - b.lo) // 2
+        |              THEN 'prev' ELSE 'now' END AS period
+        |  FROM e, b),
+        |g AS (SELECT period, user_id, count(*) AS n FROM c GROUP BY 1, 2),
+        |r AS (
+        |  SELECT period, user_id,
+        |         row_number() OVER (PARTITION BY period
+        |                            ORDER BY n DESC, user_id) AS rk
+        |  FROM g),
+        |t AS (SELECT period, user_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 25),
+        |p AS (SELECT user_id, rk AS rank_prev FROM t WHERE period = 'prev'),
+        |q AS (SELECT user_id, rk AS rank_now FROM t WHERE period = 'now')
+        |SELECT coalesce(p.user_id, q.user_id) AS user_id,
+        |       rank_prev, rank_now,
+        |       coalesce(rank_prev, 26) - coalesce(rank_now, 26) AS delta
+        |FROM p FULL OUTER JOIN q ON p.user_id = q.user_id
+        |ORDER BY user_id""".stripMargin,
+
     "q181_iqr_outliers" ->
       """WITH o AS (
         |  SELECT event_id, event_type AS ty,
