@@ -100,27 +100,30 @@ object Constraints {
           case (other, i) =>
             throw new IllegalStateException(s"unreachable: $other at $i")
         }.toDF("__i", "check", "target", "threshold_bp", "__isCount", "__lo", "__hi")
+        // greatest(__n, 1): an EMPTY relation yields ratio 0 (failing any
+        // min-rate threshold > 0 — the alarm wanted on a 0-row batch)
+        // instead of an ANSI divide-by-zero (round-11 hardening)
         Some(
           melted.join(broadcast(spec), "__i")
             .select(
               col("check"),
               col("target"),
               when(col("__isCount"), col("__m"))
-                .otherwise(expr("__m * 10000 div __n")).as("metric_bp"),
+                .otherwise(expr("__m * 10000 div greatest(__n, 1)")).as("metric_bp"),
               col("threshold_bp"),
               when(col("__isCount"), col("__m") >= col("__lo") && col("__m") <= col("__hi"))
-                .otherwise(expr("__m * 10000 div __n") >= col("threshold_bp"))
+                .otherwise(expr("__m * 10000 div greatest(__n, 1)") >= col("threshold_bp"))
                 .as("pass")))
       }
 
     val uniqueRows: Seq[DataFrame] = checks.collect { case Unique(c, minBp) =>
       df.groupBy(col(c)).agg(count(lit(1)).as("__c"))
-        .agg(count(lit(1)).as("__d"), sum("__c").as("__nn"))
+        .agg(count(lit(1)).as("__d"), coalesce(sum("__c"), lit(0L)).as("__nn"))
         .select(
           lit("unique").as("check"), lit(c).as("target"),
-          expr("__d * 10000 div __nn").as("metric_bp"),
+          expr("__d * 10000 div greatest(__nn, 1)").as("metric_bp"),
           lit(minBp).as("threshold_bp"),
-          expr(s"__d * 10000 div __nn >= ${minBp}L").as("pass"))
+          expr(s"__d * 10000 div greatest(__nn, 1) >= ${minBp}L").as("pass"))
     }
 
     val fkRows: Seq[DataFrame] = checks.collect { case ForeignKey(c, ref, refCol) =>

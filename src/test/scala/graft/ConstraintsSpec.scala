@@ -66,6 +66,21 @@ class ConstraintsSpec extends SparkSpec {
     assert(nScans <= 2, s"expected one data scan (+ spec relation):\n$plan")
   }
 
+  test("empty input: ratios report 0 and fail (no divide-by-zero); row_count still bounds") {
+    val empty = orders.limit(0)
+    val got = Constraints.validate(empty, Seq(
+        Complete("ck", 9500L),
+        Unique("ok"),
+        RowCount(1L, 100L),
+        RowCount(0L, 100L)))
+      .as[(String, String, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("complete", "ck", 0L, 9500L, false),   // the 0-row batch ALARMS
+      ("unique", "ok", 0L, 10000L, false),
+      ("row_count", "[1,100]", 0L, 1L, false),
+      ("row_count", "[0,100]", 0L, 0L, true))) // zero rows allowed explicitly
+  }
+
   test("constraint_checks TVF parses the DSL and matches the operator") {
     orders.createOrReplaceTempView("cq_orders")
     customers.createOrReplaceTempView("cq_customers")
