@@ -50,6 +50,7 @@ object EventPattern {
     require(
       symbols.values.toSet.size == symbols.size,
       s"symbol characters must be distinct: $symbols")
+    require(!pattern.contains("'"), s"unquotable pattern: $pattern")
     val symCol = symbols.foldLeft(lit(null).cast("string")) {
       case (acc, (ty, sym)) => when(col(typeCol) === ty, lit(sym)).otherwise(acc)
     }

@@ -148,6 +148,7 @@ object RecordLinkage {
       thetaNum: Long,
       thetaDen: Long = 1L): DataFrame = {
     require(weights.map(_.attr) == attrs, "weights must align with attrs")
+    require(thetaNum >= 0 && thetaDen >= 1, s"bad threshold $thetaNum/$thetaDen")
     val maxProd = weights.map(w => BigInt(math.max(math.max(w.agreeNum, w.agreeDen),
       math.max(w.disNum, w.disDen)))).product * BigInt(math.max(thetaNum, thetaDen))
     require(
