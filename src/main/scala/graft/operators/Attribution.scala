@@ -40,15 +40,21 @@ object Attribution {
       touchTypes: Seq[String],
       convType: String,
       windowUs: Long,
-      model: String = "linear"): DataFrame = {
+      model: String = "linear",
+      maxEventsPerKey: Long = Long.MaxValue): DataFrame = {
     require(touchTypes.nonEmpty, "at least one touch type")
     require(windowUs > 0, s"windowUs must be positive: $windowUs")
     require(Set("linear", "u")(model), s"unknown model: $model")
-    val relevant = events
-      .filter(col(typeCol).isInCollection(touchTypes :+ convType))
-      .select(
-        col(userCol), col(tsUsCol).cast("long").as("__tus"),
-        col(idCol).cast("long").as("__id"), col(typeCol).as("__ty"))
+    // a finite maxEventsPerKey arms the HotKeyGuard: a celebrity user
+    // fails the job with this contract's name instead of an executor OOM
+    // inside the per-user window sort
+    val relevant = HotKeyGuard(
+      events
+        .filter(col(typeCol).isInCollection(touchTypes :+ convType))
+        .select(
+          col(userCol), col(tsUsCol).cast("long").as("__tus"),
+          col(idCol).cast("long").as("__id"), col(typeCol).as("__ty")),
+      col(userCol), maxEventsPerKey, "Attribution.multiTouch")
     // next conversion at-or-after each row (ties: a touch and a
     // conversion at the same µs attribute together — ordered by ts then
     // id, the conversion's own row marks the boundary)

@@ -107,7 +107,12 @@ object Cdc {
       keyCol: String,
       valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "changelog needs at least one value column")
-    def digest = md5(concat_ws("\u0001", valueCols.map(c => col(c).cast("string")): _*))
+    // NULL-distinct per-column encoding: a NULL field digests as 0x00 and a
+    // value digests as 'v'+value, so (a, NULL) and (NULL, a) differ --
+    // concat_ws alone would silently SKIP the NULL field and collapse them,
+    // breaking the applyChangelog(old, changelog(old,new)) == new law.
+    def digest = md5(concat_ws("\u0001", valueCols.map(c =>
+      coalesce(concat(lit("v"), col(c).cast("string")), lit("\u0000"))): _*))
     val o = oldDf.select(col(keyCol), digest.as("__od"))
     val n = newDf.select(
       col(keyCol) +: (digest.as("__nd") +: valueCols.map(col)): _*)

@@ -33,7 +33,11 @@ object EventPattern {
   /** `symbols` maps event-type values to single-character symbols; types
     * absent from the map are DROPPED before sequencing (the
     * MATCH_RECOGNIZE "define only what you use" rule, and what keeps
-    * noise types from breaking adjacency).
+    * noise types from breaking adjacency). The pattern reaches BOTH regex
+    * expressions through the Column API (never an `expr` SQL literal), so
+    * backslash classes like `\d` are interpreted exactly once. A finite
+    * `maxEventsPerKey` arms the [[HotKeyGuard]]: a celebrity key fails
+    * the job with this contract's name instead of an executor OOM.
     */
   def matchPattern(
       events: DataFrame,
@@ -42,7 +46,8 @@ object EventPattern {
       idCol: String,
       typeCol: String,
       symbols: Map[String, String],
-      pattern: String): DataFrame = {
+      pattern: String,
+      maxEventsPerKey: Long = Long.MaxValue): DataFrame = {
     require(symbols.nonEmpty, "at least one symbol mapping")
     require(
       symbols.values.forall(_.length == 1),
@@ -50,17 +55,17 @@ object EventPattern {
     require(
       symbols.values.toSet.size == symbols.size,
       s"symbol characters must be distinct: $symbols")
-    require(!pattern.contains("'"), s"unquotable pattern: $pattern")
     val symCol = symbols.foldLeft(lit(null).cast("string")) {
       case (acc, (ty, sym)) => when(col(typeCol) === ty, lit(sym)).otherwise(acc)
     }
-    events
+    val base = events
       .select(
         col(keyCol),
         col(tsCol).cast("long").as("__ts"),
         col(idCol).cast("long").as("__id"),
         symCol.as("__sym"))
       .filter(col("__sym").isNotNull)
+    HotKeyGuard(base, col(keyCol), maxEventsPerKey, "EventPattern.matchPattern")
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("__ts"), col("__id"), col("__sym"))))
         .as("__evs"))
@@ -70,7 +75,7 @@ object EventPattern {
         size(col("__evs")).cast("long").as("n_events"))
       .withColumn(
         "n_matches",
-        size(expr(s"regexp_extract_all(seq, '$pattern', 0)")).cast("long"))
+        size(regexp_extract_all(col("seq"), lit(pattern), lit(0))).cast("long"))
       .withColumn(
         "first_match",
         when(col("n_matches") > 0, regexp_extract(col("seq"), pattern, 0))

@@ -222,7 +222,15 @@ object Sampling {
   def ppsSystematic(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val kv = df.select(col(idCol).cast("long").as("k"), col(weightCol).cast("long").as("s"))
-    val totalW = kv.agg(sum("s")).head().getLong(0)
+    // min rides the same single-scalar action: a negative weight would make
+    // the prefix-sum intervals non-monotone (negative n_hits on some rows,
+    // double-counted hits on others) while the telescoping invariant still
+    // appears to hold — every documented guarantee assumes w >= 0
+    val bounds = kv.agg(sum("s"), min("s")).head()
+    val totalW = bounds.getLong(0)
+    require(
+      bounds.isNullAt(1) || bounds.getLong(1) >= 0,
+      s"ppsSystematic requires non-negative weights: min=${bounds.getLong(1)}")
     require(totalW >= 1, s"total weight must be >= 1: $totalW")
     require(
       totalW <= Long.MaxValue / (2L * k),

@@ -23,7 +23,9 @@ object SnapshotDiff {
     * {'added', 'removed', 'changed', 'unchanged'} — added = only in `newDf`,
     * removed = only in `oldDf`, changed = in both with different content
     * digests. Content equality is digest equality over `contentCols`
-    * joined with a 0x01 separator (fields must not contain 0x01 —
+    * joined with a 0x01 separator, each column NULL-distinctly encoded
+    * (NULL → 0x00, value → 'v'+value) so rows differing only in NULL
+    * placement digest differently (fields must not contain 0x01 —
     * true of text columns; a production caller with binary fields hashes
     * per-column and concatenates digests).
     */
@@ -36,7 +38,8 @@ object SnapshotDiff {
     def digested(df: DataFrame, dcol: String): DataFrame =
       df.select(
         col(idCol),
-        md5(concat_ws("\u0001", contentCols.map(c => col(c).cast("string")): _*)).as(dcol))
+        md5(concat_ws("\u0001", contentCols.map(c =>
+          coalesce(concat(lit("v"), col(c).cast("string")), lit("\u0000"))): _*)).as(dcol))
     val o = digested(oldDf, "_old_digest")
     val n = digested(newDf, "_new_digest")
     o.join(n, Seq(idCol), "full_outer")

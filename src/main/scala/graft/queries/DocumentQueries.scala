@@ -3650,7 +3650,8 @@ object DocumentQueries {
         |       (SELECT * FROM w WHERE attr = 'seg') ws,
         |       (SELECT * FROM w WHERE attr = 'cents') wc)
         |SELECT x_id, y_id, agree_name, agree_nat, agree_seg, agree_cents,
-        |       score_num, score_den,
+        |       CAST(score_num AS DECIMAL(38,0)) AS score_num,
+        |       CAST(score_den AS DECIMAL(38,0)) AS score_den,
         |       score_num >= score_den * 1000 AS is_match
         |FROM s ORDER BY x_id, y_id""".stripMargin,
 
@@ -3715,9 +3716,13 @@ object DocumentQueries {
         |news AS (
         |  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 9 <> 4),
         |o AS (
-        |  SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS od FROM olds),
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |           coalesce('v' || text, chr(0)), coalesce('v' || lang, chr(0)),
+        |           coalesce('v' || source, chr(0)))) AS od FROM olds),
         |n AS (
-        |  SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS nd,
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |           coalesce('v' || text, chr(0)), coalesce('v' || lang, chr(0)),
+        |           coalesce('v' || source, chr(0)))) AS nd,
         |         text, lang, source
         |  FROM news),
         |j AS (
@@ -4914,8 +4919,12 @@ object DocumentQueries {
         |         lang, source
         |  FROM documents WHERE doc_id % 7 <> 3),
         |newv AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 9 <> 4),
-        |o AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS od FROM oldv),
-        |n AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS nd FROM newv)
+        |o AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |        coalesce('v' || text, chr(0)), coalesce('v' || lang, chr(0)),
+        |        coalesce('v' || source, chr(0)))) AS od FROM oldv),
+        |n AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |        coalesce('v' || text, chr(0)), coalesce('v' || lang, chr(0)),
+        |        coalesce('v' || source, chr(0)))) AS nd FROM newv)
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |       CASE WHEN o.doc_id IS NULL THEN 'added'
         |            WHEN n.doc_id IS NULL THEN 'removed'

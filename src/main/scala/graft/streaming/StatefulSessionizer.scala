@@ -24,11 +24,17 @@ object StatefulSessionizer {
   final case class SessState(lastTsUs: Long, sessions: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long)
 
-  def updateState(gapUs: Long)(
+  def updateState(gapUs: Long, maxEventsPerKey: Long = Long.MaxValue)(
       userId: Long,
       events: Iterator[Evt],
       state: GroupState[SessState]): UserSessions = {
     val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    // named-contract guard (the HotKeyGuard discipline for the state-store
+    // path): a celebrity key fails with the contract's name, not an OOM
+    require(
+      sorted.size <= maxEventsPerKey,
+      s"StatefulSessionizer: maxEventsPerKey=$maxEventsPerKey contract violated " +
+        s"by key $userId with ${sorted.size} events in one batch")
     var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
     sorted.foreach { e =>
       val newSession = s.lastTsUs == Long.MinValue || e.ts_us - s.lastTsUs > gapUs
@@ -46,7 +52,8 @@ object StatefulSessionizer {
       spark: SparkSession,
       staged: Path,
       schema: org.apache.spark.sql.types.StructType,
-      gapSeconds: Long): DataFrame = {
+      gapSeconds: Long,
+      maxEventsPerKey: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val name = s"sess_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt-").toString
@@ -67,7 +74,7 @@ object StatefulSessionizer {
     val updates = typed
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
-        updateState(gapSeconds * 1000000L))
+        updateState(gapSeconds * 1000000L, maxEventsPerKey))
 
     val q = updates.toDF().writeStream
       .outputMode(OutputMode.Update())

@@ -70,7 +70,11 @@ object StreamingConstraints {
       col(seqCol).cast("long").as("seq"),
       least(expr(s"(CAST($seqCol AS LONG) - ${lo}L) div ${per}L"), lit(chunks - 1L))
         .cast("int").as("chunk"),
-      array(flagChecks.map(_._2.cast("boolean")): _*).as("flags"))
+      // NULL-producing predicates (e.g. `col < 2500` on a NULL input) must
+      // FAIL the check, matching batch Constraints semantics — and a NULL
+      // array element would blow up the Seq[Boolean] encoder at runtime
+      array(flagChecks.map(fc => coalesce(fc._2.cast("boolean"), lit(false))): _*)
+        .as("flags"))
     val staged = SemiStreamRuntime.stageByColumn(
       projected.withColumn("__chunk", col("chunk")), "__chunk", chunks)
 

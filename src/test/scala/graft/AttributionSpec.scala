@@ -78,4 +78,22 @@ class AttributionSpec extends SparkSpec {
     assert(sqlDf.columns.toSeq == scalaDf.columns.toSeq)
     assert(sqlDf.exceptAll(scalaDf).isEmpty && scalaDf.exceptAll(sqlDf).isEmpty)
   }
+
+  test("maxEventsPerKey guard: no-op under the bound, fails with the contract's name over it") {
+    val guardedOk = Attribution.multiTouch(
+      ev, "user_id", "tus", "event_id", "event_type",
+      Seq("view", "click"), "purchase", 100L, "linear", maxEventsPerKey = 10L)
+    val base = run("linear")
+    assert(guardedOk.exceptAll(base).isEmpty && base.exceptAll(guardedOk).isEmpty)
+
+    // user 1 has 6 relevant events; a bound of 3 must fail BY NAME
+    val ex = intercept[Exception] {
+      Attribution.multiTouch(
+        ev, "user_id", "tus", "event_id", "event_type",
+        Seq("view", "click"), "purchase", 100L, "linear", maxEventsPerKey = 3L).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).mkString(" | ")
+    assert(msgs.contains("Attribution.multiTouch") && msgs.contains("maxEventsPerKey=3"), msgs)
+  }
 }

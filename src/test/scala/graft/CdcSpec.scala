@@ -179,4 +179,27 @@ class CdcSpec extends SparkSpec {
       changes.select("k", "value").limit(0), changes, "k", "seq", "op", Seq("value"))
     assert(snapshot.exceptAll(batchMerge).isEmpty && batchMerge.exceptAll(snapshot).isEmpty)
   }
+
+  test("changelog digests NULL placement distinctly; round-trip law holds with NULLs") {
+    val oldSnap = Seq(
+      (1L, "a", null.asInstanceOf[String]), // NULL-swap vs new: IS a change
+      (2L, "x", "y"),                        // unchanged
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String]) // unchanged, all-NULL
+    ).toDF("k", "c1", "c2")
+    val newSnap = Seq(
+      (1L, null.asInstanceOf[String], "a"),
+      (2L, "x", "y"),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("k", "c1", "c2")
+    val log = Cdc.changelog(oldSnap, newSnap, "k", Seq("c1", "c2"))
+    assert(log.count() == 1L, "only the NULL-swapped key is a change")
+    val applied = Cdc.applyChangelog(
+      oldSnap, log.withColumn("seq", lit(0L)), "k", "seq", "op", Seq("c1", "c2"))
+    assert(applied.exceptAll(newSnap).isEmpty && newSnap.exceptAll(applied).isEmpty)
+
+    // SnapshotDiff shares the digest: the NULL-swap row classifies as changed
+    val st = graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "k", Seq("c1", "c2"))
+      .as[(Long, String)].collect().toMap
+    assert(st == Map(1L -> "changed", 2L -> "unchanged", 3L -> "unchanged"))
+  }
 }

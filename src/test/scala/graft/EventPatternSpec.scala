@@ -55,4 +55,33 @@ class EventPatternSpec extends SparkSpec {
     assert(sqlDf.columns.toSeq == scalaDf.columns.toSeq)
     assert(sqlDf.exceptAll(scalaDf).isEmpty && scalaDf.exceptAll(sqlDf).isEmpty)
   }
+
+  test("backslash classes are interpreted ONCE: count and extract paths agree") {
+    // user 1 seq "vvcpvvp": \\w{2}p matches "vcp" then "vvp" (non-overlapping)
+    val got = run("\\w{2}p")
+      .as[(Long, String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((7L, 2L, "vcp")))
+    assert(got(2L) == ((2L, 0L, "")))
+    assert(got(3L) == ((5L, 1L, "vvp")))
+    assert(got(4L) == ((3L, 1L, "vvp")))
+  }
+
+  test("maxEventsPerKey guard: no-op under the bound, fails with the contract's name over it") {
+    val guardedOk = EventPattern.matchPattern(
+      ev, "user_id", "tus", "event_id", "event_type", syms, "v{2,}c?p",
+      maxEventsPerKey = 10L)
+    val base = run("v{2,}c?p")
+    assert(guardedOk.exceptAll(base).isEmpty && base.exceptAll(guardedOk).isEmpty)
+
+    // user 1 has 7 mapped events; a bound of 4 must fail BY NAME
+    val ex = intercept[Exception] {
+      EventPattern.matchPattern(
+        ev, "user_id", "tus", "event_id", "event_type", syms, "v{2,}c?p",
+        maxEventsPerKey = 4L).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).mkString(" | ")
+    assert(msgs.contains("EventPattern.matchPattern") && msgs.contains("maxEventsPerKey=4"), msgs)
+  }
 }

@@ -193,4 +193,13 @@ class SamplingSpec extends SparkSpec {
     assert(sqlDf.columns.toSeq == scalaDf.columns.toSeq)
     assert(sqlDf.exceptAll(scalaDf).isEmpty && scalaDf.exceptAll(sqlDf).isEmpty)
   }
+
+  test("PPS systematic rejects negative weights by name") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.ppsSystematic(
+        Seq((1L, 5L), (2L, -1L), (3L, 4L)).toDF("id", "w"), "id", "w", 3)
+    }
+    assert(ex.getMessage.contains("non-negative"), ex.getMessage)
+  }
 }

@@ -38,4 +38,26 @@ class StatefulSessionizerSpec extends SparkSpec {
     assert(got.count() == expected.count())
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
+
+  test("maxEventsPerKey guard names the contract instead of buffering a hot key") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StatefulSessionizer.{Evt, SessState}
+    def mkState() = TestGroupState.create[SessState](
+      Optional.empty[SessState](), GroupStateTimeout.NoTimeout(), 0L,
+      Optional.empty[Long](), hasTimedOut = false)
+    val evs = (1L to 5L).map(i => Evt(7L, i * 1000000L, i))
+    val st = mkState()
+    val ex = intercept[IllegalArgumentException] {
+      StatefulSessionizer.updateState(10L, maxEventsPerKey = 3L)(7L, evs.iterator, st)
+    }
+    assert(
+      ex.getMessage.contains("StatefulSessionizer") &&
+        ex.getMessage.contains("maxEventsPerKey=3"),
+      ex.getMessage)
+    // under the bound: identical behavior
+    val out = StatefulSessionizer.updateState(10L, maxEventsPerKey = 5L)(7L, evs.iterator, mkState())
+    val base = StatefulSessionizer.updateState(10L)(7L, evs.iterator, mkState())
+    assert(out == base)
+  }
 }
