@@ -726,6 +726,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.fsLinkPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("fs_link_em"),
+      new ExpressionInfo(
+        classOf[graft.operators.RecordLinkage.type].getName,
+        null,
+        "fs_link_em",
+        "fs_link_em(aTable, bTable, idA, idB, candidatesTable, attrsCsv, thetaNum, iters) - unsupervised Fellegi-Sunter: m/u fitted by fixed-point-integer EM over the candidate agreement-pattern histogram (no labeled sample), then exact likelihood-ratio scores.",
+        ""),
+      exprs => GraftExtensions.fsLinkEmPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("leakage_safe_split"),
       new ExpressionInfo(
         classOf[graft.operators.Sampling.type].getName,
@@ -2328,6 +2337,29 @@ object GraftExtensions {
     graft.operators.RecordLinkage
       .scorePairs(a, b, idA, idB, attrs, cands, weights,
         thetaNum = longArg(n, exprs(7), "thetaNum"))
+      .queryExecution.logical
+  }
+
+  private[graft] def fsLinkEmPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "fs_link_em"
+    require(
+      exprs.length == 8,
+      s"$n expects (aTable, bTable, idA, idB, candidatesTable, attrsCsv, thetaNum, iters), got " +
+        exprs.length + " arguments")
+    val spark = SparkSession.active
+    val a = spark.table(strArg(n, exprs.head, "aTable"))
+    val b = spark.table(strArg(n, exprs(1), "bTable"))
+    val idA = strArg(n, exprs(2), "idA")
+    val idB = strArg(n, exprs(3), "idB")
+    val cands = spark.table(strArg(n, exprs(4), "candidatesTable"))
+    val attrs = strArg(n, exprs(5), "attrsCsv")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val weights = graft.operators.RecordLinkage.fsWeightsEm(
+      a, b, idA, idB, cands, attrs,
+      iters = longArg(n, exprs(7), "iters").toInt)
+    graft.operators.RecordLinkage
+      .scorePairs(a, b, idA, idB, attrs, cands, weights,
+        thetaNum = longArg(n, exprs(6), "thetaNum"))
       .queryExecution.logical
   }
 

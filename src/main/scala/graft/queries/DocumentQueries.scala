@@ -1488,6 +1488,44 @@ object DocumentQueries {
         .orderBy("x_id", "y_id")
     }),
 
+    // Unsupervised Fellegi–Sunter (round-12): the q168 fixture scored
+    // with NO labeled sample — m/u fitted by 8 fixed-point-integer EM
+    // iterations over the agreement-pattern histogram (Winkler 1988),
+    // every division an explicit floor at scale 10^6, so the DuckDB
+    // oracle replays the whole fit bit-for-bit in HUGEINT. θ = 10^6:
+    // EM's u is conditioned on candidate non-matches, a different scale
+    // than q168's random-pair u.
+    "q183_em_linkage" -> ((s, dir) => {
+      import graft.operators.RecordLinkage
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val off = 1000000L
+      val b = c.select(
+        (col("id") + off).as("id"),
+        when(pmod(col("id"), lit(7)) === 0, concat(col("name"), lit("~")))
+          .otherwise(col("name")).as("name"),
+        when(pmod(col("id"), lit(5)) === 0, pmod(col("nat") + 1, lit(25)))
+          .otherwise(col("nat")).as("nat"),
+        when(pmod(col("id"), lit(11)) === 0, lit("UNKNOWN"))
+          .otherwise(col("seg")).as("seg"),
+        when(pmod(col("id"), lit(3)) === 0, col("cents") + 1)
+          .otherwise(col("cents")).as("cents"))
+      val attrs = Seq("name", "nat", "seg", "cents")
+      val n = c.agg(max("id")).head().getLong(0) + 1
+      val cands = c.select(col("id").as("x_id"), (col("id") + off).as("y_id"))
+        .unionByName(c.select(
+          col("id").as("x_id"),
+          (pmod(col("id") + 1, lit(n)) + off).as("y_id")))
+      val w = RecordLinkage.fsWeightsEm(c, b, "id", "id", cands, attrs, iters = 8)
+      RecordLinkage
+        .scorePairs(c, b, "id", "id", attrs, cands, w, thetaNum = 1000000L)
+        .orderBy("x_id", "y_id")
+    }),
+
     // Leakage-safe split (round-11): the 80/10/10 split keyed on q19's
     // MinHash dup-cluster representative, so near-duplicate documents
     // can never straddle train and test — co-membership is a theorem
@@ -1855,6 +1893,35 @@ object DocumentQueries {
        |                THEN least(b${i - 1}.dist, COALESCE(x$i.nd, b${i - 1}.dist))
        |              ELSE COALESCE(x$i.nd, -1) END AS dist
        |  FROM b${i - 1} LEFT JOIN x$i ON b${i - 1}.id = x$i.id),""".stripMargin
+
+  /** One fixed-point EM iteration as oracle CTEs (q183): mirrors
+    * RecordLinkage.fsWeightsEm's integer arithmetic exactly — the E-step
+    * posterior w = ⌊pm·10⁶/(pm+pu)⌋ in HUGEINT, the M-step floor
+    * divisions with the same [1, 999999] clamps.
+    */
+  private def emRound(t: Int): String = {
+    val prev = s"em${t - 1}"
+    def cases(param: Char) = (1 to 4).map(i =>
+      s"* (CASE WHEN h.g$i THEN s.$param$i ELSE 1000000 - s.$param$i END)")
+      .mkString("\n       |            ", "\n       |            ", "")
+    val mCols = (1 to 4).map(i =>
+      s"greatest(1, least(999999, (sum(CASE WHEN g$i THEN c*w ELSE 0 END) * 1000000)" +
+        s" // greatest(sum(c*w), 1))) AS m$i").mkString(",\n       |         ")
+    val uCols = (1 to 4).map(i =>
+      s"greatest(1, least(999999, (sum(CASE WHEN g$i THEN c*(1000000-w) ELSE 0 END) * 1000000)" +
+        s" // greatest(sum(c*(1000000-w)), 1))) AS u$i").mkString(",\n       |         ")
+    s"""e$t AS (
+       |  SELECT h.g1, h.g2, h.g3, h.g4, h.c,
+       |         (s.p${cases('m')}) AS pm,
+       |         ((1000000 - s.p)${cases('u')}) AS pu
+       |  FROM hist h, $prev s),
+       |f$t AS (SELECT g1, g2, g3, g4, c, (pm * 1000000) // (pm + pu) AS w FROM e$t),
+       |em$t AS (
+       |  SELECT greatest(1, least(999999, sum(c*w) // (SELECT n FROM nn))) AS p,
+       |         $mCols,
+       |         $uCols
+       |  FROM f$t),""".stripMargin
+  }
 
   /** Shared q128/q129/q130 prefix: per-vector int8 quantization (exact
     * scale, fixed-order IEEE rounding — mirrors
@@ -3654,6 +3721,77 @@ object DocumentQueries {
         |       CAST(score_den AS DECIMAL(38,0)) AS score_den,
         |       score_num >= score_den * 1000 AS is_match
         |FROM s ORDER BY x_id, y_id""".stripMargin,
+
+    // q168's fixture with the weights fitted UNSUPERVISED: 8 fixed-point
+    // EM iterations (all-integer, scale 10^6) replayed in HUGEINT — the
+    // emRound helper unrolls the q101/q120 iteration idiom.
+    "q183_em_linkage" ->
+      ("""WITH a AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |         CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |b AS (
+        |  SELECT id + 1000000 AS yid,
+        |         CASE WHEN id % 7 = 0 THEN name || '~' ELSE name END AS bname,
+        |         CASE WHEN id % 5 = 0 THEN (nat + 1) % 25 ELSE nat END AS bnat,
+        |         CASE WHEN id % 11 = 0 THEN 'UNKNOWN' ELSE seg END AS bseg,
+        |         CASE WHEN id % 3 = 0 THEN cents + 1 ELSE cents END AS bcents
+        |  FROM a),
+        |cand AS (
+        |  SELECT id AS x, id + 1000000 AS y FROM a
+        |  UNION ALL
+        |  SELECT id, ((id + 1) % (SELECT count(*) FROM a)) + 1000000 FROM a),
+        |pr AS (
+        |  SELECT c.x, c.y,
+        |         a.name IS NOT DISTINCT FROM b.bname AS g1,
+        |         a.nat IS NOT DISTINCT FROM b.bnat AS g2,
+        |         a.seg IS NOT DISTINCT FROM b.bseg AS g3,
+        |         a.cents IS NOT DISTINCT FROM b.bcents AS g4
+        |  FROM cand c JOIN a ON a.id = c.x JOIN b ON b.yid = c.y),
+        |hist AS (
+        |  SELECT g1, g2, g3, g4, CAST(count(*) AS HUGEINT) AS c
+        |  FROM pr GROUP BY 1, 2, 3, 4),
+        |nn AS (SELECT sum(c) AS n FROM hist),
+        |em0 AS (
+        |  SELECT CAST(100000 AS HUGEINT) AS p,
+        |         CAST(900000 AS HUGEINT) AS m1, CAST(900000 AS HUGEINT) AS m2,
+        |         CAST(900000 AS HUGEINT) AS m3, CAST(900000 AS HUGEINT) AS m4,
+        |         CAST(100000 AS HUGEINT) AS u1, CAST(100000 AS HUGEINT) AS u2,
+        |         CAST(100000 AS HUGEINT) AS u3, CAST(100000 AS HUGEINT) AS u4),
+        |""" + (1 to 8).map(emRound).mkString("\n") + """
+        |wt AS (
+        |  SELECT 'name' AS attr, CAST(m1 AS BIGINT) AS mv, CAST(u1 AS BIGINT) AS uv FROM em8
+        |  UNION ALL SELECT 'nat', CAST(m2 AS BIGINT), CAST(u2 AS BIGINT) FROM em8
+        |  UNION ALL SELECT 'seg', CAST(m3 AS BIGINT), CAST(u3 AS BIGINT) FROM em8
+        |  UNION ALL SELECT 'cents', CAST(m4 AS BIGINT), CAST(u4 AS BIGINT) FROM em8),
+        |w AS (
+        |  SELECT attr,
+        |         mv // gcd(mv, uv) AS an, uv // gcd(mv, uv) AS ad,
+        |         (1000000 - mv) // gcd(1000000 - mv, 1000000 - uv) AS dn,
+        |         (1000000 - uv) // gcd(1000000 - mv, 1000000 - uv) AS dd
+        |  FROM wt),
+        |s AS (
+        |  SELECT pr.x AS x_id, pr.y AS y_id,
+        |         g1 AS agree_name, g2 AS agree_nat, g3 AS agree_seg, g4 AS agree_cents,
+        |         (CASE WHEN g1 THEN wn.an ELSE wn.dn END)::HUGEINT
+        |           * (CASE WHEN g2 THEN wt2.an ELSE wt2.dn END)
+        |           * (CASE WHEN g3 THEN ws.an ELSE ws.dn END)
+        |           * (CASE WHEN g4 THEN wc.an ELSE wc.dn END) AS score_num,
+        |         (CASE WHEN g1 THEN wn.ad ELSE wn.dd END)::HUGEINT
+        |           * (CASE WHEN g2 THEN wt2.ad ELSE wt2.dd END)
+        |           * (CASE WHEN g3 THEN ws.ad ELSE ws.dd END)
+        |           * (CASE WHEN g4 THEN wc.ad ELSE wc.dd END) AS score_den
+        |  FROM pr,
+        |       (SELECT * FROM w WHERE attr = 'name') wn,
+        |       (SELECT * FROM w WHERE attr = 'nat') wt2,
+        |       (SELECT * FROM w WHERE attr = 'seg') ws,
+        |       (SELECT * FROM w WHERE attr = 'cents') wc)
+        |SELECT x_id, y_id, agree_name, agree_nat, agree_seg, agree_cents,
+        |       CAST(score_num AS DECIMAL(38,0)) AS score_num,
+        |       CAST(score_den AS DECIMAL(38,0)) AS score_den,
+        |       score_num >= score_den * 1000000 AS is_match
+        |FROM s ORDER BY x_id, y_id""").stripMargin,
 
     // q19's exact-Jaccard + recursive-CC replay, then the q46 md5-uniform
     // split idiom keyed on the REP instead of the doc

@@ -89,4 +89,108 @@ class RecordLinkageSpec extends SparkSpec {
     assert(sqlDf.columns.toSeq == scalaDf.columns.toSeq)
     assert(sqlDf.exceptAll(scalaDf).isEmpty && scalaDf.exceptAll(sqlDf).isEmpty)
   }
+
+  // the q168 fixture shape on the smoke customer table: a perturbed
+  // second source, true-alignment + decoy candidates
+  private lazy val fix = {
+    val c = spark.read.parquet(s"$sfSmoke/customer.parquet").select(
+      col("c_custkey").as("id"),
+      col("c_name").as("name"),
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+    val off = 1000000L
+    val bb = c.select(
+      (col("id") + off).as("id"),
+      when(pmod(col("id"), lit(7)) === 0, concat(col("name"), lit("~")))
+        .otherwise(col("name")).as("name"),
+      when(pmod(col("id"), lit(5)) === 0, pmod(col("nat") + 1, lit(25)))
+        .otherwise(col("nat")).as("nat"),
+      when(pmod(col("id"), lit(11)) === 0, lit("UNKNOWN"))
+        .otherwise(col("seg")).as("seg"),
+      when(pmod(col("id"), lit(3)) === 0, col("cents") + 1)
+        .otherwise(col("cents")).as("cents"))
+    val labeled = c.filter(pmod(col("id"), lit(10)) === 0)
+      .select(col("id").as("x_id"), (col("id") + off).as("y_id"))
+    val nC = c.count()
+    val cands = c.select(col("id").as("x_id"), (col("id") + off).as("y_id"))
+      .unionByName(c.select(col("id").as("x_id"),
+        (pmod(col("id") + 1, lit(nC)) + 1 + off).as("y_id")))
+    (c, bb, labeled, cands)
+  }
+  private val fixAttrs = Seq("name", "nat", "seg", "cents")
+
+  private def logW(w: AttrWeight): Double =
+    math.log(w.agreeNum.toDouble / w.agreeDen)
+
+  test("fsWeightsSampled: full stratum IS fsWeights; half stratum keeps every decision") {
+    val (c, bb, labeled, cands) = fix
+    val full = RecordLinkage.fsWeights(c, bb, "id", "id", labeled, fixAttrs)
+    val w10000 = RecordLinkage.fsWeightsSampled(c, bb, "id", "id", labeled, fixAttrs, 10000L)
+    assert(w10000 == full)
+
+    val w5000 = RecordLinkage.fsWeightsSampled(c, bb, "id", "id", labeled, fixAttrs, 5000L)
+    // scale-free (categorical) attrs estimate within sampling tolerance
+    full.zip(w5000).filter(p => Seq("nat", "seg").contains(p._1.attr)).foreach {
+      case (f, s) =>
+        assert(math.abs(logW(f) - logW(s)) < 0.4,
+          s"${f.attr}: full=${logW(f)} stratum=${logW(s)}")
+    }
+    // decisions survive the stratum estimate verbatim
+    def decisions(w: Seq[AttrWeight]) = RecordLinkage
+      .scorePairs(c, bb, "id", "id", fixAttrs, cands, w, thetaNum = 1000L)
+      .select("x_id", "y_id", "is_match")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    val dFull = decisions(full)
+    val dStr = decisions(w5000)
+    assert(dFull == dStr, "stratum weights flipped a decision")
+  }
+
+  test("fsWeightsEm: unsupervised EM recovers the labeled ranking and is deterministic") {
+    val (c, bb, labeled, cands) = fix
+    val full = RecordLinkage.fsWeights(c, bb, "id", "id", labeled, fixAttrs)
+    val em = RecordLinkage.fsWeightsEm(c, bb, "id", "id", cands, fixAttrs)
+    val em2 = RecordLinkage.fsWeightsEm(c, bb, "id", "id", cands, fixAttrs)
+    assert(em == em2, "EM must be bit-deterministic")
+    // agreement factors keep the m > u orientation
+    em.foreach(w => assert(w.agreeNum > 0 && w.agreeDen > 0 && logW(w) > 0, w.toString))
+    // EM and labeled weights live on different SCALES (EM's u is
+    // "agreement among candidate non-matches", the labeled path's is
+    // "agreement among random pairs"), so a fixed θ does not transfer —
+    // the invariant that must survive is the RANKING: the top-k pairs by
+    // EM score are exactly the labeled-weight match set
+    def scored(w: Seq[AttrWeight]) = RecordLinkage
+      .scorePairs(c, bb, "id", "id", fixAttrs, cands, w, thetaNum = 1000L)
+      .select(
+        col("x_id"), col("y_id"),
+        (col("score_num") / col("score_den")).cast("double").as("s"),
+        col("is_match"))
+    val matchesFull = scored(full).filter(col("is_match"))
+      .select("x_id", "y_id").as[(Long, Long)].collect().toSet
+    val k = matchesFull.size
+    assert(k > 0, "fixture must produce labeled-weight matches")
+    val topEm = scored(em).orderBy(desc("s"), col("x_id"), col("y_id"))
+      .limit(k).select("x_id", "y_id").as[(Long, Long)].collect().toSet
+    assert(topEm == matchesFull,
+      s"EM top-$k diverges from the labeled match set: overlap ${(topEm & matchesFull).size}")
+  }
+
+  test("fs_link_em TVF matches the operator") {
+    val (c, bb, _, cands) = fix
+    c.createOrReplaceTempView("fsem_a")
+    bb.createOrReplaceTempView("fsem_b")
+    cands.createOrReplaceTempView("fsem_cand")
+    val sqlDf = spark.sql(
+      "SELECT * FROM fs_link_em('fsem_a', 'fsem_b', 'id', 'id', 'fsem_cand', " +
+        "'name,nat,seg,cents', 1000000, 8)")
+    val w = RecordLinkage.fsWeightsEm(
+      spark.table("fsem_a"), spark.table("fsem_b"), "id", "id",
+      spark.table("fsem_cand"), fixAttrs, iters = 8)
+    val scalaDf = RecordLinkage.scorePairs(
+      spark.table("fsem_a"), spark.table("fsem_b"), "id", "id",
+      fixAttrs, spark.table("fsem_cand"), w, thetaNum = 1000000L)
+    assert(sqlDf.columns.toSeq == scalaDf.columns.toSeq)
+    assert(sqlDf.exceptAll(scalaDf).isEmpty && scalaDf.exceptAll(sqlDf).isEmpty)
+  }
 }
