@@ -309,6 +309,16 @@ object SubsequenceMatch {
   /** [[candidateStarts]] plus the number of segments actually probed (for
     * tests and cost instrumentation).
     */
+  private[operators] def edProbes(
+      q: Array[Double],
+      eps: Double,
+      widths: Seq[Int]): Seq[SegProbe] =
+    segments(q.length, widths).map { case (qoff, w) =>
+      val mu = q.slice(qoff, qoff + w).sum / w
+      val bound = eps / math.sqrt(w) + MeanSlack
+      SegProbe(qoff, w, mu - bound, mu + bound)
+    }
+
   def candidateStartsPlanned(
       index: DataFrame,
       q: Array[Double],
@@ -318,12 +328,116 @@ object SubsequenceMatch {
       adaptive: Boolean = false,
       costRatio: Double = 1.0,
       cache: Option[MeanIndexCache] = None): (DataFrame, Int) = {
-    val probes = segments(q.length, widths).map { case (qoff, w) =>
-      val mu = q.slice(qoff, qoff + w).sum / w
-      val bound = eps / math.sqrt(w) + MeanSlack
-      SegProbe(qoff, w, mu - bound, mu + bound)
+    intersectSegments(
+      index, edProbes(q, eps, widths), band, q.length, adaptive, costRatio, cache)
+  }
+
+  /** Pick the phase-2 shape: the explode-join gather (selective phase 1 —
+    * shuffles candidates×m rows) vs [[slidingDots]] + [[windowStats]]
+    * (unselective phase 1 — shuffles ~n rows once and verifies everything
+    * exactly; phase 1 is then SKIPPED, its pruning being worthless by the
+    * same estimate that chose this path). "auto" spends one tiny index
+    * aggregate on the decision: sliding wins when the estimated survivor
+    * count × m exceeds ~2 series lengths of shuffled rows.
+    */
+  private def useSliding(
+      index: DataFrame,
+      probes: Seq[SegProbe],
+      m: Int,
+      phase2: String): Boolean = phase2 match {
+    case "sliding" => true
+    case "gather"  => false
+    case "auto" =>
+      val nc = estimateCandidates(index, probes)
+      val n = index.filter(col("w") === probes.head.w).count() + probes.head.w - 1
+      nc * m > 2 * n
+    case other =>
+      throw new IllegalArgumentException(s"phase2 must be auto|gather|sliding: $other")
+  }
+
+  /** Exact per-start query dot products ⟨series[start, start+m), q⟩
+    * WITHOUT exploding candidates×m join rows — the phase-2 shape for the
+    * UNSELECTIVE regime, where phase 1 admits a constant fraction of all
+    * windows and the gather's candidates×m shuffle becomes the bottleneck
+    * (round-12 root cause of the q30 line: regenerated testdata collapsed
+    * the mean-probe selectivity to ~100 %, making phase 2 a 10⁶×m-row
+    * exchange). Here the series shuffles ONCE at row grain: rows bucket by
+    * ⌊idx/block⌋, the first m−1 rows of each block duplicate into the
+    * previous block (so every window is fully local to exactly one
+    * owner), and each block computes its sliding dots imperatively —
+    * n·m multiply-adds at JVM speed instead of n·m shuffled rows. Memory
+    * per task is block+m−1 points (~1 MB at the default), documented and
+    * bounded. Windows with idx gaps are skipped (idx strictly increasing
+    * ⇒ contiguity ⟺ buf(i+m−1).idx == buf(i).idx + m − 1), matching the
+    * gather path's HAVING count = m. The window's Σv and Σv² ride the
+    * same per-window loop (exact direct sums — the gather path's own
+    * arithmetic, no prefix-difference cancellation), so the verify needs
+    * NO second pass: output is (start, dot, mu, sd, s2).
+    */
+  def slidingDots(series: DataFrame, q: Array[Double], block: Int = 65536): DataFrame = {
+    val m = q.length
+    require(m >= 1, "empty query")
+    require(block >= 2 * m, s"block ($block) must be >= 2*m (${2 * m})")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val pts = series
+      .select(col("idx").cast("long"), col("v").cast("double"))
+      .as[(Long, Double)]
+    val dup = pts.flatMap { case (idx, v) =>
+      val b = idx / block
+      if (b > 0 && idx % block < m - 1) Seq((b - 1, idx, v), (b, idx, v))
+      else Seq((b, idx, v))
     }
-    intersectSegments(index, probes, band, q.length, adaptive, costRatio, cache)
+    dup
+      .groupByKey(_._1)
+      .flatMapGroups { (blk: Long, it: Iterator[(Long, Long, Double)]) =>
+        val buf = it.map(t => (t._2, t._3)).toArray
+        java.util.Arrays.sort(buf, Ordering.by((p: (Long, Double)) => p._1))
+        val loStart = blk * block
+        val hiStart = loStart + block
+        val res =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double, Double)]
+        var i = 0
+        while (i + m - 1 < buf.length) {
+          val s = buf(i)._1
+          if (s >= loStart && s < hiStart && buf(i + m - 1)._1 == s + m - 1) {
+            var d = 0.0
+            var sv = 0.0
+            var s2 = 0.0
+            var j = 0
+            while (j < m) {
+              val x = buf(i + j)._2
+              d += x * q(j)
+              sv += x
+              s2 += x * x
+              j += 1
+            }
+            val mu = sv / m
+            val sd = math.sqrt(math.max(s2 / m - mu * mu, 0.0))
+            res += ((s, d, mu, sd, s2))
+          }
+          i += 1
+        }
+        res.iterator
+      }
+      .toDF("start", "dot", "mu", "sd", "s2")
+  }
+
+  /** Estimated phase-1 survivor count: the MINIMUM per-segment in-range
+    * index count (the intersection can only be smaller). One tiny
+    * broadcast-join aggregate over the index — the same statistic the
+    * adaptive prober collects — used to pick the phase-2 shape before
+    * paying for either.
+    */
+  private def estimateCandidates(index: DataFrame, probes: Seq[SegProbe]): Long = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val segDf = broadcast(probes.toDF("qoff", "sw", "lo", "hi"))
+    val counts = index
+      .join(segDf, col("w") === col("sw") && col("mean").between(col("lo"), col("hi")))
+      .groupBy("qoff").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[Long]("c"))
+    if (counts.length < probes.length) 0L else counts.min
   }
 
   /** Gather candidate windows: (start, pos, v, qv) via explode + equi-join
@@ -340,7 +454,11 @@ object SubsequenceMatch {
       .join(series.select(col("idx").as("pos"), col("v")), "pos")
   }
 
-  /** Exact subsequence match under squared Euclidean distance ≤ eps². */
+  /** Exact subsequence match under squared Euclidean distance ≤ eps².
+    * `phase2` picks the verify shape (see [[useSliding]]): gather for
+    * selective probes, prefix-sum + sliding-dot (d² = Σs² − 2⟨s,q⟩ + Σq²)
+    * when phase 1 cannot prune.
+    */
   def matchED(
       series: DataFrame,
       index: DataFrame,
@@ -348,13 +466,30 @@ object SubsequenceMatch {
       eps: Double,
       widths: Seq[Int] = DefaultWidths,
       adaptive: Boolean = false,
-      cache: Option[MeanIndexCache] = None): DataFrame = {
-    val starts = candidateStarts(index, q, eps, widths, band = 0, adaptive, cache = cache)
-    gather(series, starts, q)
-      .groupBy("start")
-      .agg(sum(pow(col("v") - col("qv"), 2)).as("d2"), count(lit(1)).as("c"))
-      .filter(col("c") === q.length && col("d2") <= eps * eps)
-      .select("start", "d2")
+      cache: Option[MeanIndexCache] = None,
+      phase2: String = "auto"): DataFrame = {
+    val m = q.length
+    // a supplied MeanIndexCache signals a repeated-query workload built
+    // around cached phase-1 slices — auto defers to the probing path
+    val p2 = if (cache.isDefined && phase2 == "auto") "gather" else phase2
+    if (useSliding(index, edProbes(q, eps, widths), m, p2)) {
+      val sq = q.map(x => x * x).sum
+      slidingDots(series, q)
+        // clamp: cancellation can land the exact-zero self-match at −1e-10,
+        // which would round to an engine-dependent −0.0
+        .withColumn(
+          "d2",
+          greatest(col("s2") - lit(2.0) * col("dot") + lit(sq), lit(0.0)))
+        .filter(col("d2") <= eps * eps)
+        .select("start", "d2")
+    } else {
+      val starts = candidateStarts(index, q, eps, widths, band = 0, adaptive, cache = cache)
+      gather(series, starts, q)
+        .groupBy("start")
+        .agg(sum(pow(col("v") - col("qv"), 2)).as("d2"), count(lit(1)).as("c"))
+        .filter(col("c") === q.length && col("d2") <= eps * eps)
+        .select("start", "d2")
+    }
   }
 
   /** MANY-QUERY exact ED match: all `queries` (qid, values) matched against
@@ -490,27 +625,22 @@ object SubsequenceMatch {
     * admissible μ_s/σ_s (the reference's α / 1/α `beginRound`/`endRound`
     * pair) gives the raw-mean probe window.
     */
-  def normCandidateStarts(
-      index: DataFrame,
+  private[operators] def normProbes(
       q: Array[Double],
       eps: Double,
       rho: Int,
       alphaStd: Double,
       betaMean: Double,
-      widths: Seq[Int],
-      adaptive: Boolean = false,
-      costRatio: Double = 1.0,
-      cache: Option[MeanIndexCache] = None): DataFrame = {
+      widths: Seq[Int]): Seq[SegProbe] = {
     require(alphaStd >= 1.0, s"alphaStd is a ratio bound >= 1: $alphaStd")
     val m = q.length
     val muQ = q.sum / m
     val sdQ = math.sqrt(q.map(x => x * x).sum / m - muQ * muQ)
     require(sdQ > 0, "constant query has no normalized form")
     val zq = q.map(x => (x - muQ) / sdQ)
-
     val segs = segments(m, widths)
     require(segs.nonEmpty, s"query of ${q.length} shorter than every index width")
-    val probes = segs.map { case (qoff, w) =>
+    segs.map { case (qoff, w) =>
       val l = (qoff until qoff + w).map(p =>
         (math.max(0, p - rho) to math.min(m - 1, p + rho)).map(zq).min)
       val u = (qoff until qoff + w).map(p =>
@@ -524,8 +654,22 @@ object SubsequenceMatch {
         (if (zHi >= 0) alphaStd * sdQ * zHi else sdQ / alphaStd * zHi) + MeanSlack
       SegProbe(qoff, w, lo, hi)
     }
+  }
+
+  def normCandidateStarts(
+      index: DataFrame,
+      q: Array[Double],
+      eps: Double,
+      rho: Int,
+      alphaStd: Double,
+      betaMean: Double,
+      widths: Seq[Int],
+      adaptive: Boolean = false,
+      costRatio: Double = 1.0,
+      cache: Option[MeanIndexCache] = None): DataFrame = {
+    val probes = normProbes(q, eps, rho, alphaStd, betaMean, widths)
     // rho widens the ENVELOPE (not the offset), so the probe band is 0
-    intersectSegments(index, probes, band = 0, m, adaptive, costRatio, cache)._1
+    intersectSegments(index, probes, band = 0, q.length, adaptive, costRatio, cache)._1
   }
 
   /** Z-normalized ED under the reference's amplitude constraints
@@ -543,24 +687,16 @@ object SubsequenceMatch {
       betaMean: Double,
       widths: Seq[Int] = DefaultWidths,
       adaptive: Boolean = false,
-      cache: Option[MeanIndexCache] = None): DataFrame = {
+      cache: Option[MeanIndexCache] = None,
+      phase2: String = "auto"): DataFrame = {
     val m = q.length
     val muQ = q.sum / m
     val sdQ = math.sqrt(q.map(x => x * x).sum / m - muQ * muQ)
     require(sdQ > 0, "constant query has no normalized form")
     val qn = q.map(x => (x - muQ) / sdQ)
 
-    val starts =
-      normCandidateStarts(index, q, eps, rho = 0, alphaStd, betaMean, widths, adaptive,
-        cache = cache)
-    gather(series, starts, qn)
-      .groupBy("start")
-      .agg(
-        count(lit(1)).as("c"),
-        avg("v").as("mu"),
-        sqrt(avg(pow(col("v"), 2)) - pow(avg(col("v")), 2)).as("sd"),
-        sum(col("v") * col("qv")).as("dotNq"))
-      .filter(col("c") === m && col("sd") > 0)
+    def constraintsAndD2(withDot: DataFrame): DataFrame = withDot
+      .filter(col("sd") > 0)
       // normED² = Σ((s−μ)/σ − qn)² = m + m − 2/σ·(Σ s·qn − μ·Σ qn)
       //         = 2m − 2·dotNq/σ   (Σ qn = 0)
       .withColumn("d2", lit(2.0 * m) - lit(2.0) * col("dotNq") / col("sd"))
@@ -569,6 +705,26 @@ object SubsequenceMatch {
           abs(col("mu") - muQ) <= betaMean &&
           col("sd") / sdQ <= alphaStd && col("sd") / sdQ >= 1.0 / alphaStd)
       .select("start", "d2")
+
+    // a supplied MeanIndexCache signals a repeated-query workload built
+    // around cached phase-1 slices — auto defers to the probing path
+    val p2 = if (cache.isDefined && phase2 == "auto") "gather" else phase2
+    if (useSliding(index, normProbes(q, eps, 0, alphaStd, betaMean, widths), m, p2)) {
+      constraintsAndD2(slidingDots(series, qn).withColumnRenamed("dot", "dotNq"))
+    } else {
+      val starts =
+        normCandidateStarts(index, q, eps, rho = 0, alphaStd, betaMean, widths, adaptive,
+          cache = cache)
+      constraintsAndD2(
+        gather(series, starts, qn)
+          .groupBy("start")
+          .agg(
+            count(lit(1)).as("c"),
+            avg("v").as("mu"),
+            sqrt(avg(pow(col("v"), 2)) - pow(avg(col("v")), 2)).as("sd"),
+            sum(col("v") * col("qv")).as("dotNq"))
+          .filter(col("c") === m))
+    }
   }
 
   /** Z-normalized banded DTW under the same amplitude constraints — the

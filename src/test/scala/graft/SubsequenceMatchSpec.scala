@@ -254,4 +254,39 @@ class SubsequenceMatchSpec extends SparkSpec {
     cache.close()
     assert(cache.cachedBuckets == 0)
   }
+
+  test("sliding phase 2 equals gather phase 2; dots exact across blocks and gaps") {
+    import spark.implicits._
+    // gapped series: idx 300..309 removed — windows covering the gap must
+    // vanish from BOTH paths; block=64 forces boundary-straddling windows
+    val gapped = series.filter(col("idx") < 300 || col("idx") >= 310)
+    val dots = SubsequenceMatch.slidingDots(gapped, q, block = 128)
+      .select("start", "dot")
+      .as[(Long, Double)].collect().toMap
+    val gvals = gapped.orderBy("idx").select("idx", "v")
+      .as[(Long, Double)].collect()
+    val byIdx = gvals.toMap
+    val n = vals.length
+    (0L until (n - m + 1).toLong).foreach { st =>
+      val window = (st until st + m).map(byIdx.get)
+      if (window.forall(_.isDefined)) {
+        val exact = window.flatten.zip(q).map { case (v, qv) => v * qv }.sum
+        assert(math.abs(dots(st) - exact) < 1e-9, s"start $st")
+      } else assert(!dots.contains(st), s"gap window $st must not emit")
+    }
+
+    // full operators: forced-sliding == forced-gather (ED and normED)
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("start"), round(col("d2"), 6).as("d2"))
+      .as[(Long, Double)].collect().toSet
+    val eps = 3.0
+    assert(
+      sets(SubsequenceMatch.matchED(series, index, q, eps, phase2 = "sliding")) ==
+        sets(SubsequenceMatch.matchED(series, index, q, eps, phase2 = "gather")))
+    assert(
+      sets(SubsequenceMatch.matchNormED(
+        series, index, q, 1.5, 3.0, 10.0, phase2 = "sliding")) ==
+        sets(SubsequenceMatch.matchNormED(
+          series, index, q, 1.5, 3.0, 10.0, phase2 = "gather")))
+  }
 }
