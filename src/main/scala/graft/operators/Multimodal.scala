@@ -145,6 +145,73 @@ object Multimodal {
     }
   }
 
+  /** [[pixelAHash]] restated in EXACT INTEGERS so a SQL oracle replays
+    * every bit: luminance as the per-mille ITU-R 601 weights
+    * 299·r + 587·g + 114·b (a long), and the cell-vs-grid mean compare
+    * cross-multiplied — bit i ⟺ cellSum_i · (w·h) > totalSum · count_i.
+    * Same bits as the float form away from exact ties; no float ever
+    * appears, so DuckDB reproduces the hash from the pixel recipe alone
+    * (q184 — the decode path under oracle is [[parsePpm]] over real
+    * payload bytes, retiring the last stub-only multimodal gate). */
+  def pixelAHashExact(payload: Array[Byte]): Long = {
+    val img = parsePpm(payload)
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < img.h) {
+      val gy = y * 8 / img.h
+      var x = 0
+      while (x < img.w) {
+        val gx = x * 8 / img.w
+        val p = (y * img.w + x) * 3
+        val lum = 299L * (img.rgb(p) & 0xff) +
+          587L * (img.rgb(p + 1) & 0xff) +
+          114L * (img.rgb(p + 2) & 0xff)
+        val g = gy * 8 + gx
+        sums(g) += lum
+        counts(g) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = sums.sum
+    val n = img.w.toLong * img.h
+    (0 until 64).foldLeft(0L) { (acc, i) =>
+      if (sums(i) * n > total * counts(i)) acc | (1L << i) else acc
+    }
+  }
+
+  /** Deterministic binary-PPM fixture payload for the oracled real-codec
+    * query (q184): a 16×16 P6 image whose pixel (x, y) of image `k` is
+    * r = (7k+3x+5y) mod 256, g = (11k+13x+2y) mod 256,
+    * b = (3k+x+7y) mod 256; `edited` bumps r by +16 (mod 256) on the
+    * top-left 2×2 patch — exactly one aHash cell — making (k, k-edited)
+    * a near-duplicate pair while distinct k stay far apart. The recipe is
+    * pure integer arithmetic, so the oracle regenerates the PIXELS in SQL
+    * while Spark round-trips them through real PPM bytes and [[parsePpm]].
+    */
+  def mkPpmFixture(k: Long, edited: Boolean): Array[Byte] = {
+    val hdr = "P6 16 16 255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](16 * 16 * 3)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        var r = ((k * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((k * 11 + x * 13 + y * 2) % 256).toInt
+        val b = ((k * 3 + x + y * 7) % 256).toInt
+        if (edited && x < 2 && y < 2) r = (r + 16) % 256
+        val p = (y * 16 + x) * 3
+        px(p) = r.toByte
+        px(p + 1) = g.toByte
+        px(p + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    hdr ++ px
+  }
+
   /** (media_id, fp) fingerprints through a REAL pixel hash, batched per
     * partition exactly like [[extractFeatures]] (the mapInPandas shape —
     * a native codec initializes once per batch). Default [[pixelAHash]]. */

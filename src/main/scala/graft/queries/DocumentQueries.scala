@@ -1526,6 +1526,32 @@ object DocumentQueries {
         .orderBy("x_id", "y_id")
     }),
 
+    // Real-codec multimodal gate (round-12, closes the last stub seam):
+    // deterministic 16×16 binary-PPM payloads round-trip through the REAL
+    // decoder — parsePpm over actual P6 bytes, integer-exact average hash
+    // (299/587/114 per-mille luminance, cross-multiplied mean compare) —
+    // then the pigeonhole pair join finds the planted near-duplicates.
+    // The oracle regenerates the PIXELS from the integer recipe and
+    // replays every hash bit; a decoder bug breaks the hash match.
+    "q184_ppm_ahash" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val ids = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("k"))
+      val variants = ids
+        .select(col("k"), col("k").as("media_id"), lit(false).as("ed"))
+        .unionByName(
+          ids.select(col("k"), (col("k") + 100000L).as("media_id"), lit(true).as("ed")))
+      val mk = udf((k: Long, ed: Boolean) => Multimodal.mkPpmFixture(k, ed))
+      val media = variants.select(col("media_id"), mk(col("k"), col("ed")).as("payload"))
+      graft.operators.Dedup.fingerprintPairs(
+          Multimodal.pixelHashes(media, Multimodal.pixelAHashExact)
+            .select(col("media_id").as("sid"), col("fp")),
+          maxHamming = 3)
+        .select(col("x_id"), col("y_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("x_id", "y_id")
+    }),
+
     // Leakage-safe split (round-11): the 80/10/10 split keyed on q19's
     // MinHash dup-cluster representative, so near-duplicate documents
     // can never straddle train and test — co-membership is a theorem
@@ -3792,6 +3818,40 @@ object DocumentQueries {
         |       CAST(score_den AS DECIMAL(38,0)) AS score_den,
         |       score_num >= score_den * 1000000 AS is_match
         |FROM s ORDER BY x_id, y_id""").stripMargin,
+
+    // real-codec replay: pixels regenerated from the integer recipe, the
+    // 299/587/114 per-mille luminance, cross-multiplied cell-vs-grid mean
+    // bits, all-pairs hamming over the 64-bit lists
+    "q184_ppm_ahash" ->
+      """WITH ids AS (SELECT doc_id AS k FROM documents WHERE doc_id % 5 = 0),
+        |med AS (
+        |  SELECT k, k AS media_id, 0 AS ed FROM ids
+        |  UNION ALL
+        |  SELECT k, k + 100000 AS media_id, 1 AS ed FROM ids),
+        |px AS (
+        |  SELECT m.media_id, x.x, y.y,
+        |         CASE WHEN m.ed = 1 AND x.x < 2 AND y.y < 2
+        |              THEN ((m.k*7 + x.x*3 + y.y*5) % 256 + 16) % 256
+        |              ELSE (m.k*7 + x.x*3 + y.y*5) % 256 END AS r,
+        |         (m.k*11 + x.x*13 + y.y*2) % 256 AS g,
+        |         (m.k*3 + x.x + y.y*7) % 256 AS b
+        |  FROM med m, range(0, 16) x(x), range(0, 16) y(y)),
+        |cell AS (
+        |  SELECT media_id, (y//2)*8 + (x//2) AS ci,
+        |         sum(299*r + 587*g + 114*b) AS cs, count(*) AS cc
+        |  FROM px GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(cs) AS ts FROM cell GROUP BY 1),
+        |bits AS (
+        |  SELECT c.media_id,
+        |         list(CASE WHEN c.cs * 256 > t.ts * c.cc THEN 1 ELSE 0 END
+        |              ORDER BY c.ci) AS bv
+        |  FROM cell c JOIN tot t USING (media_id) GROUP BY c.media_id),
+        |pairs AS (
+        |  SELECT a.media_id AS x_id, b.media_id AS y_id,
+        |         len(list_filter(range(1, 65), i -> a.bv[i] <> b.bv[i])) AS hamming
+        |  FROM bits a JOIN bits b ON a.media_id < b.media_id)
+        |SELECT x_id, y_id, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 3 ORDER BY x_id, y_id""".stripMargin,
 
     // q19's exact-Jaccard + recursive-CC replay, then the q46 md5-uniform
     // split idiom keyed on the REP instead of the doc

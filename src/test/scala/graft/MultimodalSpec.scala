@@ -238,4 +238,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.length == 1, "single-block edit must stay within Hamming 3")
     assert(pairs.head.getAs[Number]("hamming").longValue <= 1L)
   }
+
+  test("integer-exact aHash matches the float form and the fixture recipe") {
+    // away from exact mean ties the integer cross-product compare and the
+    // float mean compare agree bit-for-bit
+    def img(dx: Int) = ppm(32, 32)((x, y) => {
+      val v = (x * 7 + y * 13 + dx) % 200
+      (v, (v * 3) % 200, (v * 5) % 200)
+    })
+    (0 until 5).foreach { dx =>
+      assert(
+        Multimodal.pixelAHashExact(img(dx)) == Multimodal.pixelAHash(img(dx)),
+        s"dx=$dx")
+    }
+    // the q184 fixture: real PPM bytes through the REAL parser; the edited
+    // variant touches exactly one aHash cell, so the pair is hamming-close
+    val k = 35L
+    val a = Multimodal.pixelAHashExact(Multimodal.mkPpmFixture(k, edited = false))
+    val b = Multimodal.pixelAHashExact(Multimodal.mkPpmFixture(k, edited = true))
+    val ham = java.lang.Long.bitCount(a ^ b)
+    assert(ham <= 3, s"planted near-dup at hamming $ham")
+    // deterministic: the recipe regenerates the identical payload and hash
+    assert(Multimodal.pixelAHashExact(Multimodal.mkPpmFixture(k, edited = false)) == a)
+  }
 }
