@@ -132,4 +132,69 @@ object StreamingConstraints {
       expr(s"__cumD * 10000 div __cumN >= ${minBp("cumulative_unique")}L").as("pass"))
     (flagRows :+ uniqRow).reduce(_ unionByName _)
   }
+
+  /** LIVE-stream face: per-micro-batch constraint verdicts over ANY
+    * streaming DataFrame (rate source in tests; socket/Kafka in
+    * production — source-agnostic like the rest of the
+    * [[SemiStreamRuntime]] consumers). Each batch runs the same
+    * single-aggregation scan-check pass batch
+    * [[graft.operators.Constraints]] compiles to, inside `foreachBatch`,
+    * and appends one verdict row per check: (batch, check, metric_bp,
+    * threshold_bp, pass), exact basis points, NULL-failing flags. Runs
+    * until `batches` non-empty micro-batches have reported (then stops
+    * the query) or `timeoutMs` elapses. Cumulative uniqueness is
+    * deliberately absent here — that metric needs keyed state and lives
+    * on the staged [[run]] path; this face is the stateless per-batch
+    * alarm surface a deployment points at ingest.
+    */
+  def runLive(
+      stream: DataFrame,
+      flagChecks: Seq[(String, Column)],
+      minBp: Map[String, Long],
+      batches: Int,
+      timeoutMs: Long = 60000L): DataFrame = {
+    val spark = stream.sparkSession
+    require(batches >= 1)
+    require(flagChecks.nonEmpty, "at least one flag check")
+    require(
+      flagChecks.map(_._1).forall(minBp.contains),
+      s"minBp must cover every check: ${minBp.keySet}")
+    val verdicts =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long, Long, Boolean)]()
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sconstr-live-").toString
+    val flagged = stream.select(
+      flagChecks.map(fc =>
+        coalesce(fc._2.cast("boolean"), lit(false)).cast("long").as(s"__f_${fc._1}")): _*)
+    val q = flagged.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val aggs = count(lit(1)).as("__n") +:
+          flagChecks.map(fc => sum(col(s"__f_${fc._1}")).as(s"__c_${fc._1}"))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val n = row.getLong(0)
+        if (n > 0) {
+          flagChecks.zipWithIndex.foreach { case ((nm, _), i) =>
+            val bp = row.getLong(i + 1) * 10000L / n
+            verdicts.add((batchId, nm, bp, minBp(nm), bp >= minBp(nm)))
+          }
+          seen.incrementAndGet()
+          ()
+        }
+      }
+      .start()
+    try {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (seen.get() < batches && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val rows: Seq[(Long, String, Long, Long, Boolean)] = verdicts.asScala.toSeq
+    rows.toDF("batch", "check", "metric_bp", "threshold_bp", "pass")
+  }
 }

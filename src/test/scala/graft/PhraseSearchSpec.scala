@@ -70,4 +70,44 @@ class PhraseSearchSpec extends SparkSpec {
     assert(sqlDf.columns.toSeq == scalaDf.columns.toSeq)
     assert(sqlDf.exceptAll(scalaDf).isEmpty && scalaDf.exceptAll(sqlDf).isEmpty)
   }
+
+  test("row-group pruning is REAL: rare-phrase scans read a fraction of the index") {
+    // token-sorted parquet with deliberately small row groups, so footer
+    // min/max stats give the pushed token filters something to skip; the
+    // scan nodes' output-row metrics then MEASURE the pruning (rows of
+    // surviving row groups only) instead of trusting the plan text
+    val corpus = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrprune-").toString + "/idx"
+    KeywordSearch.buildPostings(corpus, "doc_id", "text")
+      .repartitionByRange(4, col("token")).sortWithinPartitions("token")
+      .write.option("parquet.block.size", 64 * 1024).parquet(dir)
+    val postings = spark.read.parquet(dir)
+    val total = postings.count()
+
+    // two rare tokens (posting lists in the low tail), found from the index
+    import spark.implicits._
+    val rare = postings.groupBy("token").count().orderBy(col("count"), col("token"))
+      .limit(2).select("token").as[String].collect().toSeq
+    assert(rare.size == 2)
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = KeywordSearch.phraseCountIndexed(postings, rare)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }
+      assert(scans.nonEmpty, "expected parquet scans in the index path")
+      val readRows = scans.map(_.metrics("numOutputRows").value).sum
+      // granularity bound: with ~64 KB row groups the index splits into
+      // ~8 groups, and each of the two token scans may read up to two —
+      // well under a third of the index, vs ALL of it without pruning
+      assert(
+        readRows * 3 < total,
+        s"rare-phrase index reads must row-group-prune: read $readRows of $total")
+      val planStr = q.queryExecution.executedPlan.toString
+      assert(planStr.contains("PushedFilters") && planStr.contains("token"),
+        s"token filters must push to the scan:\n$planStr")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
