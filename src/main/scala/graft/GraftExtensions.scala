@@ -744,6 +744,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.leakageSafeSplitPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("chi_drift"),
+      new ExpressionInfo(
+        classOf[graft.operators.Drift.type].getName,
+        null,
+        "chi_drift",
+        "chi_drift(refTable, curTable, bucketCol) - per-bucket distribution drift between two snapshots: chi-square-shaped divergence on exact basis-point shares (integer math; the engine-portable PSI stand-in).",
+        ""),
+      exprs => GraftExtensions.chiDriftPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("k_centers"),
+      new ExpressionInfo(
+        classOf[graft.operators.Coreset.type].getName,
+        null,
+        "k_centers",
+        "k_centers(table, idCol, embCol, k) - diversity-maximizing coreset: greedy k-center (farthest-point traversal) over an embedding column; (rank, id, d2) in selection order, d2 = squared distance to the nearest prior center.",
+        ""),
+      exprs => GraftExtensions.kCentersPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("pps_sample"),
       new ExpressionInfo(
         classOf[graft.operators.Sampling.type].getName,
@@ -2396,6 +2414,33 @@ object GraftExtensions {
         SparkSession.active.table(strArg(n, exprs.head, "table")),
         strArg(n, exprs(1), "idCol"),
         strArg(n, exprs(2), "weightCol"),
+        longArg(n, exprs(3), "k").toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def chiDriftPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "chi_drift"
+    require(
+      exprs.length == 3,
+      s"$n expects (refTable, curTable, bucketCol), got " + exprs.length + " arguments")
+    graft.operators.Drift
+      .chiDrift(
+        SparkSession.active.table(strArg(n, exprs.head, "refTable")),
+        SparkSession.active.table(strArg(n, exprs(1), "curTable")),
+        strArg(n, exprs(2), "bucketCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def kCentersPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "k_centers"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, idCol, embCol, k), got " + exprs.length + " arguments")
+    graft.operators.Coreset
+      .kCenters(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "embCol"),
         longArg(n, exprs(3), "k").toInt)
       .queryExecution.logical
   }

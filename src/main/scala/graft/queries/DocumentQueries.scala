@@ -1552,6 +1552,30 @@ object DocumentQueries {
         .orderBy("x_id", "y_id")
     }),
 
+    // Snapshot drift (round-12): χ²-shaped per-bucket divergence on exact
+    // basis-point shares between a reference and a current corpus slice —
+    // the current side drops half its 'de' documents, so that bucket must
+    // surface as the top mover; integer floor math replays exactly.
+    "q187_chi_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val cur = docs.filter(
+        pmod(col("doc_id"), lit(2)) === 1 &&
+          !(col("lang") === "de" && pmod(col("doc_id"), lit(4)) === 1))
+      graft.operators.Drift.chiDrift(ref, cur, "lang").orderBy("bucket")
+    }),
+
+    // Diversity coreset (round-12): greedy k-center over the embeddings
+    // table — the farthest-point traversal, 8 rounds unrolled in the
+    // oracle with index-order distance folds (the q22/q24 float
+    // discipline); ties break to the smaller id, seed = min id.
+    "q185_kcenter_coreset" -> ((s, dir) => {
+      graft.operators.Coreset.kCenters(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .select(col("rank"), col("id").as("vec_id"), round(col("d2"), 4).as("d2"))
+        .orderBy("rank")
+    }),
+
     // Leakage-safe split (round-11): the 80/10/10 split keyed on q19's
     // MinHash dup-cluster representative, so near-duplicate documents
     // can never straddle train and test — co-membership is a theorem
@@ -1947,6 +1971,23 @@ object DocumentQueries {
        |         $mCols,
        |         $uCols
        |  FROM f$t),""".stripMargin
+  }
+
+  /** One greedy k-center round as oracle CTEs (q185): min distance to the
+    * chosen centers (index-order Σ(x−y)² folds — Coreset.d2To op for op),
+    * argmax with the id tiebreak.
+    */
+  private def kcRound(r: Int): String = {
+    def d2(c: String) =
+      s"list_sum(list_transform(range(1, 65), i -> (e.emb[i] - $c.emb[i]) * (e.emb[i] - $c.emb[i])))"
+    val terms =
+      if (r == 2) d2("c1")
+      else (1 until r).map(j => d2(s"c$j"))
+        .mkString("least(\n       |           ", ",\n       |           ", ")")
+    s"""d$r AS (
+       |  SELECT e.id, e.emb, $terms AS d2
+       |  FROM e${(1 until r).map(j => s", c$j").mkString}),
+       |c$r AS (SELECT id, emb, d2 FROM d$r ORDER BY d2 DESC, id LIMIT 1),""".stripMargin
   }
 
   /** Shared q128/q129/q130 prefix: per-vector int8 quantization (exact
@@ -3818,6 +3859,51 @@ object DocumentQueries {
         |       CAST(score_den AS DECIMAL(38,0)) AS score_den,
         |       score_num >= score_den * 1000000 AS is_match
         |FROM s ORDER BY x_id, y_id""").stripMargin,
+
+    // per-bucket shares in floor basis points, χ² contribs in floor
+    // integer division
+    "q187_chi_drift" ->
+      """WITH ref AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),
+        |cur AS (
+        |  SELECT lang FROM documents
+        |  WHERE doc_id % 2 = 1 AND NOT (lang = 'de' AND doc_id % 4 = 1)),
+        |ac AS (SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS a_n FROM ref GROUP BY 1),
+        |bc AS (SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS b_n FROM cur GROUP BY 1),
+        |at2 AS (SELECT count(*) AS t FROM ref),
+        |bt AS (SELECT count(*) AS t FROM cur),
+        |j AS (
+        |  SELECT COALESCE(ac.bucket, bc.bucket) AS bucket,
+        |         COALESCE(a_n, 0) AS a_n, COALESCE(b_n, 0) AS b_n
+        |  FROM ac FULL OUTER JOIN bc ON ac.bucket = bc.bucket),
+        |s AS (
+        |  SELECT bucket, a_n, b_n,
+        |         CAST(a_n * 10000 // (SELECT t FROM at2) AS BIGINT) AS a_bp,
+        |         CAST(b_n * 10000 // (SELECT t FROM bt) AS BIGINT) AS b_bp
+        |  FROM j)
+        |SELECT bucket, a_n, b_n, a_bp, b_bp,
+        |       CASE WHEN a_bp + b_bp = 0 THEN 0
+        |            ELSE (a_bp - b_bp) * (a_bp - b_bp) * 10000 // (a_bp + b_bp)
+        |       END AS contrib
+        |FROM s ORDER BY bucket""".stripMargin,
+
+    // greedy k-center unrolled: seed = min id, 7 argmax rounds, distances
+    // as index-order folds over the raw embeddings
+    "q185_kcenter_coreset" ->
+      ("""WITH e AS (
+        |  SELECT vec_id AS id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+        |  FROM embeddings),
+        |c1 AS (SELECT id, emb FROM e ORDER BY id LIMIT 1),
+        |""" + (2 to 8).map(kcRound).mkString("\n") + """
+        |sel AS (
+        |  SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id, 0.0 AS d2 FROM c1
+        |  UNION ALL SELECT 2, id, round(d2, 4) FROM c2
+        |  UNION ALL SELECT 3, id, round(d2, 4) FROM c3
+        |  UNION ALL SELECT 4, id, round(d2, 4) FROM c4
+        |  UNION ALL SELECT 5, id, round(d2, 4) FROM c5
+        |  UNION ALL SELECT 6, id, round(d2, 4) FROM c6
+        |  UNION ALL SELECT 7, id, round(d2, 4) FROM c7
+        |  UNION ALL SELECT 8, id, round(d2, 4) FROM c8)
+        |SELECT rank, vec_id, d2 FROM sel ORDER BY rank""").stripMargin,
 
     // real-codec replay: pixels regenerated from the integer recipe, the
     // 299/587/114 per-mille luminance, cross-multiplied cell-vs-grid mean

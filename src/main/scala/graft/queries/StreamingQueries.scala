@@ -426,6 +426,27 @@ object StreamingQueries {
         .orderBy("dim")
     }),
 
+    // Streaming JOIN IVM (round-12): maintain `A ⋈_jk B` under a unified
+    // keyed upsert/delete change stream — per-batch signed deltas via the
+    // Gupta–Mumick join identity ΔV = (A'−A)⋈B ∪ A'⋈(B'−B), folded back
+    // to the view. The oracle is the batch join over the two
+    // last-writer-wins snapshots; per-batch delta grain is spec-pinned.
+    "q186_stream_ivm_join" -> ((s, dir) => {
+      val ch = t(s, dir, "events").select(
+        pmod(col("user_id"), lit(50)).as("jk"),
+        when(pmod(col("event_id"), lit(2)) === 0, lit("a")).otherwise(lit("b")).as("side"),
+        col("user_id").as("pk"),
+        unix_micros(col("ts")).as("seq"),
+        col("event_id").as("tiebreak"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      val deltas = graft.streaming.StreamingIvmJoin.run(
+        ch, "jk", "side", "pk", "seq", "tiebreak", "op", "v", chunks = 4)
+      graft.streaming.StreamingIvmJoin.viewFromDeltas(deltas)
+        .orderBy("jk", "a_pk", "b_pk")
+    }),
+
     // Streaming funnel: per-user step-time keyed state over 4 time-range
     // micro-batches. Time-ordered arrival makes the incremental greedy
     // equal the batch funnel (q87's semantics), so the oracle is the
@@ -497,6 +518,27 @@ object StreamingQueries {
         |SELECT dim, CAST(sum(cents) AS BIGINT) AS total,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM snap GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // the folded join-view deltas must equal the batch join of the two
+    // last-writer-wins side snapshots
+    "q186_stream_ivm_join" ->
+      """WITH e AS (
+        |  SELECT user_id % 50 AS jk,
+        |         CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+        |         user_id AS pk, epoch_us(ts) AS seq, event_id AS tiebreak,
+        |         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY side, pk ORDER BY seq DESC, tiebreak DESC) AS rn
+        |  FROM e),
+        |snap AS (SELECT jk, side, pk, v FROM w WHERE rn = 1 AND op <> 'delete'),
+        |a AS (SELECT jk, pk AS a_pk, v AS a_val FROM snap WHERE side = 'a'),
+        |b AS (SELECT jk, pk AS b_pk, v AS b_val FROM snap WHERE side = 'b')
+        |SELECT jk, a_pk, b_pk, a_val, b_val
+        |FROM a JOIN b USING (jk)
+        |ORDER BY jk, a_pk, b_pk""".stripMargin,
 
     // last change per user decides presence (delete = click) and value —
     // the batch MERGE the seq-ordered incremental fold must equal
