@@ -173,27 +173,71 @@ object Bench {
     // latency (BASELINE.md, DSim-Join/log): per-batch stage times from the
     // CacheManager, staging/setup excluded.
     // gate mirrors the query-selection predicate (metric-name startsWith
-    // prefix), so e.g. SPARK_GRAFT_BENCH_ONLY=str still measures it
+    // prefix), so e.g. SPARK_GRAFT_BENCH_ONLY=str still measures it.
+    //
+    // Round-12 (r11 verdict ask 3): these two lines were the ONLY numbers
+    // outside the sentinel/retry adjudication, and the r11 close run
+    // recorded a 15× disagreement with the driver's run on identical code.
+    // They now run min-of-2 with sentinels around each pass and the same
+    // hot-sentinel retry loop as heavy queries; pre-retry numbers ship in
+    // `retried` under their full metric names.
     val streamMetricNames = Seq("stream_mean_batch_sec", "stream_max_batch_sec")
     val streamBatch: Seq[(String, Double)] =
-      try if (only.nonEmpty && !streamMetricNames.exists(n => only.exists(n.startsWith)))
+      if (only.nonEmpty && !streamMetricNames.exists(n => only.exists(n.startsWith)))
         Seq.empty
       else {
-        val li = graft.core.Tables(spark, sfDir, "lineitem")
-          .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
-        val part = graft.core.Tables(spark, sfDir, "part")
-        val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
-        val (_, stats) = graft.streaming.SemiStreamRuntime.semiStreamJoin(
-          li, part, cache,
-          key = "p_partkey", chunkKey = "l_orderkey", chunks = 8)
-        val perBatch = stats.map(s => (s.cogMs + s.fetchMs + s.cacheMs) / 1e3)
-        Seq(
-          "stream_mean_batch_sec" -> perBatch.sum / math.max(perBatch.size, 1),
-          "stream_max_batch_sec" -> perBatch.max)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] stream batch failed: ${e.getMessage}")
-          Seq.empty
+        def once(): Option[(Double, Double)] = try {
+          spark.catalog.clearCache()
+          val li = graft.core.Tables(spark, sfDir, "lineitem")
+            .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
+          val part = graft.core.Tables(spark, sfDir, "part")
+          val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
+          val (_, stats) = graft.streaming.SemiStreamRuntime.semiStreamJoin(
+            li, part, cache,
+            key = "p_partkey", chunkKey = "l_orderkey", chunks = 8)
+          val perBatch = stats.map(s => (s.cogMs + s.fetchMs + s.cacheMs) / 1e3)
+          Some((perBatch.sum / math.max(perBatch.size, 1), perBatch.max))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] stream batch failed: ${e.getMessage}")
+            None
+        }
+        def minPair(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+          (math.min(a._1, b._1), math.min(a._2, b._2))
+        // min-of-2 unconditionally (the run itself is multi-second even when
+        // the per-batch mean is sub-second), sentinels bracketing each pass
+        val first = once()
+        val sB = sentinel()
+        val second = once()
+        val sA = sentinel()
+        allSentinels += sB += sA
+        var cur = (first, second) match {
+          case (Some(a), Some(b)) => Some(minPair(a, b))
+          case (a, b)             => a.orElse(b)
+        }
+        var sHot = math.max(sB, sA)
+        var attempts = 0
+        while (attempts < 2 && cur.nonEmpty && sHot / allSentinels.min >= 2.0) {
+          val sb = sentinel()
+          val again = once()
+          val sa = sentinel()
+          allSentinels += sb += sa
+          if (!retriedOrig.contains("stream_mean_batch_sec")) cur.foreach { case (m, x) =>
+            retriedOrig("stream_mean_batch_sec") = m
+            retriedOrig("stream_max_batch_sec") = x
+          }
+          cur = (cur, again) match {
+            case (Some(a), Some(b)) => Some(minPair(a, b))
+            case (a, b)             => a.orElse(b)
+          }
+          sHot = math.max(sb, sa)
+          attempts += 1
+        }
+        if (sHot / allSentinels.min >= 1.5)
+          querySentinel("stream_batch") = sHot
+        cur.toSeq.flatMap { case (m, x) =>
+          Seq("stream_mean_batch_sec" -> m, "stream_max_batch_sec" -> x)
+        }
       }
 
     // One SHORT JSON line: values rounded to 3 decimals and sentinel keys
@@ -201,6 +245,10 @@ object Bench {
     // overflowed the driver's fixed-size stdout tail capture, truncating
     // the line start and failing the parse ("parsed": null).
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // stream-metric keys keep their full names in `sentinels`/`retried`:
+    // the qNN abbreviation would collapse both onto the prefix "stream"
+    def abbrev(k: String): String =
+      if (k.startsWith("stream")) k else k.takeWhile(_ != '_')
     // query keys abbreviate to their unique qNN prefix (stream metrics stay
     // full): 73 full names (~2.4 KB) would crowd the capture window again
     val qs = (results.map { case (k, v) => k.takeWhile(_ != '_') -> v } ++
@@ -214,11 +262,11 @@ object Bench {
     val sent = querySentinel.toSeq.sortBy(_._1)
       .map { case (k, v) => k -> math.rint(v / floor * 10) / 10 }
       .filter(_._2 >= 1.5)
-      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + v }
+      .map { case (k, v) => s"\"" + abbrev(k) + "\":" + v }
       .mkString("{", ",", "}")
     // pre-retry numbers for auto-adjudicated lines (absent = no retry)
     val retriedJson = retriedOrig.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .map { case (k, v) => s"\"" + abbrev(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val sfName = sfDir.split('/').last

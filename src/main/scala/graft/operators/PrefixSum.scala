@@ -11,14 +11,20 @@ import org.apache.spark.sql.functions._
   * scalable form is recursive block decomposition: rows bucket by
   * ⌊k/blockSize⌋ (monotone in k, so block order IS key order — sparse or
   * dense keys both work), each block's partial sum rolls up one level,
-  * and the roll-up recurses until ≤ 1 row remains (before ≡ 0 — no
+  * and the roll-up recurses until a level fits in one block (≤ blockSize
+  * rows → a single bounded window finishes it; ≤ 1 row → before ≡ 0, no
   * window at all). Every window in the tree is a per-block
   * `partitionBy("blk")` window seeing at most blockSize rows (keys are
   * unique, so a block holds ≤ blockSize of them), and none is an
   * unpartitioned global window — WindowExec's single-partition warning
   * never fires. Depth: since the max bucket key shrinks by a factor of
   * blockSize per level, ≤ log_blockSize(maxKey) levels regardless of
-  * sparsity (6 levels cover 2⁷² at the default 4096).
+  * sparsity (6 levels cover 2⁷² at the default 4096) — and the
+  * ≤-blockSize tail means the COMMON case (a key-distinct histogram of a
+  * few hundred buckets, q124/q158/q166/q180) is ONE stage. Each level's
+  * input is materialized once (eager localCheckpoint): the recursion
+  * consumes it three times, and un-truncated lineage re-executed the
+  * corpus-sized upstream per consumption (the r11 q124/q158 bench creep).
   *
   * Sum type follows the input column: longs stay exact longs, decimals
   * stay exact decimals (integer/fixed-point callers keep bit-exact
@@ -35,11 +41,37 @@ object PrefixSum {
     * just as bounded — and carries no "No Partition Defined" WindowExec
     * warning (round-11 hygiene). Costs ≤ 2 extra roll-up levels.
     */
-  def exclusive(kv: DataFrame, blockSize: Int = 4096): DataFrame = {
+  def exclusive(kv0: DataFrame, blockSize: Int = 4096): DataFrame = {
     require(blockSize >= 2, s"blockSize must be >= 2: $blockSize")
-    if (kv.limit(2).count() <= 1) {
+    // Materialize each level's input ONCE (eager localCheckpoint, lineage
+    // truncated): the recursion consumes it three times per level (size
+    // probe, block roll-up, within-block window), and without truncation
+    // every consumption re-executes the whole upstream plan — for the
+    // AUC/quantile family (q124/q158) that upstream is a corpus-sized
+    // tokenize+histogram, measured 2.7-3.5× end-to-end before this fix.
+    // Level inputs shrink by blockSize× per level, so the checkpointed
+    // footprint is ~the first level's histogram (key-distinct grain).
+    val kv = kv0.localCheckpoint(true)
+    val n = kv.count()
+    if (n <= 1) {
       // s − s: a zero of the sum column's own type (long/decimal/double)
       kv.withColumn("before", col("s") - col("s")).select("k", "before")
+    } else if (n <= blockSize) {
+      // Bounded single-block tail: once a level fits in one block the
+      // remaining recursion is pure job-launch overhead (each level costs
+      // a checkpoint job + count + groupBy shuffle + window + join; q124's
+      // 257-key histogram was descending 6 levels). One per-block window
+      // over a constant block — bounded by the SAME ≤ blockSize contract
+      // as every within-block window in the recursion — finishes it in a
+      // single stage. Types match the recursive path (coalesce(sum, 0)).
+      // blk must be NON-FOLDABLE (k − k, not lit(0)): the optimizer strips
+      // foldable expressions from the partition spec, and an emptied spec
+      // is exactly the unpartitioned-WindowExec warning this tail avoids.
+      val w = Window.partitionBy("blk").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      kv.withColumn("blk", col("k") - col("k"))
+        .withColumn("before", coalesce(sum("s").over(w), lit(0)))
+        .select("k", "before")
     } else {
       val withBlk = kv.withColumn("blk", (col("k") / blockSize).cast("long"))
       val blockSums = withBlk.groupBy("blk").agg(sum("s").as("bsum"))

@@ -37,6 +37,18 @@ class PrefixSumSpec extends SparkSpec {
     })
   }
 
+  test("single-block tail boundary: n == blockSize and n == blockSize + 1 agree with the scan") {
+    // bs = 5: n = 5 takes the one-window tail, n = 6 takes the recursion —
+    // both must equal the sequential scan across the branch boundary.
+    for (n <- Seq(5, 6)) {
+      val es = (0 until n).map(i => (i * 37L, i + 1L))
+      val got = PrefixSum.exclusive(es.toDF("k", "s"), 5)
+        .orderBy("k").as[(Long, Long)].collect().toSeq
+      val want = es.map(_._1).zip(es.map(_._2).scanLeft(0L)(_ + _).init)
+      assert(got == want, s"n=$n")
+    }
+  }
+
   test("long sums stay exact longs; decimal inputs stay decimal") {
     val big = Seq((0L, Long.MaxValue / 4), (10L, Long.MaxValue / 4), (20L, Long.MaxValue / 4))
     val got = PrefixSum.exclusive(big.toDF("k", "s"), 2)
