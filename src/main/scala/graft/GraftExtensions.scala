@@ -941,6 +941,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "training_order(table, idCol, nShards) - deterministic MD5-ordered loader layout: (id, shard, pos).",
         ""),
       exprs => GraftExtensions.trainingOrderPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("rank_eval"),
+      new ExpressionInfo(
+        classOf[graft.operators.RankEval.type].getName,
+        null,
+        "rank_eval",
+        "rank_eval(runTable, qrelsTable, qCol, dCol, rankCol, k) - trec_eval-shaped per-query retrieval metrics at cutoff k: (q, n_rel, n_rel_ret, first_rel_rank, rr_ppm, recall_bp, precision_bp, hit).",
+        ""),
+      exprs => GraftExtensions.rankEvalPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("frequent_lines"),
+      new ExpressionInfo(
+        classOf[graft.operators.Boilerplate.type].getName,
+        null,
+        "frequent_lines",
+        "frequent_lines(table, idCol, textCol, sourceCol, delim, minDocs) - C4-style template inventory: lines appearing in >= minDocs distinct docs of the same source: (source, line, n_docs).",
+        ""),
+      exprs => GraftExtensions.frequentLinesPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("boilerplate_clean"),
+      new ExpressionInfo(
+        classOf[graft.operators.Boilerplate.type].getName,
+        null,
+        "boilerplate_clean",
+        "boilerplate_clean(table, idCol, textCol, sourceCol, delim, minDocs) - remove frequent-line boilerplate and reassemble docs: (id, n_lines, n_removed, text_clean).",
+        ""),
+      exprs => GraftExtensions.boilerplateCleanPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("preference_pairs"),
+      new ExpressionInfo(
+        classOf[graft.operators.PreferencePairs.type].getName,
+        null,
+        "preference_pairs",
+        "preference_pairs(table, groupCol, idCol, scoreCol, minMargin) - best-vs-worst candidate per group with deterministic ties, margin-floored: (g, n_candidates, chosen_id, chosen_score, rejected_id, rejected_score, margin).",
+        ""),
+      exprs => GraftExtensions.preferencePairsPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("theilsen_trend"),
+      new ExpressionInfo(
+        classOf[graft.operators.TheilSen.type].getName,
+        null,
+        "theilsen_trend",
+        "theilsen_trend(table, keyCol, xCol, yCol) - Theil-Sen median slope per key over integer points, exact rational ordering: (k, n_points, n_pairs, slope_num, slope_den, slope_ppm).",
+        ""),
+      exprs => GraftExtensions.theilSenPlan(exprs)))
     ()
   }
 }
@@ -2676,6 +2721,85 @@ object GraftExtensions {
         SparkSession.active.table(strArg(n, exprs.head, "table")),
         strArg(n, exprs(1), "idCol"),
         shards.toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def rankEvalPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "rank_eval"
+    require(
+      exprs.length == 6,
+      s"$n expects (runTable, qrelsTable, qCol, dCol, rankCol, k), got ${exprs.length} arguments")
+    val k = longArg(n, exprs(5), "k")
+    require(k >= 1 && k <= Int.MaxValue, s"$n: k must be a positive int, got $k")
+    graft.operators.RankEval
+      .perQuery(
+        SparkSession.active.table(strArg(n, exprs.head, "runTable")),
+        SparkSession.active.table(strArg(n, exprs(1), "qrelsTable")),
+        strArg(n, exprs(2), "qCol"),
+        strArg(n, exprs(3), "dCol"),
+        strArg(n, exprs(4), "rankCol"),
+        k.toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def frequentLinesPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "frequent_lines"
+    require(
+      exprs.length == 6,
+      s"$n expects (table, idCol, textCol, sourceCol, delim, minDocs), got ${exprs.length} arguments")
+    graft.operators.Boilerplate
+      .frequentLines(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "textCol"),
+        strArg(n, exprs(3), "sourceCol"),
+        strArg(n, exprs(4), "delim"),
+        longArg(n, exprs(5), "minDocs"))
+      .queryExecution.logical
+  }
+
+  private[graft] def boilerplateCleanPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "boilerplate_clean"
+    require(
+      exprs.length == 6,
+      s"$n expects (table, idCol, textCol, sourceCol, delim, minDocs), got ${exprs.length} arguments")
+    graft.operators.Boilerplate
+      .removeLines(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "textCol"),
+        strArg(n, exprs(3), "sourceCol"),
+        strArg(n, exprs(4), "delim"),
+        longArg(n, exprs(5), "minDocs"))
+      .queryExecution.logical
+  }
+
+  private[graft] def preferencePairsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "preference_pairs"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, groupCol, idCol, scoreCol, minMargin), got ${exprs.length} arguments")
+    graft.operators.PreferencePairs
+      .pairs(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "groupCol"),
+        strArg(n, exprs(2), "idCol"),
+        strArg(n, exprs(3), "scoreCol"),
+        longArg(n, exprs(4), "minMargin"))
+      .queryExecution.logical
+  }
+
+  private[graft] def theilSenPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "theilsen_trend"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, keyCol, xCol, yCol), got ${exprs.length} arguments")
+    graft.operators.TheilSen
+      .medianSlope(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "keyCol"),
+        strArg(n, exprs(2), "xCol"),
+        strArg(n, exprs(3), "yCol"))
       .queryExecution.logical
   }
 }

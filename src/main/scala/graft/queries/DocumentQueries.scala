@@ -1576,6 +1576,34 @@ object DocumentQueries {
         .orderBy("rank")
     }),
 
+    // Frequent-line boilerplate removal (round-12, C4 §2.2 shape): lines
+    // appearing in ≥ 20 distinct docs of the SAME source are template,
+    // not content — removed from every doc, survivors reassembled in
+    // original order. The synthetic corpus is single-line, so the
+    // fixture's "lines" are the word grain (delimiter ' '): the machinery
+    // (per-source distinct-doc counts, all-occurrence removal, ordered
+    // reassembly) is exactly the line-grain plan.
+    "q189_boilerplate" -> ((s, dir) => {
+      graft.operators.Boilerplate
+        .removeLines(t(s, dir, "documents"), "doc_id", "text", "source",
+          delim = " ", minDocs = 20L)
+        .orderBy("id")
+    }),
+
+    // Preference-pair construction (round-12, RLHF/DPO prep): per source,
+    // the best-vs-worst candidate by score (here: text length as the
+    // stand-in quality signal) with deterministic id tie-breaks and a
+    // margin floor — ONE map-side-combinable min(struct) aggregate, no
+    // windows, celebrity-group safe.
+    "q190_preference_pairs" -> ((s, dir) => {
+      graft.operators.PreferencePairs
+        .pairs(
+          t(s, dir, "documents")
+            .select(col("source"), col("doc_id"), length(col("text")).as("score")),
+          "source", "doc_id", "score", minMargin = 1L)
+        .orderBy("g")
+    }),
+
     // Leakage-safe split (round-11): the 80/10/10 split keyed on q19's
     // MinHash dup-cluster representative, so near-duplicate documents
     // can never straddle train and test — co-membership is a theorem
@@ -3885,6 +3913,55 @@ object DocumentQueries {
         |            ELSE (a_bp - b_bp) * (a_bp - b_bp) * 10000 // (a_bp + b_bp)
         |       END AS contrib
         |FROM s ORDER BY bucket""".stripMargin,
+
+    // word-grain frequent-"line" inventory per source (distinct docs),
+    // all-occurrence removal, ordered reassembly; string_agg skips the
+    // NULLs the removal CASE leaves, mirroring collect_list
+    "q189_boilerplate" ->
+      """WITH seg AS (
+        |  SELECT source, doc_id AS id, CAST(i - 1 AS BIGINT) AS pos, trim(s[i]) AS line
+        |  FROM (SELECT source, doc_id, string_split(text, ' ') AS s FROM documents),
+        |       unnest(range(1, len(s) + 1)) r(i)
+        |  WHERE length(trim(s[i])) > 0),
+        |freq AS (
+        |  SELECT source, line
+        |  FROM (SELECT DISTINCT source, id, line FROM seg)
+        |  GROUP BY source, line HAVING count(*) >= 20),
+        |keep AS (
+        |  SELECT seg.id, seg.pos, seg.line, f.line IS NOT NULL AS bp
+        |  FROM seg LEFT JOIN freq f ON seg.source = f.source AND seg.line = f.line),
+        |agg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+        |         CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |         string_agg(CASE WHEN NOT bp THEN line END, chr(10) ORDER BY pos) AS text_clean
+        |  FROM keep GROUP BY id)
+        |SELECT d.doc_id AS id, coalesce(n_lines, 0) AS n_lines,
+        |       coalesce(n_removed, 0) AS n_removed,
+        |       coalesce(text_clean, '') AS text_clean
+        |FROM documents d LEFT JOIN agg ON agg.id = d.doc_id ORDER BY id""".stripMargin,
+
+    // argmax/argmin per group via deterministic row_number mirrors the
+    // engine's min(struct) tie-breaks
+    "q190_preference_pairs" ->
+      """WITH c AS (
+        |  SELECT source AS g, doc_id AS id, CAST(length(text) AS BIGINT) AS score
+        |  FROM documents),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_candidates FROM c GROUP BY g),
+        |b AS (SELECT g, id AS chosen_id, score AS chosen_score
+        |      FROM (SELECT g, id, score,
+        |              row_number() OVER (PARTITION BY g ORDER BY score DESC, id) AS rn
+        |            FROM c) WHERE rn = 1),
+        |w AS (SELECT g, id AS rejected_id, score AS rejected_score
+        |      FROM (SELECT g, id, score,
+        |              row_number() OVER (PARTITION BY g ORDER BY score ASC, id) AS rn
+        |            FROM c) WHERE rn = 1)
+        |SELECT n.g, n.n_candidates, b.chosen_id, b.chosen_score,
+        |       w.rejected_id, w.rejected_score,
+        |       b.chosen_score - w.rejected_score AS margin
+        |FROM n JOIN b USING (g) JOIN w USING (g)
+        |WHERE b.chosen_id <> w.rejected_id
+        |  AND b.chosen_score - w.rejected_score >= 1
+        |ORDER BY g""".stripMargin,
 
     // greedy k-center unrolled: seed = min id, 7 argmax rounds, distances
     // as index-order folds over the raw embeddings

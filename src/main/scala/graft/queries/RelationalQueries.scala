@@ -220,6 +220,39 @@ object RelationalQueries {
     // r1), deletes beating earlier upserts (k%15), deletes of absent
     // keys (k%20 ∩ k%4=0 base gaps), log-only inserts (k%12), and
     // untouched carry-through.
+    // trec_eval rank metrics (round-12): each customer's orders ranked by
+    // spend (bounded per-key window — orders-per-customer grain) form the
+    // RUN; their urgent-priority orders form the QRELS. MRR/recall@10/
+    // precision@10 per customer, exact fixed point — the general
+    // rank-AWARE eval surface next to the index-specific recall
+    // certificates.
+    "q188_rank_eval" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val run = o.select(
+        col("o_custkey").as("q"),
+        col("o_orderkey").as("d"),
+        row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rnk"))
+      val qrels = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("q"), col("o_orderkey").as("d"))
+      graft.operators.RankEval.perQuery(run, qrels, "q", "d", "rnk", k = 10)
+        .orderBy("q")
+    }),
+
+    // Theil–Sen robust trend (round-12): median pairwise slope of daily
+    // event counts per event type — exact rational ordering (floor of
+    // num·10¹²/den in decimal), lower median, deterministic ties; the
+    // outlier-proof "is this stream trending" estimator.
+    "q191_theilsen" -> ((s, dir) => {
+      val pts = t(s, dir, "events")
+        .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TheilSen.medianSlope(pts, "event_type", "day", "n")
+        .orderBy("k")
+    }),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -775,6 +808,59 @@ object RelationalQueries {
   }
 
   val gapOracles: Map[String, String] = Map(
+    "q188_rank_eval" ->
+      """WITH run AS (
+        |  SELECT o_custkey AS q, o_orderkey AS d,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders),
+        |rels AS (
+        |  SELECT DISTINCT o_custkey AS q, o_orderkey AS d
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |nr AS (SELECT q, CAST(count(*) AS BIGINT) AS n_rel FROM rels GROUP BY q),
+        |h AS (
+        |  SELECT r.q, CAST(count(*) AS BIGINT) AS n_rel_ret,
+        |         CAST(min(rnk) AS BIGINT) AS first_rel_rank
+        |  FROM run r JOIN rels USING (q, d) WHERE rnk <= 10 GROUP BY r.q)
+        |SELECT nr.q, nr.n_rel,
+        |       coalesce(h.n_rel_ret, 0) AS n_rel_ret,
+        |       h.first_rel_rank,
+        |       coalesce(1000000 // h.first_rel_rank, 0) AS rr_ppm,
+        |       (10000 * coalesce(h.n_rel_ret, 0)) // nr.n_rel AS recall_bp,
+        |       (10000 * coalesce(h.n_rel_ret, 0)) // 10 AS precision_bp,
+        |       coalesce(h.n_rel_ret, 0) > 0 AS hit
+        |FROM nr LEFT JOIN h USING (q) ORDER BY q""".stripMargin,
+
+    // pairwise slopes, exact floor(num*1e12/den) sort key in HUGEINT
+    // (positive mod mirrors Spark's pmod), lower median, (num, den) ties
+    "q191_theilsen" ->
+      """WITH pts AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |np AS (SELECT k, CAST(count(*) AS BIGINT) AS n_points FROM pts GROUP BY k),
+        |pr AS (
+        |  SELECT a.k, b.y - a.y AS num, b.x - a.x AS den
+        |  FROM pts a JOIN pts b ON a.k = b.k AND b.x > a.x),
+        |sk AS (
+        |  SELECT k, num, den,
+        |         (num::HUGEINT * 1000000000000
+        |          - ((num::HUGEINT * 1000000000000 % den::HUGEINT) + den::HUGEINT)
+        |            % den::HUGEINT) // den::HUGEINT AS s
+        |  FROM pr),
+        |r AS (
+        |  SELECT k, num, den,
+        |         row_number() OVER (PARTITION BY k ORDER BY s, num, den) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_pairs
+        |  FROM sk)
+        |SELECT r.k, np.n_points, r.n_pairs,
+        |       CAST(num AS BIGINT) AS slope_num, CAST(den AS BIGINT) AS slope_den,
+        |       CAST((num::HUGEINT * 1000000
+        |             - ((num::HUGEINT * 1000000 % den::HUGEINT) + den::HUGEINT)
+        |               % den::HUGEINT) // den::HUGEINT AS BIGINT) AS slope_ppm
+        |FROM r JOIN np USING (k)
+        |WHERE rn = (n_pairs + 1) // 2 ORDER BY k""".stripMargin,
+
     "q182_trending_delta" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS tus FROM events),
