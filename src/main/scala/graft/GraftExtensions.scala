@@ -986,6 +986,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "theilsen_trend(table, keyCol, xCol, yCol) - Theil-Sen median slope per key over integer points, exact rational ordering: (k, n_points, n_pairs, slope_num, slope_den, slope_ppm).",
         ""),
       exprs => GraftExtensions.theilSenPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("sketch_quantiles"),
+      new ExpressionInfo(
+        classOf[graft.operators.QuantileSketch.type].getName,
+        null,
+        "sketch_quantiles",
+        "sketch_quantiles(table, groupCol, idCol, valueCol, k, 'num:den,...') - quantile estimates from the deterministic mergeable bottom-k-by-md5 sample: (group, q_num, q_den, n_sample, est).",
+        ""),
+      exprs => GraftExtensions.sketchQuantilesPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("coec"),
+      new ExpressionInfo(
+        classOf[graft.operators.ClickModels.type].getName,
+        null,
+        "coec",
+        "coec(table, itemCol, positionCol, clickedCol) - clicks over expected clicks: position-bias-corrected CTR per item in exact basis points: (item, n_imp, n_clicks, expected_ppm, coec_bp).",
+        ""),
+      exprs => GraftExtensions.coecPlan(exprs)))
     ()
   }
 }
@@ -2786,6 +2804,44 @@ object GraftExtensions {
         strArg(n, exprs(2), "idCol"),
         strArg(n, exprs(3), "scoreCol"),
         longArg(n, exprs(4), "minMargin"))
+      .queryExecution.logical
+  }
+
+  private[graft] def sketchQuantilesPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "sketch_quantiles"
+    require(
+      exprs.length == 6,
+      s"$n expects (table, groupCol, idCol, valueCol, k, qsSpec), got ${exprs.length} arguments")
+    val k = longArg(n, exprs(4), "k")
+    require(k >= 1 && k <= Int.MaxValue, s"$n: k must be a positive int, got $k")
+    val qs = strArg(n, exprs(5), "qsSpec").split(",").map(_.trim).filter(_.nonEmpty)
+      .map { s =>
+        val parts = s.split(":")
+        require(parts.length == 2, s"$n: quantile spec entries must be num:den, got '$s'")
+        (parts(0).trim.toLong, parts(1).trim.toLong)
+      }.toSeq
+    val sketch = graft.operators.QuantileSketch.build(
+      SparkSession.active.table(strArg(n, exprs.head, "table")),
+      Seq(strArg(n, exprs(1), "groupCol")),
+      strArg(n, exprs(2), "idCol"),
+      strArg(n, exprs(3), "valueCol"),
+      k.toInt)
+    graft.operators.QuantileSketch
+      .quantiles(sketch, Seq(strArg(n, exprs(1), "groupCol")), qs)
+      .queryExecution.logical
+  }
+
+  private[graft] def coecPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "coec"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, itemCol, positionCol, clickedCol), got ${exprs.length} arguments")
+    graft.operators.ClickModels
+      .coec(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "itemCol"),
+        strArg(n, exprs(2), "positionCol"),
+        strArg(n, exprs(3), "clickedCol"))
       .queryExecution.logical
   }
 

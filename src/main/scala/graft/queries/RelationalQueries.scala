@@ -253,6 +253,34 @@ object RelationalQueries {
         .orderBy("k")
     }),
 
+    // Mergeable quantile sketch (round-12): bottom-128-by-md5 value
+    // sample per event type, p50/p90/p99 estimates — the bounded-state,
+    // merge-associative, DETERMINISTIC alternative to the exact histogram
+    // path (KLL/GK compaction trees are arrival-order-dependent and
+    // cannot be replayed by a SQL oracle; the min-k sample can).
+    "q192_sketch_quantiles" -> ((s, dir) => {
+      val o = t(s, dir, "events").select(
+        col("event_type").as("g"),
+        col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val sk = graft.operators.QuantileSketch.build(o, Seq("g"), "event_id", "cents", k = 128)
+      graft.operators.QuantileSketch
+        .quantiles(sk, Seq("g"), Seq((1L, 2L), (9L, 10L), (99L, 100L)))
+        .orderBy("g", "q_num")
+    }),
+
+    // COEC position-bias-corrected CTR (round-12): impressions synthesized
+    // from events (slot = event_id mod 10, click = value > 50); expected
+    // clicks from the global per-position CTR in ppm, ratio in exact
+    // basis points. One baseline groupBy + one item groupBy, no windows.
+    "q193_coec" -> ((s, dir) => {
+      val im = t(s, dir, "events").select(
+        col("event_type").as("item"),
+        (pmod(col("event_id"), lit(10)) + 1).as("pos"),
+        (expr("CAST(round(value * 100) AS BIGINT)") > 5000L).cast("long").as("clk"))
+      graft.operators.ClickModels.coec(im, "item", "pos", "clk").orderBy("item")
+    }),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -808,6 +836,49 @@ object RelationalQueries {
   }
 
   val gapOracles: Map[String, String] = Map(
+    // bottom-k-by-md5 sample replayed literally: same hex ordering, same
+    // ceil-rank selection
+    "q192_sketch_quantiles" ->
+      """WITH o AS (
+        |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+        |         md5(CAST(event_id AS VARCHAR)) AS hkey,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |sk AS (
+        |  SELECT g, hkey, id, v FROM (
+        |    SELECT g, hkey, id, v,
+        |           row_number() OVER (PARTITION BY g ORDER BY hkey, id) AS rk
+        |    FROM o) WHERE rk <= 128),
+        |r AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, id) AS vrk,
+        |         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_sample
+        |  FROM sk),
+        |q AS (SELECT CAST(q_num AS BIGINT) AS q_num, CAST(q_den AS BIGINT) AS q_den
+        |      FROM (VALUES (1, 2), (9, 10), (99, 100)) t(q_num, q_den))
+        |SELECT g, q_num, q_den, n_sample, v AS est
+        |FROM r, q
+        |WHERE vrk = greatest(1, (n_sample * q_num + q_den - 1) // q_den)
+        |ORDER BY g, q_num""".stripMargin,
+
+    "q193_coec" ->
+      """WITH im AS (
+        |  SELECT event_type AS item, event_id % 10 + 1 AS pos,
+        |         CASE WHEN CAST(round(value * 100) AS BIGINT) > 5000
+        |              THEN 1 ELSE 0 END AS clk
+        |  FROM events),
+        |base AS (
+        |  SELECT pos, (1000000 * CAST(sum(clk) AS BIGINT)) // count(*) AS base_ppm
+        |  FROM im GROUP BY pos),
+        |a AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS n_imp,
+        |         CAST(sum(clk) AS BIGINT) AS n_clicks,
+        |         CAST(sum(base_ppm) AS BIGINT) AS expected_ppm
+        |  FROM im JOIN base USING (pos) GROUP BY item)
+        |SELECT item, n_imp, n_clicks, expected_ppm,
+        |       CASE WHEN expected_ppm = 0 THEN NULL
+        |            ELSE (10000 * n_clicks * 1000000) // expected_ppm END AS coec_bp
+        |FROM a ORDER BY item""".stripMargin,
+
     "q188_rank_eval" ->
       """WITH run AS (
         |  SELECT o_custkey AS q, o_orderkey AS d,
