@@ -447,6 +447,17 @@ object StreamingQueries {
         .orderBy("jk", "a_pk", "b_pk")
     }),
 
+    // Streaming boilerplate monitor (round-12): per-(source, line)
+    // distinct-doc counts in keyed state over 4 doc-id-range batches;
+    // one promotion row the batch a line crosses the minDocs floor —
+    // the crawl-increment "new template on this site" alert. Word-grain
+    // "lines" (the corpus is single-line), matching q189's fixture.
+    "q194_stream_boilerplate" -> ((s, dir) =>
+      graft.streaming.StreamingBoilerplate
+        .run(t(s, dir, "documents"), "doc_id", "text", "source",
+          delim = " ", minDocs = 20L, chunks = 4)
+        .orderBy("source", "line")),
+
     // Streaming funnel: per-user step-time keyed state over 4 time-range
     // micro-batches. Time-ordered arrival makes the incremental greedy
     // equal the batch funnel (q87's semantics), so the oracle is the
@@ -462,6 +473,37 @@ object StreamingQueries {
         .orderBy("user_id")))
 
   val oracles: Map[String, String] = Map(
+    // chunk from the doc-id seq-range formula; promotion batch = first
+    // chunk whose cumulative distinct-doc count reaches the floor, n_docs
+    // = the cumulative count at that batch's end
+    "q194_stream_boilerplate" ->
+      """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |d AS (
+        |  SELECT source, doc_id, text,
+        |         least((doc_id - b.lo) // ((b.hi - b.lo) // 4 + 1), 3) AS chunk
+        |  FROM documents, b),
+        |seg AS (
+        |  SELECT DISTINCT source, doc_id, chunk, trim(s[i]) AS line
+        |  FROM (SELECT source, doc_id, chunk, string_split(text, ' ') AS s FROM d),
+        |       unnest(range(1, len(s) + 1)) r(i)
+        |  WHERE length(trim(s[i])) > 0),
+        |pc AS (
+        |  SELECT source, line, chunk, CAST(count(*) AS BIGINT) AS c
+        |  FROM seg GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT source, line, chunk,
+        |         sum(c) OVER (PARTITION BY source, line ORDER BY chunk) AS cum
+        |  FROM pc),
+        |promo AS (
+        |  SELECT source, line, min(CASE WHEN cum >= 20 THEN chunk END) AS batch
+        |  FROM cum GROUP BY source, line)
+        |SELECT CAST(p.batch AS INT) AS batch, p.source, p.line,
+        |       CAST(c.cum AS BIGINT) AS n_docs
+        |FROM promo p
+        |JOIN cum c ON c.source = p.source AND c.line = p.line AND c.chunk = p.batch
+        |WHERE p.batch IS NOT NULL
+        |ORDER BY p.source, p.line""".stripMargin,
+
     // chunking replayed from the seq-range formula; cumulative distinct
     // = first-seen batch per key
     "q178_stream_constraints" ->
