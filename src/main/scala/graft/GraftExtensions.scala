@@ -1004,6 +1004,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "coec(table, itemCol, positionCol, clickedCol) - clicks over expected clicks: position-bias-corrected CTR per item in exact basis points: (item, n_imp, n_clicks, expected_ppm, coec_bp).",
         ""),
       exprs => GraftExtensions.coecPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("dictionary_match"),
+      new ExpressionInfo(
+        classOf[graft.operators.KeywordSearch.type].getName,
+        null,
+        "dictionary_match",
+        "dictionary_match(docsTable, idCol, textCol, dictTable, phraseIdCol, phraseCol) - gazetteer tagging: every dictionary phrase vs every doc in one pass, rarest-token anchors + exact slice verify: (id, phrase_id, n_occ, first_pos).",
+        ""),
+      exprs => GraftExtensions.dictionaryMatchPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("forget_audit"),
+      new ExpressionInfo(
+        classOf[graft.operators.Forget.type].getName,
+        null,
+        "forget_audit",
+        "forget_audit(subjectsTable, subjectCol, 'name1:table1:key1,name2:table2:key2') - GDPR deletion-cascade audit: per table (table, n_before, n_removed, n_after) in one pass each.",
+        ""),
+      exprs => GraftExtensions.forgetAuditPlan(exprs)))
     ()
   }
 }
@@ -2842,6 +2860,43 @@ object GraftExtensions {
         strArg(n, exprs(1), "itemCol"),
         strArg(n, exprs(2), "positionCol"),
         strArg(n, exprs(3), "clickedCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def dictionaryMatchPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "dictionary_match"
+    require(
+      exprs.length == 6,
+      s"$n expects (docsTable, idCol, textCol, dictTable, phraseIdCol, phraseCol), got ${exprs.length} arguments")
+    graft.operators.KeywordSearch
+      .dictionaryMatch(
+        SparkSession.active.table(strArg(n, exprs.head, "docsTable")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "textCol"),
+        SparkSession.active.table(strArg(n, exprs(3), "dictTable")),
+        strArg(n, exprs(4), "phraseIdCol"),
+        strArg(n, exprs(5), "phraseCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def forgetAuditPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "forget_audit"
+    require(
+      exprs.length == 3,
+      s"$n expects (subjectsTable, subjectCol, 'name:table:key,...'), got ${exprs.length} arguments")
+    val spark = SparkSession.active
+    val tables = strArg(n, exprs(2), "tablesSpec")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { s =>
+        val parts = s.split(":")
+        require(parts.length == 3, s"$n: table spec entries must be name:table:key, got '$s'")
+        (parts(0).trim, spark.table(parts(1).trim), parts(2).trim)
+      }
+    graft.operators.Forget
+      .audit(
+        spark.table(strArg(n, exprs.head, "subjectsTable")),
+        strArg(n, exprs(1), "subjectCol"),
+        tables)
       .queryExecution.logical
   }
 

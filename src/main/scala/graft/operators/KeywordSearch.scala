@@ -114,6 +114,67 @@ object KeywordSearch {
       .agg(count(lit(1)).as("n_occ"), min("pos").as("first_pos"))
   }
 
+  /** Dictionary phrase matching (gazetteer tagging): every phrase of a
+    * dictionary RELATION matched against every document — entity/PII-term
+    * tagging at corpus scale, where [[phraseCount]]'s literal-phrase form
+    * stops scaling (one scan per phrase) and a trie (Aho–Corasick) cannot
+    * be expressed relationally.
+    *
+    * Plan: tokenize the corpus once into positional postings; for each
+    * phrase pick its RAREST token (min occurrence count, deterministic
+    * (count, offset, token) tie-break) as the anchor — "the San Jose"
+    * anchors on "Jose", not "the"; broadcast the anchor table onto the
+    * postings (no shuffle — dictionary-grain); candidates then verify by
+    * one id-grain join back to the token arrays with an exact slice
+    * compare. Cost: one corpus tokenize pass + a candidate volume of
+    * Σ_phrases occurrences(rarest token) — selectivity-bound, the same
+    * contract as [[phraseCountIndexed]], but for the whole dictionary in
+    * one pass. Phrases containing a token absent from the corpus simply
+    * match nothing.
+    *
+    * Output: (id, phrase_id, n_occ, first_pos) for docs with ≥ 1
+    * occurrence (overlapping counted, positions 1-based).
+    */
+  def dictionaryMatch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dict: DataFrame,
+      phraseIdCol: String,
+      phraseCol: String): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      filter(split(col(textCol), " "), t => length(t) > 0).as("__t"))
+    val postings = toks.select(
+      col("id"), posexplode(col("__t")))
+      .select(col("col").as("token"), col("id"), (col("pos") + 1).cast("long").as("pos"))
+    val tokenCnt = postings.groupBy("token").agg(count(lit(1)).as("__cnt"))
+    val ptoks = dict.select(
+      col(phraseIdCol).as("phrase_id"),
+      filter(split(col(phraseCol), " "), t => length(t) > 0).as("__p"))
+      .filter(size(col("__p")) > 0)
+    val anchors = ptoks
+      .select(col("phrase_id"), col("__p"), posexplode(col("__p")))
+      .select(col("phrase_id"), col("__p"), col("pos").as("__k"), col("col").as("token"))
+      .join(tokenCnt, Seq("token"))
+      .groupBy("phrase_id", "__p")
+      .agg(min(struct(col("__cnt"), col("__k"), col("token"))).as("__a"))
+      .select(
+        col("phrase_id"), col("__p"),
+        col("__a.__k").as("__k"), col("__a.token").as("token"))
+    val candidates = postings
+      .join(broadcast(anchors), Seq("token"))
+      .select(
+        col("id"), col("phrase_id"), col("__p"),
+        (col("pos") - col("__k")).as("start"))
+      .filter(col("start") >= 1L)
+    candidates
+      .join(toks, Seq("id"))
+      .filter(expr("slice(__t, start, size(__p)) == __p"))
+      .groupBy("id", "phrase_id")
+      .agg(count(lit(1)).as("n_occ"), min("start").as("first_pos"))
+  }
+
   def topK(
       df: DataFrame,
       idCol: String,

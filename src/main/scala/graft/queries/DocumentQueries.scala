@@ -1604,6 +1604,24 @@ object DocumentQueries {
         .orderBy("g")
     }),
 
+    // Dictionary phrase matching (round-12, gazetteer tagging): a 5-phrase
+    // dictionary RELATION matched against the whole corpus in ONE pass —
+    // rarest-token anchors broadcast onto positional postings, exact
+    // slice verify; candidate volume is selectivity-bound (Σ occurrences
+    // of each phrase's rarest token), never corpus × dictionary scans.
+    "q195_dictionary_match" -> ((s, dir) => {
+      import s.implicits._
+      val dict = Seq(
+        ("p_fast_table", "fast table"),
+        ("p_ghost", "zz unseen gram"),
+        ("p_key_agg", "key agg"),
+        ("p_spark_win", "spark window"),
+        ("p_tbl3", "table table table")).toDF("pid", "phrase")
+      graft.operators.KeywordSearch
+        .dictionaryMatch(t(s, dir, "documents"), "doc_id", "text", dict, "pid", "phrase")
+        .orderBy("id", "phrase_id")
+    }),
+
     // Leakage-safe split (round-11): the 80/10/10 split keyed on q19's
     // MinHash dup-cluster representative, so near-duplicate documents
     // can never straddle train and test — co-membership is a theorem
@@ -3962,6 +3980,27 @@ object DocumentQueries {
         |WHERE b.chosen_id <> w.rejected_id
         |  AND b.chosen_score - w.rejected_score >= 1
         |ORDER BY g""".stripMargin,
+
+    // per-phrase slice scan over every start position, grouped — the
+    // brute-force mirror of the anchored one-pass plan
+    "q195_dictionary_match" ->
+      """WITH dict AS (
+        |  SELECT * FROM (VALUES
+        |    ('p_fast_table', ['fast', 'table']),
+        |    ('p_ghost', ['zz', 'unseen', 'gram']),
+        |    ('p_key_agg', ['key', 'agg']),
+        |    ('p_spark_win', ['spark', 'window']),
+        |    ('p_tbl3', ['table', 'table', 'table'])) t(pid, p)),
+        |t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id AS id, pid, CAST(i AS BIGINT) AS start
+        |  FROM t, dict, unnest(range(1, greatest(len(ts) - len(p) + 2, 1))) r(i)
+        |  WHERE ts[i:i+len(p)-1] = p)
+        |SELECT id, pid AS phrase_id, CAST(count(*) AS BIGINT) AS n_occ,
+        |       CAST(min(start) AS BIGINT) AS first_pos
+        |FROM m GROUP BY id, pid ORDER BY id, phrase_id""".stripMargin,
 
     // greedy k-center unrolled: seed = min id, 7 argmax rounds, distances
     // as index-order folds over the raw embeddings

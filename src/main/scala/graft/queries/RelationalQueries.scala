@@ -281,6 +281,29 @@ object RelationalQueries {
       graft.operators.ClickModels.coec(im, "item", "pos", "clk").orderBy("item")
     }),
 
+    // GDPR deletion-cascade audit (round-12): subjects = every 7th
+    // customer; direct scrubs on customer/orders, the 2-hop cascade to
+    // lineitem (which carries no customer key) by feeding the doomed
+    // order keys as the child's subjects. One pass per table, left-join
+    // audit + anti-join scrub from the same broadcastable subject set.
+    "q196_forget_audit" -> ((s, dir) => {
+      val subjects = t(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select("c_custkey")
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val doomedOrders = orders.join(
+        subjects.withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), "left_semi")
+      graft.operators.Forget
+        .audit(subjects, "c_custkey",
+          Seq(("customer", customer, "c_custkey"), ("orders", orders, "o_custkey")))
+        .unionByName(graft.operators.Forget
+          .audit(doomedOrders, "o_orderkey", Seq(("lineitem", li, "l_orderkey"))))
+        .orderBy("table")
+    }),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -878,6 +901,30 @@ object RelationalQueries {
         |       CASE WHEN expected_ppm = 0 THEN NULL
         |            ELSE (10000 * n_clicks * 1000000) // expected_ppm END AS coec_bp
         |FROM a ORDER BY item""".stripMargin,
+
+    "q196_forget_audit" ->
+      """WITH s AS (
+        |  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0),
+        |doomed AS (
+        |  SELECT DISTINCT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM s)),
+        |a AS (
+        |  SELECT 'customer' AS "table", CAST(count(*) AS BIGINT) AS n_before,
+        |         CAST(sum(CASE WHEN c_custkey IN (SELECT k FROM s)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM s)
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM doomed)
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT "table", n_before, n_removed, n_before - n_removed AS n_after
+        |FROM a ORDER BY "table"""".stripMargin,
 
     "q188_rank_eval" ->
       """WITH run AS (
