@@ -1022,6 +1022,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "forget_audit(subjectsTable, subjectCol, 'name1:table1:key1,name2:table2:key2') - GDPR deletion-cascade audit: per table (table, n_before, n_removed, n_after) in one pass each.",
         ""),
       exprs => GraftExtensions.forgetAuditPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_union"),
+      new ExpressionInfo(
+        classOf[graft.operators.Intervals.type].getName,
+        null,
+        "interval_union",
+        "interval_union(table, keyCol, startCol, endCol) - gaps-and-islands interval-union measure per key: (k, n_intervals, n_islands, covered, max_gap).",
+        ""),
+      exprs => GraftExtensions.intervalUnionPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("markov_transitions"),
+      new ExpressionInfo(
+        classOf[graft.operators.Transitions.type].getName,
+        null,
+        "markov_transitions",
+        "markov_transitions(table, keyCol, tsCol, tiebreakCol, stateCol) - first-order transition table over keyed event sequences: (state, next, n, p_bp).",
+        ""),
+      exprs => GraftExtensions.markovTransitionsPlan(exprs)))
     ()
   }
 }
@@ -2897,6 +2915,35 @@ object GraftExtensions {
         spark.table(strArg(n, exprs.head, "subjectsTable")),
         strArg(n, exprs(1), "subjectCol"),
         tables)
+      .queryExecution.logical
+  }
+
+  private[graft] def intervalUnionPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "interval_union"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, keyCol, startCol, endCol), got ${exprs.length} arguments")
+    graft.operators.Intervals
+      .unionLength(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "keyCol"),
+        strArg(n, exprs(2), "startCol"),
+        strArg(n, exprs(3), "endCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def markovTransitionsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "markov_transitions"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, keyCol, tsCol, tiebreakCol, stateCol), got ${exprs.length} arguments")
+    graft.operators.Transitions
+      .matrix(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "keyCol"),
+        strArg(n, exprs(2), "tsCol"),
+        strArg(n, exprs(3), "tiebreakCol"),
+        strArg(n, exprs(4), "stateCol"))
       .queryExecution.logical
   }
 

@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
 object Boilerplate {
 
   private def segments(docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, delim: String) =
+      sourceCol: String, delim: String) = {
+    require(delim.nonEmpty, "delimiter must be non-empty")
     docs
       .select(
         col(sourceCol).as("source"),
@@ -39,6 +40,7 @@ object Boilerplate {
           .as(Seq("pos", "raw")))
       .select(col("source"), col("id"), col("pos"), trim(col("raw")).as("line"))
       .filter(length(col("line")) > 0)
+  }
 
   /** The template inventory: (source, line, n_docs) for every line
     * appearing in ≥ minDocs DISTINCT documents of the same source.

@@ -47,6 +47,10 @@ object RankEval {
     val r = run
       .select(col(qCol).as("q"), col(dCol).as("d"), col(rankCol).cast("long").as("rank"))
       .filter(col("rank") <= k)
+      // a doc listed twice in a run (fused lists, retry artifacts) counts
+      // once, at its best rank — without this a duplicate hit would
+      // inflate n_rel_ret past n_rel
+      .groupBy("q", "d").agg(min("rank").as("rank"))
     val rels = qrels
       .select(col(qCol).as("q"), col(dCol).as("d"))
       .dropDuplicates("q", "d")

@@ -304,6 +304,29 @@ object RelationalQueries {
         .orderBy("table")
     }),
 
+    // Interval-union measure (round-12): per-user sessions as
+    // [ts, ts + (cents+1) ms] intervals — total covered time, island
+    // count, largest gap via the gaps-and-islands running-max sweep
+    // (per-key ordered window under the sessionization contract).
+    "q197_interval_union" -> ((s, dir) => {
+      val iv = t(s, dir, "events").select(
+        col("user_id").as("k"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          (expr("CAST(round(value * 100) AS BIGINT)") + 1L) * 1000L).as("e"))
+      graft.operators.Intervals.unionLength(iv, "k", "s", "e").orderBy("k")
+    }),
+
+    // Markov transition table (round-12): what users do after each event
+    // type — per-user lead pairs (bounded keyed window), one
+    // map-side-combinable pair count, exact basis-point conditionals.
+    "q198_markov" -> ((s, dir) =>
+      graft.operators.Transitions
+        .matrix(
+          t(s, dir, "events").withColumn("tus", unix_micros(col("ts"))),
+          "user_id", "tus", "event_id", "event_type")
+        .orderBy("state", "next")),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -901,6 +924,46 @@ object RelationalQueries {
         |       CASE WHEN expected_ppm = 0 THEN NULL
         |            ELSE (10000 * n_clicks * 1000000) // expected_ppm END AS coec_bp
         |FROM a ORDER BY item""".stripMargin,
+
+    "q197_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS s,
+        |         epoch_us(ts) + (CAST(round(value * 100) AS BIGINT) + 1) * 1000 AS e
+        |  FROM events),
+        |w AS (
+        |  SELECT k, s, e,
+        |         max(e) OVER (PARTITION BY k ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |f AS (
+        |  SELECT k, s, e,
+        |         CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw,
+        |         CASE WHEN pmax IS NOT NULL AND s > pmax THEN s - pmax ELSE 0 END AS gap
+        |  FROM w),
+        |g AS (SELECT *, sum(nw) OVER (PARTITION BY k ORDER BY s, e) AS island FROM f),
+        |isl AS (
+        |  SELECT k, island, count(*) AS nn, min(s) AS lo, max(e) AS hi, max(gap) AS gg
+        |  FROM g GROUP BY k, island)
+        |SELECT k, CAST(sum(nn) AS BIGINT) AS n_intervals,
+        |       CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(sum(hi - lo) AS BIGINT) AS covered,
+        |       CAST(max(gg) AS BIGINT) AS max_gap
+        |FROM isl GROUP BY k ORDER BY k""".stripMargin,
+
+    "q198_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type AS state
+        |  FROM events),
+        |p AS (
+        |  SELECT state,
+        |         lead(state) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS next
+        |  FROM e),
+        |c AS (SELECT state, next, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE next IS NOT NULL GROUP BY state, next),
+        |t AS (SELECT state, CAST(sum(n) AS BIGINT) AS n_state FROM c GROUP BY state)
+        |SELECT c.state, c.next, c.n, (10000 * c.n) // t.n_state AS p_bp
+        |FROM c JOIN t USING (state)
+        |ORDER BY c.state, c.next""".stripMargin,
 
     "q196_forget_audit" ->
       """WITH s AS (

@@ -44,6 +44,13 @@ class RankEvalSpec extends SparkSpec {
     assert(got == ((3L, 333333L, 5000L, 2222L, 6666L)))
   }
 
+  test("a doc listed twice in the run counts once, at its best rank") {
+    val dup = run.union(Seq(("q1", "d2", 3L)).toDF("q", "d", "rank"))
+    val a = RankEval.perQuery(run, qrels, "q", "d", "rank", 3).orderBy("q").collect().toSeq
+    val b = RankEval.perQuery(dup, qrels, "q", "d", "rank", 3).orderBy("q").collect().toSeq
+    assert(a == b)
+  }
+
   test("duplicate qrels pairs do not double-count") {
     val dup = qrels.union(qrels)
     val a = RankEval.perQuery(run, qrels, "q", "d", "rank", 3).orderBy("q").collect().toSeq
