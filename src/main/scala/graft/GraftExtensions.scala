@@ -1040,6 +1040,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "markov_transitions(table, keyCol, tsCol, tiebreakCol, stateCol) - first-order transition table over keyed event sequences: (state, next, n, p_bp).",
         ""),
       exprs => GraftExtensions.markovTransitionsPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("priority_sample"),
+      new ExpressionInfo(
+        classOf[graft.operators.PrioritySample.type].getName,
+        null,
+        "priority_sample",
+        "priority_sample(table, groupCol, idCol, wCol, k) - Duffield-Lund-Thorup priority sample per group with unbiased subset-sum estimates: (group, id, w, est_ppm).",
+        ""),
+      exprs => GraftExtensions.prioritySamplePlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("ams_f2"),
+      new ExpressionInfo(
+        classOf[graft.operators.AmsSketch.type].getName,
+        null,
+        "ams_f2",
+        "ams_f2(table, keyCol, s) - AMS tug-of-war sketch counters for the second frequency moment / self-join size: (r, counter).",
+        ""),
+      exprs => GraftExtensions.amsF2Plan(exprs)))
     ()
   }
 }
@@ -2944,6 +2962,41 @@ object GraftExtensions {
         strArg(n, exprs(2), "tsCol"),
         strArg(n, exprs(3), "tiebreakCol"),
         strArg(n, exprs(4), "stateCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def prioritySamplePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "priority_sample"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, groupCol, idCol, wCol, k), got ${exprs.length} arguments")
+    val k = longArg(n, exprs(4), "k")
+    require(k >= 1 && k <= Int.MaxValue, s"$n: k must be a positive int, got $k")
+    val g = Seq(strArg(n, exprs(1), "groupCol"))
+    graft.operators.PrioritySample
+      .estimates(
+        graft.operators.PrioritySample.sketch(
+          SparkSession.active.table(strArg(n, exprs.head, "table")),
+          g,
+          strArg(n, exprs(2), "idCol"),
+          strArg(n, exprs(3), "wCol"),
+          k.toInt),
+        g, k.toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def amsF2Plan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "ams_f2"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, keyCol, s), got ${exprs.length} arguments")
+    val s = longArg(n, exprs(2), "s")
+    require(s >= 1 && s <= 64, s"$n: s must be in [1, 64], got $s")
+    graft.operators.AmsSketch
+      .build(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "keyCol"),
+        s.toInt)
       .queryExecution.logical
   }
 

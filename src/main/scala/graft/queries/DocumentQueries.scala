@@ -1622,6 +1622,20 @@ object DocumentQueries {
         .orderBy("id", "phrase_id")
     }),
 
+    // Priority sampling (round-12): per-language weighted sample of 20
+    // docs (weight = length), k+1 sketch rows, ŵ = max(w, τ) subset-sum
+    // estimates in exact ppm — the mergeable bounded-state weighted
+    // sampler next to q166's exact-but-global PPS pass.
+    "q199_priority_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), length(col("text")).as("w"))
+      graft.operators.PrioritySample
+        .estimates(
+          graft.operators.PrioritySample.sketch(docs, Seq("lang"), "doc_id", "w", 20),
+          Seq("lang"), 20)
+        .orderBy("lang", "id")
+    }),
+
     // Leakage-safe split (round-11): the 80/10/10 split keyed on q19's
     // MinHash dup-cluster representative, so near-duplicate documents
     // can never straddle train and test — co-membership is a theorem
@@ -4001,6 +4015,43 @@ object DocumentQueries {
         |SELECT id, pid AS phrase_id, CAST(count(*) AS BIGINT) AS n_occ,
         |       CAST(min(start) AS BIGINT) AS first_pos
         |FROM m GROUP BY id, pid ORDER BY id, phrase_id""".stripMargin,
+
+    // priority = w·2^32/(h+1) replayed in HUGEINT: the q46 8-hex md5
+    // uniform, floor keys at 2^64 scale, string-order id tie-break, τ at
+    // rank k+1, ŵ = max(w, τ) as DECIMAL(38,0) ppm
+    "q199_priority_sample" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(doc_id AS VARCHAR) AS id,
+        |         CAST(length(text) AS BIGINT) AS w
+        |  FROM documents),
+        |u AS (
+        |  SELECT lang, id, w,
+        |         CAST(list_sum(list_transform(range(0, 8), i ->
+        |           CAST(instr('0123456789abcdef',
+        |                      substr(md5(id), CAST(i + 1 AS INT), 1)) - 1
+        |                AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS BIGINT) AS h
+        |  FROM d),
+        |kk AS (
+        |  SELECT lang, id, w, h,
+        |         (w::HUGEINT * 18446744073709551616) // (h::HUGEINT + 1) AS key
+        |  FROM u),
+        |r AS (
+        |  SELECT lang, id, w, h,
+        |         row_number() OVER (PARTITION BY lang ORDER BY key DESC, id) AS rn
+        |  FROM kk),
+        |tau AS (SELECT lang, w AS wt, h AS ht FROM r WHERE rn = 21)
+        |SELECT r.lang, r.id, r.w,
+        |       CAST(CASE
+        |         WHEN tau.wt IS NULL THEN r.w::HUGEINT * 1000000
+        |         WHEN r.w::HUGEINT * (tau.ht::HUGEINT + 1)
+        |              >= tau.wt::HUGEINT * 4294967296
+        |           THEN r.w::HUGEINT * 1000000
+        |         ELSE (tau.wt::HUGEINT * 4294967296 * 1000000)
+        |              // (tau.ht::HUGEINT + 1)
+        |         END AS DECIMAL(38,0)) AS est_ppm
+        |FROM r LEFT JOIN tau ON tau.lang = r.lang
+        |WHERE r.rn <= 20
+        |ORDER BY r.lang, r.id""".stripMargin,
 
     // greedy k-center unrolled: seed = min id, 7 argmax rounds, distances
     // as index-order folds over the raw embeddings

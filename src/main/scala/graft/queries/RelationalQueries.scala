@@ -327,6 +327,19 @@ object RelationalQueries {
           "user_id", "tus", "event_id", "event_type")
         .orderBy("state", "next")),
 
+    // AMS F2 sketch vs exact (round-12): 16 tug-of-war counters over
+    // lineitem part keys — self-join size estimation from fixed-size
+    // mergeable state, shipped next to the exact Σf² so the estimate's
+    // quality is IN the oracled output.
+    "q200_ams_f2" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"))
+      val est = graft.operators.AmsSketch.f2Estimate(
+        graft.operators.AmsSketch.build(li, "l_partkey", 16))
+      val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * n")).cast("long").as("f2_exact"))
+      est.crossJoin(exact)
+    }),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -924,6 +937,20 @@ object RelationalQueries {
         |       CASE WHEN expected_ppm = 0 THEN NULL
         |            ELSE (10000 * n_clicks * 1000000) // expected_ppm END AS coec_bp
         |FROM a ORDER BY item""".stripMargin,
+
+    "q200_ams_f2" ->
+      """WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+        |c AS (
+        |  SELECT r,
+        |         CAST(sum(CASE WHEN substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 1)
+        |                       IN ('0','1','2','3','4','5','6','7')
+        |                  THEN 1 ELSE -1 END) AS BIGINT) AS counter
+        |  FROM k, range(0, 16) t(r) GROUP BY r),
+        |e AS (SELECT CAST(count(*) AS BIGINT) AS s,
+        |             CAST(sum(counter * counter) AS BIGINT) AS ss FROM c),
+        |x AS (SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact
+        |      FROM (SELECT count(*) AS n FROM k GROUP BY k))
+        |SELECT e.s, ss // e.s AS f2_est, x.f2_exact FROM e, x""".stripMargin,
 
     "q197_interval_union" ->
       """WITH iv AS (
