@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * and LINEAR: sketches of two relations add counter-wise, so increments
   * fold into state and estimates never re-touch raw data. E[C_r²] = F₂.
   *
-  * Signs are deterministic hashes (md5 of the salted key, first hex char
+  * Signs are deterministic hashes (hex character r of md5(key), high-bit
   * parity — the same md5 discipline as [[QuantileSketch]]), so the
   * sketch and its estimate are bit-reproducible and SQL-replayable; the
   * estimator's variance guarantee assumes 4-wise independence which md5
@@ -26,17 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object AmsSketch {
 
-  /** Build: (r, counter) for r in [0, s). */
+  /** Build: (r, counter) for r in [0, s). One md5 per row — counter r
+    * reads hex character r+1 of the digest (32 available, s ≤ 32), so
+    * the hash cost does not scale with s.
+    */
   def build(df: DataFrame, keyCol: String, s: Int): DataFrame = {
-    require(s >= 1 && s <= 64, s"counter count s must be in [1, 64]: $s")
+    require(s >= 1 && s <= 32, s"counter count s must be in [1, 32]: $s")
+    def signSum(r: Int) =
+      expr(s"coalesce(sum(IF(substring(__h, ${r + 1}, 1) " +
+        "IN ('0','1','2','3','4','5','6','7'), 1, -1)), 0)").as(s"__c_$r")
     val sums = df
-      .select(col(keyCol).cast("string").as("k"))
-      .agg(
-        expr(s"coalesce(sum(IF(substring(md5(concat('0:', k)), 1, 1) " +
-          "IN ('0','1','2','3','4','5','6','7'), 1, -1)), 0)").as("__c_0"),
-        (1 until s).map(r =>
-          expr(s"coalesce(sum(IF(substring(md5(concat('$r:', k)), 1, 1) " +
-            "IN ('0','1','2','3','4','5','6','7'), 1, -1)), 0)").as(s"__c_$r")): _*)
+      .select(md5(col(keyCol).cast("string")).as("__h"))
+      .agg(signSum(0), (1 until s).map(signSum): _*)
     sums.select(explode(array((0 until s).map(r =>
         struct(lit(r).as("r"), col(s"__c_$r").as("counter"))): _*)).as("rc"))
       .select(

@@ -942,7 +942,7 @@ object RelationalQueries {
       """WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
         |c AS (
         |  SELECT r,
-        |         CAST(sum(CASE WHEN substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 1)
+        |         CAST(sum(CASE WHEN substr(md5(k), CAST(r + 1 AS INT), 1)
         |                       IN ('0','1','2','3','4','5','6','7')
         |                  THEN 1 ELSE -1 END) AS BIGINT) AS counter
         |  FROM k, range(0, 16) t(r) GROUP BY r),

@@ -18,9 +18,9 @@ class AmsSketchSpec extends SparkSpec {
     val keys = (0 until 20).flatMap(i => Seq.fill(i + 1)(s"k$i"))
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(r: Int, k: String): Long = {
-      val hex = md.digest(s"$r:$k".getBytes("UTF-8"))
+      val hex = md.digest(k.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      if (hex.charAt(0) <= '7') 1L else -1L
+      if (hex.charAt(r) <= '7') 1L else -1L
     }
     assert(counters(3) == keys.map(sign(3, _)).sum)
     val est = AmsSketch.f2Estimate(sk).as[(Long, Long)].head()
