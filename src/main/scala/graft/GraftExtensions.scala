@@ -1058,6 +1058,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "ams_f2(table, keyCol, s) - AMS tug-of-war sketch counters for the second frequency moment / self-join size: (r, counter).",
         ""),
       exprs => GraftExtensions.amsF2Plan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("link_prediction"),
+      new ExpressionInfo(
+        classOf[graft.operators.LinkPrediction.type].getName,
+        null,
+        "link_prediction",
+        "link_prediction(table, minCommon, maxCenterDegree) - neighborhood-overlap link prediction over undirected edges (a, b): (x, y, n_common, jaccard_bp, ra_ppm) for non-adjacent pairs.",
+        ""),
+      exprs => GraftExtensions.linkPredictionPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("kaplan_meier"),
+      new ExpressionInfo(
+        classOf[graft.operators.Survival.type].getName,
+        null,
+        "kaplan_meier",
+        "kaplan_meier(table, groupCol, durationCol, eventCol) - Kaplan-Meier survival curve per group in exact ppm: (g, t, n_risk, n_events, s_ppm).",
+        ""),
+      exprs => GraftExtensions.kaplanMeierPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("cuped"),
+      new ExpressionInfo(
+        classOf[graft.operators.Cuped.type].getName,
+        null,
+        "cuped",
+        "cuped(table, armCol, xCol, yCol) - CUPED variance reduction from sufficient statistics: (arm, n, theta_ppm, mean_y_ppm, mean_ycup_ppm, varred_bp).",
+        ""),
+      exprs => GraftExtensions.cupedPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("gini_stump"),
+      new ExpressionInfo(
+        classOf[graft.operators.GiniStump.type].getName,
+        null,
+        "gini_stump",
+        "gini_stump(table, featureCol, labelCol) - exact CART decision-stump split scan: (v, n_left, pos_left, gini_ppm) per candidate threshold.",
+        ""),
+      exprs => GraftExtensions.giniStumpPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("mann_whitney"),
+      new ExpressionInfo(
+        classOf[graft.operators.MannWhitney.type].getName,
+        null,
+        "mann_whitney",
+        "mann_whitney(table, sampleCol, valueCol, aLabel, bLabel) - exact tie-corrected Mann-Whitney U rank-sum test: (n_a, n_b, u2_a, u2_b, cles_ppm, var12s).",
+        ""),
+      exprs => GraftExtensions.mannWhitneyPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("cusum"),
+      new ExpressionInfo(
+        classOf[graft.operators.ChangePoint.type].getName,
+        null,
+        "cusum",
+        "cusum(table, bucketCol, valueCol, ref, h) - one-sided CUSUM change-point statistic per bucket via distributed prefix scans: (t, x, cusum, alarm).",
+        ""),
+      exprs => GraftExtensions.cusumPlan(exprs)))
     ()
   }
 }
@@ -2997,6 +3051,96 @@ object GraftExtensions {
         SparkSession.active.table(strArg(n, exprs.head, "table")),
         strArg(n, exprs(1), "keyCol"),
         s.toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def linkPredictionPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "link_prediction"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, minCommon, maxCenterDegree), got ${exprs.length} arguments")
+    val minCommon = longArg(n, exprs(1), "minCommon")
+    val cap = longArg(n, exprs(2), "maxCenterDegree")
+    require(minCommon >= 1 && minCommon <= Int.MaxValue,
+      s"$n: minCommon must be a positive int, got $minCommon")
+    require(cap >= 2 && cap <= Int.MaxValue,
+      s"$n: maxCenterDegree must be an int >= 2, got $cap")
+    graft.operators.LinkPrediction
+      .scores(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        minCommon.toInt,
+        cap.toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def kaplanMeierPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "kaplan_meier"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, groupCol, durationCol, eventCol), got ${exprs.length} arguments")
+    graft.operators.Survival
+      .kaplanMeier(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "groupCol"),
+        strArg(n, exprs(2), "durationCol"),
+        strArg(n, exprs(3), "eventCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def cupedPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "cuped"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, armCol, xCol, yCol), got ${exprs.length} arguments")
+    graft.operators.Cuped
+      .adjust(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "armCol"),
+        strArg(n, exprs(2), "xCol"),
+        strArg(n, exprs(3), "yCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def giniStumpPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "gini_stump"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, featureCol, labelCol), got ${exprs.length} arguments")
+    graft.operators.GiniStump
+      .splits(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "featureCol"),
+        strArg(n, exprs(2), "labelCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def mannWhitneyPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "mann_whitney"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, sampleCol, valueCol, aLabel, bLabel), got ${exprs.length} arguments")
+    graft.operators.MannWhitney
+      .uTest(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "sampleCol"),
+        strArg(n, exprs(2), "valueCol"),
+        strArg(n, exprs(3), "aLabel"),
+        strArg(n, exprs(4), "bLabel"))
+      .queryExecution.logical
+  }
+
+  private[graft] def cusumPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "cusum"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, bucketCol, valueCol, ref, h), got ${exprs.length} arguments")
+    graft.operators.ChangePoint
+      .cusum(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "bucketCol"),
+        strArg(n, exprs(2), "valueCol"),
+        longArg(n, exprs(3), "ref"),
+        longArg(n, exprs(4), "h"))
       .queryExecution.logical
   }
 

@@ -78,4 +78,26 @@ object Hll {
     val zeros = m - present.count(_._2 > 0)
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
   }
+
+  /** Set-intersection estimate by inclusion–exclusion over the register
+    * ALGEBRA: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union's
+    * registers come from [[mergeRegisters]] — no raw data touched, so
+    * two sketches built on different days (or different clusters)
+    * intersect for free. Error compounds the three estimates' ~1.04/√m
+    * bands and degrades as |A∩B|/|A∪B| shrinks — the standard HLL
+    * caveat (Flajolet et al. 2007); for small overlaps use the exact
+    * semi-join instead. Returns (estA, estB, estUnion, estIntersection);
+    * the intersection is clamped at 0.
+    */
+  def intersectionEstimate(
+      regA: DataFrame,
+      regB: DataFrame,
+      p: Int): (Double, Double, Double, Double) = {
+    val ea = estimate(regA, p)
+    val eb = estimate(regB, p)
+    val eu = estimate(
+      mergeRegisters(regA.select("bucket", "maxrank")
+        .unionByName(regB.select("bucket", "maxrank")), Seq.empty), p)
+    (ea, eb, eu, math.max(0.0, ea + eb - eu))
+  }
 }

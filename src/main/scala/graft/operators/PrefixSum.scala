@@ -86,4 +86,40 @@ object PrefixSum {
         .select(col("k"), (col("within") + col("blkBefore")).as("before"))
     }
   }
+
+  /** Exclusive prefix MIN over columns (k, s) → (k, min_before):
+    * min_before(k) = min s over rows with smaller k, NULL when no such
+    * row (the scan's natural identity — `least` skips NULLs, so levels
+    * compose without sentinels). Same block recursion, same bounds, same
+    * WindowExec hygiene as [[exclusive]]; min is idempotent, so unlike
+    * the sum scan the roll-up needs no exactness care at all. Keys must
+    * be unique and non-negative.
+    */
+  def exclusiveMin(kv0: DataFrame, blockSize: Int = 4096): DataFrame = {
+    require(blockSize >= 2, s"blockSize must be >= 2: $blockSize")
+    val kv = kv0.localCheckpoint(true)
+    val n = kv.count()
+    if (n <= 1) {
+      // a NULL of the scan column's own type
+      kv.withColumn("min_before", when(lit(false), col("s"))).select("k", "min_before")
+    } else if (n <= blockSize) {
+      val w = Window.partitionBy("blk").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      kv.withColumn("blk", col("k") - col("k"))
+        .withColumn("min_before", min("s").over(w))
+        .select("k", "min_before")
+    } else {
+      val withBlk = kv.withColumn("blk", (col("k") / blockSize).cast("long"))
+      val blockMins = withBlk.groupBy("blk").agg(min("s").as("bmin"))
+      val blockBefore = exclusiveMin(
+        blockMins.select(col("blk").as("k"), col("bmin").as("s")), blockSize)
+        .select(col("k").as("blk"), col("min_before").as("blkBefore"))
+      val withinW = Window.partitionBy("blk").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withBlk
+        .withColumn("within", min("s").over(withinW))
+        .join(blockBefore, "blk")
+        .select(col("k"), least(col("within"), col("blkBefore")).as("min_before"))
+    }
+  }
 }

@@ -1636,6 +1636,21 @@ object DocumentQueries {
         .orderBy("lang", "id")
     }),
 
+    // Link prediction (round-12): common-neighbor / Jaccard-bp /
+    // resource-allocation-ppm scores for non-adjacent pairs of the q100
+    // SimHash document graph — one capped wedge join grouped to pairs,
+    // one anti-join; centers above degree 200 certify nothing and are
+    // excluded (Σ wedges ≤ m·cap, hub-proof).
+    "q201_link_prediction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val edges = Dedup.simhashPairs(toks, maxHamming = 3)
+        .select(col("x_id").as("a"), col("y_id").as("b"))
+      graft.operators.LinkPrediction
+        .scores(edges, minCommon = 2, maxCenterDegree = 200)
+        .orderBy("x", "y")
+    }),
+
     // Leakage-safe split (round-11): the 80/10/10 split keyed on q19's
     // MinHash dup-cluster representative, so near-duplicate documents
     // can never straddle train and test — co-membership is a theorem
@@ -4052,6 +4067,49 @@ object DocumentQueries {
         |FROM r LEFT JOIN tau ON tau.lang = r.lang
         |WHERE r.rn <= 20
         |ORDER BY r.lang, r.id""".stripMargin,
+
+    // q100 pair replay → symmetric adjacency → capped wedge join →
+    // pair-grouped counts with per-wedge ⌊10⁶/deg⌋ RA weights → anti-join
+    // on existing edges; full-graph degrees feed the Jaccard denominator
+    "q201_link_prediction" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS m FROM tok),
+        |sgn AS (
+        |  SELECT doc_id, r.p AS p,
+        |         sum(CASE WHEN ((instr('0123456789abcdef', substr(m, (r.p // 4) + 1, 1)) - 1)
+        |                        >> (r.p % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, range(0, 64) r(p)
+        |  GROUP BY doc_id, r.p),
+        |fp AS (
+        |  SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+        |  FROM sgn GROUP BY doc_id),
+        |und AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 3),
+        |sym AS (SELECT a AS z, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY z),
+        |ctr AS (SELECT s.z, s.v, deg.d FROM sym s JOIN deg USING (z) WHERE deg.d <= 200),
+        |w AS (
+        |  SELECT c1.v AS x, c2.v AS y, c1.d AS d
+        |  FROM ctr c1 JOIN ctr c2 ON c1.z = c2.z AND c1.v < c2.v),
+        |g AS (
+        |  SELECT x, y, CAST(count(*) AS BIGINT) AS n_common,
+        |         CAST(sum(1000000 // d) AS BIGINT) AS ra_ppm
+        |  FROM w GROUP BY x, y),
+        |nz AS (
+        |  SELECT g.* FROM g
+        |  WHERE n_common >= 2
+        |    AND NOT EXISTS (SELECT 1 FROM und WHERE und.a = g.x AND und.b = g.y))
+        |SELECT nz.x, nz.y, nz.n_common,
+        |       CAST((10000 * nz.n_common) // (dx.d + dy.d - nz.n_common) AS BIGINT)
+        |         AS jaccard_bp,
+        |       nz.ra_ppm
+        |FROM nz JOIN deg dx ON dx.z = nz.x JOIN deg dy ON dy.z = nz.y
+        |ORDER BY x, y""".stripMargin,
 
     // greedy k-center unrolled: seed = min id, 7 argmax rounds, distances
     // as index-order folds over the raw embeddings

@@ -327,6 +327,79 @@ object RelationalQueries {
           "user_id", "tus", "event_id", "event_type")
         .orderBy("state", "next")),
 
+    // Kaplan–Meier survival (round-12): per-cohort retention curves over
+    // user activity spans — duration = whole days between a user's first
+    // and last event, event flag = the user ever errored (else
+    // right-censored); grain-level suffix-sum risk sets, exact ppm
+    // step-floored product.
+    "q202_kaplan_meier" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 86400000000")
+            .as("t"),
+          max(when(col("event_type") === "error", 1).otherwise(0)).as("e"))
+        .select(pmod(col("user_id"), lit(3)).as("g"), col("t"), col("e"))
+      graft.operators.Survival.kaplanMeier(u, "g", "t", "e")
+        .orderBy("g", "t")
+    }),
+
+    // CUPED variance reduction (round-12): per-user pre-period activity
+    // (first half of the timeline) as covariate for the post-period
+    // metric, arms by user parity — pooled θ_ppm, per-arm adjusted means
+    // and the Var(ŷ)/Var(y) reduction in bp, all from two
+    // map-side-combinable moment aggregations.
+    "q203_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val u = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("us") <= col("mid"), 1L).otherwise(0L)).as("x"),
+          sum(when(col("us") > col("mid"), 1L).otherwise(0L)).as("y"))
+        .select(pmod(col("user_id"), lit(2)).cast("string").as("arm"),
+          col("x"), col("y"))
+      graft.operators.Cuped.adjust(u, "arm", "x", "y").orderBy("arm")
+    }),
+
+    // Gini decision stump (round-12): does event value predict purchase?
+    // Exact CART root-split scan — cent-quantized value grain, two
+    // block-recursive prefix sums, one truncating division per
+    // threshold; min(gini_ppm) is the trained stump.
+    "q204_gini_stump" -> ((s, dir) => {
+      val d = t(s, dir, "events").select(
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      graft.operators.GiniStump.splits(d, "x", "y").orderBy("v")
+    }),
+
+    // Mann–Whitney U (round-12): do click events carry different values
+    // than views? Exact tie-corrected rank-sum at doubled-rank scale —
+    // value-grain histogram, one block-recursive prefix sum, one
+    // single-row aggregate; CLES ppm is the A-beats-B AUC.
+    "q205_mann_whitney" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(
+          col("event_type").as("g"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      graft.operators.MannWhitney.uTest(d, "g", "v", "click", "view")
+    }),
+
+    // CUSUM change-point (round-12): daily event volume vs the series'
+    // own mean level — the sequential max(0, S+x−ref) recursion
+    // distributed as prefix-sum minus prefix-min, both block-recursive
+    // scans; alarm at h = ref/2 above tolerance.
+    "q206_cusum" -> ((s, dir) => {
+      val d = t(s, dir, "events").select(
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        lit(1L).as("one"))
+      graft.operators.ChangePoint
+        .cusumMeanRef(d, "day", "one", hNum = 1L, hDen = 2L)
+        .orderBy("t")
+    }),
+
     // AMS F2 sketch vs exact (round-12): 16 tug-of-war counters over
     // lineitem part keys — self-join size estimation from fixed-size
     // mergeable state, shipped next to the exact Σf² so the estimate's
@@ -951,6 +1024,143 @@ object RelationalQueries {
         |x AS (SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact
         |      FROM (SELECT count(*) AS n FROM k GROUP BY k))
         |SELECT e.s, ss // e.s AS f2_est, x.f2_exact FROM e, x""".stripMargin,
+
+    // KM replay: user spans → (g, t) grain → suffix-sum risk sets →
+    // the step-floored ppm product as a recursive CTE over step rank
+    "q202_kaplan_meier" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id % 3 AS g,
+        |         (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS t,
+        |         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+        |  FROM events GROUP BY user_id),
+        |grain AS (
+        |  SELECT g, t, CAST(sum(e) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS al
+        |  FROM u GROUP BY g, t),
+        |risk AS (
+        |  SELECT g, t, d,
+        |         CAST(sum(al) OVER (PARTITION BY g ORDER BY t DESC) AS BIGINT) AS n
+        |  FROM grain),
+        |steps AS (
+        |  SELECT g, t, n, d,
+        |         CAST(row_number() OVER (PARTITION BY g ORDER BY t) AS BIGINT) AS rn
+        |  FROM risk WHERE d > 0),
+        |rec AS (
+        |  SELECT g, t, n, d, rn, CAST((1000000 * (n - d)) // n AS BIGINT) AS s
+        |  FROM steps WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s2.g, s2.t, s2.n, s2.d, s2.rn,
+        |         CAST((rec.s * (s2.n - s2.d)) // s2.n AS BIGINT)
+        |  FROM rec JOIN steps s2 ON s2.g = rec.g AND s2.rn = rec.rn + 1)
+        |SELECT g, t, n AS n_risk, d AS n_events, s AS s_ppm
+        |FROM rec ORDER BY g, t""".stripMargin,
+
+    // stump replay: value grain, inclusive prefix sums (distinct keys so
+    // RANGE ties are moot), the 2·10⁶-scaled weighted-Gini identity
+    "q204_gini_stump" ->
+      """WITH d AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS x,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |grain AS (
+        |  SELECT x, CAST(count(*) AS HUGEINT) AS cnt,
+        |         CAST(sum(y) AS HUGEINT) AS pos
+        |  FROM d GROUP BY x),
+        |c AS (
+        |  SELECT x, sum(cnt) OVER (ORDER BY x) AS nl,
+        |         sum(pos) OVER (ORDER BY x) AS pl
+        |  FROM grain),
+        |t AS (SELECT sum(cnt) AS n, sum(pos) AS p FROM grain)
+        |SELECT x AS v, CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+        |       CAST((2000000 * (pl * (nl - pl) * (n - nl)
+        |                        + (p - pl) * ((n - nl) - (p - pl)) * nl))
+        |            // (nl * (n - nl) * n) AS BIGINT) AS gini_ppm
+        |FROM c, t WHERE nl < n ORDER BY v""".stripMargin,
+
+    // CUSUM replay: day grain, windows over the 30-row grain stand in
+    // for the engine's block-recursive scans; mean ref, h = ref // 2
+    "q206_cusum" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS k, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY k),
+        |st AS (SELECT sum(x) // count(*) AS ref,
+        |              (1 * (sum(x) // count(*))) // 2 AS h FROM g),
+        |p AS (SELECT k, x, sum(x - ref) OVER (ORDER BY k) AS p, h FROM g, st),
+        |m AS (
+        |  SELECT k, x, p, h,
+        |         min(p) OVER (ORDER BY k
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mb
+        |  FROM p)
+        |SELECT k AS t, x,
+        |       CAST(p - least(0, p, coalesce(mb, p)) AS BIGINT) AS cusum,
+        |       (p - least(0, p, coalesce(mb, p))) > h AS alarm
+        |FROM m ORDER BY t""".stripMargin,
+
+    // rank-sum replay: value grain, exclusive prefix counts, doubled
+    // midranks, tie-corrected variance at 12·n·(n−1) scale
+    "q205_mann_whitney" ->
+      """WITH d AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |grain AS (
+        |  SELECT v, CAST(count(*) AS HUGEINT) AS cnt,
+        |         CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS HUGEINT) AS ca
+        |  FROM d GROUP BY v),
+        |c AS (
+        |  SELECT v, cnt, ca,
+        |         coalesce(sum(cnt) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM grain),
+        |s AS (
+        |  SELECT sum(ca) AS na, sum(cnt) AS n,
+        |         sum(ca * (2 * before + cnt + 1)) AS r2a,
+        |         sum(cnt * cnt * cnt - cnt) AS ties
+        |  FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+        |       CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+        |       CAST(2 * na * (n - na) - (r2a - na * (na + 1)) AS BIGINT) AS u2_b,
+        |       CAST(CASE WHEN na = 0 OR n - na = 0 THEN 0
+        |            ELSE (1000000 * (r2a - na * (na + 1)))
+        |                 // (2 * na * (n - na)) END AS BIGINT) AS cles_ppm,
+        |       CAST(na * (n - na) * ((n + 1) * n * (n - 1) - ties)
+        |         AS DECIMAL(38,0)) AS var12s
+        |FROM s""".stripMargin,
+
+    // CUPED replay in HUGEINT: pooled θ, per-arm moment sums, single
+    // truncating divisions exactly as the engine floors them
+    "q203_cuped" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |u AS (
+        |  SELECT CAST(user_id % 2 AS VARCHAR) AS arm,
+        |         CAST(sum(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS HUGEINT) AS x,
+        |         CAST(sum(CASE WHEN us > mid THEN 1 ELSE 0 END) AS HUGEINT) AS y
+        |  FROM ev, mid GROUP BY user_id),
+        |g AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM u),
+        |a AS (
+        |  SELECT arm, CAST(count(*) AS HUGEINT) AS na, sum(x) AS sxa,
+        |         sum(y) AS sya, sum(x * x) AS sxxa, sum(x * y) AS sxya,
+        |         sum(y * y) AS syya
+        |  FROM u GROUP BY arm),
+        |th AS (
+        |  SELECT CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS HUGEINT)
+        |         ELSE (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+        |         END AS theta, n, sx
+        |  FROM g)
+        |SELECT a.arm, CAST(a.na AS BIGINT) AS n,
+        |       CAST(th.theta AS BIGINT) AS theta_ppm,
+        |       CAST((1000000 * sya) // na AS BIGINT) AS mean_y_ppm,
+        |       CAST((1000000 * sya) // na
+        |            - (th.theta * (th.n * sxa - na * th.sx)) // (na * th.n)
+        |         AS BIGINT) AS mean_ycup_ppm,
+        |       CAST(CASE WHEN na * syya - sya * sya = 0 THEN 0
+        |            ELSE (10000 * (2 * th.theta * (na * sxya - sxa * sya) * 1000000
+        |                           - th.theta * th.theta * (na * sxxa - sxa * sxa)))
+        |                 // ((na * syya - sya * sya) * 1000000000000)
+        |            END AS BIGINT) AS varred_bp
+        |FROM a, th ORDER BY arm""".stripMargin,
 
     "q197_interval_union" ->
       """WITH iv AS (

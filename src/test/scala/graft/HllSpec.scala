@@ -50,4 +50,25 @@ class HllSpec extends SparkSpec {
       assert(math.abs(est - n) / n < 0.26, s"n=$n est=$est")
     }
   }
+
+  test("intersection estimate: inclusion-exclusion recovers a known overlap") {
+    // A = [0, 6000), B = [4000, 10000): |A∩B| = 2000, |A∪B| = 10000
+    val a = (0 until 6000).map(i => s"k$i").toDF("v")
+    val b = (4000 until 10000).map(i => s"k$i").toDF("v")
+    val (ea, eb, eu, ei) = Hll.intersectionEstimate(
+      Hll.registers(a, "v", p = 10), Hll.registers(b, "v", p = 10), p = 10)
+    assert(math.abs(ea - 6000) / 6000 < 0.15, s"estA=$ea")
+    assert(math.abs(eb - 6000) / 6000 < 0.15, s"estB=$eb")
+    assert(math.abs(eu - 10000) / 10000 < 0.15, s"estU=$eu")
+    // intersection compounds three bands; 2000 ± generous margin
+    assert(ei > 800 && ei < 3200, s"estI=$ei")
+  }
+
+  test("disjoint sets intersect to (clamped) near zero") {
+    val a = (0 until 3000).map(i => s"a$i").toDF("v")
+    val b = (0 until 3000).map(i => s"b$i").toDF("v")
+    val (_, _, _, ei) = Hll.intersectionEstimate(
+      Hll.registers(a, "v", p = 10), Hll.registers(b, "v", p = 10), p = 10)
+    assert(ei >= 0.0 && ei < 600.0, s"estI=$ei")
+  }
 }
