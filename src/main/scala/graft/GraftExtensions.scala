@@ -1112,6 +1112,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cusum(table, bucketCol, valueCol, ref, h) - one-sided CUSUM change-point statistic per bucket via distributed prefix scans: (t, x, cusum, alarm).",
         ""),
       exprs => GraftExtensions.cusumPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("trimmed_mean"),
+      new ExpressionInfo(
+        classOf[graft.operators.RobustMean.type].getName,
+        null,
+        "trimmed_mean",
+        "trimmed_mean(table, groupCol, valueCol, trimBp) - exact trimmed/winsorized/plain means per group in ppm: (g, n, cut, trimmed_mean_ppm, winsor_mean_ppm, mean_ppm).",
+        ""),
+      exprs => GraftExtensions.trimmedMeanPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("ams_join_size"),
+      new ExpressionInfo(
+        classOf[graft.operators.AmsSketch.type].getName,
+        null,
+        "ams_join_size",
+        "ams_join_size(tableA, keyA, tableB, keyB, s) - AGMS equi-join size estimate from two tug-of-war sketches: (s, join_size_est).",
+        ""),
+      exprs => GraftExtensions.amsJoinSizePlan(exprs)))
     ()
   }
 }
@@ -3141,6 +3159,40 @@ object GraftExtensions {
         strArg(n, exprs(2), "valueCol"),
         longArg(n, exprs(3), "ref"),
         longArg(n, exprs(4), "h"))
+      .queryExecution.logical
+  }
+
+  private[graft] def trimmedMeanPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "trimmed_mean"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, groupCol, valueCol, trimBp), got ${exprs.length} arguments")
+    val bp = longArg(n, exprs(3), "trimBp")
+    require(bp >= 0 && bp < 5000, s"$n: trimBp must be in [0, 5000), got $bp")
+    graft.operators.RobustMean
+      .trimmed(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "groupCol"),
+        strArg(n, exprs(2), "valueCol"),
+        bp.toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def amsJoinSizePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "ams_join_size"
+    require(
+      exprs.length == 5,
+      s"$n expects (tableA, keyA, tableB, keyB, s), got ${exprs.length} arguments")
+    val s = longArg(n, exprs(4), "s")
+    require(s >= 1 && s <= 32, s"$n: s must be in [1, 32], got $s")
+    graft.operators.AmsSketch
+      .joinSizeEstimate(
+        graft.operators.AmsSketch.build(
+          SparkSession.active.table(strArg(n, exprs.head, "tableA")),
+          strArg(n, exprs(1), "keyA"), s.toInt),
+        graft.operators.AmsSketch.build(
+          SparkSession.active.table(strArg(n, exprs(2), "tableB")),
+          strArg(n, exprs(3), "keyB"), s.toInt))
       .queryExecution.logical
   }
 

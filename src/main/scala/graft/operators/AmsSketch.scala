@@ -55,4 +55,20 @@ object AmsSketch {
         count(lit(1)).as("s"),
         sum(col("counter") * col("counter")).as("__ss"))
       .select(col("s"), expr("__ss div s").as("f2_est"))
+
+  /** EQUI-JOIN SIZE estimate from two sketches over the same key domain:
+    * |A ⋈ B| = Σ_k fA(k)·fB(k) and E[C_r(A)·C_r(B)] equals exactly that
+    * inner product (the AGMS join-size estimator, Alon–Gibbons–Matias–
+    * Szegedy 1999) — the number a planner wants BEFORE choosing
+    * broadcast vs shuffle vs skew-salt, from two s-row relations and no
+    * key-grain shuffle. Estimate: ⌊Σ_r C_r(A)·C_r(B) / s⌋, exact integer
+    * given the counters; can be negative on tiny inputs (an unbiased
+    * estimator's tail), which itself signals "too small to matter".
+    * Sketches must share `s` (same r domain — enforced by the join).
+    */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("r"), col("counter").as("ca"))
+      .join(b.select(col("r"), col("counter").as("cb")), "r")
+      .agg(count(lit(1)).as("s"), sum(col("ca") * col("cb")).as("__ip"))
+      .select(col("s"), expr("__ip div s").as("join_size_est"))
 }

@@ -413,6 +413,35 @@ object RelationalQueries {
       est.crossJoin(exact)
     }),
 
+    // AGMS join-size estimation (round-12): how many click×purchase
+    // attribution pairs WOULD a per-user join produce? Two 32-counter
+    // tug-of-war sketches, inner product — the planner's
+    // broadcast-vs-salt number from s-row state, shipped next to the
+    // exact Σ clicks(u)·purchases(u).
+    "q207_join_size" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_type") === "click").select(col("user_id"))
+      val b = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      val est = graft.operators.AmsSketch.joinSizeEstimate(
+        graft.operators.AmsSketch.build(a, "user_id", 32),
+        graft.operators.AmsSketch.build(b, "user_id", 32))
+      val exact = a.groupBy("user_id").agg(count(lit(1)).as("na"))
+        .join(b.groupBy("user_id").agg(count(lit(1)).as("nb")), "user_id")
+        .agg(coalesce(sum(expr("na * nb")), lit(0L)).cast("long").as("exact_size"))
+      est.crossJoin(exact)
+    }),
+
+    // Robust means (round-12): trimmed vs winsorized vs plain mean of
+    // event value cents per type at 10% per tail — value-grain rank
+    // arithmetic, per-group windows, everything floored in ppm; the
+    // three-way spread is the tail-weight diagnostic.
+    "q208_robust_mean" -> ((s, dir) => {
+      val d = t(s, dir, "events").select(
+        col("event_type").as("g"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      graft.operators.RobustMean.trimmed(d, "g", "v", trimBp = 1000).orderBy("g")
+    }),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -1024,6 +1053,66 @@ object RelationalQueries {
         |x AS (SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact
         |      FROM (SELECT count(*) AS n FROM k GROUP BY k))
         |SELECT e.s, ss // e.s AS f2_est, x.f2_exact FROM e, x""".stripMargin,
+
+    // AGMS replay: the q200 sign family on both relations, counters
+    // joined on r, inner product // s; exact from the per-user grain
+    "q207_join_size" ->
+      """WITH ka AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        |            WHERE event_type = 'click'),
+        |kb AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        |       WHERE event_type = 'purchase'),
+        |ca AS (
+        |  SELECT r, CAST(sum(CASE WHEN substr(md5(k), CAST(r + 1 AS INT), 1)
+        |                          IN ('0','1','2','3','4','5','6','7')
+        |                     THEN 1 ELSE -1 END) AS BIGINT) AS ca
+        |  FROM ka, range(0, 32) t(r) GROUP BY r),
+        |cb AS (
+        |  SELECT r, CAST(sum(CASE WHEN substr(md5(k), CAST(r + 1 AS INT), 1)
+        |                          IN ('0','1','2','3','4','5','6','7')
+        |                     THEN 1 ELSE -1 END) AS BIGINT) AS cb
+        |  FROM kb, range(0, 32) t(r) GROUP BY r),
+        |e AS (SELECT CAST(count(*) AS BIGINT) AS s,
+        |             CAST(sum(ca.ca * cb.cb) AS BIGINT) AS ip
+        |      FROM ca JOIN cb USING (r)),
+        |x AS (
+        |  SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_size
+        |  FROM (SELECT k, count(*) AS na FROM ka GROUP BY k) a
+        |  JOIN (SELECT k, count(*) AS nb FROM kb GROUP BY k) b USING (k))
+        |SELECT e.s, ip // e.s AS join_size_est, x.exact_size FROM e, x""".stripMargin,
+
+    // robust-mean replay: per-group value grain, survivor-count identity
+    // greatest(0, least(cum, n−c) − greatest(before, c)), boundary
+    // clamps, ppm floors
+    "q208_robust_mean" ->
+      """WITH d AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |grain AS (SELECT g, v, CAST(count(*) AS HUGEINT) AS cnt
+        |          FROM d GROUP BY g, v),
+        |pre AS (
+        |  SELECT g, v, cnt,
+        |         sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum
+        |  FROM grain),
+        |pre2 AS (SELECT g, v, cnt, cum, cum - cnt AS before FROM pre),
+        |tot AS (SELECT g, max(cum) AS n, (max(cum) * 1000) // 10000 AS cut
+        |        FROM pre2 GROUP BY g),
+        |agg AS (
+        |  SELECT p.g, max(t.n) AS n, max(t.cut) AS cut,
+        |         sum(v * greatest(0, least(cum, t.n - t.cut)
+        |                             - greatest(before, t.cut))) AS tsum,
+        |         sum(v * cnt) AS fsum,
+        |         min(CASE WHEN cum > t.cut THEN v END) AS lo,
+        |         max(CASE WHEN before < t.n - t.cut THEN v END) AS hi
+        |  FROM pre2 p JOIN tot t USING (g) GROUP BY p.g)
+        |SELECT g, CAST(n AS BIGINT) AS n, CAST(cut AS BIGINT) AS cut,
+        |       CAST(CASE WHEN n - 2 * cut <= 0 THEN 0
+        |            ELSE (1000000 * tsum) // (n - 2 * cut) END AS BIGINT)
+        |         AS trimmed_mean_ppm,
+        |       CAST(CASE WHEN n - 2 * cut <= 0 THEN 0
+        |            ELSE (1000000 * (tsum + cut * (lo + hi))) // n END AS BIGINT)
+        |         AS winsor_mean_ppm,
+        |       CAST((1000000 * fsum) // n AS BIGINT) AS mean_ppm
+        |FROM agg ORDER BY g""".stripMargin,
 
     // KM replay: user spans → (g, t) grain → suffix-sum risk sets →
     // the step-floored ppm product as a recursive CTE over step rank

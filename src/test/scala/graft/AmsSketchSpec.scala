@@ -52,6 +52,26 @@ class AmsSketchSpec extends SparkSpec {
     assert(AmsSketch.f2Estimate(sk).as[(Long, Long)].head() == ((4L, 0L)))
   }
 
+  test("join-size estimate: inner product recovers a known equi-join size") {
+    // A: key i × (i+1); B: key i × 2 for even i → |A ⋈ B| = Σ_even 2(i+1)
+    val a = rows
+    val b = (0 until 20 by 2).flatMap(i => Seq.fill(2)(s"k$i")).toDF("k")
+    val trueSize = (0 until 20 by 2).map(i => 2L * (i + 1)).sum
+    val est = AmsSketch.joinSizeEstimate(
+      AmsSketch.build(a, "k", 32), AmsSketch.build(b, "k", 32))
+      .as[(Long, Long)].head()
+    assert(est._1 == 32L)
+    val ratio = est._2.toDouble / trueSize
+    assert(ratio > 0.2 && ratio < 3.0, s"join size est off: ${est._2} vs $trueSize")
+  }
+
+  test("join-size estimate of a relation with itself is the F2 estimate") {
+    val sk = AmsSketch.build(rows, "k", 16)
+    val self = AmsSketch.joinSizeEstimate(sk, sk).as[(Long, Long)].head()._2
+    val f2 = AmsSketch.f2Estimate(sk).as[(Long, Long)].head()._2
+    assert(self == f2)
+  }
+
   test("ams_f2 TVF round-trips the Scala path") {
     rows.createOrReplaceTempView("ams_rows")
     val tvf = spark.sql("SELECT * FROM ams_f2('ams_rows', 'k', 16)")
