@@ -1130,6 +1130,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "ams_join_size(tableA, keyA, tableB, keyB, s) - AGMS equi-join size estimate from two tug-of-war sketches: (s, join_size_est).",
         ""),
       exprs => GraftExtensions.amsJoinSizePlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("seq_patterns"),
+      new ExpressionInfo(
+        classOf[graft.operators.SeqPatterns.type].getName,
+        null,
+        "seq_patterns",
+        "seq_patterns(table, keyCol, tsCol, tiebreakCol, stateCol, minSupport) - sequential trigram mining with Markov-surprise: (a, b, c, n, users, surprise_bp).",
+        ""),
+      exprs => GraftExtensions.seqPatternsPlan(exprs)))
     ()
   }
 }
@@ -3193,6 +3202,24 @@ object GraftExtensions {
         graft.operators.AmsSketch.build(
           SparkSession.active.table(strArg(n, exprs(2), "tableB")),
           strArg(n, exprs(3), "keyB"), s.toInt))
+      .queryExecution.logical
+  }
+
+  private[graft] def seqPatternsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "seq_patterns"
+    require(
+      exprs.length == 6,
+      s"$n expects (table, keyCol, tsCol, tiebreakCol, stateCol, minSupport), got ${exprs.length} arguments")
+    val sup = longArg(n, exprs(5), "minSupport")
+    require(sup >= 1, s"$n: minSupport must be >= 1, got $sup")
+    graft.operators.SeqPatterns
+      .trigramSurprise(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "keyCol"),
+        strArg(n, exprs(2), "tsCol"),
+        strArg(n, exprs(3), "tiebreakCol"),
+        strArg(n, exprs(4), "stateCol"),
+        sup)
       .queryExecution.logical
   }
 

@@ -442,6 +442,17 @@ object RelationalQueries {
       graft.operators.RobustMean.trimmed(d, "g", "v", trimBp = 1000).orderBy("g")
     }),
 
+    // Sequential trigram mining (round-12): three-step behavior patterns
+    // vs the q198 first-order chain — surprise_bp = 10⁴·n_abc·n_b· /
+    // (n_ab·n_bc), 10000 = chain-predicted; support counts distinct
+    // users; alphabet-bounded relations after one keyed lag window.
+    "q209_seq_patterns" -> ((s, dir) =>
+      graft.operators.SeqPatterns
+        .trigramSurprise(
+          t(s, dir, "events").withColumn("tus", unix_micros(col("ts"))),
+          "user_id", "tus", "event_id", "event_type", minSupport = 3L)
+        .orderBy("a", "b", "c")),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -1113,6 +1124,37 @@ object RelationalQueries {
         |         AS winsor_mean_ppm,
         |       CAST((1000000 * fsum) // n AS BIGINT) AS mean_ppm
         |FROM agg ORDER BY g""".stripMargin,
+
+    // trigram replay: keyed lead windows, pair/out-degree counts, the
+    // 10⁴-scaled Markov-ratio in HUGEINT floored to BIGINT
+    "q209_seq_patterns" ->
+      """WITH ev AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tb,
+        |         event_type AS a
+        |  FROM events),
+        |base AS (
+        |  SELECT k, a,
+        |         lead(a, 1) OVER (PARTITION BY k ORDER BY t, tb) AS b,
+        |         lead(a, 2) OVER (PARTITION BY k ORDER BY t, tb) AS c
+        |  FROM ev),
+        |pairs AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM base WHERE b IS NOT NULL GROUP BY a, b),
+        |outof AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_out
+        |          FROM pairs GROUP BY a),
+        |tris AS (
+        |  SELECT a, b, c, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT k) AS BIGINT) AS users
+        |  FROM base WHERE c IS NOT NULL GROUP BY a, b, c)
+        |SELECT t.a, t.b, t.c, t.n, t.users,
+        |       CAST((10000 * t.n::HUGEINT * o.n_out)
+        |            // (p1.n_ab::HUGEINT * p2.n_ab) AS BIGINT) AS surprise_bp
+        |FROM tris t
+        |JOIN pairs p1 ON p1.a = t.a AND p1.b = t.b
+        |JOIN pairs p2 ON p2.a = t.b AND p2.b = t.c
+        |JOIN outof o ON o.a = t.b
+        |WHERE t.users >= 3
+        |ORDER BY t.a, t.b, t.c""".stripMargin,
 
     // KM replay: user spans → (g, t) grain → suffix-sum risk sets →
     // the step-floored ppm product as a recursive CTE over step rank
