@@ -1139,6 +1139,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "seq_patterns(table, keyCol, tsCol, tiebreakCol, stateCol, minSupport) - sequential trigram mining with Markov-surprise: (a, b, c, n, users, surprise_bp).",
         ""),
       exprs => GraftExtensions.seqPatternsPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("weighted_quantiles"),
+      new ExpressionInfo(
+        classOf[graft.operators.Quantiles.type].getName,
+        null,
+        "weighted_quantiles",
+        "weighted_quantiles(table, groupCol, valueCol, weightCol) - exact weighted p25/p50/p75/p95 per group from the weight-summed value grain: (group, w_total, p25, p50, p75, p95).",
+        ""),
+      exprs => GraftExtensions.weightedQuantilesPlan(exprs)))
     ()
   }
 }
@@ -3220,6 +3229,21 @@ object GraftExtensions {
         strArg(n, exprs(3), "tiebreakCol"),
         strArg(n, exprs(4), "stateCol"),
         sup)
+      .queryExecution.logical
+  }
+
+  private[graft] def weightedQuantilesPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "weighted_quantiles"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, groupCol, valueCol, weightCol), got ${exprs.length} arguments")
+    graft.operators.Quantiles
+      .weighted(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "groupCol"),
+        strArg(n, exprs(2), "valueCol"),
+        strArg(n, exprs(3), "weightCol"),
+        Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L), ("p95", 19L, 20L)))
       .queryExecution.logical
   }
 

@@ -53,6 +53,54 @@ object Quantiles {
       .agg(first(col("__n")).as("n"), aggs: _*)
   }
 
+  /** WEIGHTED exact quantiles — the revenue-weighted median and friends:
+    * each row carries a non-negative integer weight and the q-quantile is
+    * the smallest value v whose cumulative weight reaches ⌈q·W⌉ (the
+    * weighted percentile_disc). Same histogram-first shape as
+    * [[exactQuantiles]] (weights SUM into the value grain, so the window
+    * still runs over ≤ |domain| rows per group), same exact integer rank
+    * threshold with q as num/den. Negative weights are rejected by name;
+    * zero-weight values can never be selected (they leave the cumulative
+    * weight unmoved).
+    *
+    * Output: (group, w_total, q_<name> per requested quantile).
+    */
+  def weighted(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      qs: Seq[(String, Long, Long)]): DataFrame = {
+    require(qs.nonEmpty, "weighted: need at least one quantile")
+    qs.foreach { case (n, num, den) =>
+      require(num > 0 && den > 0 && num <= den, s"weighted: bad quantile $n=$num/$den")
+    }
+    val hist = df
+      .select(
+        col(groupCol),
+        col(valueCol).as("__v"),
+        when(col(weightCol).cast("long") < 0,
+          raise_error(concat(
+            lit("Quantiles.weighted: weights must be >= 0, got "),
+            col(weightCol).cast("string"))).cast("long"))
+          .otherwise(col(weightCol).cast("long")).as("__w0"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(sum("__w0").as("__c"))
+    val w = Window.partitionBy(groupCol).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val ranked = hist
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(wAll))
+    val aggs = qs.map { case (name, num, den) =>
+      min(when(col("__cum") >= expr(s"(${num}L * __n + ${den}L - 1L) div ${den}L"), col("__v")))
+        .as(name)
+    }
+    ranked
+      .groupBy(groupCol)
+      .agg(first(col("__n")).as("w_total"), aggs: _*)
+  }
+
   /** Per-group PERCENTILE RANKS of every distinct value — quantile
     * normalization, the cross-source score alignment trick (a "0.82
     * quality" from one scorer and a "6.1" from another only compare

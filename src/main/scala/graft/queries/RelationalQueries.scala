@@ -453,6 +453,20 @@ object RelationalQueries {
           "user_id", "tus", "event_id", "event_type", minSupport = 3L)
         .orderBy("a", "b", "c")),
 
+    // Weighted exact quantiles (round-12): quantity-weighted price
+    // percentiles per return flag — weights sum into the value grain so
+    // the rank read-off still touches only the histogram; ⌈q·W⌉
+    // thresholds in exact integer num/den arithmetic.
+    "q210_weighted_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+      graft.operators.Quantiles.weighted(li, "g", "v", "w",
+          Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L), ("p95", 19L, 20L)))
+        .orderBy("g")
+    }),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -1155,6 +1169,26 @@ object RelationalQueries {
         |JOIN outof o ON o.a = t.b
         |WHERE t.users >= 3
         |ORDER BY t.a, t.b, t.c""".stripMargin,
+
+    // weighted-quantile replay: weight-summed value grain, per-group
+    // cumulative weights, ⌈q·W⌉ = (num·W + den − 1) // den thresholds
+    "q210_weighted_quantiles" ->
+      """WITH d AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |         CAST(round(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem),
+        |h AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS c FROM d GROUP BY g, v),
+        |r AS (
+        |  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY g) AS n
+        |  FROM h)
+        |SELECT g, CAST(max(n) AS BIGINT) AS w_total,
+        |       CAST(min(CASE WHEN cum >= (1 * n + 3) // 4 THEN v END) AS BIGINT) AS p25,
+        |       CAST(min(CASE WHEN cum >= (1 * n + 1) // 2 THEN v END) AS BIGINT) AS p50,
+        |       CAST(min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS BIGINT) AS p75,
+        |       CAST(min(CASE WHEN cum >= (19 * n + 19) // 20 THEN v END) AS BIGINT) AS p95
+        |FROM r GROUP BY g ORDER BY g""".stripMargin,
 
     // KM replay: user spans → (g, t) grain → suffix-sum risk sets →
     // the step-floored ppm product as a recursive CTE over step rank

@@ -34,6 +34,41 @@ class QuantilesSpec extends SparkSpec {
     assert(got("b") == ((1L, 1000L, 1000L)))
   }
 
+  test("weighted quantiles equal the expanded-multiset definition") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 800).map(i =>
+      (s"g${i % 2}", (rnd.nextInt(25) + 1).toLong, rnd.nextInt(5).toLong))
+    val df = rows.toDF("g", "v", "w")
+    val got = Quantiles
+      .weighted(df, "g", "v", "w", Seq(("p50", 1L, 2L), ("p90", 9L, 10L)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      // expand each row to w copies: weighted disc == plain disc on the expansion
+      val expanded = grp.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+      val n = expanded.length
+      def disc(num: Long, den: Long): Long = expanded(((num * n + den - 1) / den - 1).toInt)
+      assert(got(g) == ((n.toLong, disc(1, 2), disc(9, 10))), g)
+    }
+  }
+
+  test("unit weights reduce weighted to plain quantiles; negative weights fail by name") {
+    val rows = (1 to 300).map(i => (s"g${i % 2}", ((i * 7) % 31).toLong))
+    val df = rows.toDF("g", "v")
+    val plain = Quantiles.exactQuantiles(df, "g", "v", Seq(("p50", 1L, 2L)))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val wted = Quantiles.weighted(df.withColumn("w", lit(1L)), "g", "v", "w",
+        Seq(("p50", 1L, 2L)))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(plain == wted)
+    val neg = Seq(("a", 1L, -2L)).toDF("g", "v", "w")
+    val ex = intercept[Exception] {
+      Quantiles.weighted(neg, "g", "v", "w", Seq(("p50", 1L, 2L))).collect()
+    }
+    assert(ex.getMessage.contains("weights must be >= 0")
+      || ex.getCause != null && ex.getCause.getMessage.contains("weights must be >= 0"))
+  }
+
   test("the data-sized aggregation is partial (histogram shape, no row-level window)") {
     val df = Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("g", "v")
     val plan = Quantiles.exactQuantiles(df, "g", "v", Seq(("p50", 1L, 2L)))
