@@ -386,6 +386,21 @@ object StreamingQueries {
     // metrics in exact basis points + the cross-batch metric a single
     // batch cannot know (cumulative key uniqueness via first-seen keyed
     // state) — the Deequ metrics-repository shape on ingest.
+    // Streaming CUSUM (round-12): the q206 level-shift statistic as an
+    // ingest monitor — per-day counts fold into keyed state over 4
+    // seq-range micro-batches, ref self-calibrates from batch 0, and
+    // every batch reports the alarm frontier over the days seen so far.
+    "q211_stream_cusum" -> ((s, dir) => {
+      val ch = t(s, dir, "events").select(
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("tus"),
+        lit(1L).as("one"))
+      graft.streaming.StreamingCusum.run(
+          ch, "day", "tus", "one",
+          refNum = 1L, refDen = 1L, hNum = 1L, hDen = 2L, chunks = 4)
+        .orderBy("batch", "t")
+    }),
+
     "q178_stream_constraints" -> ((s, dir) => {
       val ch = t(s, dir, "events").select(
         col("user_id"),
@@ -506,6 +521,42 @@ object StreamingQueries {
 
     // chunking replayed from the seq-range formula; cumulative distinct
     // = first-seen batch per key
+    // chunk replay by seq range, batch-0 calibration, per-batch as-of
+    // snapshots, the prefix-sum-minus-prefix-min CUSUM identity
+    "q211_stream_cusum" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS bucket, epoch_us(ts) AS tus
+        |  FROM events),
+        |bnd AS (SELECT min(tus) AS lo, max(tus) AS hi FROM e),
+        |c AS (
+        |  SELECT bucket,
+        |         CAST(least((tus - bnd.lo) // ((bnd.hi - bnd.lo) // 4 + 1), 3)
+        |           AS INT) AS batch
+        |  FROM e, bnd),
+        |d AS (SELECT batch, bucket, CAST(count(*) AS BIGINT) AS dx
+        |      FROM c GROUP BY batch, bucket),
+        |hh AS (
+        |  SELECT (1 * sum(dx)) // (1 * count(DISTINCT bucket)) AS ref,
+        |         ((1 * sum(dx)) // (1 * count(DISTINCT bucket))) // 2 AS h
+        |  FROM d WHERE batch = 0),
+        |bs AS (SELECT DISTINCT batch AS b FROM d),
+        |snap AS (
+        |  SELECT bs.b, d.bucket, CAST(sum(dx) AS BIGINT) AS x
+        |  FROM d JOIN bs ON d.batch <= bs.b GROUP BY bs.b, d.bucket),
+        |p AS (
+        |  SELECT b, bucket, x,
+        |         sum(x - ref) OVER (PARTITION BY b ORDER BY bucket) AS p, h
+        |  FROM snap, hh),
+        |m AS (
+        |  SELECT b, bucket, x, p, h,
+        |         min(p) OVER (PARTITION BY b ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mb
+        |  FROM p)
+        |SELECT b AS batch, bucket AS t, x,
+        |       CAST(p - least(0, p, coalesce(mb, p)) AS BIGINT) AS cusum,
+        |       (p - least(0, p, coalesce(mb, p))) > h AS alarm
+        |FROM m ORDER BY batch, t""".stripMargin,
+
     "q178_stream_constraints" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS tus, event_type,
