@@ -1148,6 +1148,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "weighted_quantiles(table, groupCol, valueCol, weightCol) - exact weighted p25/p50/p75/p95 per group from the weight-summed value grain: (group, w_total, p25, p50, p75, p95).",
         ""),
       exprs => GraftExtensions.weightedQuantilesPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("target_encode_loo"),
+      new ExpressionInfo(
+        classOf[graft.operators.TargetEncoding.type].getName,
+        null,
+        "target_encode_loo",
+        "target_encode_loo(table, idCol, categoryCol, labelCol) - leave-one-out target encoding in ppm with global-prior fallback: (id, category, y, enc_ppm).",
+        ""),
+      exprs => GraftExtensions.targetEncodeLooPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("negative_sample"),
+      new ExpressionInfo(
+        classOf[graft.operators.NegativeSampling.type].getName,
+        null,
+        "negative_sample",
+        "negative_sample(table, userCol, itemCol, numItems, k) - deterministic md5 hash-draw negatives per user from a dense item space: (user, item, draw).",
+        ""),
+      exprs => GraftExtensions.negativeSamplePlan(exprs)))
     ()
   }
 }
@@ -3244,6 +3262,38 @@ object GraftExtensions {
         strArg(n, exprs(2), "valueCol"),
         strArg(n, exprs(3), "weightCol"),
         Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L), ("p95", 19L, 20L)))
+      .queryExecution.logical
+  }
+
+  private[graft] def targetEncodeLooPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "target_encode_loo"
+    require(
+      exprs.length == 4,
+      s"$n expects (table, idCol, categoryCol, labelCol), got ${exprs.length} arguments")
+    graft.operators.TargetEncoding
+      .leaveOneOut(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "categoryCol"),
+        strArg(n, exprs(3), "labelCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def negativeSamplePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "negative_sample"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, userCol, itemCol, numItems, k), got ${exprs.length} arguments")
+    val numItems = longArg(n, exprs(3), "numItems")
+    val k = longArg(n, exprs(4), "k")
+    require(k >= 1 && k <= Int.MaxValue, s"$n: k must be a positive int, got $k")
+    graft.operators.NegativeSampling
+      .sample(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "userCol"),
+        strArg(n, exprs(2), "itemCol"),
+        numItems,
+        k.toInt)
       .queryExecution.logical
   }
 

@@ -1651,6 +1651,20 @@ object DocumentQueries {
         .orderBy("x", "y")
     }),
 
+    // Leave-one-out target encoding (round-12): P(lang = en | source)
+    // with each document excluded from its own estimate — the
+    // high-cardinality categorical feature without label leakage;
+    // singletons fall back to the global prior, exact ppm floors.
+    "q212_target_encoding" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+      graft.operators.TargetEncoding
+        .leaveOneOut(docs, "doc_id", "source", "is_en")
+        .orderBy("id")
+    }),
+
     // Leakage-safe split (round-11): the 80/10/10 split keyed on q19's
     // MinHash dup-cluster representative, so near-duplicate documents
     // can never straddle train and test — co-membership is a theorem
@@ -4067,6 +4081,24 @@ object DocumentQueries {
         |FROM r LEFT JOIN tau ON tau.lang = r.lang
         |WHERE r.rn <= 20
         |ORDER BY r.lang, r.id""".stripMargin,
+
+    // LOO replay: category stats join, (Σy − y)/(n−1) with the global
+    // prior for singletons, ppm floors
+    "q212_target_encoding" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, source AS category,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |st AS (SELECT category, CAST(count(*) AS BIGINT) AS n_cat,
+        |              CAST(sum(y) AS BIGINT) AS sum_cat
+        |       FROM d GROUP BY category),
+        |pr AS (SELECT (1000000 * sum(y)) // count(*) AS prior_ppm FROM d)
+        |SELECT d.id, d.category, CAST(d.y AS BIGINT) AS y,
+        |       CAST(CASE WHEN n_cat <= 1 THEN prior_ppm
+        |            ELSE (1000000 * (sum_cat - d.y)) // (n_cat - 1) END
+        |         AS BIGINT) AS enc_ppm
+        |FROM d JOIN st USING (category), pr
+        |ORDER BY id""".stripMargin,
 
     // q100 pair replay → symmetric adjacency → capped wedge join →
     // pair-grouped counts with per-wedge ⌊10⁶/deg⌋ RA weights → anti-join

@@ -467,6 +467,21 @@ object RelationalQueries {
         .orderBy("g")
     }),
 
+    // Negative sampling (round-12): 8 deterministic non-purchased parts
+    // per customer from the dense part space — md5 hash-draws off the
+    // distinct-user relation, one anti-join, k lowest surviving draw
+    // indices; the user×item complement never materializes.
+    "q213_negative_sampling" -> ((s, dir) => {
+      val inter = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), (col("l_partkey") + 1L).as("i"))
+      val nItems = t(s, dir, "part").count()
+      graft.operators.NegativeSampling
+        .sample(inter, "u", "i", numItems = nItems, k = 8, oversample = 4)
+        .orderBy("user", "draw")
+    }),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -1189,6 +1204,34 @@ object RelationalQueries {
         |       CAST(min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS BIGINT) AS p75,
         |       CAST(min(CASE WHEN cum >= (19 * n + 19) // 20 THEN v END) AS BIGINT) AS p95
         |FROM r GROUP BY g ORDER BY g""".stripMargin,
+
+    // negative-sampling replay: the q199 8-hex md5 uniform as hash-draws,
+    // NOT EXISTS anti-join, min-draw dedup, k lowest per user
+    "q213_negative_sampling" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey + 1 AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ni AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+        |users AS (SELECT DISTINCT u FROM inter),
+        |prop AS (
+        |  SELECT u, CAST(j AS BIGINT) AS draw,
+        |         (CAST(list_sum(list_transform(range(0, 8), x ->
+        |            CAST(instr('0123456789abcdef',
+        |                 substr(md5(CAST(u AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+        |                        CAST(x + 1 AS INT), 1)) - 1 AS BIGINT)
+        |            << CAST(4 * (7 - x) AS INT))) AS BIGINT) % ni.n) + 1 AS item
+        |  FROM users, range(0, 32) t(j), ni),
+        |neg AS (
+        |  SELECT u, item, CAST(min(draw) AS BIGINT) AS draw
+        |  FROM prop p
+        |  WHERE NOT EXISTS (SELECT 1 FROM inter
+        |                    WHERE inter.u = p.u AND inter.i = p.item)
+        |  GROUP BY u, item),
+        |r AS (SELECT u, item, draw,
+        |             row_number() OVER (PARTITION BY u ORDER BY draw) AS rk
+        |      FROM neg)
+        |SELECT u AS "user", item, draw FROM r WHERE rk <= 8
+        |ORDER BY "user", draw""".stripMargin,
 
     // KM replay: user spans → (g, t) grain → suffix-sum risk sets →
     // the step-floored ppm product as a recursive CTE over step rank
