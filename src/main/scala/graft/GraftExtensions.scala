@@ -1166,6 +1166,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "negative_sample(table, userCol, itemCol, numItems, k) - deterministic md5 hash-draw negatives per user from a dense item space: (user, item, draw).",
         ""),
       exprs => GraftExtensions.negativeSamplePlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("lorenz_gini"),
+      new ExpressionInfo(
+        classOf[graft.operators.Concentration.type].getName,
+        null,
+        "lorenz_gini",
+        "lorenz_gini(table, entityCol) - Lorenz concentration table + exact Gini over the count-of-counts histogram: (t, m, cum_entities, cum_weight, entity_share_bp, weight_share_bp, gini_ppm).",
+        ""),
+      exprs => GraftExtensions.lorenzGiniPlan(exprs)))
     ()
   }
 }
@@ -3294,6 +3303,18 @@ object GraftExtensions {
         strArg(n, exprs(2), "itemCol"),
         numItems,
         k.toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def lorenzGiniPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "lorenz_gini"
+    require(
+      exprs.length == 2,
+      s"$n expects (table, entityCol), got ${exprs.length} arguments")
+    graft.operators.Concentration
+      .lorenz(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "entityCol"))
       .queryExecution.logical
   }
 

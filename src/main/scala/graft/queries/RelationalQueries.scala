@@ -482,6 +482,15 @@ object RelationalQueries {
         .orderBy("user", "draw")
     }),
 
+    // Concentration / Lorenz-Gini (round-12): how unevenly is event
+    // volume spread over users — the 80/20 report off the
+    // count-of-counts histogram (no entity ranking anywhere), exact
+    // Gini in ppm repeated per Lorenz row.
+    "q214_concentration" -> ((s, dir) =>
+      graft.operators.Concentration
+        .lorenz(t(s, dir, "events").select(col("user_id").as("e")), "e")
+        .orderBy("t")),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -1232,6 +1241,35 @@ object RelationalQueries {
         |      FROM neg)
         |SELECT u AS "user", item, draw FROM r WHERE rk <= 8
         |ORDER BY "user", draw""".stripMargin,
+
+    // Lorenz replay: count-of-counts histogram, exclusive prefixes, the
+    // grouped-Gini identity S = Σ(2·m·w_before + t·m²)
+    "q214_concentration" ->
+      """WITH pe AS (SELECT user_id AS e, CAST(count(*) AS BIGINT) AS t
+        |            FROM events GROUP BY user_id),
+        |h AS (SELECT t, CAST(count(*) AS HUGEINT) AS m FROM pe GROUP BY t),
+        |p AS (
+        |  SELECT t, m,
+        |         coalesce(sum(m) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m_before,
+        |         coalesce(sum(t * m) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_before
+        |  FROM h),
+        |tt AS (SELECT sum(m) AS n, sum(t * m) AS bigw FROM h),
+        |g AS (
+        |  SELECT CAST(CASE WHEN n * bigw = 0 THEN 0
+        |         ELSE 1000000 - (1000000 * sum(2 * m * w_before + t * m * m))
+        |              // (n * bigw) END AS BIGINT) AS gini_ppm
+        |  FROM p, tt GROUP BY n, bigw)
+        |SELECT p.t, CAST(p.m AS BIGINT) AS m,
+        |       CAST(m_before + m AS BIGINT) AS cum_entities,
+        |       CAST(w_before + t * m AS DECIMAL(38,0)) AS cum_weight,
+        |       CAST((10000 * (m_before + m)) // n AS BIGINT) AS entity_share_bp,
+        |       CAST(CASE WHEN bigw = 0 THEN 0
+        |            ELSE (10000 * (w_before + t * m)) // bigw END AS BIGINT)
+        |         AS weight_share_bp,
+        |       g.gini_ppm
+        |FROM p, tt, g ORDER BY t""".stripMargin,
 
     // KM replay: user spans → (g, t) grain → suffix-sum risk sets →
     // the step-floored ppm product as a recursive CTE over step rank
