@@ -1175,6 +1175,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "lorenz_gini(table, entityCol) - Lorenz concentration table + exact Gini over the count-of-counts histogram: (t, m, cum_entities, cum_weight, entity_share_bp, weight_share_bp, gini_ppm).",
         ""),
       exprs => GraftExtensions.lorenzGiniPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("blocking_quality"),
+      new ExpressionInfo(
+        classOf[graft.operators.BlockingQuality.type].getName,
+        null,
+        "blocking_quality",
+        "blocking_quality(blocksTable, clustersTable, idCol, blockCol, clusterCol) - ER blocking report from size histograms: (n, truth_pairs, cand_pairs, coblocked_truth_pairs, completeness_bp, reduction_bp).",
+        ""),
+      exprs => GraftExtensions.blockingQualityPlan(exprs)))
     ()
   }
 }
@@ -3315,6 +3324,21 @@ object GraftExtensions {
       .lorenz(
         SparkSession.active.table(strArg(n, exprs.head, "table")),
         strArg(n, exprs(1), "entityCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def blockingQualityPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "blocking_quality"
+    require(
+      exprs.length == 5,
+      s"$n expects (blocksTable, clustersTable, idCol, blockCol, clusterCol), got ${exprs.length} arguments")
+    graft.operators.BlockingQuality
+      .report(
+        SparkSession.active.table(strArg(n, exprs.head, "blocksTable")),
+        SparkSession.active.table(strArg(n, exprs(1), "clustersTable")),
+        strArg(n, exprs(2), "idCol"),
+        strArg(n, exprs(3), "blockCol"),
+        strArg(n, exprs(4), "clusterCol"))
       .queryExecution.logical
   }
 

@@ -1665,6 +1665,21 @@ object DocumentQueries {
         .orderBy("id")
     }),
 
+    // Blocking-quality report (round-12): would 16-char prefix blocking
+    // be good enough for near-dup linkage? Pairs completeness against
+    // the q19 MinHash dup clusters + reduction ratio, all from size
+    // histograms — no candidate pair ever materializes.
+    "q215_blocking_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = graft.operators.Dedup.minhashDedup(
+        SimilarityJoin.tokenize(docs, "doc_id", "text"), tau = 0.8)
+      val blocks = docs.select(col("doc_id"), substring(col("text"), 1, 16).as("blk"))
+      graft.operators.BlockingQuality.report(
+        blocks,
+        clusters.select(col("sid").as("doc_id"), col("rep")),
+        "doc_id", "blk", "rep")
+    }),
+
     // Leakage-safe split (round-11): the 80/10/10 split keyed on q19's
     // MinHash dup-cluster representative, so near-duplicate documents
     // can never straddle train and test — co-membership is a theorem
@@ -4099,6 +4114,48 @@ object DocumentQueries {
         |         AS BIGINT) AS enc_ppm
         |FROM d JOIN st USING (category), pr
         |ORDER BY id""".stripMargin,
+
+    // blocking-quality replay: q19 cluster CTE, histogram pair sums
+    // Σ s(s−1)/2 for blocks / clusters / contingency cells
+    "q215_blocking_quality" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |edges AS (SELECT x AS a, y AS b FROM pairs UNION SELECT y, x FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cl AS (
+        |  SELECT d.doc_id AS id,
+        |         CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS VARCHAR) AS cl
+        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |  GROUP BY d.doc_id),
+        |blk AS (SELECT doc_id AS id, substr(text, 1, 16) AS blk FROM documents),
+        |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM blk),
+        |cp AS (SELECT CAST(coalesce(sum((s * (s - 1)) // 2), 0) AS HUGEINT) AS cand
+        |       FROM (SELECT CAST(count(*) AS HUGEINT) AS s FROM blk GROUP BY blk)),
+        |tp AS (SELECT CAST(coalesce(sum((s * (s - 1)) // 2), 0) AS HUGEINT) AS truth
+        |       FROM (SELECT CAST(count(*) AS HUGEINT) AS s FROM cl GROUP BY cl)),
+        |bp AS (SELECT CAST(coalesce(sum((s * (s - 1)) // 2), 0) AS HUGEINT) AS cob
+        |       FROM (SELECT CAST(count(*) AS HUGEINT) AS s
+        |             FROM blk JOIN cl USING (id) GROUP BY cl, blk))
+        |SELECT CAST(n AS BIGINT) AS n,
+        |       CAST(truth AS BIGINT) AS truth_pairs,
+        |       CAST(cand AS BIGINT) AS cand_pairs,
+        |       CAST(cob AS BIGINT) AS coblocked_truth_pairs,
+        |       CAST(CASE WHEN truth = 0 THEN 10000
+        |            ELSE (10000 * cob) // truth END AS BIGINT) AS completeness_bp,
+        |       CAST(CASE WHEN n < 2 THEN 10000
+        |            ELSE 10000 - (10000 * cand) // ((n * (n - 1)) // 2) END AS BIGINT)
+        |         AS reduction_bp
+        |FROM nn, cp, tp, bp""".stripMargin,
 
     // q100 pair replay → symmetric adjacency → capped wedge join →
     // pair-grouped counts with per-wedge ⌊10⁶/deg⌋ RA weights → anti-join
