@@ -51,6 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => graft.functions.LuhnCheck(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.NfcNormalize].getName,
+        null,
+        "nfc_normalize",
+        "nfc_normalize(str) - Unicode NFC canonical composition (UAX #15); no-op fast path for already-normalized input.",
+        ""),
+      exprs => graft.functions.NfcNormalize(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("intersect_size"),
       new ExpressionInfo(
         classOf[ArrayIntersectSize].getName,

@@ -1680,6 +1680,27 @@ object DocumentQueries {
         "doc_id", "blk", "rep")
     }),
 
+    // NFC normalization (round-12): the codegen'd nfc_normalize
+    // expression over document text salted with DECOMPOSED suffixes
+    // (e+U+0301 etc.) — the canonicalization every mixed-source corpus
+    // needs before dedup/tokenize; output proves composition (lengths
+    // shrink by exactly the combining marks) and is byte-oracled via
+    // DuckDB's UAX #15 implementation.
+    "q216_nfc_normalize" -> ((s, dir) => {
+      graft.functions.NfcNormalize.register(s)
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          concat(substring(col("text"), 1, 40),
+            lit(" cafe\u0301 A\u030angstro\u0308m")).as("raw"))
+        .selectExpr(
+          "doc_id",
+          "length(raw) AS n_raw",
+          "length(nfc_normalize(raw)) AS n_nfc",
+          "nfc_normalize(raw) AS norm")
+        .orderBy("doc_id")
+    }),
+
     // Leakage-safe split (round-11): the 80/10/10 split keyed on q19's
     // MinHash dup-cluster representative, so near-duplicate documents
     // can never straddle train and test — co-membership is a theorem
@@ -4114,6 +4135,19 @@ object DocumentQueries {
         |         AS BIGINT) AS enc_ppm
         |FROM d JOIN st USING (category), pr
         |ORDER BY id""".stripMargin,
+
+    // NFC replay via DuckDB's UAX #15 implementation — the decomposed
+    // suffix (chr escapes) composes identically in any conformant engine
+    "q216_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 40) || ' cafe' || chr(769) || ' A' || chr(778)
+        |           || 'ngstro' || chr(776) || 'm' AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS INT) AS n_raw,
+        |       CAST(length(nfc_normalize(raw)) AS INT) AS n_nfc,
+        |       nfc_normalize(raw) AS norm
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // blocking-quality replay: q19 cluster CTE, histogram pair sums
     // Σ s(s−1)/2 for blocks / clusters / contingency cells
