@@ -1193,6 +1193,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "blocking_quality(blocksTable, clustersTable, idCol, blockCol, clusterCol) - ER blocking report from size histograms: (n, truth_pairs, cand_pairs, coblocked_truth_pairs, completeness_bp, reduction_bp).",
         ""),
       exprs => GraftExtensions.blockingQualityPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("diff_in_diff"),
+      new ExpressionInfo(
+        classOf[graft.operators.DiffInDiff.type].getName,
+        null,
+        "diff_in_diff",
+        "diff_in_diff(table, armCol, periodCol, yCol, treatLabel, ctrlLabel, preLabel, postLabel) - difference-in-differences from the 2x2 cell means in exact ppm.",
+        ""),
+      exprs => GraftExtensions.diffInDiffPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("fano_burstiness"),
+      new ExpressionInfo(
+        classOf[graft.operators.Burstiness.type].getName,
+        null,
+        "fano_burstiness",
+        "fano_burstiness(table, keyCol, bucketCol) - Fano factor of per-bucket counts per key over the data's bucket domain: (k, n_events, n_active_buckets, fano_ppm).",
+        ""),
+      exprs => GraftExtensions.fanoBurstinessPlan(exprs)))
     ()
   }
 }
@@ -3348,6 +3366,37 @@ object GraftExtensions {
         strArg(n, exprs(2), "idCol"),
         strArg(n, exprs(3), "blockCol"),
         strArg(n, exprs(4), "clusterCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def diffInDiffPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "diff_in_diff"
+    require(
+      exprs.length == 8,
+      s"$n expects (table, armCol, periodCol, yCol, treatLabel, ctrlLabel, preLabel, postLabel), got ${exprs.length} arguments")
+    graft.operators.DiffInDiff
+      .estimate(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "armCol"),
+        strArg(n, exprs(2), "periodCol"),
+        strArg(n, exprs(3), "yCol"),
+        strArg(n, exprs(4), "treatLabel"),
+        strArg(n, exprs(5), "ctrlLabel"),
+        strArg(n, exprs(6), "preLabel"),
+        strArg(n, exprs(7), "postLabel"))
+      .queryExecution.logical
+  }
+
+  private[graft] def fanoBurstinessPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "fano_burstiness"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, keyCol, bucketCol), got ${exprs.length} arguments")
+    graft.operators.Burstiness
+      .fano(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "keyCol"),
+        strArg(n, exprs(2), "bucketCol"))
       .queryExecution.logical
   }
 

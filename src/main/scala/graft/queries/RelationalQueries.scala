@@ -491,6 +491,43 @@ object RelationalQueries {
         .lorenz(t(s, dir, "events").select(col("user_id").as("e")), "e")
         .orderBy("t")),
 
+    // Difference-in-differences (round-12): odd users "treated", halves
+    // of the timeline as pre/post, zero-filled (user, period) activity
+    // cells — the shared trend nets out of the four floored cell means;
+    // one aggregation to the 2×2 grid.
+    "q217_diff_in_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val cnt = ev.crossJoin(broadcast(mid))
+        .groupBy(
+          col("user_id"),
+          when(col("us") <= col("mid"), "pre").otherwise("post").as("period"))
+        .agg(count(lit(1)).as("y"))
+      val full = ev.select("user_id").distinct()
+        .select(col("user_id"),
+          explode(array(lit("pre"), lit("post"))).as("period"))
+        .join(cnt, Seq("user_id", "period"), "left")
+        .na.fill(0L, Seq("y"))
+        .select(
+          when(pmod(col("user_id"), lit(2)) === 1, "t").otherwise("c").as("arm"),
+          col("period"), col("y"))
+      graft.operators.DiffInDiff
+        .estimate(full, "arm", "period", "y", "t", "c", "pre", "post")
+    }),
+
+    // Burstiness (round-12): Fano factor of per-hour event counts per
+    // user over the data's full hour domain (empty hours count) — 10⁶ =
+    // Poisson, above = bursty; the payload-free automation fingerprint.
+    "q218_burstiness" -> ((s, dir) =>
+      graft.operators.Burstiness
+        .fano(
+          t(s, dir, "events").select(
+            col("user_id").as("k"),
+            expr("unix_micros(ts) div 3600000000").as("b")),
+          "k", "b")
+        .orderBy("k")),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -1270,6 +1307,64 @@ object RelationalQueries {
         |         AS weight_share_bp,
         |       g.gini_ppm
         |FROM p, tt, g ORDER BY t""".stripMargin,
+
+    // DiD replay: zero-filled 2×2 cells, ppm-floored means, the
+    // double difference
+    "q217_diff_in_diff" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |cnt AS (
+        |  SELECT user_id, CASE WHEN us <= mid THEN 'pre' ELSE 'post' END AS period,
+        |         count(*) AS y
+        |  FROM ev, mid GROUP BY 1, 2),
+        |users AS (SELECT DISTINCT user_id FROM ev),
+        |per AS (SELECT 'pre' AS period UNION ALL SELECT 'post'),
+        |full0 AS (
+        |  SELECT u.user_id, p.period, coalesce(y, 0) AS y
+        |  FROM users u CROSS JOIN per p
+        |  LEFT JOIN cnt ON cnt.user_id = u.user_id AND cnt.period = p.period),
+        |d AS (
+        |  SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS tr,
+        |         CASE WHEN period = 'pre' THEN 0 ELSE 1 END AS post,
+        |         CAST(y AS HUGEINT) AS y
+        |  FROM full0),
+        |cells AS (SELECT tr, post, CAST(count(*) AS HUGEINT) AS n, sum(y) AS s
+        |          FROM d GROUP BY tr, post),
+        |a AS (
+        |  SELECT
+        |    CAST(max(CASE WHEN tr = 1 AND post = 0 THEN n END) AS BIGINT) AS n_treat_pre,
+        |    CAST(max(CASE WHEN tr = 1 AND post = 1 THEN n END) AS BIGINT) AS n_treat_post,
+        |    CAST(max(CASE WHEN tr = 0 AND post = 0 THEN n END) AS BIGINT) AS n_ctrl_pre,
+        |    CAST(max(CASE WHEN tr = 0 AND post = 1 THEN n END) AS BIGINT) AS n_ctrl_post,
+        |    CAST(max(CASE WHEN tr = 1 AND post = 0 THEN (1000000 * s) // n END)
+        |      AS BIGINT) AS mean_treat_pre_ppm,
+        |    CAST(max(CASE WHEN tr = 1 AND post = 1 THEN (1000000 * s) // n END)
+        |      AS BIGINT) AS mean_treat_post_ppm,
+        |    CAST(max(CASE WHEN tr = 0 AND post = 0 THEN (1000000 * s) // n END)
+        |      AS BIGINT) AS mean_ctrl_pre_ppm,
+        |    CAST(max(CASE WHEN tr = 0 AND post = 1 THEN (1000000 * s) // n END)
+        |      AS BIGINT) AS mean_ctrl_post_ppm
+        |  FROM cells)
+        |SELECT a.*,
+        |       (mean_treat_post_ppm - mean_treat_pre_ppm)
+        |         - (mean_ctrl_post_ppm - mean_ctrl_pre_ppm) AS did_ppm
+        |FROM a""".stripMargin,
+
+    // Fano replay: (key, hour) grain, global hour domain, the
+    // (B·SS − S²)/(B·S) dispersion identity
+    "q218_burstiness" ->
+      """WITH d AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 3600000000 AS b FROM events),
+        |grain AS (SELECT k, b, CAST(count(*) AS HUGEINT) AS c
+        |          FROM d GROUP BY k, b),
+        |dom AS (SELECT CAST(max(b) - min(b) + 1 AS HUGEINT) AS bb FROM grain),
+        |per AS (
+        |  SELECT k, sum(c) AS s, sum(c * c) AS ss,
+        |         CAST(count(*) AS BIGINT) AS n_active_buckets
+        |  FROM grain GROUP BY k)
+        |SELECT k, CAST(s AS BIGINT) AS n_events, n_active_buckets,
+        |       CAST((1000000 * (bb * ss - s * s)) // (bb * s) AS BIGINT) AS fano_ppm
+        |FROM per, dom ORDER BY k""".stripMargin,
 
     // KM replay: user spans → (g, t) grain → suffix-sum risk sets →
     // the step-floored ppm product as a recursive CTE over step rank
