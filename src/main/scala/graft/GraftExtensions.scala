@@ -1211,6 +1211,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "fano_burstiness(table, keyCol, bucketCol) - Fano factor of per-bucket counts per key over the data's bucket domain: (k, n_events, n_active_buckets, fano_ppm).",
         ""),
       exprs => GraftExtensions.fanoBurstinessPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("hits_scores"),
+      new ExpressionInfo(
+        classOf[graft.operators.Hits.type].getName,
+        null,
+        "hits_scores",
+        "hits_scores(table, iters) - unrolled unnormalized HITS over directed edges (src, dst): (id, auth, hub) exact integer walk counts.",
+        ""),
+      exprs => GraftExtensions.hitsPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("assortativity"),
+      new ExpressionInfo(
+        classOf[graft.operators.GraphStats.type].getName,
+        null,
+        "assortativity",
+        "assortativity(table) - whole-graph stats over undirected edges (a, b): (n_nodes, n_edges, max_degree, sum_d2, assortativity_ppm).",
+        ""),
+      exprs => GraftExtensions.assortativityPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("edge_support"),
+      new ExpressionInfo(
+        classOf[graft.operators.Triangles.type].getName,
+        null,
+        "edge_support",
+        "edge_support(table) - per-edge triangle support (k-truss building block) over undirected edges (a, b): (a, b, support).",
+        ""),
+      exprs => GraftExtensions.edgeSupportPlan(exprs)))
     ()
   }
 }
@@ -3397,6 +3424,34 @@ object GraftExtensions {
         SparkSession.active.table(strArg(n, exprs.head, "table")),
         strArg(n, exprs(1), "keyCol"),
         strArg(n, exprs(2), "bucketCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def hitsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "hits_scores"
+    require(
+      exprs.length == 2,
+      s"$n expects (table, iters), got ${exprs.length} arguments")
+    val iters = longArg(n, exprs(1), "iters")
+    require(iters >= 1 && iters <= 4, s"$n: iters must be in [1, 4], got $iters")
+    graft.operators.Hits
+      .scores(SparkSession.active.table(strArg(n, exprs.head, "table")), iters.toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def assortativityPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "assortativity"
+    require(exprs.length == 1, s"$n expects (table), got ${exprs.length} arguments")
+    graft.operators.GraphStats
+      .assortativity(SparkSession.active.table(strArg(n, exprs.head, "table")))
+      .queryExecution.logical
+  }
+
+  private[graft] def edgeSupportPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "edge_support"
+    require(exprs.length == 1, s"$n expects (table), got ${exprs.length} arguments")
+    graft.operators.Triangles
+      .edgeSupport(SparkSession.active.table(strArg(n, exprs.head, "table")))
       .queryExecution.logical
   }
 

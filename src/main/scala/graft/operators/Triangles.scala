@@ -83,4 +83,28 @@ object Triangles {
         when(col("degree") < 2, lit(0L))
           .otherwise(expr("(10000 * 2 * n_triangles) div (degree * (degree - 1))")))
   }
+
+  /** Per-EDGE triangle support — how many triangles contain each edge,
+    * the k-truss building block (an edge in a k-truss sits in ≥ k−2
+    * triangles) and the tie-strength signal (embedded edges are strong
+    * ties; support-0 edges are bridges). Rides [[enumerate]]'s
+    * degree-oriented O(m^1.5) pass: each triangle explodes into its 3
+    * edges, one grouped count, one left join back so bridges report 0.
+    * Output: (a, b, support), a < b, one row per distinct edge.
+    */
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val triEdges = enumerate(und)
+      .select(explode(array(
+        struct(col("x").as("a"), col("y").as("b")),
+        struct(col("x").as("a"), col("z").as("b")),
+        struct(col("y").as("a"), col("z").as("b")))).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+    und.join(triEdges, Seq("a", "b"), "left")
+      .withColumn("support", coalesce(col("support"), lit(0L)))
+  }
 }

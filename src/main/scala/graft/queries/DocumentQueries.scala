@@ -1665,6 +1665,30 @@ object DocumentQueries {
         .orderBy("id")
     }),
 
+    // Degree assortativity (round-12): does the SimHash document graph
+    // wire hubs to hubs? The sqrt-free symmetric Pearson identity in
+    // exact ppm, plus the Σd² wedge-volume number every pair-join plan
+    // decision reads.
+    "q220_assortativity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val edges = Dedup.simhashPairs(toks, maxHamming = 3)
+        .select(col("x_id").as("a"), col("y_id").as("b"))
+      graft.operators.GraphStats.assortativity(edges)
+    }),
+
+    // Edge triangle support (round-12): the k-truss building block and
+    // tie-strength signal over the SimHash graph — each oriented
+    // triangle explodes into its 3 edges, one grouped count; bridges
+    // report 0.
+    "q221_edge_support" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val edges = Dedup.simhashPairs(toks, maxHamming = 3)
+        .select(col("x_id").as("a"), col("y_id").as("b"))
+      graft.operators.Triangles.edgeSupport(edges).orderBy("a", "b")
+    }),
+
     // Blocking-quality report (round-12): would 16-char prefix blocking
     // be good enough for near-dup linkage? Pairs completeness against
     // the q19 MinHash dup clusters + reduction ratio, all from size
@@ -4148,6 +4172,80 @@ object DocumentQueries {
         |       CAST(length(nfc_normalize(raw)) AS INT) AS n_nfc,
         |       nfc_normalize(raw) AS norm
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // assortativity replay: q100 pair CTE, symmetric degree join, the
+    // sqrt-free (M·Σxy − (Σx)²)/(M·Σx² − (Σx)²) identity
+    "q220_assortativity" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS m FROM tok),
+        |sgn AS (
+        |  SELECT doc_id, r.p AS p,
+        |         sum(CASE WHEN ((instr('0123456789abcdef', substr(m, (r.p // 4) + 1, 1)) - 1)
+        |                        >> (r.p % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, range(0, 64) r(p)
+        |  GROUP BY doc_id, r.p),
+        |fp AS (
+        |  SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+        |  FROM sgn GROUP BY doc_id),
+        |und AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 3),
+        |sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT u, CAST(count(*) AS HUGEINT) AS d FROM sym GROUP BY u),
+        |j AS (
+        |  SELECT dx.d AS x, dy.d AS y
+        |  FROM sym s JOIN deg dx ON dx.u = s.u JOIN deg dy ON dy.u = s.v),
+        |st AS (SELECT CAST(count(*) AS HUGEINT) AS m, sum(x) AS sx,
+        |              sum(x * x) AS sxx, sum(x * y) AS sxy FROM j),
+        |ds AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |              CAST(max(d) AS BIGINT) AS max_degree,
+        |              CAST(sum(d * d) AS BIGINT) AS sum_d2 FROM deg),
+        |es AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+        |SELECT n_nodes, n_edges, max_degree, sum_d2,
+        |       CAST(CASE WHEN m * sxx - sx * sx = 0 THEN 0
+        |            ELSE (1000000 * (m * sxy - sx * sx)) // (m * sxx - sx * sx)
+        |            END AS BIGINT) AS assortativity_ppm
+        |FROM ds, es, st""".stripMargin,
+
+    // edge-support replay: q100 triangle CTE exploded to its 3 edges,
+    // grouped, left-joined back so bridges report 0
+    "q221_edge_support" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS m FROM tok),
+        |sgn AS (
+        |  SELECT doc_id, r.p AS p,
+        |         sum(CASE WHEN ((instr('0123456789abcdef', substr(m, (r.p // 4) + 1, 1)) - 1)
+        |                        >> (r.p % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, range(0, 64) r(p)
+        |  GROUP BY doc_id, r.p),
+        |fp AS (
+        |  SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+        |  FROM sgn GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 3),
+        |tri AS (
+        |  SELECT a.x AS x, a.y AS y, b.y AS z
+        |  FROM pairs a
+        |  JOIN pairs b ON a.y = b.x
+        |  JOIN pairs c ON c.x = a.x AND c.y = b.y),
+        |te AS (SELECT x AS a, y AS b FROM tri
+        |       UNION ALL SELECT x, z FROM tri
+        |       UNION ALL SELECT y, z FROM tri),
+        |sup AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support
+        |        FROM te GROUP BY a, b)
+        |SELECT p.x AS a, p.y AS b,
+        |       CAST(coalesce(s.support, 0) AS BIGINT) AS support
+        |FROM pairs p LEFT JOIN sup s ON s.a = p.x AND s.b = p.y
+        |ORDER BY a, b""".stripMargin,
 
     // blocking-quality replay: q19 cluster CTE, histogram pair sums
     // Σ s(s−1)/2 for blocks / clusters / contingency cells

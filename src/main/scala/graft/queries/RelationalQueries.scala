@@ -528,6 +528,19 @@ object RelationalQueries {
           "k", "b")
         .orderBy("k")),
 
+    // HITS (round-12): hub/authority over the customer→supplier purchase
+    // graph (supplier ids offset out of the customer key space) — two
+    // unrolled unnormalized iterations, exact integer walk counts;
+    // authorities = suppliers bought by well-connected customers.
+    "q219_hits" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      graft.operators.Hits.scores(e, iters = 2).orderBy("id")
+    }),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -1365,6 +1378,27 @@ object RelationalQueries {
         |SELECT k, CAST(s AS BIGINT) AS n_events, n_active_buckets,
         |       CAST((1000000 * (bb * ss - s * s)) // (bb * s) AS BIGINT) AS fano_ppm
         |FROM per, dom ORDER BY k""".stripMargin,
+
+    // HITS replay: two unrolled rounds in HUGEINT, pure-side zeros
+    "q219_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |a1 AS (SELECT dst AS id, CAST(count(*) AS HUGEINT) AS a
+        |       FROM e GROUP BY dst),
+        |h1 AS (SELECT e.src AS id, sum(a1.a) AS h
+        |       FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
+        |a2 AS (SELECT e.dst AS id, sum(h1.h) AS a
+        |       FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
+        |h2 AS (SELECT e.src AS id, sum(a2.a) AS h
+        |       FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src)
+        |SELECT n.id, CAST(coalesce(a2.a, 0) AS DECIMAL(38,0)) AS auth,
+        |       CAST(coalesce(h2.h, 0) AS DECIMAL(38,0)) AS hub
+        |FROM nodes n
+        |LEFT JOIN a2 ON a2.id = n.id
+        |LEFT JOIN h2 ON h2.id = n.id
+        |ORDER BY n.id""".stripMargin,
 
     // KM replay: user spans → (g, t) grain → suffix-sum risk sets →
     // the step-floored ppm product as a recursive CTE over step rank

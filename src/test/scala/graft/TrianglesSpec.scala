@@ -37,4 +37,22 @@ class TrianglesSpec extends SparkSpec {
     val rows = Triangles.enumerate(edges.toDF("a", "b")).count()
     assert(rows == want.size.toLong)
   }
+
+  test("edge support counts triangles per edge; bridges report 0") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), // 4-clique
+      (4, 5), // bridge
+      (10, 11), (10, 12), (11, 12)) // lone triangle
+    val got = Triangles.edgeSupport(edges.toDF("a", "b"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // every clique edge sits in exactly 2 of the 4 triangles
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).foreach { e =>
+      assert(got(e) == 2L, e)
+    }
+    assert(got((4L, 5L)) == 0L)
+    Seq((10L, 11L), (10L, 12L), (11L, 12L)).foreach(e => assert(got(e) == 1L, e))
+    // consistency law: sum of supports = 3 * triangle count
+    assert(got.values.sum ==
+      3L * Triangles.enumerate(edges.toDF("a", "b")).count())
+  }
 }
