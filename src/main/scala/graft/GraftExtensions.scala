@@ -1238,6 +1238,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "edge_support(table) - per-edge triangle support (k-truss building block) over undirected edges (a, b): (a, b, support).",
         ""),
       exprs => GraftExtensions.edgeSupportPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("bipartite_project"),
+      new ExpressionInfo(
+        classOf[graft.operators.BipartiteProject.type].getName,
+        null,
+        "bipartite_project",
+        "bipartite_project(table, userCol, itemCol, minShared, maxUserDegree) - item-item co-occurrence graph from (user, item) interactions: (i, j, n_shared).",
+        ""),
+      exprs => GraftExtensions.bipartiteProjectPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("exp_smoothing"),
+      new ExpressionInfo(
+        classOf[graft.operators.ExpSmoothing.type].getName,
+        null,
+        "exp_smoothing",
+        "exp_smoothing(table, keyCol, bucketCol, valueCol, kLog2) - integer-exact exponential smoothing (alpha = 1/2^k) per key with one-step-ahead forecasts: (k, t, x, forecast_x2k, err_x2k, level_x2k).",
+        ""),
+      exprs => GraftExtensions.expSmoothingPlan(exprs)))
     ()
   }
 }
@@ -3452,6 +3470,41 @@ object GraftExtensions {
     require(exprs.length == 1, s"$n expects (table), got ${exprs.length} arguments")
     graft.operators.Triangles
       .edgeSupport(SparkSession.active.table(strArg(n, exprs.head, "table")))
+      .queryExecution.logical
+  }
+
+  private[graft] def bipartiteProjectPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "bipartite_project"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, userCol, itemCol, minShared, maxUserDegree), got ${exprs.length} arguments")
+    val minShared = longArg(n, exprs(3), "minShared")
+    val cap = longArg(n, exprs(4), "maxUserDegree")
+    require(cap >= 2 && cap <= Int.MaxValue, s"$n: maxUserDegree must be an int >= 2, got $cap")
+    graft.operators.BipartiteProject
+      .project(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "userCol"),
+        strArg(n, exprs(2), "itemCol"),
+        minShared,
+        cap.toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def expSmoothingPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "exp_smoothing"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, keyCol, bucketCol, valueCol, kLog2), got ${exprs.length} arguments")
+    val k = longArg(n, exprs(4), "kLog2")
+    require(k >= 1 && k <= 20, s"$n: kLog2 must be in [1, 20], got $k")
+    graft.operators.ExpSmoothing
+      .ema(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "keyCol"),
+        strArg(n, exprs(2), "bucketCol"),
+        strArg(n, exprs(3), "valueCol"),
+        k.toInt)
       .queryExecution.logical
   }
 

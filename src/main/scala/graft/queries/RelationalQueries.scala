@@ -541,6 +541,32 @@ object RelationalQueries {
       graft.operators.Hits.scores(e, iters = 2).orderBy("id")
     }),
 
+    // Bipartite projection (round-12): the supplier co-purchase graph —
+    // customer-wedge join with the power-user cap, map-side-combined
+    // shared counts, coincidence pairs pruned in the aggregation.
+    "q222_bipartite_project" -> ((s, dir) => {
+      val inter = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_suppkey").as("i"))
+      graft.operators.BipartiteProject
+        .project(inter, "u", "i", minShared = 3L, maxUserDegree = 10000)
+        .orderBy("i", "j")
+    }),
+
+    // Exponential smoothing (round-12): one-step-ahead forecasts of
+    // daily event volume per type at alpha = 1/4, integer-exact at 4x
+    // scale — each row reports the PRIOR level (honest backtest) and
+    // its signed error.
+    "q223_exp_smoothing" -> ((s, dir) =>
+      graft.operators.ExpSmoothing
+        .ema(
+          t(s, dir, "events").select(
+            col("event_type").as("k"),
+            expr("unix_micros(ts) div 86400000000").as("t"),
+            lit(1L).as("x")),
+          "k", "t", "x", kLog2 = 2)
+        .orderBy("k", "t")),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -1399,6 +1425,42 @@ object RelationalQueries {
         |LEFT JOIN a2 ON a2.id = n.id
         |LEFT JOIN h2 ON h2.id = n.id
         |ORDER BY n.id""".stripMargin,
+
+    // bipartite replay: capped users, wedge join, HAVING prune
+    "q222_bipartite_project" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS u, l_suppkey AS i
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |keep AS (
+        |  SELECT e.u, e.i FROM e
+        |  JOIN (SELECT u, count(*) AS d FROM e GROUP BY u) g ON g.u = e.u
+        |  WHERE g.d <= 10000)
+        |SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM keep a JOIN keep b ON a.u = b.u AND a.i < b.i
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY i, j""".stripMargin,
+
+    // EMA replay: recursive CTE over per-key day rank, level at 4x
+    // scale with truncating division exactly as the engine floors
+    "q223_exp_smoothing" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS t,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT k, t, x,
+        |             CAST(row_number() OVER (PARTITION BY k ORDER BY t) AS BIGINT) AS rn
+        |      FROM g),
+        |rec AS (
+        |  SELECT k, t, x, rn, x * 4 AS fc, CAST(0 AS BIGINT) AS err, x * 4 AS level
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r2.k, r2.t, r2.x, r2.rn, rec.level,
+        |         r2.x * 4 - rec.level,
+        |         rec.level + (r2.x * 4 - rec.level) // 4
+        |  FROM rec JOIN r r2 ON r2.k = rec.k AND r2.rn = rec.rn + 1)
+        |SELECT k, t, x, CAST(fc AS BIGINT) AS forecast_x2k,
+        |       CAST(err AS BIGINT) AS err_x2k, CAST(level AS BIGINT) AS level_x2k
+        |FROM rec ORDER BY k, t""".stripMargin,
 
     // KM replay: user spans → (g, t) grain → suffix-sum risk sets →
     // the step-floored ppm product as a recursive CTE over step rank
