@@ -1256,6 +1256,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "exp_smoothing(table, keyCol, bucketCol, valueCol, kLog2) - integer-exact exponential smoothing (alpha = 1/2^k) per key with one-step-ahead forecasts: (k, t, x, forecast_x2k, err_x2k, level_x2k).",
         ""),
       exprs => GraftExtensions.expSmoothingPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("two_proportion_z"),
+      new ExpressionInfo(
+        classOf[graft.operators.Proportions.type].getName,
+        null,
+        "two_proportion_z",
+        "two_proportion_z(table, groupCol, successCol, aLabel, bLabel) - exact pooled two-proportion z-squared in ppm: (n_a, n_b, x_a, x_b, rate_a_ppm, rate_b_ppm, z2_ppm).",
+        ""),
+      exprs => GraftExtensions.twoProportionPlan(exprs)))
     ()
   }
 }
@@ -3505,6 +3514,21 @@ object GraftExtensions {
         strArg(n, exprs(2), "bucketCol"),
         strArg(n, exprs(3), "valueCol"),
         k.toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def twoProportionPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "two_proportion_z"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, groupCol, successCol, aLabel, bLabel), got ${exprs.length} arguments")
+    graft.operators.Proportions
+      .zTest(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "groupCol"),
+        strArg(n, exprs(2), "successCol"),
+        strArg(n, exprs(3), "aLabel"),
+        strArg(n, exprs(4), "bLabel"))
       .queryExecution.logical
   }
 

@@ -54,4 +54,62 @@ object Drift {
           .otherwise(expr(
             "(a_bp - b_bp) * (a_bp - b_bp) * 10000 div (a_bp + b_bp)")))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance, EXACT — the ordered-value
+    * drift test [[chiDrift]]'s bucket-share score cannot be: KS sees a
+    * small shift spread across every bucket (a distribution sliding
+    * right) that per-bucket shares dilute. D = max_v |F_a(v) − F_b(v)|
+    * kept integral as d_num = max |ca(v)·n_b − cb(v)·n_a| over the
+    * merged value grain (ca = a-rows ≤ v), with D = d_num/(n_a·n_b) —
+    * reported floored in basis points alongside the exact numerator, so
+    * a consumer can apply any KS critical value exactly.
+    *
+    * Scale shape: one groupBy per side to value grain, a full-outer
+    * merge at that grain, ONE [[PrefixSum.exclusive]] pass per side
+    * (block-recursive, no global window), one single-row max. Values
+    * must be integral non-negative (quantize/shift upstream).
+    *
+    * Output: one row (n_a, n_b, d_num, d_bp).
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def grain(df: DataFrame, n: String) =
+      df.select(
+        when(col(valueCol).cast("long") < 0,
+          raise_error(concat(
+            lit("Drift.ksStatistic: values must be >= 0, got "),
+            col(valueCol).cast("string"))).cast("long"))
+          .otherwise(col(valueCol).cast("long")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as(n))
+    val merged = grain(a, "ca").join(grain(b, "cb"), Seq("v"), "full_outer")
+      .select(
+        col("v"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .persist()
+    val preA = PrefixSum.exclusive(merged.select(col("v").as("k"), col("ca").as("s")))
+      .select(col("k").as("v"), col("before").as("ba"))
+    val preB = PrefixSum.exclusive(merged.select(col("v").as("k"), col("cb").as("s")))
+      .select(col("k").as("v"), col("before").as("bb"))
+    val tot = merged.agg(
+      sum("ca").cast("decimal(38,0)").as("na"),
+      sum("cb").cast("decimal(38,0)").as("nb"))
+    merged
+      .join(preA, "v").join(preB, "v")
+      .crossJoin(broadcast(tot))
+      .select(expr(
+        """abs(CAST(ba + ca AS DECIMAL(38,0)) * nb
+          |    - CAST(bb + cb AS DECIMAL(38,0)) * na) AS dd""".stripMargin),
+        col("na"), col("nb"))
+      .agg(
+        max(col("na")).cast("long").as("n_a"),
+        max(col("nb")).cast("long").as("n_b"),
+        max("dd").as("d_num"))
+      .select(
+        col("n_a"), col("n_b"),
+        col("d_num").cast("decimal(38,0)").as("d_num"),
+        expr(
+          """CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(0 AS BIGINT)
+            |ELSE (10000 * d_num) div (CAST(n_a AS DECIMAL(38,0)) * n_b) END"""
+            .stripMargin).as("d_bp"))
+  }
 }

@@ -567,6 +567,32 @@ object RelationalQueries {
           "k", "t", "x", kLog2 = 2)
         .orderBy("k", "t")),
 
+    // Two-proportion z-test (round-12): do odd and even users purchase
+    // at different rates? The pooled z² as ONE exact rational in ppm —
+    // compare against χ²₁ critical values (3.84e6 ⇔ p < 0.05) with no
+    // floats anywhere.
+    "q224_two_proportion" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast("long").as("y"))
+        .select(
+          when(pmod(col("user_id"), lit(2)) === 1, "a").otherwise("b").as("g"),
+          col("y"))
+      graft.operators.Proportions.zTest(u, "g", "y", "a", "b")
+    }),
+
+    // Two-sample KS distance (round-12): click vs view value
+    // distributions — the ordered-value drift test q187's bucket shares
+    // dilute; exact numerator over the merged value grain, two
+    // block-recursive prefix passes.
+    "q225_ks_distance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def side(tp: String) = ev.filter(col("event_type") === tp)
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      graft.operators.Drift.ksStatistic(side("click"), side("view"), "v")
+    }),
+
     // Trending rank-delta (round-11): top-25 users by event count in
     // each timeline half, full-outer joined — (rank_prev, rank_now,
     // entered/left) is the "what's moving" report a decayed-top-k
@@ -1461,6 +1487,56 @@ object RelationalQueries {
         |SELECT k, t, x, CAST(fc AS BIGINT) AS forecast_x2k,
         |       CAST(err AS BIGINT) AS err_x2k, CAST(level AS BIGINT) AS level_x2k
         |FROM rec ORDER BY k, t""".stripMargin,
+
+    // z² replay: per-user success flags, the single pooled rational
+    "q224_two_proportion" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS HUGEINT) AS y
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT CASE WHEN user_id % 2 = 1 THEN 'a' ELSE 'b' END AS g, y
+        |      FROM u),
+        |s AS (
+        |  SELECT CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+        |         CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+        |         sum(CASE WHEN g = 'a' THEN y ELSE 0 END) AS xa,
+        |         sum(CASE WHEN g = 'b' THEN y ELSE 0 END) AS xb
+        |  FROM d)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       CAST(xa AS BIGINT) AS x_a, CAST(xb AS BIGINT) AS x_b,
+        |       CAST(CASE WHEN na = 0 THEN 0
+        |            ELSE (1000000 * xa) // na END AS BIGINT) AS rate_a_ppm,
+        |       CAST(CASE WHEN nb = 0 THEN 0
+        |            ELSE (1000000 * xb) // nb END AS BIGINT) AS rate_b_ppm,
+        |       CAST(CASE WHEN na * nb * (xa + xb) * (na + nb - xa - xb) = 0 THEN 0
+        |            ELSE (1000000 * (xa * nb - xb * na) * (xa * nb - xb * na)
+        |                  * (na + nb))
+        |                 // (na * nb * (xa + xb) * (na + nb - xa - xb))
+        |            END AS BIGINT) AS z2_ppm
+        |FROM s""".stripMargin,
+
+    // KS replay: merged value grain, running counts, max cross product
+    "q225_ks_distance" ->
+      """WITH a AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events WHERE event_type = 'click'),
+        |b AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |      FROM events WHERE event_type = 'view'),
+        |ga AS (SELECT v, CAST(count(*) AS HUGEINT) AS ca FROM a GROUP BY v),
+        |gb AS (SELECT v, CAST(count(*) AS HUGEINT) AS cb FROM b GROUP BY v),
+        |m AS (
+        |  SELECT coalesce(ga.v, gb.v) AS v, coalesce(ca, 0) AS ca,
+        |         coalesce(cb, 0) AS cb
+        |  FROM ga FULL OUTER JOIN gb ON ga.v = gb.v),
+        |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS fa,
+        |             sum(cb) OVER (ORDER BY v) AS fb FROM m),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       CAST(max(abs(fa * nb - fb * na)) AS DECIMAL(38,0)) AS d_num,
+        |       CAST(CASE WHEN na = 0 OR nb = 0 THEN 0
+        |            ELSE (10000 * max(abs(fa * nb - fb * na))) // (na * nb)
+        |            END AS BIGINT) AS d_bp
+        |FROM c, t GROUP BY na, nb""".stripMargin,
 
     // KM replay: user spans → (g, t) grain → suffix-sum risk sets →
     // the step-floored ppm product as a recursive CTE over step rank
