@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   *
   * Output, ascending t: (t, m, cum_entities, cum_weight,
   * entity_share_bp, weight_share_bp, gini_ppm) — the Lorenz table with
-  * the scalar Gini repeated per row (engine-exact).
+  * the scalar Gini repeated per row (engine-exact). Width contract:
+  * cum_weight ≤ W = Σ t·m, and W < 2⁶³ holds whenever per-entity totals
+  * are BIGINT sums to begin with, so cum_weight ships as BIGINT (the
+  * Gini numerator 10⁶·S still rides DECIMAL(38,0) internally); a W that
+  * breaks the contract fails loudly at the ANSI decimal→long cast.
   */
 object Concentration {
 
@@ -75,7 +79,7 @@ object Concentration {
         col("t"),
         col("m"),
         (col("m_before") + col("m")).as("cum_entities"),
-        expr("CAST(w_before + CAST(t AS DECIMAL(38,0)) * m AS DECIMAL(38,0))")
+        expr("CAST(w_before + CAST(t AS DECIMAL(38,0)) * m AS BIGINT)")
           .as("cum_weight"),
         expr("CAST((10000 * (m_before + m)) div n AS BIGINT)").as("entity_share_bp"),
         expr(

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: ONE map-side-combinable groupBy to the four (arm,
   * period) cells — sufficient statistics only, no per-unit second pass.
   * Rows outside the two arm / two period labels are rejected by name so
-  * a typo'd label cannot silently vanish from the estimate.
+  * a typo'd label cannot silently vanish from the estimate, and an EMPTY
+  * (arm, period) cell is rejected by name too — the estimator needs all
+  * four cells, and a missing one must fail loudly, not return no rows.
   *
   * Output: one row (n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
   * mean_treat_pre_ppm, mean_treat_post_ppm, mean_ctrl_pre_ppm,
@@ -49,15 +51,37 @@ object DiffInDiff {
       col(yCol).cast("long").cast("decimal(38,0)").as("y"))
     val cells = d.groupBy("tr", "post")
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"), sum("y").as("s"))
-    def cell(tr: Int, post: Int, nm: String): DataFrame =
-      cells.filter(col("tr") === tr && col("post") === post)
-        .select(
-          col("n").cast("long").as(s"n_$nm"),
-          expr("(1000000 * s) div n").as(s"mean_${nm}_ppm"))
-    cell(1, 0, "treat_pre")
-      .crossJoin(cell(1, 1, "treat_post"))
-      .crossJoin(cell(0, 0, "ctrl_pre"))
-      .crossJoin(cell(0, 1, "ctrl_post"))
+    // one conditional single-row aggregate instead of four filter +
+    // crossJoins: an empty (arm, period) cell surfaces as NULL and is
+    // rejected BY NAME — the same loud-failure contract as the label
+    // checks above — where the crossJoin form would silently evaporate
+    // the whole estimate into an empty DataFrame
+    val names = Seq(
+      (1, 0, "treat_pre"), (1, 1, "treat_post"),
+      (0, 0, "ctrl_pre"), (0, 1, "ctrl_post"))
+    val flatAggs = names.flatMap { case (tr, post, nm) =>
+      val hit = col("tr") === tr && col("post") === post
+      Seq(max(when(hit, col("n"))).as(s"__n_$nm"),
+        max(when(hit, col("s"))).as(s"__s_$nm"))
+    }
+    val armOf = Map(1 -> treatLabel, 0 -> ctrlLabel)
+    val perOf = Map(0 -> preLabel, 1 -> postLabel)
+    val checked = names.foldLeft(cells.agg(flatAggs.head, flatAggs.tail: _*)) {
+      case (acc, (tr, post, nm)) =>
+        acc.withColumn(s"__n_$nm",
+          when(col(s"__n_$nm").isNull,
+            raise_error(lit(
+              s"DiffInDiff.estimate: zero rows in the (arm '${armOf(tr)}', " +
+                s"period '${perOf(post)}') cell — all four cells must be " +
+                "non-empty")).cast("decimal(38,0)"))
+            .otherwise(col(s"__n_$nm")))
+    }
+    checked
+      .select(names.flatMap { case (_, _, nm) =>
+        Seq(
+          col(s"__n_$nm").cast("long").as(s"n_$nm"),
+          expr(s"(1000000 * __s_$nm) div __n_$nm").as(s"mean_${nm}_ppm"))
+      }: _*)
       .select(
         col("n_treat_pre"), col("n_treat_post"),
         col("n_ctrl_pre"), col("n_ctrl_post"),

@@ -67,9 +67,16 @@ object Drift {
     * Scale shape: one groupBy per side to value grain, a full-outer
     * merge at that grain, ONE [[PrefixSum.exclusive]] pass per side
     * (block-recursive, no global window), one single-row max. Values
-    * must be integral non-negative (quantize/shift upstream).
+    * must be integral non-negative (quantize/shift upstream). The merged
+    * grain is persisted for its three readers and unpersisted before
+    * return (the one output row rides a localCheckpoint), so repeated
+    * calls leak no cached partitions.
     *
-    * Output: one row (n_a, n_b, d_num, d_bp).
+    * Output: one row (n_a, n_b, d_num, d_bp). Width contract: d_num ≤
+    * n_a·n_b < 2⁶³ (comfortably true for any two samples whose sizes are
+    * BIGINT counts, n ≲ 3·10⁹ each), so d_num ships as BIGINT — the
+    * comparison rides DECIMAL(38,0) internally and a contract break
+    * fails loudly at the ANSI decimal→long cast.
     */
   def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def grain(df: DataFrame, n: String) =
@@ -93,7 +100,7 @@ object Drift {
     val tot = merged.agg(
       sum("ca").cast("decimal(38,0)").as("na"),
       sum("cb").cast("decimal(38,0)").as("nb"))
-    merged
+    val out = merged
       .join(preA, "v").join(preB, "v")
       .crossJoin(broadcast(tot))
       .select(expr(
@@ -106,10 +113,15 @@ object Drift {
         max("dd").as("d_num"))
       .select(
         col("n_a"), col("n_b"),
-        col("d_num").cast("decimal(38,0)").as("d_num"),
+        col("d_num").cast("long").as("d_num"),
         expr(
           """CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(0 AS BIGINT)
-            |ELSE (10000 * d_num) div (CAST(n_a AS DECIMAL(38,0)) * n_b) END"""
+            |ELSE (10000 * CAST(d_num AS DECIMAL(38,0)))
+            |     div (CAST(n_a AS DECIMAL(38,0)) * n_b) END"""
             .stripMargin).as("d_bp"))
+      // the single output row frees the three re-reads of the merged grain
+      .localCheckpoint()
+    merged.unpersist()
+    out
   }
 }

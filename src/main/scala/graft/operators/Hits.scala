@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: per iteration, ONE aggregate of the edge relation per
   * direction joined back to edges — 2k hash joins + 2k
-  * map-side-combinable sums on the (src, dst) grain; scores ride
-  * DECIMAL(38,0) (k = 2 keeps magnitudes ≤ d³·n — wide data wants
-  * small k anyway). Nodes with no in-edges report authority 0; no
-  * out-edges, hub 0.
+  * map-side-combinable sums on the (src, dst) grain; the iteration rides
+  * DECIMAL(38,0) internally, and the OUTPUT is BIGINT under the width
+  * contract d^(2k−1)·n < 2⁶³ (k = 2 keeps magnitudes ≤ d³·n — wide data
+  * wants small k anyway); a graph that breaks the contract fails loudly
+  * at the final ANSI decimal→long cast rather than shipping a
+  * DECIMAL-typed column (which hash-mismatches cross-engine comparison
+  * even on identical values). Nodes with no in-edges report authority 0;
+  * no out-edges, hub 0.
   *
   * Output: (id, auth, hub), one row per node appearing in any edge.
   */
@@ -51,6 +55,9 @@ object Hits {
         .select(col("id"), coalesce(col("h0"), lit(0L).cast("decimal(38,0)")).as("h"))
     }
     nodes.join(a, "id").join(h, "id")
-      .select(col("id"), col("a").as("auth"), col("h").as("hub"))
+      .select(
+        col("id"),
+        col("a").cast("long").as("auth"),
+        col("h").cast("long").as("hub"))
   }
 }

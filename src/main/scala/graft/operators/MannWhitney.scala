@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   * every division truncating (Spark `div` ≡ DuckDB `//`), so the row is
   * engine-exact. Width contract for var12s: n_a·n_b·(n+1)·n·(n−1) <
   * 10³⁸ (n ≲ 10⁷ units; beyond that use the z-approximation upstream).
+  * var12s genuinely exceeds the BIGINT range (n ≈ 10⁴ already puts it at
+  * ~10²⁰), so it ships as its canonical decimal STRING — digit-exact in
+  * any engine, and free of the DECIMAL(38,0) value-rendering skew that
+  * fails cross-engine hash comparison even on identical values.
   *
   * Scale shape: ONE groupBy to value grain (ranks are functions of the
   * histogram, never of rows), one [[PrefixSum.exclusive]] block-recursive
@@ -71,6 +75,7 @@ object MannWhitney {
           """CASE WHEN na = 0 OR n - na = 0 THEN CAST(0 AS BIGINT)
             |ELSE (1000000 * (r2a - na * (na + 1))) div (2 * na * (n - na)) END"""
             .stripMargin).as("cles_ppm"),
-        expr("na * (n - na) * ((n + 1) * n * (n - 1) - ties)").as("var12s"))
+        expr("CAST(na * (n - na) * ((n + 1) * n * (n - 1) - ties) AS STRING)")
+          .as("var12s"))
   }
 }

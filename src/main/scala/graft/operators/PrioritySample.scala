@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
   * because two of them differ by ≥ 2⁻³² and the key scales by 2³² beyond
   * the 2³² priority grid; equal priorities tie-break by id. Weights are
   * per-row asserted into [1, 10⁹] so every product fits DECIMAL(38,0).
-  * Estimates ship as DECIMAL(38,0) ppm (τ can exceed the long range when
-  * a tiny hash lands on a heavy row).
+  * Estimates ship as canonical digit-string ppm (τ = w·2³²·10⁶/(h+1) can
+  * reach ~4·10²⁴ when a tiny hash lands on a heavy row — beyond BIGINT —
+  * and a DECIMAL-typed output column hash-mismatches cross-engine
+  * comparison even on identical values; the string renders digit-exact
+  * everywhere).
   *
   * Scale shape: the sketch is one [[TopK.perGroup]] pass (two-phase,
   * hash-sharded); estimates touch only the (k+1)-bounded relation.
@@ -78,7 +81,8 @@ object PrioritySample {
       .select(groupCols.map(col) ++ Seq(col("id"), col("w"), col("h")): _*)
 
   /** The sample with subset-sum estimates: the sketch's top k rows plus
-    * est_ppm = max(w, τ)·10⁶ as DECIMAL(38,0), τ = the (k+1)-th priority
+    * est_ppm = max(w, τ)·10⁶ as a canonical digit string (exact decimal
+    * internally), τ = the (k+1)-th priority
     * (groups that fit entirely in k rows have no τ — their estimates are
     * the exact weights). Output: (groupCols…, id, w, est_ppm).
     */
@@ -105,6 +109,6 @@ object PrioritySample {
                        - pmod(cast(__wt as $dec) * $twoTo32 * 1000000,
                               cast(__ht as $dec) + 1))
                       / (cast(__ht as $dec) + 1)
-                 END""").cast(dec).as("est_ppm")): _*)
+                 END""").cast(dec).cast("string").as("est_ppm")): _*)
   }
 }

@@ -61,7 +61,8 @@ object Quantiles {
     * still runs over ≤ |domain| rows per group), same exact integer rank
     * threshold with q as num/den. Negative weights are rejected by name;
     * zero-weight values can never be selected (they leave the cumulative
-    * weight unmoved).
+    * weight unmoved), and a group whose weights are ALL zero reports
+    * NULL quantiles (w_total = 0 — no rank threshold exists).
     *
     * Output: (group, w_total, q_<name> per requested quantile).
     */
@@ -92,9 +93,14 @@ object Quantiles {
     val ranked = hist
       .withColumn("__cum", sum("__c").over(w))
       .withColumn("__n", sum("__c").over(wAll))
+    // __n = 0 (an all-zero-weight group) would make the ceil threshold 0
+    // and '__cum >= 0' vacuously true — guard it so such a group reports
+    // NULL quantiles instead of silently selecting its minimum value
     val aggs = qs.map { case (name, num, den) =>
-      min(when(col("__cum") >= expr(s"(${num}L * __n + ${den}L - 1L) div ${den}L"), col("__v")))
-        .as(name)
+      min(when(
+        col("__n") > 0L &&
+          col("__cum") >= expr(s"(${num}L * __n + ${den}L - 1L) div ${den}L"),
+        col("__v"))).as(name)
     }
     ranked
       .groupBy(groupCol)

@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * leaves ℚ: each attribute contributes the fraction m/u (agreement) or
   * (1−m)/(1−u) (disagreement), each fraction is gcd-REDUCED (the
   * weights relation is ≤ #attrs rows — a bounded driver value), and a
-  * pair's score is the literal product Π num / Π den carried as two
-  * DECIMAL(38,0) columns. Ordering equals the log-sum ordering exactly,
+  * pair's score is the literal product Π num / Π den carried internally
+  * in DECIMAL(38,0) and shipped as two canonical digit-string columns.
+  * Ordering equals the log-sum ordering exactly,
   * the decision `num ≥ θ·den` is integer, and the whole computation
   * replays bit-for-bit in any engine with 128-bit integers.
   *
@@ -306,8 +307,12 @@ object RecordLinkage {
 
   /** Score candidate pairs under reduced weights: output
     * (x_id, y_id, attrs-agreement booleans…, score_num, score_den,
-    * is_match) with score carried as exact DECIMAL(38,0) numerator /
-    * denominator and is_match = score ≥ θ (θ = thetaNum/thetaDen).
+    * is_match) with score carried as the exact numerator / denominator
+    * rendered as canonical digit STRINGS (the DECIMAL(38,0) rationals
+    * genuinely exceed BIGINT — up to 10³⁷ under the overflow guard — and
+    * a DECIMAL-typed output column hash-mismatches cross-engine
+    * comparison even on identical values) and is_match = score ≥ θ
+    * (θ = thetaNum/thetaDen) decided in exact decimal arithmetic.
     */
   def scorePairs(
       a: DataFrame,
@@ -338,11 +343,15 @@ object RecordLinkage {
     val den = weights.foldLeft(one) { (acc, w) =>
       acc * when(col(s"agree_${w.attr}"), lit(w.agreeDen)).otherwise(lit(w.disDen))
     }
+    // decimals never leave the operator: the exact rationals ship as
+    // canonical digit strings (DECIMAL-typed outputs render
+    // side-dependently under cross-engine hash comparison)
     j.select((col("x_id") +: col("y_id") +: agreeCols): _*)
-      .withColumn("score_num", num.cast("decimal(38,0)"))
-      .withColumn("score_den", den.cast("decimal(38,0)"))
+      .withColumn("score_num", num.cast("decimal(38,0)").cast("string"))
+      .withColumn("score_den", den.cast("decimal(38,0)").cast("string"))
       .withColumn(
         "is_match",
-        col("score_num") * lit(thetaDen) >= col("score_den") * lit(thetaNum))
+        num.cast("decimal(38,0)") * lit(thetaDen) >=
+          den.cast("decimal(38,0)") * lit(thetaNum))
   }
 }

@@ -36,8 +36,12 @@ object TargetEncoding {
           col(labelCol).cast("string"))).cast("long")).as("y"))
     val stats = d.groupBy("category")
       .agg(count(lit(1)).as("n_cat"), sum("y").as("sum_cat"))
+    // label sums widen to DECIMAL(38,0) before the 10^6 scaling (a plain
+    // BIGINT product overflows once a category's Σy exceeds ~9.2·10^12);
+    // `div` on decimals returns BIGINT and the ppm result is ≤ 10^6
     val prior = d.agg(
-      expr("(1000000 * sum(y)) div count(1)").as("prior_ppm"))
+      expr("(1000000 * CAST(sum(y) AS DECIMAL(38,0))) div count(1)")
+        .as("prior_ppm"))
     d.join(stats, "category")
       .crossJoin(broadcast(prior))
       .select(
@@ -46,7 +50,8 @@ object TargetEncoding {
         col("y"),
         expr(
           """CASE WHEN n_cat <= 1 THEN prior_ppm
-            |ELSE (1000000 * (sum_cat - y)) div (n_cat - 1) END""".stripMargin)
+            |ELSE (1000000 * (CAST(sum_cat AS DECIMAL(38,0)) - y))
+            |     div (n_cat - 1) END""".stripMargin)
           .as("enc_ppm"))
   }
 }

@@ -3933,8 +3933,8 @@ object DocumentQueries {
         |       (SELECT * FROM w WHERE attr = 'seg') ws,
         |       (SELECT * FROM w WHERE attr = 'cents') wc)
         |SELECT x_id, y_id, agree_name, agree_nat, agree_seg, agree_cents,
-        |       CAST(score_num AS DECIMAL(38,0)) AS score_num,
-        |       CAST(score_den AS DECIMAL(38,0)) AS score_den,
+        |       CAST(score_num AS VARCHAR) AS score_num,
+        |       CAST(score_den AS VARCHAR) AS score_den,
         |       score_num >= score_den * 1000 AS is_match
         |FROM s ORDER BY x_id, y_id""".stripMargin,
 
@@ -4004,8 +4004,8 @@ object DocumentQueries {
         |       (SELECT * FROM w WHERE attr = 'seg') ws,
         |       (SELECT * FROM w WHERE attr = 'cents') wc)
         |SELECT x_id, y_id, agree_name, agree_nat, agree_seg, agree_cents,
-        |       CAST(score_num AS DECIMAL(38,0)) AS score_num,
-        |       CAST(score_den AS DECIMAL(38,0)) AS score_den,
+        |       CAST(score_num AS VARCHAR) AS score_num,
+        |       CAST(score_den AS VARCHAR) AS score_den,
         |       score_num >= score_den * 1000000 AS is_match
         |FROM s ORDER BY x_id, y_id""").stripMargin,
 
@@ -4107,7 +4107,7 @@ object DocumentQueries {
 
     // priority = w·2^32/(h+1) replayed in HUGEINT: the q46 8-hex md5
     // uniform, floor keys at 2^64 scale, string-order id tie-break, τ at
-    // rank k+1, ŵ = max(w, τ) as DECIMAL(38,0) ppm
+    // rank k+1, ŵ = max(w, τ) as exact digit-string ppm
     "q199_priority_sample" ->
       """WITH d AS (
         |  SELECT lang, CAST(doc_id AS VARCHAR) AS id,
@@ -4137,7 +4137,7 @@ object DocumentQueries {
         |           THEN r.w::HUGEINT * 1000000
         |         ELSE (tau.wt::HUGEINT * 4294967296 * 1000000)
         |              // (tau.ht::HUGEINT + 1)
-        |         END AS DECIMAL(38,0)) AS est_ppm
+        |         END AS VARCHAR) AS est_ppm
         |FROM r LEFT JOIN tau ON tau.lang = r.lang
         |WHERE r.rn <= 20
         |ORDER BY r.lang, r.id""".stripMargin,

@@ -1365,7 +1365,7 @@ object RelationalQueries {
         |  FROM p, tt GROUP BY n, bigw)
         |SELECT p.t, CAST(p.m AS BIGINT) AS m,
         |       CAST(m_before + m AS BIGINT) AS cum_entities,
-        |       CAST(w_before + t * m AS DECIMAL(38,0)) AS cum_weight,
+        |       CAST(w_before + t * m AS BIGINT) AS cum_weight,
         |       CAST((10000 * (m_before + m)) // n AS BIGINT) AS entity_share_bp,
         |       CAST(CASE WHEN bigw = 0 THEN 0
         |            ELSE (10000 * (w_before + t * m)) // bigw END AS BIGINT)
@@ -1445,8 +1445,8 @@ object RelationalQueries {
         |       FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
         |h2 AS (SELECT e.src AS id, sum(a2.a) AS h
         |       FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src)
-        |SELECT n.id, CAST(coalesce(a2.a, 0) AS DECIMAL(38,0)) AS auth,
-        |       CAST(coalesce(h2.h, 0) AS DECIMAL(38,0)) AS hub
+        |SELECT n.id, CAST(coalesce(a2.a, 0) AS BIGINT) AS auth,
+        |       CAST(coalesce(h2.h, 0) AS BIGINT) AS hub
         |FROM nodes n
         |LEFT JOIN a2 ON a2.id = n.id
         |LEFT JOIN h2 ON h2.id = n.id
@@ -1532,7 +1532,7 @@ object RelationalQueries {
         |             sum(cb) OVER (ORDER BY v) AS fb FROM m),
         |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m)
         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-        |       CAST(max(abs(fa * nb - fb * na)) AS DECIMAL(38,0)) AS d_num,
+        |       CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS d_num,
         |       CAST(CASE WHEN na = 0 OR nb = 0 THEN 0
         |            ELSE (10000 * max(abs(fa * nb - fb * na))) // (na * nb)
         |            END AS BIGINT) AS d_bp
@@ -1635,7 +1635,7 @@ object RelationalQueries {
         |            ELSE (1000000 * (r2a - na * (na + 1)))
         |                 // (2 * na * (n - na)) END AS BIGINT) AS cles_ppm,
         |       CAST(na * (n - na) * ((n + 1) * n * (n - 1) - ties)
-        |         AS DECIMAL(38,0)) AS var12s
+        |         AS VARCHAR) AS var12s
         |FROM s""".stripMargin,
 
     // CUPED replay in HUGEINT: pooled θ, per-arm moment sums, single

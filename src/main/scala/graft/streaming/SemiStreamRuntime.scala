@@ -157,7 +157,7 @@ object SemiStreamRuntime {
     } finally manager.close()
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[streaming] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).forEach(deleteRecursively(_))
     Files.deleteIfExists(p)

@@ -109,7 +109,7 @@ object StreamingCusum {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wm = Window.partitionBy("b").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    snap
+    val out = snap
       .withColumn("p", sum(col("x") - col("ref")).over(wp))
       .withColumn("mb", min("p").over(wm))
       .select(
@@ -120,5 +120,13 @@ object StreamingCusum {
           .as("cusum"),
         ((col("p") - least(lit(0L), col("p"), coalesce(col("mb"), col("p"))))
           > col("h")).as("alarm"))
+      // the (batches × buckets)-bounded result materializes eagerly so the
+      // memory-sink table, checkpoint dir, and staged chunk dir can all be
+      // released NOW instead of leaking for the session on repeated calls
+      .localCheckpoint()
+    spark.catalog.dropTempView(name)
+    SemiStreamRuntime.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    SemiStreamRuntime.deleteRecursively(staged)
+    out
   }
 }

@@ -37,6 +37,20 @@ class DiffInDiffSpec extends SparkSpec {
     assert(did == (1000000L - 333333L) - (666666L - 333333L))
   }
 
+  test("an empty (arm, period) cell fails by name instead of vanishing") {
+    // no ('c', 'pre') rows: the crossJoin form would return ZERO rows
+    val rows =
+      Seq(("c", "post", 1L), ("t", "pre", 1L), ("t", "post", 2L))
+    val ex = intercept[Exception] {
+      DiffInDiff.estimate(rows.toDF("arm", "period", "y"),
+        "arm", "period", "y", "t", "c", "pre", "post").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m =>
+      m.contains("zero rows") && m.contains("'c'") && m.contains("'pre'")))
+  }
+
   test("foreign labels fail by name") {
     val rows = Seq(("x", "pre", 1L))
     val ex = intercept[Exception] {

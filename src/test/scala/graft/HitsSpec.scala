@@ -9,8 +9,8 @@ class HitsSpec extends SparkSpec {
   private def run(edges: Seq[(Long, Long)], iters: Int)
       : Map[Long, (BigInt, BigInt)] =
     Hits.scores(edges.toDF("src", "dst"), iters)
-      .as[(Long, BigDecimal, BigDecimal)].collect()
-      .map(r => r._1 -> ((r._2.toBigInt, r._3.toBigInt))).toMap
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((BigInt(r._2), BigInt(r._3)))).toMap
 
   private def brute(edges: Seq[(Long, Long)], iters: Int)
       : Map[Long, (BigInt, BigInt)] = {

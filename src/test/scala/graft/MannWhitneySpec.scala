@@ -30,8 +30,8 @@ class MannWhitneySpec extends SparkSpec {
 
   private def run(rows: Seq[(String, Long)]): (Long, Long, Long, Long, Long, BigInt) = {
     val r = MannWhitney.uTest(rows.toDF("g", "v"), "g", "v", "a", "b")
-      .as[(Long, Long, Long, Long, Long, BigDecimal)].head()
-    (r._1, r._2, r._3, r._4, r._5, r._6.toBigInt)
+      .as[(Long, Long, Long, Long, Long, String)].head()
+    (r._1, r._2, r._3, r._4, r._5, BigInt(r._6))
   }
 
   test("fully separated samples: U_a = 0, CLES = 0") {

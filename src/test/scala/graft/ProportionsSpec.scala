@@ -56,8 +56,8 @@ class ProportionsSpec extends SparkSpec {
 
   private def ks(a: Seq[Long], b: Seq[Long]): (Long, Long, BigInt, Long) = {
     val r = Drift.ksStatistic(a.toDF("v"), b.toDF("v"), "v")
-      .as[(Long, Long, BigDecimal, Long)].head()
-    (r._1, r._2, r._3.toBigInt, r._4)
+      .as[(Long, Long, Long, Long)].head()
+    (r._1, r._2, BigInt(r._3), r._4)
   }
 
   private def bruteKs(a: Seq[Long], b: Seq[Long]): BigInt = {

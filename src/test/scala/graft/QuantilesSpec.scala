@@ -69,6 +69,16 @@ class QuantilesSpec extends SparkSpec {
       || ex.getCause != null && ex.getCause.getMessage.contains("weights must be >= 0"))
   }
 
+  test("an all-zero-weight group reports NULL quantiles, never its min value") {
+    val rows = Seq(("z", 5L, 0L), ("z", 9L, 0L), ("ok", 5L, 1L), ("ok", 9L, 1L))
+    val got = Quantiles
+      .weighted(rows.toDF("g", "v", "w"), "g", "v", "w", Seq(("p50", 1L, 2L)))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSeq
+    assert(got == Seq(("ok", 2L, Some(5L)), ("z", 0L, None)))
+  }
+
   test("the data-sized aggregation is partial (histogram shape, no row-level window)") {
     val df = Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("g", "v")
     val plan = Quantiles.exactQuantiles(df, "g", "v", Seq(("p50", 1L, 2L)))

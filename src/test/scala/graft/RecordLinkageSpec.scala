@@ -54,14 +54,14 @@ class RecordLinkageSpec extends SparkSpec {
       .scorePairs(a, b, "id", "id", attrs, cands, w, thetaNum = 4L)
       .select("x_id", "y_id", "score_num", "score_den", "is_match")
       .collect()
-      .map(r => (r.getLong(0), (r.getDecimal(2), r.getDecimal(3), r.getBoolean(4))))
+      .map(r => (r.getLong(0), (BigInt(r.getString(2)), BigInt(r.getString(3)), r.getBoolean(4))))
       .toMap
     // ordering must equal the float log-sum ordering
     val logScore = scored.map { case (x, (n, d, _)) =>
-      x -> math.log(n.doubleValue() / d.doubleValue())
+      x -> math.log(n.toDouble / d.toDouble)
     }
     val byExact = scored.toSeq.sortBy { case (_, (n, d, _)) =>
-      n.doubleValue() / d.doubleValue()
+      n.toDouble / d.toDouble
     }.map(_._1)
     val byLog = logScore.toSeq.sortBy(_._2).map(_._1)
     assert(byExact == byLog)
@@ -164,7 +164,7 @@ class RecordLinkageSpec extends SparkSpec {
       .scorePairs(c, bb, "id", "id", fixAttrs, cands, w, thetaNum = 1000L)
       .select(
         col("x_id"), col("y_id"),
-        (col("score_num") / col("score_den")).cast("double").as("s"),
+        (col("score_num").cast("double") / col("score_den").cast("double")).as("s"),
         col("is_match"))
     val matchesFull = scored(full).filter(col("is_match"))
       .select("x_id", "y_id").as[(Long, Long)].collect().toSet
