@@ -151,7 +151,7 @@ object Dedup {
         .select(und("a").as("id"), col("rep"))
       val next = labels.select("id", "rep").unionByName(viaNeighbor)
         .groupBy("id").agg(min("rep").as("rep"))
-        .localCheckpoint(true) // truncate lineage every round
+        .transform(graft.core.Materialize.apply) // truncate lineage every round
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -120,7 +120,7 @@ object Drift {
             |     div (CAST(n_a AS DECIMAL(38,0)) * n_b) END"""
             .stripMargin).as("d_bp"))
       // the single output row frees the three re-reads of the merged grain
-      .localCheckpoint()
+      .transform(graft.core.Materialize.apply)
     merged.unpersist()
     out
   }

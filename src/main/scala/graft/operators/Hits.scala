@@ -60,4 +60,72 @@ object Hits {
         col("a").cast("long").as("auth"),
         col("h").cast("long").as("hub"))
   }
+
+  /** CONVERGED HITS — the fixed-point form [[scores]]' unrolled walk is
+    * not: after each of the k update halves the scores renormalize to
+    * ppm-of-the-max (floor division, engine-exact), so magnitudes stay
+    * ≤ `scale` for ANY k and the iteration can run to convergence
+    * instead of stopping at the width limit. The classical L∞-normalized
+    * power iteration on AᵀA / AAᵀ, in integers: each round is
+    *   a(i) = Σ_{j→i} h(j),  a ← (scale·a) div max(a),
+    *   h(i) = Σ_{i→j} a(j),  h ← (scale·h) div max(h),
+    * (an all-zero side — a graph with no edges into any node — floors at
+    * 0 rather than dividing by it). Floors lose < 1/scale of relative
+    * mass per round; at ppm scale rankings stabilize in a handful of
+    * rounds (spec-pinned) and every engine replays the identical longs.
+    *
+    * Scale shape per round: the same 2 hash joins + 2 map-side-combinable
+    * sums as [[scores]] plus TWO broadcast single-row maxima; per-round
+    * products ride DECIMAL(38,0) (sums ≤ d_max·scale never overflow a
+    * long for d_max < 9.2·10¹²; the ×scale rescale widens before
+    * multiplying), state re-materializes each round under the
+    * [[graft.core.Materialize]] policy to keep plans linear in k.
+    *
+    * Output: (id, auth_ppm, hub_ppm) — BIGINT in [0, scale], the top
+    * authority/hub at exactly `scale`.
+    */
+  def normalizedScores(
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"Hits.normalizedScores: iters must be >= 1, got $iters")
+    require(scale >= 1, s"Hits.normalizedScores: scale must be >= 1, got $scale")
+    val e = edges.select(
+      col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .transform(graft.core.Materialize.apply)
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      val mx = df.agg(max(col(c)).as("__mx"))
+      df.crossJoin(broadcast(mx))
+        .select(
+          col("id"),
+          expr(s"""CASE WHEN __mx = 0 THEN 0L
+                   ELSE (CAST($c AS DECIMAL(38,0)) * ${scale}L) div __mx
+                   END""").as(c))
+    }
+    var h = nodes.select(col("id"), lit(scale).as("h"))
+    var a = nodes.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      a = renorm(
+        nodes.join(
+          e.join(h.select(col("id").as("src"), col("h")), "src")
+            .groupBy(col("dst").as("id")).agg(sum("h").as("a0")),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col("a0"), lit(0L)).as("a")),
+        "a").transform(graft.core.Materialize.apply)
+      h = renorm(
+        nodes.join(
+          e.join(a.select(col("id").as("dst"), col("a")), "dst")
+            .groupBy(col("src").as("id")).agg(sum("a").as("h0")),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col("h0"), lit(0L)).as("h")),
+        "h").transform(graft.core.Materialize.apply)
+    }
+    nodes.join(a, "id").join(h, "id")
+      .select(col("id"), col("a").as("auth_ppm"), col("h").as("hub_ppm"))
+  }
 }

@@ -43,7 +43,7 @@ object KCore {
         .agg(count(lit(1)).as("d"))
       cur = cur
         .join(deg.filter(col("d") >= k).select("id"), "id")
-        .localCheckpoint(true)
+        .transform(graft.core.Materialize.apply)
     }
     val finalDeg = e
       .join(cur.select(col("id").as("a")), "a")

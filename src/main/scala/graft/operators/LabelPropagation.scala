@@ -54,7 +54,7 @@ object LabelPropagation {
       labels = labels
         .join(votes, Seq("id"), "left")
         .select(col("id"), coalesce(col("win"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .transform(graft.core.Materialize.apply)
     }
     labels
   }

@@ -61,7 +61,7 @@ object PageRank {
           col("id"),
           (col("isSrc").cast("long") * base +
             expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
+        .transform(graft.core.Materialize.apply)
     }
     ranks
   }
@@ -90,7 +90,7 @@ object PageRank {
         .select(
           col("id"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
+        .transform(graft.core.Materialize.apply)
     }
     ranks
   }

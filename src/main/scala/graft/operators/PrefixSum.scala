@@ -51,7 +51,7 @@ object PrefixSum {
     // tokenize+histogram, measured 2.7-3.5× end-to-end before this fix.
     // Level inputs shrink by blockSize× per level, so the checkpointed
     // footprint is ~the first level's histogram (key-distinct grain).
-    val kv = kv0.localCheckpoint(true)
+    val kv = kv0.transform(graft.core.Materialize.apply)
     val n = kv.count()
     if (n <= 1) {
       // s − s: a zero of the sum column's own type (long/decimal/double)
@@ -97,7 +97,7 @@ object PrefixSum {
     */
   def exclusiveMin(kv0: DataFrame, blockSize: Int = 4096): DataFrame = {
     require(blockSize >= 2, s"blockSize must be >= 2: $blockSize")
-    val kv = kv0.localCheckpoint(true)
+    val kv = kv0.transform(graft.core.Materialize.apply)
     val n = kv.count()
     if (n <= 1) {
       // a NULL of the scan column's own type

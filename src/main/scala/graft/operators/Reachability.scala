@@ -45,7 +45,7 @@ object Reachability {
           col("id"),
           when(col("dist") >= 0, least(col("dist"), coalesce(col("nd"), col("dist"))))
             .otherwise(coalesce(col("nd"), lit(-1L))).as("dist"))
-        .localCheckpoint(true)
+        .transform(graft.core.Materialize.apply)
     }
     dist
   }

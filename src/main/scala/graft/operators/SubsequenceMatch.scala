@@ -264,17 +264,16 @@ object SubsequenceMatch {
       .collect().map(r => r.getAs[Int]("w") -> r.getAs[Long]("count")).toMap
     val ordered = probes.sortBy(p => stats.getOrElse(p.qoff, 0L))
 
-    // localCheckpoint (eager) instead of persist: each round's candidate
+    // eager materialization instead of persist: each round's candidate
     // set is consumed twice (count + next join / phase-2 gather), but the
     // blocks are ContextCleaner-managed — freed when the DataFrame becomes
     // unreachable — so repeated adaptive queries in one session leak
     // nothing (a bare persist would pin blocks until an unpersist no
-    // caller has a handle for). Trade-off: checkpointed blocks have NO
-    // lineage, so losing an executor mid-query (decommission, OOM kill)
-    // fails the match instead of recomputing — acceptable for this
-    // interactive-query workload; a deployment that must survive executor
-    // loss should swap in persist + a weak-reference unpersist
-    var cand = probe(ordered.head).localCheckpoint(true)
+    // caller has a handle for). The lineage-vs-leak choice is the session
+    // policy knob in [[graft.core.Materialize]]: 'local' (default, no
+    // lineage — executor loss mid-query fails the match) for local[*] /
+    // stable clusters, 'reliable' for preemptible fleets.
+    var cand = probe(ordered.head).transform(graft.core.Materialize.apply)
     var candCount = cand.count()
     var probed = 1
     var stop = false
@@ -282,7 +281,7 @@ object SubsequenceMatch {
       if (candCount * m <= costRatio * widthRows.getOrElse(p.w, Long.MaxValue)) {
         stop = true // verifying survivors beats another index scan
       } else {
-        cand = cand.join(probe(p), Seq("start")).localCheckpoint(true)
+        cand = cand.join(probe(p), Seq("start")).transform(graft.core.Materialize.apply)
         candCount = cand.count()
         probed += 1
       }

@@ -541,6 +541,20 @@ object RelationalQueries {
       graft.operators.Hits.scores(e, iters = 2).orderBy("id")
     }),
 
+    // Converged HITS (round-13): the q219 purchase graph run to a FIXED
+    // POINT — ppm-of-max renormalization after each update half keeps
+    // magnitudes in [0, 10^6] for any iteration count (q219's unrolled
+    // walk hits its width ceiling at k = 4); four rounds, exact floors,
+    // the top authority/hub pinned at exactly 10^6.
+    "q226_hits_converged" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      graft.operators.Hits.normalizedScores(e, iters = 4).orderBy("id")
+    }),
+
     // Bipartite projection (round-12): the supplier co-purchase graph —
     // customer-wedge join with the power-user cap, map-side-combined
     // shared counts, coincidence pairs pruned in the aggregation.
@@ -2350,7 +2364,59 @@ object RelationalQueries {
         |GROUP BY iv.user_id, iv.s_start, iv.s_end
         |ORDER BY iv.user_id, iv.s_start""".stripMargin)
 
+  /** Converged-HITS replay (q226): `iters` unrolled rounds of the
+    * ppm-of-max-normalized power iteration in HUGEINT — each round is the
+    * q219 walk step plus a `(v * scale) // max(v)` renormalization per
+    * side, matching [[graft.operators.Hits.normalizedScores]] floor for
+    * floor (the q183 emRound idiom: generate the mechanical unroll, keep
+    * the recursion readable in one place).
+    */
+  private def hitsConvergedOracle(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT id, CAST(1000000 AS HUGEINT) AS h FROM nodes)""".stripMargin)
+    // each round's raw side is MATERIALIZED and its max lives in its own
+    // one-row CTE: the scalar-subquery form makes DuckDB re-evaluate the
+    // whole recursion per reference and exhausts file handles at depth 4
+    for (r <- 1 to iters) {
+      val ph = if (r == 1) "h0" else s"h${r - 1}"
+      sb ++= s""",
+        |a${r}r AS MATERIALIZED (
+        |  SELECT n.id, CAST(coalesce(s.v, 0) AS HUGEINT) AS v
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS id, sum(p.h) AS v
+        |    FROM e JOIN $ph p ON p.id = e.src GROUP BY e.dst) s ON s.id = n.id),
+        |a${r}m AS (SELECT max(v) AS m FROM a${r}r),
+        |a$r AS MATERIALIZED (
+        |  SELECT id, CASE WHEN m = 0 THEN 0
+        |       ELSE (v * 1000000) // m END AS a
+        |  FROM a${r}r, a${r}m),
+        |h${r}r AS MATERIALIZED (
+        |  SELECT n.id, CAST(coalesce(s.v, 0) AS HUGEINT) AS v
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.src AS id, sum(p.a) AS v
+        |    FROM e JOIN a$r p ON p.id = e.dst GROUP BY e.src) s ON s.id = n.id),
+        |h${r}m AS (SELECT max(v) AS m FROM h${r}r),
+        |h$r AS MATERIALIZED (
+        |  SELECT id, CASE WHEN m = 0 THEN 0
+        |       ELSE (v * 1000000) // m END AS h
+        |  FROM h${r}r, h${r}m)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT n.id, CAST(a$iters.a AS BIGINT) AS auth_ppm,
+      |       CAST(h$iters.h AS BIGINT) AS hub_ppm
+      |FROM nodes n JOIN a$iters ON a$iters.id = n.id
+      |JOIN h$iters ON h$iters.id = n.id
+      |ORDER BY n.id""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q226_hits_converged" -> hitsConvergedOracle(4),
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

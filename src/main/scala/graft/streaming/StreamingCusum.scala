@@ -123,7 +123,7 @@ object StreamingCusum {
       // the (batches × buckets)-bounded result materializes eagerly so the
       // memory-sink table, checkpoint dir, and staged chunk dir can all be
       // released NOW instead of leaking for the session on repeated calls
-      .localCheckpoint()
+      .transform(graft.core.Materialize.apply)
     spark.catalog.dropTempView(name)
     SemiStreamRuntime.deleteRecursively(java.nio.file.Paths.get(ckpt))
     SemiStreamRuntime.deleteRecursively(staged)

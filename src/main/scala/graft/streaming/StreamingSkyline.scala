@@ -98,7 +98,7 @@ object StreamingSkyline {
       val union = prior.map(_.unionByName(vecs).distinct()).getOrElse(vecs)
       // localCheckpoint cuts the growing lineage — the carried plan would
       // otherwise nest one anti-join pair per batch forever
-      val next = Skyline.frontVectors(union, dims, buckets).localCheckpoint(true)
+      val next = Skyline.frontVectors(union, dims, buckets).transform(graft.core.Materialize.apply)
       front = Some(next)
       // state telemetry: the running front IS this consumer's state, so
       // its size is the growth curve a deployment alarms on (opt-in,
