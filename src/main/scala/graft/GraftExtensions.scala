@@ -1221,6 +1221,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.hitsPlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("hits_converged"),
+      new ExpressionInfo(
+        classOf[graft.operators.Hits.type].getName,
+        null,
+        "hits_converged",
+        "hits_converged(table, iters) - ppm-of-max normalized HITS fixed point over directed edges (src, dst): (id, auth_ppm, hub_ppm), any iteration depth.",
+        ""),
+      exprs => GraftExtensions.hitsConvergedPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("modularity"),
+      new ExpressionInfo(
+        classOf[graft.operators.Modularity.type].getName,
+        null,
+        "modularity",
+        "modularity(edgesTable, labelsTable) - Newman Q of a community assignment in exact ppm: (label, n_nodes, e_in, d_tot, contrib_ppm, modularity_ppm).",
+        ""),
+      exprs => GraftExtensions.modularityPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("chi2_independence"),
+      new ExpressionInfo(
+        classOf[graft.operators.ChiSquare.type].getName,
+        null,
+        "chi2_independence",
+        "chi2_independence(table, xCol, yCol) - chi-square independence test of two categoricals, exact ppm contribs incl. absent cells: (x, y, o, r_tot, c_tot, contrib_ppm, chi2_ppm, dof).",
+        ""),
+      exprs => GraftExtensions.chi2IndependencePlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("conformal_calibrate"),
+      new ExpressionInfo(
+        classOf[graft.operators.Conformal.type].getName,
+        null,
+        "conformal_calibrate",
+        "conformal_calibrate(calTable, testTable, scoreCol, alphaNum, alphaDen) - split-conformal threshold at the exact ceil((n+1)(1-alpha)) rank plus realized test coverage: (n_cal, k, q_hat, exact, n_test, n_covered, coverage_ppm).",
+        ""),
+      exprs => GraftExtensions.conformalCalibratePlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("effective_sample_size"),
+      new ExpressionInfo(
+        classOf[graft.operators.EffectiveSampleSize.type].getName,
+        null,
+        "effective_sample_size",
+        "effective_sample_size(table, groupCol, wCol) - Kish ESS and design effect of integer weights per group in exact ppm: (group, n, w_sum, w_sq_sum, ess_ppm, deff_ppm).",
+        ""),
+      exprs => GraftExtensions.effectiveSampleSizePlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("assortativity"),
       new ExpressionInfo(
         classOf[graft.operators.GraphStats.type].getName,
@@ -3463,6 +3508,73 @@ object GraftExtensions {
     require(iters >= 1 && iters <= 4, s"$n: iters must be in [1, 4], got $iters")
     graft.operators.Hits
       .scores(SparkSession.active.table(strArg(n, exprs.head, "table")), iters.toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def hitsConvergedPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "hits_converged"
+    require(
+      exprs.length == 2,
+      s"$n expects (table, iters), got ${exprs.length} arguments")
+    val iters = longArg(n, exprs(1), "iters")
+    require(iters >= 1, s"$n: iters must be >= 1, got $iters")
+    graft.operators.Hits
+      .normalizedScores(
+        SparkSession.active.table(strArg(n, exprs.head, "table")), iters.toInt)
+      .queryExecution.logical
+  }
+
+  private[graft] def modularityPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "modularity"
+    require(
+      exprs.length == 2,
+      s"$n expects (edgesTable, labelsTable), got ${exprs.length} arguments")
+    graft.operators.Modularity
+      .score(
+        SparkSession.active.table(strArg(n, exprs.head, "edgesTable")),
+        SparkSession.active.table(strArg(n, exprs(1), "labelsTable")))
+      .queryExecution.logical
+  }
+
+  private[graft] def chi2IndependencePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "chi2_independence"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, xCol, yCol), got ${exprs.length} arguments")
+    graft.operators.ChiSquare
+      .independence(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "xCol"),
+        strArg(n, exprs(2), "yCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def conformalCalibratePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "conformal_calibrate"
+    require(
+      exprs.length == 5,
+      s"$n expects (calTable, testTable, scoreCol, alphaNum, alphaDen), " +
+        s"got ${exprs.length} arguments")
+    graft.operators.Conformal
+      .calibrate(
+        SparkSession.active.table(strArg(n, exprs.head, "calTable")),
+        SparkSession.active.table(strArg(n, exprs(1), "testTable")),
+        strArg(n, exprs(2), "scoreCol"),
+        longArg(n, exprs(3), "alphaNum"),
+        longArg(n, exprs(4), "alphaDen"))
+      .queryExecution.logical
+  }
+
+  private[graft] def effectiveSampleSizePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "effective_sample_size"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, groupCol, wCol), got ${exprs.length} arguments")
+    graft.operators.EffectiveSampleSize
+      .perGroup(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        Seq(strArg(n, exprs(1), "groupCol")),
+        strArg(n, exprs(2), "wCol"))
       .queryExecution.logical
   }
 

@@ -46,7 +46,8 @@ object Conformal {
       .select(col("k").as("v"), col("before"))
     val withCum = hist.join(cum, "v")
       .select(col("v"), (col("before") + col("c")).as("cum"))
-    val nCal = hist.agg(sum("c")).head().getLong(0)
+    val nCalRow = hist.agg(coalesce(sum("c"), lit(0L))).head()
+    val nCal = nCalRow.getLong(0)
     require(nCal > 0, "Conformal.calibrate: empty calibration set")
     val keep = alphaDen - alphaNum
     val kRaw = ((nCal + 1) * keep + alphaDen - 1) / alphaDen

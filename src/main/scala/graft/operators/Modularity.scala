@@ -45,7 +45,7 @@ object Modularity {
       .distinct()
     val lab = labels.select(
       col("id").cast("long").as("id"),
-      col("label").cast("long").as("label"))
+      col("label").cast("string").as("label"))
     val deg = e.select(col("x").as("id"))
       .unionByName(e.select(col("y").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
@@ -56,7 +56,7 @@ object Modularity {
         when(col("label").isNull,
           raise_error(concat(
             lit("Modularity.score: edge endpoint without a label: "),
-            col("id").cast("string"))).cast("long"))
+            col("id").cast("string"))))
           .otherwise(col("label")).as("label"),
         col("d"))
     val perC = degLab.groupBy("label")

@@ -1704,6 +1704,59 @@ object DocumentQueries {
         "doc_id", "blk", "rep")
     }),
 
+    // Modularity (round-13): is the SimHash near-dup graph language-
+    // aligned? Newman Q of the `lang` partition over the q100/q120 doc
+    // graph in exact ppm (Q·4m² integers) — near-duplicates should
+    // overwhelmingly pair within a language; a low Q here flags
+    // cross-language template contamination. Per-community contribs
+    // name the languages carrying (or breaking) the structure.
+    "q227_modularity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val edges = graft.operators.Dedup.simhashPairs(toks, maxHamming = 3)
+        .select(col("x_id").as("a"), col("y_id").as("b"))
+      graft.operators.Modularity
+        .score(edges, docs.select(col("doc_id").as("id"), col("lang").as("label")))
+        .orderBy("label")
+    }),
+
+    // χ² independence (round-13): is `lang` independent of `source`?
+    // The r×c generalization of q224's 2×2 z² — exact ppm contribs per
+    // cell (absent cells enumerated from the marginals), the scalar χ²
+    // and dof repeated per row; a skewed cell means one crawl feeds one
+    // language, the mixing bug marginal histograms can't see.
+    "q228_chi2_independence" -> ((s, dir) =>
+      graft.operators.ChiSquare
+        .independence(t(s, dir, "documents"), "lang", "source")
+        .orderBy("x", "y")),
+
+    // Split-conformal calibration (round-13): threshold the doc-length
+    // nonconformity score on the even-id calibration half at α = 1/10,
+    // measure realized coverage on the odd-id half — the distribution-
+    // free ≥ 90 % guarantee shipping WITH its empirical check (the
+    // q130 recall-certificate idiom).
+    "q229_conformal" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("score"))
+      graft.operators.Conformal.calibrate(
+        scored.filter(pmod(col("doc_id"), lit(2)) === 0),
+        scored.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "score", alphaNum = 1, alphaDen = 10)
+    }),
+
+    // Effective sample size (round-13): if documents were importance-
+    // weighted by length, how many unweighted docs is each language's
+    // sample worth? Kish ESS + design effect in exact ppm — the
+    // one-aggregate health check for every weighted estimator in the
+    // sampling tier.
+    "q230_ess" -> ((s, dir) =>
+      graft.operators.EffectiveSampleSize
+        .perGroup(
+          t(s, dir, "documents").select(
+            col("lang"), greatest(length(col("text")), lit(1)).as("w")),
+          Seq("lang"), "w")
+        .orderBy("lang")),
+
     // NFC normalization (round-12): the codegen'd nfc_normalize
     // expression over document text salted with DECOMPOSED suffixes
     // (e+U+0301 etc.) — the canonicalization every mixed-source corpus
@@ -4246,6 +4299,122 @@ object DocumentQueries {
         |       CAST(coalesce(s.support, 0) AS BIGINT) AS support
         |FROM pairs p LEFT JOIN sup s ON s.a = p.x AND s.b = p.y
         |ORDER BY a, b""".stripMargin,
+
+    // modularity replay: the q120 SimHash-pair CTE prefix verbatim, then
+    // Newman Q of the lang partition at 4m² scale, signed // toward zero
+    "q227_modularity" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS m FROM tok),
+        |sgn AS (
+        |  SELECT doc_id, r.p AS p,
+        |         sum(CASE WHEN ((instr('0123456789abcdef', substr(m, (r.p // 4) + 1, 1)) - 1)
+        |                        >> (r.p % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, range(0, 64) r(p)
+        |  GROUP BY doc_id, r.p),
+        |fp AS (
+        |  SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+        |  FROM sgn GROUP BY doc_id),
+        |e AS (
+        |  SELECT CAST(a.doc_id AS BIGINT) AS ex, CAST(b.doc_id AS BIGINT) AS ey
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 3),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT ex AS id FROM e UNION ALL SELECT ey FROM e)
+        |        GROUP BY id),
+        |lab AS (SELECT CAST(doc_id AS BIGINT) AS id, lang AS label FROM documents),
+        |dl AS (SELECT deg.id, lab.label, deg.d FROM deg JOIN lab ON lab.id = deg.id),
+        |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+        |perc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+        |                CAST(sum(d) AS HUGEINT) AS d_tot
+        |         FROM dl GROUP BY label),
+        |ein AS (SELECT a.label, CAST(count(*) AS HUGEINT) AS e_in
+        |        FROM e JOIN dl a ON a.id = e.ex
+        |               JOIN dl b ON b.id = e.ey AND b.label = a.label
+        |        GROUP BY a.label),
+        |cells AS (
+        |  SELECT p.label, p.n_nodes, coalesce(ein.e_in, 0) AS e_in, p.d_tot,
+        |         4 * mm.m * coalesce(ein.e_in, 0) - p.d_tot * p.d_tot AS num
+        |  FROM perc p LEFT JOIN ein ON ein.label = p.label, mm),
+        |tot AS (SELECT CAST((1000000 * sum(num)) // (4 * mm.m * mm.m) AS BIGINT)
+        |          AS modularity_ppm
+        |        FROM cells, mm GROUP BY mm.m)
+        |SELECT c.label, c.n_nodes, CAST(c.e_in AS BIGINT) AS e_in,
+        |       CAST(c.d_tot AS BIGINT) AS d_tot,
+        |       CAST((1000000 * c.num) // (4 * mm.m * mm.m) AS BIGINT) AS contrib_ppm,
+        |       tot.modularity_ppm
+        |FROM cells c, mm, tot ORDER BY c.label""".stripMargin,
+
+    // χ² replay: cell grain, marginal cross join for absent cells, the
+    // (o·n − r·c)²/(r·c·n) per-cell floor in ppm
+    "q228_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rws AS (SELECT x, CAST(sum(o) AS BIGINT) AS r_tot FROM cells GROUP BY x),
+        |cls AS (SELECT y, CAST(sum(o) AS BIGINT) AS c_tot FROM cells GROUP BY y),
+        |nn AS (SELECT CAST(sum(o) AS HUGEINT) AS n FROM cells),
+        |full0 AS (
+        |  SELECT r.x, c.y, coalesce(cells.o, 0) AS o, r.r_tot, c.c_tot
+        |  FROM rws r CROSS JOIN cls c
+        |  LEFT JOIN cells ON cells.x = r.x AND cells.y = c.y),
+        |contrib AS (
+        |  SELECT x, y, o, r_tot, c_tot,
+        |         (1000000 * (o::HUGEINT * nn.n - r_tot::HUGEINT * c_tot)
+        |                  * (o::HUGEINT * nn.n - r_tot::HUGEINT * c_tot))
+        |         // (r_tot::HUGEINT * c_tot * nn.n) AS contrib_ppm
+        |  FROM full0, nn),
+        |tot AS (
+        |  SELECT CAST(sum(contrib_ppm) AS BIGINT) AS chi2_ppm,
+        |         CAST((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1) AS BIGINT)
+        |           AS dof
+        |  FROM contrib)
+        |SELECT x, y, o, r_tot, c_tot,
+        |       CAST(contrib_ppm AS BIGINT) AS contrib_ppm, chi2_ppm, dof
+        |FROM contrib, tot ORDER BY x, y""".stripMargin,
+
+    // conformal replay: rank read-off at k = ceil((n+1)(1−α)) clamped to
+    // n, coverage on the held-out half in floored ppm
+    "q229_conformal" ->
+      """WITH s AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, CAST(length(text) AS BIGINT) AS v
+        |  FROM documents),
+        |cal AS (SELECT v FROM s WHERE id % 2 = 0),
+        |tst AS (SELECT v FROM s WHERE id % 2 = 1),
+        |nk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cal,
+        |         least(((count(*) + 1) * 9 + 9) // 10, count(*)) AS k,
+        |         ((count(*) + 1) * 9 + 9) // 10 AS k_raw
+        |  FROM cal),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM cal),
+        |q AS (SELECT min(v) AS q_hat FROM r, nk WHERE r.rn >= nk.k),
+        |cov AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |         CAST(coalesce(sum(CASE WHEN tst.v <= q.q_hat THEN 1 ELSE 0 END), 0)
+        |           AS BIGINT) AS n_covered
+        |  FROM tst, q)
+        |SELECT nk.n_cal, CAST(nk.k AS BIGINT) AS k, q.q_hat,
+        |       nk.k_raw <= nk.n_cal AS exact, cov.n_test, cov.n_covered,
+        |       CAST(CASE WHEN cov.n_test = 0 THEN 0
+        |            ELSE (1000000 * cov.n_covered) // cov.n_test END AS BIGINT)
+        |         AS coverage_ppm
+        |FROM nk, q, cov""".stripMargin,
+
+    // ESS replay: one aggregate per language, Kish ratios floored in ppm
+    "q230_ess" ->
+      """WITH d AS (
+        |  SELECT lang, greatest(CAST(length(text) AS BIGINT), 1) AS w
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(w) AS HUGEINT) AS ws,
+        |             CAST(sum(w::HUGEINT * w) AS HUGEINT) AS wss
+        |      FROM d GROUP BY lang)
+        |SELECT lang, n, CAST(ws AS BIGINT) AS w_sum, CAST(wss AS BIGINT) AS w_sq_sum,
+        |       CAST((1000000 * ws * ws) // wss AS BIGINT) AS ess_ppm,
+        |       CAST((1000000 * n::HUGEINT * wss) // (ws * ws) AS BIGINT) AS deff_ppm
+        |FROM g ORDER BY lang""".stripMargin,
 
     // blocking-quality replay: q19 cluster CTE, histogram pair sums
     // Σ s(s−1)/2 for blocks / clusters / contingency cells

@@ -86,6 +86,15 @@ class HitsSpec extends SparkSpec {
     assert(runNorm(mixed, 8) == runNorm(mixed, 9))
   }
 
+  test("hits_converged TVF round-trips the Scala path") {
+    val edges = (0 until 60).map(i => ((i % 9).toLong, ((i * i + 1) % 11 + 20).toLong))
+    edges.toDF("src", "dst").createOrReplaceTempView("hits_edges")
+    val sqlDf = spark.sql("SELECT * FROM hits_converged('hits_edges', 6)")
+    val scalaDf = Hits.normalizedScores(spark.table("hits_edges"), 6)
+    assert(sqlDf.columns.toSeq == scalaDf.columns.toSeq)
+    assert(sqlDf.exceptAll(scalaDf).isEmpty && scalaDf.exceptAll(sqlDf).isEmpty)
+  }
+
   test("duplicate and self edges are ignored; deterministic under repartition") {
     val edges = Seq[(Long, Long)]((1, 2), (1, 2), (2, 2), (2, 3))
     assert(run(edges, 2) == brute(edges, 2))
