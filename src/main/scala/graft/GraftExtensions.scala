@@ -1257,6 +1257,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.conformalCalibratePlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("mann_kendall"),
+      new ExpressionInfo(
+        classOf[graft.operators.TrendTest.type].getName,
+        null,
+        "mann_kendall",
+        "mann_kendall(table, tCol, xCol) - Mann-Kendall trend test over a bounded unique time grain: (n, s, var18, z2_ppm), z2 vs chi-square(1) critical values.",
+        ""),
+      exprs => GraftExtensions.mannKendallPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("benford_audit"),
+      new ExpressionInfo(
+        classOf[graft.operators.Benford.type].getName,
+        null,
+        "benford_audit",
+        "benford_audit(table, valueCol) - Benford first-digit audit of positive integers vs the fixed ppm expectation: (d, o, expected_ppm, observed_ppm, contrib_ppm, chi2_ppm).",
+        ""),
+      exprs => GraftExtensions.benfordAuditPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("effective_sample_size"),
       new ExpressionInfo(
         classOf[graft.operators.EffectiveSampleSize.type].getName,
@@ -3562,6 +3580,31 @@ object GraftExtensions {
         strArg(n, exprs(2), "scoreCol"),
         longArg(n, exprs(3), "alphaNum"),
         longArg(n, exprs(4), "alphaDen"))
+      .queryExecution.logical
+  }
+
+  private[graft] def mannKendallPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "mann_kendall"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, tCol, xCol), got ${exprs.length} arguments")
+    graft.operators.TrendTest
+      .mannKendall(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "tCol"),
+        strArg(n, exprs(2), "xCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def benfordAuditPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "benford_audit"
+    require(
+      exprs.length == 2,
+      s"$n expects (table, valueCol), got ${exprs.length} arguments")
+    graft.operators.Benford
+      .firstDigit(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "valueCol"))
       .queryExecution.logical
   }
 

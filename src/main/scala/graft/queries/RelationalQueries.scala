@@ -541,6 +541,31 @@ object RelationalQueries {
       graft.operators.Hits.scores(e, iters = 2).orderBy("id")
     }),
 
+    // Mann–Kendall (round-13): is daily event volume monotonically
+    // drifting? Distribution-free trend score over the bounded day
+    // grain — S from the triangular grain² pair join, tie-corrected
+    // variance at 18× scale, z² in exact ppm vs χ²₁ (the q224
+    // convention). Complements q191's Theil–Sen slope (magnitude) and
+    // q206's CUSUM (level shift) with drift significance.
+    "q231_mann_kendall" -> ((s, dir) =>
+      graft.operators.TrendTest.mannKendall(
+        t(s, dir, "events").groupBy(
+          expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x")),
+        "day", "x")),
+
+    // Benford audit (round-13): do lineitem prices obey the first-digit
+    // law? Cent-scale positive amounts, digits by string head (no
+    // log/pow float path), per-digit χ² contribs against the FIXED ppm
+    // expectation table — the accounting-forensics tripwire for any
+    // amount column from an untrusted pipeline.
+    "q232_benford" -> ((s, dir) =>
+      graft.operators.Benford.firstDigit(
+        t(s, dir, "lineitem").select(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+        "cents")
+        .orderBy("d")),
+
     // Converged HITS (round-13): the q219 purchase graph run to a FIXED
     // POINT — ppm-of-max renormalization after each update half keeps
     // magnitudes in [0, 10^6] for any iteration count (q219's unrolled
@@ -2417,6 +2442,55 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
 
     "q226_hits_converged" -> hitsConvergedOracle(4),
+
+    // MK replay: day grain, triangular sign join, tie groups, 18× var
+    "q231_mann_kendall" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS t, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY t),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+        |sv AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x THEN 1
+        |                                WHEN b.x < a.x THEN -1 ELSE 0 END), 0)
+        |    AS BIGINT) AS s
+        |  FROM g a JOIN g b ON a.t < b.t),
+        |tie AS (
+        |  SELECT CAST(coalesce(sum(tg::HUGEINT * (tg - 1) * (2 * tg + 5)), 0)
+        |    AS HUGEINT) AS tie18
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS tg FROM g GROUP BY x)),
+        |v AS (SELECT nn.n, nn.n::HUGEINT * (nn.n - 1) * (2 * nn.n + 5) - tie.tie18
+        |        AS var18
+        |      FROM nn, tie)
+        |SELECT v.n, sv.s, CAST(v.var18 AS BIGINT) AS var18,
+        |       CAST(CASE WHEN v.var18 = 0 THEN 0
+        |            ELSE (1000000 * 18 * sv.s::HUGEINT * sv.s) // v.var18
+        |            END AS BIGINT) AS z2_ppm
+        |FROM v, sv""".stripMargin,
+
+    // Benford replay: string-head digits, the fixed ppm expectation
+    // VALUES table, per-digit χ² floors
+    "q232_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |dd AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d FROM v),
+        |obs AS (SELECT d, CAST(count(*) AS BIGINT) AS o FROM dd GROUP BY d),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        |expd AS (SELECT * FROM (VALUES (1, 301034), (2, 176091), (3, 124938),
+        |         (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        |         (9, 45757)) e(d, expected_ppm)),
+        |cells AS (
+        |  SELECT e.d, coalesce(o.o, 0) AS o,
+        |         CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |         (1000000 * coalesce(o.o, 0)) // nn.n AS observed_ppm,
+        |         ((1000000 * coalesce(o.o, 0)::HUGEINT - nn.n::HUGEINT * e.expected_ppm)
+        |          * (1000000 * coalesce(o.o, 0)::HUGEINT - nn.n::HUGEINT * e.expected_ppm))
+        |         // (nn.n::HUGEINT * e.expected_ppm) AS contrib_ppm
+        |  FROM expd e LEFT JOIN obs o ON o.d = e.d, nn),
+        |tot AS (SELECT CAST(sum(contrib_ppm) AS BIGINT) AS chi2_ppm FROM cells)
+        |SELECT d, o, expected_ppm, CAST(observed_ppm AS BIGINT) AS observed_ppm,
+        |       CAST(contrib_ppm AS BIGINT) AS contrib_ppm, tot.chi2_ppm
+        |FROM cells, tot ORDER BY d""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
