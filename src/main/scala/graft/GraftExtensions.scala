@@ -1257,6 +1257,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.conformalCalibratePlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("srm_check"),
+      new ExpressionInfo(
+        classOf[graft.operators.SampleRatio.type].getName,
+        null,
+        "srm_check",
+        "srm_check(table, armCol, aLabel, bLabel, expectA, expectB) - sample-ratio-mismatch chi-square vs the design ratio in exact ppm: (n_a, n_b, expect_a, expect_b, a_share_ppm, expected_a_ppm, srm_ppm, srm_alarm).",
+        ""),
+      exprs => GraftExtensions.srmCheckPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("rbo"),
+      new ExpressionInfo(
+        classOf[graft.operators.Rbo.type].getName,
+        null,
+        "rbo",
+        "rbo(xTable, yTable, qCol, dCol, rankCol, k, pNum, pDen) - rank-biased overlap of two rankings per query at depth k, exact ppm: (q, n_matched, rbo_ppm).",
+        ""),
+      exprs => GraftExtensions.rboPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("smd_balance"),
+      new ExpressionInfo(
+        classOf[graft.operators.Balance.type].getName,
+        null,
+        "smd_balance",
+        "smd_balance(table, armCol, xCol, aLabel, bLabel) - exact squared standardized mean difference across two arms: (n_a, n_b, mean_a_ppm, mean_b_ppm, var_a, var_b, smd2_ppm, balanced).",
+        ""),
+      exprs => GraftExtensions.smdBalancePlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("mann_kendall"),
       new ExpressionInfo(
         classOf[graft.operators.TrendTest.type].getName,
@@ -3580,6 +3607,57 @@ object GraftExtensions {
         strArg(n, exprs(2), "scoreCol"),
         longArg(n, exprs(3), "alphaNum"),
         longArg(n, exprs(4), "alphaDen"))
+      .queryExecution.logical
+  }
+
+  private[graft] def srmCheckPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "srm_check"
+    require(
+      exprs.length == 6,
+      s"$n expects (table, armCol, aLabel, bLabel, expectA, expectB), " +
+        s"got ${exprs.length} arguments")
+    graft.operators.SampleRatio
+      .check(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "armCol"),
+        strArg(n, exprs(2), "aLabel"),
+        strArg(n, exprs(3), "bLabel"),
+        longArg(n, exprs(4), "expectA"),
+        longArg(n, exprs(5), "expectB"))
+      .queryExecution.logical
+  }
+
+  private[graft] def rboPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "rbo"
+    require(
+      exprs.length == 8,
+      s"$n expects (xTable, yTable, qCol, dCol, rankCol, k, pNum, pDen), " +
+        s"got ${exprs.length} arguments")
+    graft.operators.Rbo
+      .perQuery(
+        SparkSession.active.table(strArg(n, exprs.head, "xTable")),
+        SparkSession.active.table(strArg(n, exprs(1), "yTable")),
+        strArg(n, exprs(2), "qCol"),
+        strArg(n, exprs(3), "dCol"),
+        strArg(n, exprs(4), "rankCol"),
+        longArg(n, exprs(5), "k").toInt,
+        longArg(n, exprs(6), "pNum"),
+        longArg(n, exprs(7), "pDen"))
+      .queryExecution.logical
+  }
+
+  private[graft] def smdBalancePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "smd_balance"
+    require(
+      exprs.length == 5,
+      s"$n expects (table, armCol, xCol, aLabel, bLabel), got ${exprs.length} arguments")
+    graft.operators.Balance
+      .smd(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "armCol"),
+        strArg(n, exprs(2), "xCol"),
+        strArg(n, exprs(3), "aLabel"),
+        strArg(n, exprs(4), "bLabel"))
       .queryExecution.logical
   }
 

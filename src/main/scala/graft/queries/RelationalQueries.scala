@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -539,6 +539,51 @@ object RelationalQueries {
           (col("l_suppkey") + 1000000L).as("dst"))
         .distinct()
       graft.operators.Hits.scores(e, iters = 2).orderBy("id")
+    }),
+
+    // Rank-biased overlap (round-13): price-ranked vs recency-ranked
+    // order lists per customer at depth 10, p = 9/10 — the top-weighted
+    // "did the ranking actually change" metric q188's label-based
+    // precision cannot ask; overlap via the max(rx, ry) histogram, one
+    // equi-join, driver-literal weights.
+    "q233_rbo" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def ranked(ord: Column) = o.select(
+        col("o_custkey").as("q"),
+        col("o_orderkey").as("d"),
+        row_number().over(
+          Window.partitionBy("o_custkey").orderBy(ord, col("o_orderkey")))
+          .as("rnk"))
+      graft.operators.Rbo.perQuery(
+        ranked(col("o_totalprice").desc),
+        ranked(col("o_orderdate").desc),
+        "q", "d", "rnk", k = 10)
+        .orderBy("q")
+    }),
+
+    // Covariate balance (round-13): was q224's odd/even user split
+    // balanced on pre-treatment activity? Exact squared SMD of per-user
+    // event counts across arms — the randomization-health gate that
+    // must pass before any CUPED/DiD/z² readout is trusted;
+    // smd2_ppm < 10⁴ ⇔ |SMD| < 0.1.
+    "q234_balance" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("x"))
+        .select(
+          when(pmod(col("user_id"), lit(2)) === 1, "a").otherwise("b").as("g"),
+          col("x"))
+      graft.operators.Balance.smd(u, "g", "x", "a", "b")
+    }),
+
+    // Sample-ratio mismatch (round-13): did q224's odd/even user split
+    // actually deliver 1:1? The gate every experiment platform runs
+    // FIRST — goodness-of-fit χ² against the DESIGN ratio in exact ppm,
+    // alarm at the p < 10⁻³ practice bar (10.83·10⁶).
+    "q235_srm" -> ((s, dir) => {
+      val u = t(s, dir, "events").select("user_id").distinct()
+        .select(
+          when(pmod(col("user_id"), lit(2)) === 1, "a").otherwise("b").as("g"))
+      graft.operators.SampleRatio.check(u, "g", "a", "b")
     }),
 
     // Mann–Kendall (round-13): is daily event volume monotonically
@@ -1187,6 +1232,153 @@ object RelationalQueries {
   }
 
   val gapOracles: Map[String, String] = Map(
+
+    "q226_hits_converged" -> hitsConvergedOracle(4),
+
+    // RBO replay: two row_number runs, max-rank histogram, the
+    // precomputed 9^(d−1)·10^(10−d) weight VALUES table, // floors
+    "q233_rbo" ->
+      """WITH x AS (
+        |  SELECT o_custkey AS q, o_orderkey AS d,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS r
+        |  FROM orders),
+        |y AS (
+        |  SELECT o_custkey AS q, o_orderkey AS d,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey) AS r
+        |  FROM orders),
+        |xk AS (SELECT * FROM x WHERE r <= 10),
+        |yk AS (SELECT * FROM y WHERE r <= 10),
+        |mm AS (SELECT xk.q, greatest(xk.r, yk.r) AS m
+        |       FROM xk JOIN yk ON xk.q = yk.q AND xk.d = yk.d),
+        |h AS (SELECT q, m, CAST(count(*) AS BIGINT) AS c FROM mm GROUP BY q, m),
+        |w AS (SELECT * FROM (VALUES (1, 1000000000), (2, 900000000),
+        |      (3, 810000000), (4, 729000000), (5, 656100000), (6, 590490000),
+        |      (7, 531441000), (8, 478296900), (9, 430467210), (10, 387420489))
+        |      t(depth, w)),
+        |terms AS (
+        |  SELECT h.q, w.depth, w.w, sum(h.c) AS ov
+        |  FROM h JOIN w ON h.m <= w.depth GROUP BY h.q, w.depth, w.w),
+        |tq AS (
+        |  SELECT q, sum((w::HUGEINT * 1000000 * ov) // depth) AS tsum,
+        |         max(CASE WHEN depth = 10 THEN ov END) AS n_matched
+        |  FROM terms GROUP BY q),
+        |qs AS (SELECT q FROM xk UNION SELECT q FROM yk)
+        |SELECT qs.q, CAST(coalesce(tq.n_matched, 0) AS BIGINT) AS n_matched,
+        |       CAST(coalesce(
+        |         (tq.tsum + (3486784401::HUGEINT * 1000000 * tq.n_matched) // 10)
+        |           // 10000000000, 0) AS BIGINT) AS rbo_ppm
+        |FROM qs LEFT JOIN tq ON tq.q = qs.q
+        |ORDER BY qs.q""".stripMargin,
+
+    // SMD replay: per-arm sufficient statistics, defined floors for the
+    // per-arm ppm means and population variances, the 2Δ²/(σ²a+σ²b) bar
+    "q234_balance" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY user_id),
+        |d AS (SELECT CASE WHEN user_id % 2 = 1 THEN 'a' ELSE 'b' END AS g, x
+        |      FROM u),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS HUGEINT) AS sx,
+        |             CAST(sum(x::HUGEINT * x) AS HUGEINT) AS qx
+        |      FROM d GROUP BY g),
+        |a AS (SELECT n AS n_a, sx AS s_a, qx AS q_a FROM s WHERE g = 'a'),
+        |b AS (SELECT n AS n_b, sx AS s_b, qx AS q_b FROM s WHERE g = 'b'),
+        |c AS (
+        |  SELECT n_a, n_b,
+        |         (1000000 * s_a) // n_a AS mean_a_ppm,
+        |         (1000000 * s_b) // n_b AS mean_b_ppm,
+        |         (n_a * q_a - s_a * s_a) // (n_a::HUGEINT * n_a) AS var_a,
+        |         (n_b * q_b - s_b * s_b) // (n_b::HUGEINT * n_b) AS var_b
+        |  FROM a, b),
+        |c2 AS (
+        |  SELECT n_a, n_b, mean_a_ppm, mean_b_ppm, var_a, var_b,
+        |         CASE WHEN var_a + var_b = 0 AND mean_a_ppm = mean_b_ppm THEN 0
+        |              ELSE (2 * (mean_a_ppm - mean_b_ppm)
+        |                      * (mean_a_ppm - mean_b_ppm))
+        |                   // (1000000 * (var_a + var_b)) END AS smd2
+        |  FROM c)
+        |SELECT n_a, n_b,
+        |       CAST(mean_a_ppm AS BIGINT) AS mean_a_ppm,
+        |       CAST(mean_b_ppm AS BIGINT) AS mean_b_ppm,
+        |       CAST(var_a AS BIGINT) AS var_a, CAST(var_b AS BIGINT) AS var_b,
+        |       CAST(smd2 AS BIGINT) AS smd2_ppm, smd2 < 10000 AS balanced
+        |FROM c2""".stripMargin,
+
+    // SRM replay: distinct-user arms, the two goodness-of-fit terms at
+    // design ratio 1:1, ppm floors
+    "q235_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |d AS (SELECT CASE WHEN user_id % 2 = 1 THEN 'a' ELSE 'b' END AS g FROM u),
+        |s AS (
+        |  SELECT CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM d),
+        |c AS (
+        |  SELECT n_a, n_b,
+        |         (1000000 * (n_a::HUGEINT * 2 - (n_a + n_b))
+        |                  * (n_a::HUGEINT * 2 - (n_a + n_b)))
+        |         // (2 * (n_a + n_b)::HUGEINT)
+        |         + (1000000 * (n_b::HUGEINT * 2 - (n_a + n_b))
+        |                    * (n_b::HUGEINT * 2 - (n_a + n_b)))
+        |         // (2 * (n_a + n_b)::HUGEINT) AS srm
+        |  FROM s)
+        |SELECT n_a, n_b, CAST(1 AS BIGINT) AS expect_a, CAST(1 AS BIGINT) AS expect_b,
+        |       CAST((1000000 * n_a) // (n_a + n_b) AS BIGINT) AS a_share_ppm,
+        |       CAST(500000 AS BIGINT) AS expected_a_ppm,
+        |       CAST(srm AS BIGINT) AS srm_ppm, srm > 10830000 AS srm_alarm
+        |FROM c""".stripMargin,
+
+    // MK replay: day grain, triangular sign join, tie groups, 18× var
+    "q231_mann_kendall" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS t, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY t),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+        |sv AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x THEN 1
+        |                                WHEN b.x < a.x THEN -1 ELSE 0 END), 0)
+        |    AS BIGINT) AS s
+        |  FROM g a JOIN g b ON a.t < b.t),
+        |tie AS (
+        |  SELECT CAST(coalesce(sum(tg::HUGEINT * (tg - 1) * (2 * tg + 5)), 0)
+        |    AS HUGEINT) AS tie18
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS tg FROM g GROUP BY x)),
+        |v AS (SELECT nn.n, nn.n::HUGEINT * (nn.n - 1) * (2 * nn.n + 5) - tie.tie18
+        |        AS var18
+        |      FROM nn, tie)
+        |SELECT v.n, sv.s, CAST(v.var18 AS BIGINT) AS var18,
+        |       CAST(CASE WHEN v.var18 = 0 THEN 0
+        |            ELSE (1000000 * 18 * sv.s::HUGEINT * sv.s) // v.var18
+        |            END AS BIGINT) AS z2_ppm
+        |FROM v, sv""".stripMargin,
+
+    // Benford replay: string-head digits, the fixed ppm expectation
+    // VALUES table, per-digit χ² floors
+    "q232_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |dd AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d FROM v),
+        |obs AS (SELECT d, CAST(count(*) AS BIGINT) AS o FROM dd GROUP BY d),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        |expd AS (SELECT * FROM (VALUES (1, 301034), (2, 176091), (3, 124938),
+        |         (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        |         (9, 45757)) e(d, expected_ppm)),
+        |cells AS (
+        |  SELECT e.d, coalesce(o.o, 0) AS o,
+        |         CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |         (1000000 * coalesce(o.o, 0)) // nn.n AS observed_ppm,
+        |         ((1000000 * coalesce(o.o, 0)::HUGEINT - nn.n::HUGEINT * e.expected_ppm)
+        |          * (1000000 * coalesce(o.o, 0)::HUGEINT - nn.n::HUGEINT * e.expected_ppm))
+        |         // (nn.n::HUGEINT * e.expected_ppm) AS contrib_ppm
+        |  FROM expd e LEFT JOIN obs o ON o.d = e.d, nn),
+        |tot AS (SELECT CAST(sum(contrib_ppm) AS BIGINT) AS chi2_ppm FROM cells)
+        |SELECT d, o, expected_ppm, CAST(observed_ppm AS BIGINT) AS observed_ppm,
+        |       CAST(contrib_ppm AS BIGINT) AS contrib_ppm, tot.chi2_ppm
+        |FROM cells, tot ORDER BY d""".stripMargin,
+
     // bottom-k-by-md5 sample replayed literally: same hex ordering, same
     // ceil-rank selection
     "q192_sketch_quantiles" ->
@@ -2440,58 +2632,6 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
-
-    "q226_hits_converged" -> hitsConvergedOracle(4),
-
-    // MK replay: day grain, triangular sign join, tie groups, 18× var
-    "q231_mann_kendall" ->
-      """WITH g AS (
-        |  SELECT epoch_us(ts) // 86400000000 AS t, CAST(count(*) AS BIGINT) AS x
-        |  FROM events GROUP BY t),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
-        |sv AS (
-        |  SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x THEN 1
-        |                                WHEN b.x < a.x THEN -1 ELSE 0 END), 0)
-        |    AS BIGINT) AS s
-        |  FROM g a JOIN g b ON a.t < b.t),
-        |tie AS (
-        |  SELECT CAST(coalesce(sum(tg::HUGEINT * (tg - 1) * (2 * tg + 5)), 0)
-        |    AS HUGEINT) AS tie18
-        |  FROM (SELECT CAST(count(*) AS BIGINT) AS tg FROM g GROUP BY x)),
-        |v AS (SELECT nn.n, nn.n::HUGEINT * (nn.n - 1) * (2 * nn.n + 5) - tie.tie18
-        |        AS var18
-        |      FROM nn, tie)
-        |SELECT v.n, sv.s, CAST(v.var18 AS BIGINT) AS var18,
-        |       CAST(CASE WHEN v.var18 = 0 THEN 0
-        |            ELSE (1000000 * 18 * sv.s::HUGEINT * sv.s) // v.var18
-        |            END AS BIGINT) AS z2_ppm
-        |FROM v, sv""".stripMargin,
-
-    // Benford replay: string-head digits, the fixed ppm expectation
-    // VALUES table, per-digit χ² floors
-    "q232_benford" ->
-      """WITH v AS (
-        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-        |  FROM lineitem),
-        |dd AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d FROM v),
-        |obs AS (SELECT d, CAST(count(*) AS BIGINT) AS o FROM dd GROUP BY d),
-        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
-        |expd AS (SELECT * FROM (VALUES (1, 301034), (2, 176091), (3, 124938),
-        |         (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
-        |         (9, 45757)) e(d, expected_ppm)),
-        |cells AS (
-        |  SELECT e.d, coalesce(o.o, 0) AS o,
-        |         CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
-        |         (1000000 * coalesce(o.o, 0)) // nn.n AS observed_ppm,
-        |         ((1000000 * coalesce(o.o, 0)::HUGEINT - nn.n::HUGEINT * e.expected_ppm)
-        |          * (1000000 * coalesce(o.o, 0)::HUGEINT - nn.n::HUGEINT * e.expected_ppm))
-        |         // (nn.n::HUGEINT * e.expected_ppm) AS contrib_ppm
-        |  FROM expd e LEFT JOIN obs o ON o.d = e.d, nn),
-        |tot AS (SELECT CAST(sum(contrib_ppm) AS BIGINT) AS chi2_ppm FROM cells)
-        |SELECT d, o, expected_ppm, CAST(observed_ppm AS BIGINT) AS observed_ppm,
-        |       CAST(contrib_ppm AS BIGINT) AS contrib_ppm, tot.chi2_ppm
-        |FROM cells, tot ORDER BY d""".stripMargin,
-
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
