@@ -1257,6 +1257,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.conformalCalibratePlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("ktruss"),
+      new ExpressionInfo(
+        classOf[graft.operators.Truss.type].getName,
+        null,
+        "ktruss",
+        "ktruss(edgesTable, k, rounds) - k-truss by fixed-round synchronous edge peeling over undirected edges (a, b): surviving (a, b, support), a < b.",
+        ""),
+      exprs => GraftExtensions.ktrussPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("srm_check"),
       new ExpressionInfo(
         classOf[graft.operators.SampleRatio.type].getName,
@@ -3607,6 +3616,19 @@ object GraftExtensions {
         strArg(n, exprs(2), "scoreCol"),
         longArg(n, exprs(3), "alphaNum"),
         longArg(n, exprs(4), "alphaDen"))
+      .queryExecution.logical
+  }
+
+  private[graft] def ktrussPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "ktruss"
+    require(
+      exprs.length == 3,
+      s"$n expects (edgesTable, k, rounds), got ${exprs.length} arguments")
+    graft.operators.Truss
+      .peel(
+        SparkSession.active.table(strArg(n, exprs.head, "edgesTable")),
+        longArg(n, exprs(1), "k").toInt,
+        longArg(n, exprs(2), "rounds").toInt)
       .queryExecution.logical
   }
 

@@ -1704,6 +1704,24 @@ object DocumentQueries {
         "doc_id", "blk", "rep")
     }),
 
+    // k-truss (round-13): the 4-truss of the SimHash near-dup doc graph
+    // — three synchronous edge peels, each a degree-oriented O(m^1.5)
+    // support pass; genuinely cohesive duplicate cliques survive while
+    // pair/chain coincidence edges peel away. Fixed-round,
+    // SQL-replayable (the KCore q131 discipline at EDGE grain).
+    "q236_truss" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      // Hamming ≤ 2 (tighter than q100's 3): the ≤ 3 graph carries 15M
+      // triangles in its giant near-dup cliques at sf0.1 — support
+      // passes are Σ-triangle-sized, so the substrate sets the cost
+      val pairs = graft.operators.Dedup.simhashPairs(toks, maxHamming = 2)
+      graft.operators.Truss
+        .peel(pairs.select(col("x_id").as("a"), col("y_id").as("b")),
+          k = 4, rounds = 3)
+        .orderBy("a", "b")
+    }),
+
     // Modularity (round-13): is the SimHash near-dup graph language-
     // aligned? Newman Q of the `lang` partition over the q100/q120 doc
     // graph in exact ppm (Q·4m² integers) — near-duplicates should
@@ -2115,6 +2133,65 @@ object DocumentQueries {
       |e AS (SELECT x AS a, y AS b FROM pairs UNION ALL SELECT y, x FROM pairs),
       |""".stripMargin
 
+  /** k-truss replay (q236): the SimHash pair CTE at the given Hamming
+    * radius (the q120 fingerprint construction), then `rounds`
+    * unrolled synchronous EDGE peels — per round, triangles over the
+    * canonical a<b survivors via the x<y<z three-way join, support by
+    * exploding each triangle into its 3 edges, survivors at support ≥
+    * k−2 — plus one final support pass (mirrors
+    * [[graft.operators.Truss.peel]] returning edgeSupport of the
+    * survivors). Every per-round CTE is MATERIALIZED: t references e
+    * thrice and s references t thrice, so the inlined form re-evaluates
+    * the recursion 9^r times and exhausts file handles (the q226
+    * lesson).
+    */
+  private def trussOracle(k: Int, rounds: Int, maxHamming: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS m FROM tok),
+        |sgn AS (
+        |  SELECT doc_id, r.p AS p,
+        |         sum(CASE WHEN ((instr('0123456789abcdef', substr(m, (r.p // 4) + 1, 1)) - 1)
+        |                        >> (r.p % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, range(0, 64) r(p)
+        |  GROUP BY doc_id, r.p),
+        |fp AS (
+        |  SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY p) AS bits
+        |  FROM sgn GROUP BY doc_id),
+        |e1 AS MATERIALIZED (
+        |  SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i]))
+        |        <= $maxHamming)""".stripMargin)
+    for (r <- 1 to rounds + 1) {
+      sb ++= s""",
+        |t$r AS MATERIALIZED (
+        |  SELECT e1x.a AS x, e1x.b AS y, e2x.b AS z
+        |  FROM e$r e1x JOIN e$r e2x ON e2x.a = e1x.a AND e2x.b > e1x.b
+        |       JOIN e$r e3x ON e3x.a = e1x.b AND e3x.b = e2x.b),
+        |s$r AS MATERIALIZED (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT x AS a, y AS b FROM t$r
+        |    UNION ALL SELECT x, z FROM t$r
+        |    UNION ALL SELECT y, z FROM t$r)
+        |  GROUP BY a, b)""".stripMargin
+      if (r <= rounds) sb ++= s""",
+        |e${r + 1} AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e$r e
+        |  JOIN s$r s ON s.a = e.a AND s.b = e.b
+        |  WHERE s.c >= ${k - 2})""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT e.a, e.b, CAST(coalesce(s.c, 0) AS BIGINT) AS support
+      |FROM e${rounds + 1} e
+      |LEFT JOIN s${rounds + 1} s ON s.a = e.a AND s.b = e.b
+      |ORDER BY e.a, e.b""".stripMargin
+    sb.toString
+  }
+
   /** One synchronous k-peel as oracle CTEs (q131). */
   private def kcoreRound(i: Int, k: Int): String =
     s"""d$i AS (
@@ -2270,6 +2347,8 @@ object DocumentQueries {
       |""".stripMargin + (1 to 6).map(bpeRound).mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+
+    "q236_truss" -> trussOracle(4, 3, 2),
     // Exact fixed-point LM scoring replay: LM admission + context counts,
     // per-doc floor-mean of bigram basis points, tercile thresholds from
     // descending rank positions (value-identical to the operator's
