@@ -1257,6 +1257,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.conformalCalibratePlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("sweep_cut"),
+      new ExpressionInfo(
+        classOf[graft.operators.SweepCut.type].getName,
+        null,
+        "sweep_cut",
+        "sweep_cut(scoresTable, edgesTable, m) - ACL conductance sweep over score/degree-ranked nodes: (rank, id, score, degree, vol, cut, cond_ppm, best_rank).",
+        ""),
+      exprs => GraftExtensions.sweepCutPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("ktruss"),
       new ExpressionInfo(
         classOf[graft.operators.Truss.type].getName,
@@ -3616,6 +3625,19 @@ object GraftExtensions {
         strArg(n, exprs(2), "scoreCol"),
         longArg(n, exprs(3), "alphaNum"),
         longArg(n, exprs(4), "alphaDen"))
+      .queryExecution.logical
+  }
+
+  private[graft] def sweepCutPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "sweep_cut"
+    require(
+      exprs.length == 3,
+      s"$n expects (scoresTable, edgesTable, m), got ${exprs.length} arguments")
+    graft.operators.SweepCut
+      .sweep(
+        SparkSession.active.table(strArg(n, exprs.head, "scoresTable")),
+        SparkSession.active.table(strArg(n, exprs(1), "edgesTable")),
+        longArg(n, exprs(2), "m").toInt)
       .queryExecution.logical
   }
 

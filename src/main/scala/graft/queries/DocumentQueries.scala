@@ -1704,6 +1704,28 @@ object DocumentQueries {
         "doc_id", "blk", "rep")
     }),
 
+    // Conductance sweep cut (round-13): the q132 PPR scores turned into
+    // an actual LOCAL COMMUNITY — nodes ordered by (10¹²·score) div deg,
+    // prefix conductance in exact ppm via the incremental-cut identity,
+    // best_rank = the ACL community boundary around the seed documents.
+    "q237_sweep_cut" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = SimilarityJoin.tokenize(docs, "doc_id", "text")
+      val pairs = graft.operators.Dedup.simhashPairs(toks, maxHamming = 3)
+      val edges = pairs.select(col("x_id").as("a"), col("y_id").as("b"))
+        .unionByName(pairs.select(col("y_id").as("a"), col("x_id").as("b")))
+      val ppr = graft.operators.PageRank.personalizedRanks(
+        docs.select(col("doc_id").as("id")),
+        edges,
+        docs.filter(col("doc_id") < 25).select(col("doc_id").as("id")),
+        iters = 2)
+      graft.operators.SweepCut.sweep(
+        ppr.select(col("id"), col("rank").as("score")),
+        pairs.select(col("x_id").as("a"), col("y_id").as("b")),
+        m = 200)
+        .orderBy("rank")
+    }),
+
     // k-truss (round-13): the 4-truss of the SimHash near-dup doc graph
     // — three synchronous edge peels, each a degree-oriented O(m^1.5)
     // support pass; genuinely cohesive duplicate cliques survive while
@@ -2349,6 +2371,50 @@ object DocumentQueries {
   val oracles: Map[String, String] = Map(
 
     "q236_truss" -> trussOracle(4, 3, 2),
+
+    // sweep replay: the q132 PPR rounds, HUGEINT score/deg order key,
+    // incremental cut via later-ranked edge assignment, ppm floors
+    "q237_sweep_cut" ->
+      (simhashEdgeCte +
+        """n AS (SELECT doc_id AS id FROM documents),
+          |sb AS (SELECT id, CASE WHEN id < 25 THEN 1 ELSE 0 END AS isrc FROM n),
+          |od AS (SELECT a AS id, count(*) AS d FROM e GROUP BY a),
+          |r0 AS (SELECT id, CAST(isrc * 1000000000000 AS BIGINT) AS r FROM sb),
+          |""".stripMargin +
+        (1 to 2).map(pprRound).mkString("\n") + "\n" +
+        """ed AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
+          |       FROM e GROUP BY a),
+          |kx AS (
+          |  SELECT r2.id, r2.r AS score, ed.degree,
+          |         (CAST(r2.r AS HUGEINT) * 1000000000000) // ed.degree AS k
+          |  FROM r2 JOIN ed ON ed.id = r2.id WHERE r2.r > 0),
+          |rk AS (
+          |  SELECT id, score, degree,
+          |         CAST(row_number() OVER (ORDER BY k DESC, id) AS BIGINT) AS rank
+          |  FROM kx),
+          |topr AS (SELECT * FROM rk WHERE rank <= 200),
+          |einc AS (
+          |  SELECT greatest(x.rank, y.rank) AS rank, CAST(count(*) AS BIGINT) AS c
+          |  FROM pairs p JOIN topr x ON x.id = p.x JOIN topr y ON y.id = p.y
+          |  GROUP BY 1),
+          |tv AS (SELECT 2 * CAST(count(*) AS BIGINT) AS tot FROM pairs),
+          |sw AS (
+          |  SELECT t.rank, t.id, t.score, t.degree,
+          |         sum(t.degree) OVER (ORDER BY t.rank) AS vol,
+          |         coalesce(sum(e2.c) OVER (ORDER BY t.rank), 0) AS ein
+          |  FROM topr t LEFT JOIN einc e2 ON e2.rank = t.rank),
+          |sw2 AS (
+          |  SELECT rank, id, score, degree, vol, vol - 2 * ein AS cut, tot,
+          |         CASE WHEN least(vol, tot - vol) = 0 THEN 1000000
+          |              ELSE (1000000 * (vol - 2 * ein))
+          |                   // least(vol, tot - vol) END AS cond_ppm
+          |  FROM sw, tv),
+          |best AS (SELECT rank AS best_rank FROM sw2 ORDER BY cond_ppm, rank LIMIT 1)
+          |SELECT sw2.rank, CAST(sw2.id AS BIGINT) AS id,
+          |       CAST(sw2.score AS BIGINT) AS score, sw2.degree,
+          |       CAST(sw2.vol AS BIGINT) AS vol, CAST(sw2.cut AS BIGINT) AS cut,
+          |       CAST(sw2.cond_ppm AS BIGINT) AS cond_ppm, best.best_rank
+          |FROM sw2, best ORDER BY sw2.rank""".stripMargin),
     // Exact fixed-point LM scoring replay: LM admission + context counts,
     // per-doc floor-mean of bigram basis points, tercile thresholds from
     // descending rank positions (value-identical to the operator's
