@@ -1257,6 +1257,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       exprs => GraftExtensions.conformalCalibratePlan(exprs)))
     ext.injectTableFunction((
+      FunctionIdentifier("bcubed"),
+      new ExpressionInfo(
+        classOf[graft.operators.BCubed.type].getName,
+        null,
+        "bcubed",
+        "bcubed(table, clusterCol, labelCol) - B-cubed item-weighted clustering evaluation vs gold labels in exact ppm: (n, n_clusters, n_labels, p_ppm, r_ppm, f1_ppm).",
+        ""),
+      exprs => GraftExtensions.bcubedPlan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("flesch"),
+      new ExpressionInfo(
+        classOf[graft.operators.Readability.type].getName,
+        null,
+        "flesch",
+        "flesch(table, idCol, textCol) - Flesch reading-ease in exact milli-scale integers with defined surrogate counts: (id, words, sentences, syllables, flesch_milli, band).",
+        ""),
+      exprs => GraftExtensions.fleschPlan(exprs)))
+    ext.injectTableFunction((
       FunctionIdentifier("sweep_cut"),
       new ExpressionInfo(
         classOf[graft.operators.SweepCut.type].getName,
@@ -3625,6 +3643,32 @@ object GraftExtensions {
         strArg(n, exprs(2), "scoreCol"),
         longArg(n, exprs(3), "alphaNum"),
         longArg(n, exprs(4), "alphaDen"))
+      .queryExecution.logical
+  }
+
+  private[graft] def bcubedPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "bcubed"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, clusterCol, labelCol), got ${exprs.length} arguments")
+    graft.operators.BCubed
+      .score(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "clusterCol"),
+        strArg(n, exprs(2), "labelCol"))
+      .queryExecution.logical
+  }
+
+  private[graft] def fleschPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val n = "flesch"
+    require(
+      exprs.length == 3,
+      s"$n expects (table, idCol, textCol), got ${exprs.length} arguments")
+    graft.operators.Readability
+      .flesch(
+        SparkSession.active.table(strArg(n, exprs.head, "table")),
+        strArg(n, exprs(1), "idCol"),
+        strArg(n, exprs(2), "textCol"))
       .queryExecution.logical
   }
 

@@ -1704,6 +1704,31 @@ object DocumentQueries {
         "doc_id", "blk", "rep")
     }),
 
+    // B³ clustering evaluation (round-13): how language-pure are the
+    // MinHash dedup clusters? Item-weighted precision/recall of the q19
+    // clustering against `lang` gold labels — the ER-evaluation
+    // standard pairwise counts over-weight big clusters on; one
+    // (cluster, label) histogram pass, exact ppm floors.
+    "q238_bcubed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = graft.operators.Dedup.minhashDedup(
+        SimilarityJoin.tokenize(docs, "doc_id", "text"), tau = 0.8)
+      graft.operators.BCubed.score(
+        docs.select(col("doc_id").as("id"), col("lang").as("label"))
+          .join(clusters.select(col("sid").as("id"), col("rep").as("cluster")),
+            "id"))
+    }),
+
+    // Flesch readability (round-13): the classic reading-ease quality
+    // signal in exact milli-scale integers — defined surrogate counts
+    // (whitespace words, [.!?] sentences, [aeiouy]+ runs floored at one
+    // per word), floored divisions, standard bands; pure codegen
+    // projection, no UDF.
+    "q239_readability" -> ((s, dir) =>
+      graft.operators.Readability
+        .flesch(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Conductance sweep cut (round-13): the q132 PPR scores turned into
     // an actual LOCAL COMMUNITY — nodes ordered by (10¹²·score) div deg,
     // prefix conductance in exact ppm via the incremental-cut identity,
@@ -4563,6 +4588,83 @@ object DocumentQueries {
 
     // blocking-quality replay: q19 cluster CTE, histogram pair sums
     // Σ s(s−1)/2 for blocks / clusters / contingency cells
+    // B³ replay: the q215 cluster CTE (connected components of the exact
+    // Jaccard ≥ 0.8 graph), (cluster, lang) cells, the two documented
+    // ppm floors (per cell, then the item mean)
+    "q238_bcubed" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |edges AS (SELECT x AS a, y AS b FROM pairs UNION SELECT y, x FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cl AS (
+        |  SELECT d.doc_id AS id,
+        |         CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS VARCHAR) AS cl
+        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |  GROUP BY d.doc_id),
+        |asg AS (SELECT cl.cl AS c, d.lang AS l
+        |        FROM cl JOIN documents d ON d.doc_id = cl.id),
+        |cells AS (SELECT c, l, CAST(count(*) AS BIGINT) AS ncl
+        |          FROM asg GROUP BY c, l),
+        |nc AS (SELECT c, CAST(sum(ncl) AS BIGINT) AS n_c FROM cells GROUP BY c),
+        |nl AS (SELECT l, CAST(sum(ncl) AS BIGINT) AS n_l FROM cells GROUP BY l),
+        |agg AS (
+        |  SELECT CAST(sum(ncl) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT cells.c) AS BIGINT) AS n_clusters,
+        |         CAST(count(DISTINCT cells.l) AS BIGINT) AS n_labels,
+        |         sum((1000000 * ncl::HUGEINT * ncl) // n_c) AS p,
+        |         sum((1000000 * ncl::HUGEINT * ncl) // n_l) AS r
+        |  FROM cells JOIN nc USING (c) JOIN nl USING (l)),
+        |fin AS (
+        |  SELECT n, n_clusters, n_labels,
+        |         CAST(p // n AS BIGINT) AS p_ppm, CAST(r // n AS BIGINT) AS r_ppm
+        |  FROM agg)
+        |SELECT n, n_clusters, n_labels, p_ppm, r_ppm,
+        |       CAST(CASE WHEN p_ppm + r_ppm = 0 THEN 0
+        |            ELSE (2 * p_ppm::HUGEINT * r_ppm) // (p_ppm + r_ppm)
+        |            END AS BIGINT) AS f1_ppm
+        |FROM fin""".stripMargin,
+
+    // Flesch replay: defined surrogate counts, floored milli-scale score,
+    // the standard bands
+    "q239_readability" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |           AS BIGINT) AS words,
+        |         CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+        |           AS BIGINT) AS sentences,
+        |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |           AS BIGINT) AS runs
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, words, sentences, greatest(words, runs) AS syllables
+        |  FROM b),
+        |d AS (
+        |  SELECT doc_id, words, sentences, syllables,
+        |         CAST(CASE WHEN words = 0 THEN NULL
+        |              ELSE 206835 - (1015 * words) // sentences
+        |                          - (84600 * syllables) // words
+        |              END AS BIGINT) AS flesch_milli
+        |  FROM c)
+        |SELECT doc_id, words, sentences, syllables, flesch_milli,
+        |       CASE WHEN flesch_milli IS NULL THEN 'empty'
+        |            WHEN flesch_milli >= 90000 THEN 'very_easy'
+        |            WHEN flesch_milli >= 70000 THEN 'easy'
+        |            WHEN flesch_milli >= 50000 THEN 'medium'
+        |            WHEN flesch_milli >= 30000 THEN 'hard'
+        |            ELSE 'very_hard' END AS band
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "q215_blocking_quality" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id,
