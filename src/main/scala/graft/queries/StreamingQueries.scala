@@ -390,6 +390,19 @@ object StreamingQueries {
     // ingest monitor — per-day counts fold into keyed state over 4
     // seq-range micro-batches, ref self-calibrates from batch 0, and
     // every batch reports the alarm frontier over the days seen so far.
+    // Streaming SRM (round-13): the q235 design-ratio χ² recomputed on
+    // every micro-batch over CUMULATIVE arm exposures — the alarm
+    // frontier an experiment platform actually watches; per-arm keyed
+    // state, (batches × 2)-bounded rollup, p < 10⁻³ alarm bar.
+    "q240_stream_srm" -> ((s, dir) => {
+      val ch = t(s, dir, "events").select(
+        when(pmod(col("user_id"), lit(2)) === 1, "a").otherwise("b").as("arm"),
+        unix_micros(col("ts")).as("tus"))
+      graft.streaming.StreamingSrm.run(
+          ch, "arm", "tus", "a", "b", expectA = 1L, expectB = 1L, chunks = 4)
+        .orderBy("batch")
+    }),
+
     "q211_stream_cusum" -> ((s, dir) => {
       val ch = t(s, dir, "events").select(
         expr("unix_micros(ts) div 86400000000").as("day"),
@@ -521,6 +534,43 @@ object StreamingQueries {
 
     // chunking replayed from the seq-range formula; cumulative distinct
     // = first-seen batch per key
+    // chunk replay by seq range, cumulative arm counts per batch, the
+    // q235 two-term goodness-of-fit floors
+    "q240_stream_srm" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN user_id % 2 = 1 THEN 'a' ELSE 'b' END AS g,
+        |         epoch_us(ts) AS tus
+        |  FROM events),
+        |bnd AS (SELECT min(tus) AS lo, max(tus) AS hi FROM e),
+        |c AS (
+        |  SELECT g,
+        |         CAST(least((tus - bnd.lo) // ((bnd.hi - bnd.lo) // 4 + 1), 3)
+        |           AS INT) AS batch
+        |  FROM e, bnd),
+        |d AS (SELECT batch, g, CAST(count(*) AS BIGINT) AS dn
+        |      FROM c GROUP BY batch, g),
+        |bs AS (SELECT DISTINCT batch AS b FROM d),
+        |cum AS (
+        |  SELECT bs.b,
+        |         CAST(coalesce(sum(CASE WHEN g = 'a' THEN dn END), 0) AS BIGINT)
+        |           AS n_a,
+        |         CAST(coalesce(sum(CASE WHEN g = 'b' THEN dn END), 0) AS BIGINT)
+        |           AS n_b
+        |  FROM d JOIN bs ON d.batch <= bs.b GROUP BY bs.b),
+        |fin AS (
+        |  SELECT b, n_a, n_b,
+        |         (1000000 * (n_a::HUGEINT * 2 - (n_a + n_b))
+        |                  * (n_a::HUGEINT * 2 - (n_a + n_b)))
+        |         // (2 * (n_a + n_b)::HUGEINT)
+        |         + (1000000 * (n_b::HUGEINT * 2 - (n_a + n_b))
+        |                    * (n_b::HUGEINT * 2 - (n_a + n_b)))
+        |         // (2 * (n_a + n_b)::HUGEINT) AS srm
+        |  FROM cum)
+        |SELECT b AS batch, n_a, n_b,
+        |       CAST((1000000 * n_a) // (n_a + n_b) AS BIGINT) AS a_share_ppm,
+        |       CAST(srm AS BIGINT) AS srm_ppm, srm > 10830000 AS srm_alarm
+        |FROM fin ORDER BY batch""".stripMargin,
+
     // chunk replay by seq range, batch-0 calibration, per-batch as-of
     // snapshots, the prefix-sum-minus-prefix-min CUSUM identity
     "q211_stream_cusum" ->
