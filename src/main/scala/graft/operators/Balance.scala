@@ -18,11 +18,19 @@ import org.apache.spark.sql.functions._
   *   smd2_ppm  = (2·Δppm²) div (10⁶·(var_a + var_b))
   *
   * with Δppm = mean_ppm_a − mean_ppm_b; smd² < 0.01 (the |SMD| < 0.1
-  * bar) ⇔ smd2_ppm < 10⁴. Both-arms-constant (var_a + var_b = 0)
-  * reports smd2_ppm = 0 when the means agree and fails BY NAME when
-  * they differ (an infinite SMD must not ship as a silent 0). Values
-  * must be integral (quantize upstream); rows outside the two arm
-  * labels are rejected by name (the [[DiffInDiff]] contract).
+  * bar) ⇔ smd2_ppm < 10⁴. The unbounded case is decided on the EXACT
+  * variance numerators (n_a·Σx²_a − (Σx_a)² + n_b·Σx²_b − (Σx_b)² = 0
+  * ⇔ both arms truly constant — each term ≥ 0 by Cauchy–Schwarz), not
+  * on the floored var columns: truly-constant arms report smd2_ppm = 0
+  * when the floored means agree and fail BY NAME when they differ (an
+  * infinite SMD must not ship as a silent 0), while arms whose small
+  * but genuinely nonzero variance merely FLOORS to 0 (e.g. counts
+  * {0,0,1}: true var 2/9) fail with a distinct by-name error telling
+  * the caller to scale x upstream — the floored statistic cannot
+  * represent that readout, and a silent 0-denominator division must
+  * not decide it. Values must be integral (quantize upstream); rows
+  * outside the two arm labels are rejected by name (the [[DiffInDiff]]
+  * contract).
   *
   * Scale shape: ONE map-side-combinable aggregate per arm — sufficient
   * statistics only. Width: sums widen to DECIMAL(38,0) before squaring;
@@ -73,9 +81,13 @@ object Balance {
         col("var_a"), col("var_b"),
         expr(
           """CASE
-            |WHEN var_a + var_b = 0 AND mean_a_ppm = mean_b_ppm THEN 0L
-            |WHEN var_a + var_b = 0 THEN CAST(raise_error(
+            |WHEN n_a * q_a - s_a * s_a + n_b * q_b - s_b * s_b = 0
+            |     AND mean_a_ppm = mean_b_ppm THEN 0L
+            |WHEN n_a * q_a - s_a * s_a + n_b * q_b - s_b * s_b = 0
+            |THEN CAST(raise_error(
             |  'Balance.smd: zero variance in both arms with unequal means - SMD is unbounded') AS BIGINT)
+            |WHEN var_a + var_b = 0 THEN CAST(raise_error(
+            |  'Balance.smd: nonzero variance floors to 0 in both arms - scale x upstream before the SMD floor') AS BIGINT)
             |ELSE (2 * CAST(mean_a_ppm - mean_b_ppm AS DECIMAL(38,0))
             |        * (mean_a_ppm - mean_b_ppm))
             |     div (1000000 * (CAST(var_a AS DECIMAL(38,0)) + var_b))

@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   *   rbo_ppm = ((pDen−pNum)·Σ_d term_d + ext) div pDen^k
   * (weights are DRIVER-computed BigInt literals shipped as a broadcast
   * k-row relation — no pow() in the plan). Width contract asserted by
-  * name: 10⁶·k·pDen^k < 10³⁸ (k ≤ 30 at p = 9/10).
+  * name on the BINDING type, the `/ depth` division: Spark rewrites
+  * DECIMAL(38,0)/INT to DECIMAL(38,6), whose integral capacity is
+  * ~10³², so the contract is 10⁶·k·pDen^k < 10³² (k ≤ 24 at p = 9/10)
+  * — the full-width 10³⁸ bound would admit k where term_d overflows
+  * the division result despite the exact numerator fitting.
   *
   * The overlap trick that keeps this one-join: a doc ranked rx in X and
   * ry in Y is inside BOTH depth-d prefixes iff max(rx, ry) ≤ d, so
@@ -53,8 +57,9 @@ object Rbo {
     require(pNum > 0 && pDen > 0 && pNum < pDen,
       s"Rbo.perQuery: p must be in (0,1): $pNum/$pDen")
     require(
-      BigInt(1000000) * k * BigInt(pDen).pow(k) < BigInt(10).pow(37),
-      s"Rbo.perQuery width contract: 1e6 * k * pDen^k must fit DECIMAL(38,0), " +
+      BigInt(1000000) * k * BigInt(pDen).pow(k) < BigInt(10).pow(32),
+      s"Rbo.perQuery width contract: 1e6 * k * pDen^k must fit the " +
+        s"DECIMAL(38,6) '/ depth' division result (~1e32 integral), " +
         s"got k=$k pDen=$pDen")
     val spark = runX.sparkSession
     import spark.implicits._

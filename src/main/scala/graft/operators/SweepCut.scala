@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * endpoint (when both rank), so cut_i = vol_i − 2·Σ_{r≤i} inEdges_r —
   * one equi-join and two prefix sums, never prefix × edges.
   *
-  * Scale shape: degree/score join at node grain, ONE canonical-edge
-  * join to the top-m ranked relation, windows only over the m-row sweep
+  * Scale shape: degree/score join at node grain, top-m selection via
+  * the sharded [[TopK]] two-phase rank (never a whole-graph
+  * single-partition sort), ONE canonical-edge join to the top-m ranked
+  * relation, windows only over the m-row sweep
   * (m ≤ 10⁵ asserted by name — the sweep is a LOCAL method; its
   * candidate set is small by design). Zero-score and isolated nodes
   * never rank (a node with no edges has no conductance meaning).
@@ -66,11 +68,18 @@ object SweepCut {
         """CAST((CAST(score AS DECIMAL(38,0)) * 1000000000000
           |       - pmod(CAST(score AS DECIMAL(38,0)) * 1000000000000, degree))
           |      / degree AS DECIMAL(38,0))""".stripMargin))
-    val ranked = keyed
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("__k").desc, col("id").asc))
-          .cast("long"))
-      .filter(col("rank") <= m)
+    // top-m FIRST via the sharded [[TopK]] selection (phase 1 keeps a
+    // per-shard top-m in parallel; phase 2 ranks only the surviving
+    // ≤ shards·m rows), so no whole-graph sort ever funnels through a
+    // single task — the ordering window runs on the m-bounded relation
+    val ranked = TopK
+      .perGroup(
+        keyed.select("id", "score", "degree", "__k"),
+        Seq.empty,
+        Seq(col("__k").desc, col("id").asc),
+        m,
+        rankCol = "rank")
+      .withColumn("rank", col("rank").cast("long"))
       .select("rank", "id", "score", "degree")
       .transform(graft.core.Materialize.apply)
     val einc = und

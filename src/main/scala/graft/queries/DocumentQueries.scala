@@ -4581,7 +4581,7 @@ object DocumentQueries {
         |             CAST(sum(w) AS HUGEINT) AS ws,
         |             CAST(sum(w::HUGEINT * w) AS HUGEINT) AS wss
         |      FROM d GROUP BY lang)
-        |SELECT lang, n, CAST(ws AS BIGINT) AS w_sum, CAST(wss AS BIGINT) AS w_sq_sum,
+        |SELECT lang, n, CAST(ws AS BIGINT) AS w_sum, CAST(wss AS VARCHAR) AS w_sq_sum,
         |       CAST((1000000 * ws * ws) // wss AS BIGINT) AS ess_ppm,
         |       CAST((1000000 * n::HUGEINT * wss) // (ws * ws) AS BIGINT) AS deff_ppm
         |FROM g ORDER BY lang""".stripMargin,

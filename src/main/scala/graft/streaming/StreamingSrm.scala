@@ -37,9 +37,16 @@ object StreamingSrm {
       g: String,
       rows: Iterator[Exposure],
       state: GroupState[Long]): Iterator[Upd] = {
-    val seq = rows.toSeq
-    val batch = seq.map(_.chunk).max
-    val dn = seq.size.toLong
+    // one constant-space pass: only two counters are needed, so never
+    // materialize the per-arm micro-batch (an arm is half the batch —
+    // rows.toSeq here is an O(batch) heap spike on one executor)
+    var batch = Int.MinValue
+    var dn = 0L
+    while (rows.hasNext) {
+      val r = rows.next()
+      if (r.chunk > batch) batch = r.chunk
+      dn += 1L
+    }
     val total = state.getOption.getOrElse(0L) + dn
     state.update(total)
     Iterator(Upd(batch, g, dn, total))

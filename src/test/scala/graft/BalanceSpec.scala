@@ -58,6 +58,22 @@ class BalanceSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("unbounded")))
   }
 
+  test("low-but-nonzero variance that floors to 0 fails distinctly, not as unbounded") {
+    // round-13 ADVICE scenario: counts {0,0,1} per arm — true var 2/9
+    // floors to 0, means differ; the exact-numerator test must route
+    // this to the scale-upstream error, never the unbounded raise
+    val rows = Seq(("a", 0L), ("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L), ("b", 1L))
+    val ex = intercept[Exception] { run(rows) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("scale x upstream")), msgs(ex).mkString("|"))
+    assert(!msgs(ex).exists(_.contains("unbounded")))
+    // and the same shape SCALED by 1000 upstream ships a finite readout
+    val scaled = rows.map { case (g, x) => (g, x * 1000L) }
+    val got = run(scaled)
+    assert(got._7 > 0L, s"scaled SMD must be finite and positive: $got")
+  }
+
   test("foreign labels and empty arms fail by name") {
     val ex1 = intercept[Exception] { run(Seq(("c", 1L), ("a", 1L), ("b", 1L))) }
     def msgs(t: Throwable): Seq[String] =

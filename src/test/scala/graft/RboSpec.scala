@@ -79,6 +79,20 @@ class RboSpec extends SparkSpec {
       graft.operators.Rbo.perQuery(df, df, "q", "d", "rnk", k = 40)
     }
     assert(e.getMessage.contains("width contract"))
+    // round-13 ADVICE: k=26 at pDen=10 passed the old 1e37 bound but
+    // overflowed the DECIMAL(38,6) '/ depth' result (~1e32 integral);
+    // the tightened contract must reject it up front
+    val e26 = intercept[IllegalArgumentException] {
+      graft.operators.Rbo.perQuery(df, df, "q", "d", "rnk", k = 26)
+    }
+    assert(e26.getMessage.contains("width contract"))
+    // k=24 at p=9/10 is the documented edge and must still run
+    val ok = graft.operators.Rbo.perQuery(
+      (1 to 24).map(i => (1L, s"d$i", i)).toDF("q", "d", "rnk"),
+      (1 to 24).map(i => (1L, s"d$i", i)).toDF("q", "d", "rnk"),
+      "q", "d", "rnk", k = 24)
+      .as[(Long, Long, Long)].collect().head
+    assert(ok == ((1L, 24L, 1000000L)), s"identical k=24 prefix must score 1e6: $ok")
     intercept[IllegalArgumentException] {
       graft.operators.Rbo.perQuery(df, df, "q", "d", "rnk", k = 5, pNum = 10, pDen = 10)
     }
