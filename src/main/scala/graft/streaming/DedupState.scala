@@ -141,17 +141,19 @@ final class ParquetDedupState(
   /** One file per (batch, pb) partition: without the repartition every
     * shuffle partition writes its own sliver into every bucket dir — a
     * small-file explosion that taxes each later batch's listing and read.
-    * Dynamic partition overwrite keyed by `batchId` makes the write
-    * idempotent under batch retry.
+    * The write is SCOPED to this batch's own `batch=<id>` directory (the
+    * `batch` partition value comes from the directory name on read, like
+    * the compacted generations'), so idempotency under batch retry is a
+    * plain directory overwrite — no root-wide dynamic-partition-overwrite
+    * commit walking every live partition per batch (measured ~40 % of the
+    * q49 append cost at sf0.1).
     */
   override def append(df: DataFrame, batchId: Long): Unit = {
-    df.withColumn("batch", lit(batchId))
-      .repartition(col("pb"))
+    df.repartition(col("pb"))
       .write
       .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "pb")
-      .parquet(dir)
+      .partitionBy("pb")
+      .parquet(s"$dir/batch=$batchId")
     // state telemetry (opt-in, by-name: zero cost when disabled) — the
     // increment count + post-append level a deployment alarms on
     StateTelemetry.record(StateTelemetry.StatePoint(

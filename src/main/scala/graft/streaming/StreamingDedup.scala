@@ -57,10 +57,11 @@ import graft.operators.{Dedup, Sampling, SimilarityJoin}
   * == Restart safety (exactly-once effects) ==
   *
   * Every write this job performs is keyed by the Structured Streaming
-  * `batchId` and performed with dynamic partition overwrite, so a batch
-  * that is retried after a crash REPLACES its own partitions instead of
-  * double-appending — the standard idempotent-foreachBatch recipe, applied
-  * to both the output sink and the state increments:
+  * `batchId` and SCOPED to its own `batch=<id>` directory (overwritten
+  * whole), so a batch that is retried after a crash REPLACES its own
+  * partitions instead of double-appending — the standard idempotent-
+  * foreachBatch recipe, applied to both the output sink and the state
+  * increments, without any root-wide dynamic-overwrite commit:
   *
   *   - probes filter `batch < batchId`, so a retrying batch never sees the
   *     partial state of its failed attempt;
@@ -225,12 +226,23 @@ object StreamingDedup {
     val sigState = store(spark, sigDir, sigSchema, Seq("sid", "band", "bsig"))
     val tokState = store(spark, tokDir, tokSchema, Seq("sid"))
 
+    // phase profiler (dev-only, env-gated — stderr lines, never in timings
+    // otherwise)
+    val prof = sys.env.contains("SPARK_GRAFT_DEDUP_PROFILE")
+    def phase[T](batchId: Long, name: String)(f: => T): T = {
+      val s = System.nanoTime()
+      val r = f
+      if (prof) System.err.println(
+        s"DEDUP_PROF batch=$batchId $name ${(System.nanoTime() - s) / 1000000} ms")
+      r
+    }
+
     val perBatch: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val t0 = System.nanoTime()
 
       // fold earlier, checkpoint-committed increments (never this batch's
       // own — a retry must still hide its failed attempt via batch<batchId)
-      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) phase(batchId, "compact") {
         val afterPublish: () => Unit =
           if (!crashInCompaction) () => ()
           else () => {
@@ -240,8 +252,11 @@ object StreamingDedup {
               throw new RuntimeException(s"injected crash mid-compaction at batch $batchId")
             }
           }
-        sigState.compact(batchId, afterPublish)
-        tokState.compact(batchId)
+        // the two stores fold independent directory trees — overlap the
+        // Spark jobs (either failing fails the batch, as before)
+        ConcurrentEffects.all(
+          () => sigState.compact(batchId, afterPublish),
+          () => tokState.compact(batchId))
       }
       val bToks = SimilarityJoin.tokenize(batch.toDF(), idCol, textCol)
         .select("sid", "toks")
@@ -249,18 +264,28 @@ object StreamingDedup {
       val bSigs = Dedup.bandSignatures(bToks.withColumn("slen", size(col("toks"))), bands, rowsPerBand)
         .withColumn("pb", bucketOf(nBuckets, col("band"), col("bsig")))
         .persist(storage)
-      bSigs.count()
-
       // distinct bucket ids in this batch — ≤ nBuckets values, the ONLY
-      // driver-side collects in the batch loop
-      val sigPbs = bSigs.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+      // driver-side collects in the batch loop. This first action also
+      // materializes both persists (no separate count() job)
+      val sigPbs = phase(batchId, "tokenize+sigs+sigPbs") {
+        bSigs.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+      }
 
+      // NO broadcast hints on the token-ARRAY relations (xB/yBatch): a hint
+      // forces a driver collect + broadcast build of the batch's token
+      // arrays (tens of MB per batch), while AQE's runtime stats still pick
+      // a broadcast when the side is truly small. The SIG side (xSigs,
+      // pure longs) and `needed` (candidate ids) keep their hints — an
+      // unhinted sig probe shuffled the whole state side instead (measured
+      // +60 % on the last batch).
       val bVToks = reprToks(bToks) // verify-tier representation of the batch
       val xSigs = bSigs.select(col("sid").as("x_id"), col("band"), col("bsig"))
-      val xB = broadcast(bVToks.select(col("sid").as("x_id"), col("toks").as("x_toks")))
+      val xB = bVToks.select(col("sid").as("x_id"), col("toks").as("x_toks"))
 
+      // callers pass DISTINCT (x_id, y_id) pairs — deduping here again
+      // would re-shuffle the pair relation a second time for nothing
       def verified(cand: DataFrame, yToks: DataFrame): DataFrame =
-        cand.dropDuplicates("x_id", "y_id")
+        cand
           .join(xB, "x_id")
           .join(yToks, "y_id")
           .withColumn(
@@ -288,8 +313,10 @@ object StreamingDedup {
       // token fetch of just the candidate y-docs (S5 keyed-fetch
       // reduction) against a bucket-pruned scan
       val needed = stateCand.select("y_id").distinct().persist(storage)
-      val tokPbs = needed.select(bucketOf(nBuckets, col("y_id")).as("pb"))
-        .distinct().collect().map(_.getInt(0)).toSeq
+      val tokPbs = phase(batchId, "stateCand+tokPbs") {
+        needed.select(bucketOf(nBuckets, col("y_id")).as("pb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+      }
       val stateToks = tokState.read(batchId, tokPbs)
       val yFetch = stateToks
         .join(broadcast(needed), stateToks("sid") === needed("y_id"), "left_semi")
@@ -300,7 +327,8 @@ object StreamingDedup {
         .join(bSigs.select(col("sid").as("y_id"), col("band"), col("bsig")), Seq("band", "bsig"))
         .filter(col("y_id") < col("x_id"))
         .select("x_id", "y_id")
-      val yBatch = broadcast(bVToks.select(col("sid").as("y_id"), col("toks").as("y_toks")))
+        .dropDuplicates("x_id", "y_id")
+      val yBatch = bVToks.select(col("sid").as("y_id"), col("toks").as("y_toks"))
 
       val dupOf = verified(stateCand, yFetch)
         .unionByName(verified(batchCand, yBatch))
@@ -309,23 +337,39 @@ object StreamingDedup {
 
       // ---- batchId-keyed idempotent effects: a retried batch REPLACES
       // its own output and state partitions (dynamic overwrite) ----
-      bToks.select(col("sid").as("x_id"))
-        .join(dupOf, Seq("x_id"), "left")
-        .select(
-          col("x_id").as("out_id"),
-          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
-          lit(batchId).as("batch"))
-        .coalesce(1) // one decision row per batch doc — a single file
-        .write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch")
-        .parquet(outDir)
-
-      sigState.append(bSigs.select(col("sid"), col("band"), col("bsig"), col("pb")), batchId)
-      tokState.append(
-        bVToks.select(col("sid"), col("toks"), bucketOf(nBuckets, col("sid")).as("pb")),
-        batchId)
+      // dupOf holds only the docs that ARE duplicates — broadcast it so the
+      // decision join never shuffles the batch side; repartition(1) (not
+      // coalesce(1), which would drag the join itself through one task)
+      // keeps one decision file per batch. The write is scoped to this
+      // batch's own `batch=<id>` dir (partition value from the dir name on
+      // read), so a retry is a plain directory overwrite — no root-wide
+      // dynamic-overwrite commit
+      // the three terminal effects are disjoint DAGs over the PERSISTED
+      // batch relations, each writing its own batch-scoped directory —
+      // overlap the Spark jobs (32 local threads are never saturated by
+      // one of them alone). All complete before the checkpoint commit, so
+      // crash/retry semantics are exactly the sequential ones; the state
+      // reads above already snapshotted their file lists at plan time, so
+      // a concurrent append is invisible to them even before the
+      // batch<batchId visibility filter drops it
+      phase(batchId, "verify+out+appends") { ConcurrentEffects.all(
+        () =>
+          bToks.select(col("sid").as("x_id"))
+            .join(broadcast(dupOf), Seq("x_id"), "left")
+            .select(
+              col("x_id").as("out_id"),
+              coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+            .repartition(1)
+            .write
+            .mode("overwrite")
+            .parquet(s"$outDir/batch=$batchId"),
+        () =>
+          sigState.append(bSigs.select(col("sid"), col("band"), col("bsig"), col("pb")), batchId),
+        () =>
+          tokState.append(
+            bVToks.select(col("sid"), col("toks"), bucketOf(nBuckets, col("sid")).as("pb")),
+            batchId))
+      }
 
       stateCand.unpersist(); needed.unpersist(); bToks.unpersist(); bSigs.unpersist()
       onBatch(batchId, (System.nanoTime() - t0) / 1000000L)
