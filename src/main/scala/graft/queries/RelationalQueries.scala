@@ -541,6 +541,47 @@ object RelationalQueries {
       graft.operators.Hits.scores(e, iters = 2).orderBy("id")
     }),
 
+    // Bucketed co-located join (round-14, verdict task 4): the D1
+    // zero-Exchange contract as a DRIVER-VISIBLE query, not just a spec.
+    // Both sides are written bucketed on the join key (16 buckets), the
+    // sort-merge join plan is asserted shuffle-free BEFORE execution
+    // (any Exchange in the join plan errors the query → a red
+    // CORRECTNESS row), and the asserted count ships as a compared
+    // output column — the plan shape itself is hash-checked.
+    "q242_bucketed_join_plan" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-q242-wh-").toString
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val liT = s"q242_li_$tag"
+      val pT = s"q242_part_$tag"
+      t(s, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(5)) === 0)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+        .write.option("path", s"$wh/li").bucketBy(16, "l_partkey").saveAsTable(liT)
+      t(s, dir, "part").select("p_partkey", "p_brand")
+        .write.option("path", s"$wh/part").bucketBy(16, "p_partkey").saveAsTable(pT)
+      try {
+        val joined = s.table(liT).hint("merge")
+          .join(s.table(pT), col("l_partkey") === col("p_partkey"))
+        val nEx = "Exchange".r
+          .findAllIn(joined.queryExecution.executedPlan.toString).length
+        if (nEx != 0) throw new IllegalStateException(
+          s"q242: bucketed join must be shuffle-free (D1), found $nEx Exchange node(s)")
+        joined.groupBy("p_brand")
+          .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n"))
+          .withColumn("join_exchanges", lit(nEx).cast("long"))
+          .orderBy("p_brand")
+          .transform(graft.core.Materialize.apply)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $liT")
+        s.sql(s"DROP TABLE IF EXISTS $pT")
+        val p = java.nio.file.Paths.get(wh)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      }
+    }),
+
     // Rank-biased overlap (round-13): price-ranked vs recency-ranked
     // order lists per customer at depth 10, p = 9/10 — the top-weighted
     // "did the ranking actually change" metric q188's label-based
@@ -1234,6 +1275,18 @@ object RelationalQueries {
   val gapOracles: Map[String, String] = Map(
 
     "q226_hits_converged" -> hitsConvergedOracle(4),
+
+    // the join values; join_exchanges = 0 is the PLAN contract (the Spark
+    // side errors the query if the bucketed join ever shuffles)
+    "q242_bucketed_join_plan" ->
+      """SELECT p_brand,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(0 AS BIGINT) AS join_exchanges
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_partkey % 5 = 0
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
 
     // RBO replay: two row_number runs, max-rank histogram, the
     // precomputed 9^(d−1)·10^(10−d) weight VALUES table, // floors

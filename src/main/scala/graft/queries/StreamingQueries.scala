@@ -394,6 +394,26 @@ object StreamingQueries {
     // every micro-batch over CUMULATIVE arm exposures — the alarm
     // frontier an experiment platform actually watches; per-arm keyed
     // state, (batches × 2)-bounded rollup, p < 10⁻³ alarm bar.
+    // Kafka-shaped offset log ingest (round-14, verdict task 4): a bounded
+    // orders feed published into a ReplayLogSource log (3 partitions × 2
+    // sequenced files, producer write-then-rename), consumed through the
+    // DSv2 micro-batch path and joined per batch against stored customer.
+    // The output carries (log_part, file_seq, line_no) provenance, so the
+    // oracle hash-checks the source's offset semantics — which file and
+    // line every record was consumed from — not just the join values.
+    "q241_replaylog_join" -> ((s, dir) => {
+      val feed = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 7)
+        .orderBy("o_orderkey").limit(2000)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      graft.streaming.ReplayLogJoin.run(feed, cust, "c_custkey")
+        .select(
+          col("k").as("o_orderkey"), col("v").as("o_custkey"),
+          col("log_part"), col("file_seq"), col("line_no"), col("c_mktsegment"))
+        .orderBy("o_orderkey")
+    }),
+
     "q240_stream_srm" -> ((s, dir) => {
       val ch = t(s, dir, "events").select(
         when(pmod(col("user_id"), lit(2)) === 1, "a").otherwise("b").as("arm"),
@@ -501,6 +521,29 @@ object StreamingQueries {
         .orderBy("user_id")))
 
   val oracles: Map[String, String] = Map(
+    // offset-provenance replay: the publish layout is a pure function of
+    // the feed (partition = v mod 3, file = (k div 10) mod 2 + 1, line =
+    // 0-based k-rank within the file), so the oracle reconstructs the
+    // exact (partition, file, line) every record was consumed from
+    "q241_replaylog_join" ->
+      """WITH sel AS (
+        |  SELECT o_orderkey AS k, o_custkey AS v FROM orders
+        |  WHERE o_orderkey % 10 = 7 ORDER BY o_orderkey LIMIT 2000),
+        |f AS (
+        |  SELECT k, v,
+        |         CAST(v % 3 AS INT) AS log_part,
+        |         CAST((k // 10) % 2 + 1 AS BIGINT) AS file_seq
+        |  FROM sel),
+        |l AS (
+        |  SELECT k, v, log_part, file_seq,
+        |         CAST(row_number() OVER (PARTITION BY log_part, file_seq ORDER BY k) - 1
+        |              AS BIGINT) AS line_no
+        |  FROM f)
+        |SELECT l.k AS o_orderkey, l.v AS o_custkey, l.log_part, l.file_seq,
+        |       l.line_no, c.c_mktsegment
+        |FROM l JOIN customer c ON c.c_custkey = l.v
+        |ORDER BY o_orderkey""".stripMargin,
+
     // chunk from the doc-id seq-range formula; promotion batch = first
     // chunk whose cumulative distinct-doc count reaches the floor, n_docs
     // = the cumulative count at that batch's end

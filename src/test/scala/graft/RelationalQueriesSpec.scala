@@ -20,6 +20,23 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(RelationalQueries.defs.keySet == RelationalQueries.oracles.keySet)
   }
 
+  test("every aggregated query has an oracle (ALL packs, both map pairs)") {
+    // the round-13 lesson: defs and oracles live in PAIRED maps per pack
+    // (defs/oracles and gapDefs/gapOracles) — this asserts the pairing at
+    // the aggregated SparkEntry surface, so a def landed in one pair with
+    // its oracle in the other can never ship
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+
+  test("query roster is contiguous q1..qN with no duplicate numbers") {
+    val nums = SparkEntry.queries.keySet.toSeq
+      .map(_.drop(1).takeWhile(_.isDigit).toInt)
+    assert(nums.distinct.size == nums.size,
+      s"duplicate query numbers: ${nums.diff(nums.distinct).distinct.sorted}")
+    assert(nums.toSet == (1 to nums.max).toSet,
+      s"roster gaps: ${((1 to nums.max).toSet -- nums.toSet).toSeq.sorted}")
+  }
+
   test("semi-stream join (hits ∪ fetched misses) equals the plain join") {
     val li = Tables(spark, sfSmoke, "lineitem")
       .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
