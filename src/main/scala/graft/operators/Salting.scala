@@ -52,20 +52,31 @@ object Salting {
       key: String,
       threshold: Long,
       maxSalts: Int,
-      topN: Int = 1024): DataFrame = {
-    require(threshold >= 1 && maxSalts >= 1 && topN >= 1)
+      topN: Int = 1024): DataFrame =
+    hotKeyFactors(df, Seq(key), threshold, maxSalts, topN)
+
+  /** Multi-column-key form — composite join keys (e.g. a band join's
+    * (band, bsig)) measure and salt exactly like single keys.
+    */
+  def hotKeyFactors(
+      df: DataFrame,
+      keys: Seq[String],
+      threshold: Long,
+      maxSalts: Int,
+      topN: Int): DataFrame = {
+    require(keys.nonEmpty && threshold >= 1 && maxSalts >= 1 && topN >= 1)
     TopK.perGroup(
-        df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
           .filter(col("__cnt") > threshold),
         Seq.empty,
-        Seq(col("__cnt").desc, col(key).asc),
+        col("__cnt").desc +: keys.map(col(_).asc),
         topN,
         rankCol = "__rk")
       .select(
-        col(key),
-        least(
-          lit(maxSalts.toLong),
-          expr(s"(__cnt + ${threshold - 1}) div $threshold")).cast("int").as("__factor"))
+        keys.map(col) :+
+          least(
+            lit(maxSalts.toLong),
+            expr(s"(__cnt + ${threshold - 1}) div $threshold")).cast("int").as("__factor"): _*)
   }
 
   /** Adaptive salted inner equi-join: bag-equal to `probe.join(build,
@@ -78,22 +89,30 @@ object Salting {
       probe: DataFrame,
       build: DataFrame,
       key: String,
+      factors: DataFrame): DataFrame =
+    adaptiveSaltedJoin(probe, build, Seq(key), factors)
+
+  /** Multi-column-key form of [[adaptiveSaltedJoin]]. */
+  def adaptiveSaltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
       factors: DataFrame): DataFrame = {
-    val f = broadcast(factors.select(col(key), col("__factor")))
+    val f = broadcast(factors.select(keys.map(col) :+ col("__factor"): _*))
     val p = probe
-      .join(f, Seq(key), "left")
+      .join(f, keys, "left")
       .withColumn(
         "__salt",
         pmod(xxhash64(probe.columns.map(col): _*), coalesce(col("__factor"), lit(1)))
           .cast("int"))
       .drop("__factor")
     val b = build
-      .join(f, Seq(key), "left")
+      .join(f, keys, "left")
       .withColumn(
         "__salt",
         explode(sequence(lit(0), coalesce(col("__factor"), lit(1)) - 1)))
       .withColumn("__salt", col("__salt").cast("int"))
       .drop("__factor")
-    p.join(b, Seq(key, "__salt")).drop("__salt")
+    p.join(b, keys :+ "__salt").drop("__salt")
   }
 }

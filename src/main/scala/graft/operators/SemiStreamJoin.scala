@@ -62,12 +62,15 @@ object SemiStreamJoin {
       batch: DataFrame,
       cache: DataFrame,
       stored: DataFrame,
-      key: String): JoinResult = {
+      key: String,
+      saltFactors: Option[DataFrame] = None): JoinResult = {
     require(
       cache.columns.sameElements(stored.columns),
       s"cache schema ${cache.columns.mkString(",")} must equal stored schema " +
         s"${stored.columns.mkString(",")} — the cache holds verbatim stored rows")
-    joinWithFetch(batch, cache, missedKeys => stored.join(missedKeys, Seq(key), "left_semi"), key)
+    joinWithFetch(
+      batch, cache, missedKeys => stored.join(missedKeys, Seq(key), "left_semi"), key,
+      saltFactors)
   }
 
   /** [[joinWithStore]] with a PLUGGABLE store fetch: `fetch` receives the
@@ -78,21 +81,35 @@ object SemiStreamJoin {
     * main/scala/streaming.scala:343-377`); the default backend is the
     * Catalyst-planned semi-join above.
     */
+  /** `saltFactors` (SURVEY D4, round-13 verdict task 3): an optional
+    * measured hot-key factor relation ([[Salting.hotKeyFactors]] shape)
+    * applied to the two INNER joins — the ones whose output is a per-key
+    * PRODUCT and therefore the ones a celebrity key funnels through a
+    * single task. The hit/miss anti-split stays unsalted: its per-key work
+    * is linear in the batch rows, and salting an anti join buys nothing
+    * for that. None (the default) is byte-for-byte the unsalted plan.
+    */
   def joinWithFetch(
       batch: DataFrame,
       cache: DataFrame,
       fetch: DataFrame => DataFrame,
-      key: String): JoinResult = {
+      key: String,
+      saltFactors: Option[DataFrame] = None): JoinResult = {
     val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
-    val s = split(b, cache, key)
-    val missedKeys = s.misses.select(key).distinct()
+    def inner(probe: DataFrame, build: DataFrame): DataFrame = saltFactors match {
+      case Some(f) => Salting.adaptiveSaltedJoin(probe, build, key, f)
+      case None => probe.join(build, Seq(key), "inner")
+    }
+    val hits = inner(b, cache)
+    val misses = b.join(cache, Seq(key), "left_anti")
+    val missedKeys = misses.select(key).distinct()
     val fetched = fetch(missedKeys)
       .persist(StorageLevel.MEMORY_AND_DISK)
     require(
       cache.columns.sameElements(fetched.columns),
       s"fetched schema ${fetched.columns.mkString(",")} must equal cache schema " +
         s"${cache.columns.mkString(",")} — the cache holds verbatim stored rows")
-    val out = s.hits.unionByName(s.misses.join(fetched, Seq(key), "inner"))
+    val out = hits.unionByName(inner(misses, fetched))
     JoinResult(out, fetched, () => { b.unpersist(); fetched.unpersist() })
   }
 }

@@ -80,7 +80,12 @@ final class CacheManager(
     // Catalyst-planned semi-join against `stored`; Some = e.g. a remote
     // point-lookup connector (KeyValueStore.fetchByKeys), the reference's
     // executor-side `$or` fetch regime
-    fetchOverride: Option[DataFrame => DataFrame] = None) {
+    fetchOverride: Option[DataFrame => DataFrame] = None,
+    // measured hot-key salting (SURVEY D4) for the probe joins: a bounded
+    // Salting.hotKeyFactors relation; the per-batch inner joins spread
+    // each listed key over its factor of sub-partitions (AQE cannot help
+    // here — it is disabled under stateful streaming). None = unsalted.
+    saltFactors: Option[DataFrame] = None) {
 
   import CacheManager.BatchStats
 
@@ -123,8 +128,8 @@ final class CacheManager(
 
     val t0 = System.nanoTime()
     val r = fetchOverride match {
-      case Some(f) => SemiStreamJoin.joinWithFetch(batch, cache, f, key)
-      case None => SemiStreamJoin.joinWithStore(batch, cache, stored, key)
+      case Some(f) => SemiStreamJoin.joinWithFetch(batch, cache, f, key, saltFactors)
+      case None => SemiStreamJoin.joinWithStore(batch, cache, stored, key, saltFactors)
     }
     val missedCount = r.fetched.count() // forces batch persist + split + fetch
     val splitFetchMs = (System.nanoTime() - t0) / 1e6

@@ -60,7 +60,15 @@ object SemiStreamSimilarityJoin {
       maxSigFrequency: Long = 50,
       config: AdaptiveWindowController.Config = AdaptiveWindowController.Config(),
       windowRule: WindowRule = HillClimbRule,
-      mode: ProbeMode = SegmentMode): Result = {
+      mode: ProbeMode = SegmentMode,
+      // measured hot-key salting of the per-batch sig/tok probe joins
+      // (SURVEY D4; round-13 verdict task 3): keys whose INDEX list is
+      // longer than this spread over ceil(list/saltHotAbove) salt
+      // sub-partitions (capped at 16) in the cache-hit and fetched-miss
+      // joins. AQE is disabled under stateful streaming, so without this
+      // a signature shared by half the corpus funnels its whole candidate
+      // product through one task. 0 = off (the default plan, unchanged).
+      saltHotAbove: Long = 0L): Result = {
     val spark = docs.sparkSession
     graft.functions.ArrayIntersectSize.register(spark)
 
@@ -103,10 +111,23 @@ object SemiStreamSimilarityJoin {
     hotKeys.count()
     val admit: DataFrame => DataFrame = _.join(hotKeys, Seq(key), "left_anti")
 
+    // hot-key salt factors, measured ONCE from the static index histogram
+    // (a hot signature is an index property): bounded ≤ 1024 rows,
+    // broadcast into every batch's probe joins
+    val saltFactors =
+      if (saltHotAbove <= 0L) None
+      else {
+        val f = graft.operators.Salting
+          .hotKeyFactors(indexP.select(key), key, saltHotAbove, maxSalts = 16)
+          .persist()
+        f.count()
+        Some(f)
+      }
+
     val emptyCache = indexP.limit(0)
     val manager = new CacheManager(
       indexP, emptyCache, key, config, checkpointEvery = 4, admit = admit,
-      windowRule = windowRule)
+      windowRule = windowRule, saltFactors = saltFactors)
 
     // ---- stream side ----
     val staged = SemiStreamRuntime.stage(docs.select(idCol, textCol), idCol, chunks)
@@ -225,6 +246,7 @@ object SemiStreamSimilarityJoin {
     manager.close()
     toks.unpersist(); indexP.unpersist(); hotKeys.unpersist(); yT.unpersist()
     freqOpt.foreach(_.unpersist())
+    saltFactors.foreach(_.unpersist())
     require(outSchema != null, "stream ran no batches — no output schema")
     Result(spark.read.schema(outSchema).parquet(outDir).drop("__batch"), stats)
   }

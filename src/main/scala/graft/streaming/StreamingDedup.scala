@@ -183,7 +183,16 @@ object StreamingDedup {
       crashInCompaction: Boolean = false,
       onBatch: (Long, Long) => Unit = (_, _) => (),
       store: StateStoreFactory = parquetStore,
-      hashTokens: Boolean = false): DataFrame = {
+      hashTokens: Boolean = false,
+      // salted-shuffle probe regime (SURVEY D4; round-13 verdict task 3):
+      // when > 0, the state probe joins by SHUFFLE with measured per-key
+      // salting instead of broadcasting the batch sigs — the regime for
+      // batches too big to broadcast. Factors are measured per batch from
+      // the batch's own (band, bsig) histogram (bands whose batch list
+      // exceeds the threshold spread over ceil(list/threshold) ≤ 16 salt
+      // sub-partitions); AQE cannot re-split these joins under the
+      // streaming harness. 0 = the broadcast probe (default, unchanged).
+      saltThreshold: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.ArrayIntersectSize.register(spark)
     graft.functions.MinHashBands.register(spark)
@@ -303,9 +312,19 @@ object StreamingDedup {
       // distinct pairs ever materialize (persisting the raw join measured
       // 2.8× slower per batch at 10× scale)
       val stateSigs = sigState.read(batchId, sigPbs)
-      val stateCand = broadcast(xSigs)
-        .join(stateSigs.select(col("sid").as("y_id"), col("band"), col("bsig")),
-          Seq("band", "bsig"))
+        .select(col("sid").as("y_id"), col("band"), col("bsig"))
+      val stateCand = (if (saltThreshold <= 0L)
+        broadcast(xSigs).join(stateSigs, Seq("band", "bsig"))
+      else {
+        // shuffle probe with measured per-key salting: the state side is
+        // the probe (its hot bands are the funnel), the batch side
+        // replicates per factor — bag-equal to the broadcast join
+        val factors = graft.operators.Salting.hotKeyFactors(
+          bSigs.select("band", "bsig"), Seq("band", "bsig"),
+          saltThreshold, maxSalts = 16, topN = 1024)
+        graft.operators.Salting
+          .adaptiveSaltedJoin(stateSigs, xSigs, Seq("band", "bsig"), factors)
+      })
         .select("x_id", "y_id")
         .dropDuplicates("x_id", "y_id")
         .persist(storage)
