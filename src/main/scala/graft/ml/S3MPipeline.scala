@@ -194,6 +194,10 @@ object S3MPipeline {
       .join(series.select(col("idx").as("label_idx"), col("v").as("y")), "label_idx")
       .withColumn("lt", timestamp_seconds(lit(tBase) + col("qid") + delay))
       .select("qid", "lt", "y")
+    // bounded collect: ≤ nWindows rows (query-window grain, set by the
+    // probe spec, never the stored series) — the prequential model is
+    // DRIVER-HELD like the reference's (s3m.scala:97-130), so the replay
+    // examples come to it, one bounded relation, not row-grain traffic
     val joined = graft.streaming.DelayedLabelJoin
       .join(featDf, labelsDf, "qid", "ft", "lt", s"$delay seconds")
       .select("qid", "features", "y")
