@@ -413,8 +413,13 @@ object SimilarityJoin {
 
   /** The three equality-proven strategies a similarity join can run as.
     * [[DeletionJoin]] is never auto-picked: it reproduces the reference's
-    * full deletion-signature scheme for fidelity but measured 2.4× the
-    * prefix path on identical output (round-6 A/B) — callers opt in.
+    * full deletion-signature scheme for fidelity. The round-6 A/B measured
+    * it 2.4× the prefix path; the round-14 re-measure (sf0.1, alternating
+    * fresh-plan runs, identical 2.97 M-pair output) shows WARM parity
+    * (16.7–17.6 s vs 17.4–20.9 s) — the gap closed as the shared
+    * verify/output tier became the cost. It stays opt-in because its
+    * first-plan compile is heavier (~26 s cold vs ~19 s) and the prefix
+    * path remains the simpler default, not because it rots.
     */
   sealed trait Strategy
   case object SegmentStrategy extends Strategy
