@@ -246,6 +246,52 @@ object Bench {
         }
       }
 
+    // SCALE GATE (round-13 verdict task 2): the flagship family's
+    // sf-vs-sf/10 scaling exponent, recorded per line every round instead
+    // of ad hoc. exponent = log10(T_sf / T_sf/10): ~1 = linear in data,
+    // < 1 = fixed-overhead-dominated at the small SF, > 1 = super-linear.
+    // The gate FAILs when any line exceeds SCALE_EXP_MAX — a candidate
+    // blow-up (all-pairs regression, broken pruning) shows up here as
+    // exponent → 2 long before a wall-clock line looks alarming. The
+    // lo-SF pass is one timed run per line (the exponent tolerates noise
+    // that the min-of-2 wall-clock lines cannot); family cost at sf0.01
+    // is seconds per line.
+    val ScaleFamily = Seq(
+      "q17_stream_semistream_join", "q41_stream_simjoin",
+      "q45_simjoin_deletion", "q49_stream_dedup", "q50_containment",
+      "q111_kv_pointfetch_join", "q112_repeated_spans", "q113_duplication_load",
+      "q114_span_removal", "q115_stream_spans")
+    val ScaleExpMax = 1.6
+    val loDir = {
+      val m = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+      m.flatMap { mm =>
+        val lo = sfDir.dropRight(mm.group(1).length) + (mm.group(1).toDouble / 10)
+        if (new java.io.File(lo).isDirectory) Some(lo) else None
+      }
+    }
+    // in driver mode (no filter) the whole family runs; a filtered A/B run
+    // still gates whatever family lines it selected
+    val scaleExps: Seq[(String, Double)] =
+      if (loDir.isEmpty) Seq.empty
+      else ScaleFamily.filter(n => selected.exists(_._1 == n)).flatMap { name =>
+        (SparkEntry.queries.get(name), results.find(_._1 == name)) match {
+          case (Some(fn), Some((_, hi))) if hi > 0 =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            val ok = try { exhaust(fn(spark, loDir.get)); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] scale-gate $name@lo failed: ${e.getMessage}")
+              false
+            }
+            val lo = (System.nanoTime() - t0) / 1e9
+            if (ok && lo > 0) Some(name -> math.log10(hi / lo)) else None
+          case _ => None
+        }
+      }
+    val scaleGate =
+      if (scaleExps.isEmpty) "\"skipped\""
+      else if (scaleExps.forall(_._2 <= ScaleExpMax)) "\"pass\"" else "\"FAIL\""
+
     // One SHORT JSON line: values rounded to 3 decimals and sentinel keys
     // abbreviated to the qNN prefix — BENCH_r07's full-precision line
     // overflowed the driver's fixed-size stdout tail capture, truncating
@@ -285,7 +331,10 @@ object Bench {
     val streamGate = streamBatch.find(_._1 == "stream_mean_batch_sec")
       .map { case (_, m) => if (m < 1.05) "\"pass\"" else "\"FAIL\"" }
       .getOrElse("\"skipped\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"retried":$retriedJson,"failed":$failedJson,"stream_gate":$streamGate,"sf":"$sfName"}""")
+    val scaleJson = scaleExps
+      .map { case (k, v) => s"\"" + abbrev(k) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"retried":$retriedJson,"failed":$failedJson,"stream_gate":$streamGate,"scale":$scaleJson,"scale_gate":$scaleGate,"sf":"$sfName"}""")
     spark.stop()
     // spark.stop() does not end the JVM: streaming-harness non-daemon
     // threads (observed post-print in solo runs) keep it alive until the
