@@ -246,6 +246,32 @@ object Bench {
         }
       }
 
+    // SOAK GATE (round-13 verdict task 7): many-batch stateful replays
+    // with state telemetry — catches unbounded state/file growth and
+    // per-batch cost drift that 4-8-batch gates cannot see. Batch counts
+    // scale via SPARK_GRAFT_SOAK_BATCHES (default 24/16 keeps the bench
+    // line ~1 min; a 30-min production soak is the same gates at a higher
+    // count — they are batch-count-relative, not wall-clock-relative).
+    val soakRes: Option[graft.streaming.Soak.Result] =
+      if (only.nonEmpty && !only.exists("soak_gate".startsWith)) None
+      else try {
+        spark.catalog.clearCache()
+        val soakBatches = sys.env.get("SPARK_GRAFT_SOAK_BATCHES").map(_.toInt)
+        val docs = graft.core.Tables(spark, sfDir, "documents")
+          .filter(pmod(col("doc_id"), lit(4)) === 0)
+        val li = graft.core.Tables(spark, sfDir, "lineitem")
+          .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
+        val part = graft.core.Tables(spark, sfDir, "part")
+        Some(graft.streaming.Soak.run(
+          docs, li, part,
+          dedupBatches = soakBatches.getOrElse(24),
+          joinBatches = soakBatches.map(_ * 2 / 3).getOrElse(16)))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] soak failed: ${e.getMessage}")
+          None
+      }
+
     // SCALE GATE (round-13 verdict task 2): the flagship family's
     // sf-vs-sf/10 scaling exponent, recorded per line every round instead
     // of ad hoc. exponent = log10(T_sf / T_sf/10): ~1 = linear in data,
@@ -334,7 +360,13 @@ object Bench {
     val scaleJson = scaleExps
       .map { case (k, v) => s"\"" + abbrev(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"retried":$retriedJson,"failed":$failedJson,"stream_gate":$streamGate,"scale":$scaleJson,"scale_gate":$scaleGate,"sf":"$sfName"}""")
+    val soakJson = soakRes
+      .map(s => s"""{"batches":${s.dedupBatches},"live_dirs_max":${s.dedupLiveDirsMax},"live_dirs_bound":${s.dedupLiveDirsBound},"bytes_ratio":${r3(s.dedupBytesRatio)},"dedup_drift":${r3(s.dedupDrift)},"join_drift":${r3(s.joinDrift)}}""")
+      .getOrElse("{}")
+    val soakGate = soakRes
+      .map(s => if (s.pass) "\"pass\"" else "\"FAIL\"")
+      .getOrElse("\"skipped\"")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"retried":$retriedJson,"failed":$failedJson,"stream_gate":$streamGate,"scale":$scaleJson,"scale_gate":$scaleGate,"soak":$soakJson,"soak_gate":$soakGate,"sf":"$sfName"}""")
     spark.stop()
     // spark.stop() does not end the JVM: streaming-harness non-daemon
     // threads (observed post-print in solo runs) keep it alive until the
