@@ -77,5 +77,7 @@ object BoundedCollects {
     "graft/streaming/StreamingSemanticDedup.scala" -> Seq(
       "distinct probe cells: ≤ nCells"),
     "graft/streaming/StreamingSubstringDedup.scala" -> Seq(
-      "distinct probe buckets: ≤ nBuckets"))
+      "distinct probe buckets: ≤ nBuckets"),
+    "graft/streaming/TransactionLogDedupState.scala" -> Seq(
+      "per-staged-file pb stats: one row per written increment file (≤ shuffle partitions) — the log's file-statistics write path"))
 }

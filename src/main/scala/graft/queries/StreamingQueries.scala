@@ -234,6 +234,19 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // Transaction-log state backend end-to-end (round-14, verdict task
+    // 10): q49's exact pipeline with the seen-set on the Delta/Iceberg-
+    // shaped TransactionLogDedupState (snapshot reads via log-stats file
+    // skipping, atomic commit appends, OPTIMIZE-style compaction, VACUUM
+    // replay) — decisions must be bit-identical to the directory backend,
+    // so the oracle is q49's verbatim.
+    "q243_txnlog_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.streaming.StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 4,
+        compactEvery = 2, store = graft.streaming.TransactionLogDedupState.factory)
+        .orderBy("doc_id")
+    }),
+
     // Streaming INCREMENTAL semantic dedup (SemDeDup's continuous-ingestion
     // form — the embedding-tier sibling of q49): vectors arrive in 4
     // MD5-assigned micro-batches; each is tested against every previously
@@ -519,6 +532,29 @@ object StreamingQueries {
           windowUs = 7L * 24 * 3600 * 1000000,
           chunks = 4)
         .orderBy("user_id")))
+
+  private val streamDedupOracle: String =
+    """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(floor(
+        |           CAST(list_sum(list_transform(range(0, 8), i ->
+        |             CAST(instr('0123456789abcdef',
+        |                        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
+        |                  AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS DOUBLE)
+        |             / 4294967296.0 * 4) AS INT) AS b,
+        |         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        |  FROM documents),
+        |tt AS (SELECT * FROM t WHERE len(toks) > 0),
+        |m AS (
+        |  SELECT x.doc_id AS doc_id, min(y.doc_id) AS dup_of
+        |  FROM tt x JOIN tt y
+        |    ON (y.b < x.b OR (y.b = x.b AND y.doc_id < x.doc_id))
+        |   AND len(list_intersect(x.toks, y.toks)) * 1.0 /
+        |       (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks))) >= 0.8
+        |  GROUP BY x.doc_id)
+        |SELECT tt.doc_id, coalesce(m.dup_of, -1) AS dup_of
+        |FROM tt LEFT JOIN m ON tt.doc_id = m.doc_id
+        |ORDER BY tt.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // offset-provenance replay: the publish layout is a pure function of
@@ -866,28 +902,12 @@ object StreamingQueries {
     // arrival-order replay: chunk = ⌊md5-uniform(doc_id)·4⌋ (q46's
     // hex→uniform recipe); "seen earlier" = smaller chunk, or same chunk
     // and smaller id; dup_of = min earlier doc with exact Jaccard ≥ 0.8.
-    "q49_stream_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         CAST(floor(
-        |           CAST(list_sum(list_transform(range(0, 8), i ->
-        |             CAST(instr('0123456789abcdef',
-        |                        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1
-        |                  AS BIGINT) << CAST(4 * (7 - i) AS INT))) AS DOUBLE)
-        |             / 4294967296.0 * 4) AS INT) AS b,
-        |         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
-        |  FROM documents),
-        |tt AS (SELECT * FROM t WHERE len(toks) > 0),
-        |m AS (
-        |  SELECT x.doc_id AS doc_id, min(y.doc_id) AS dup_of
-        |  FROM tt x JOIN tt y
-        |    ON (y.b < x.b OR (y.b = x.b AND y.doc_id < x.doc_id))
-        |   AND len(list_intersect(x.toks, y.toks)) * 1.0 /
-        |       (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks))) >= 0.8
-        |  GROUP BY x.doc_id)
-        |SELECT tt.doc_id, coalesce(m.dup_of, -1) AS dup_of
-        |FROM tt LEFT JOIN m ON tt.doc_id = m.doc_id
-        |ORDER BY tt.doc_id""".stripMargin,
+    // q243 runs the SAME pipeline through the transaction-log state
+    // backend, so it shares this oracle verbatim: backend choice must be
+    // invisible in the decisions.
+    "q49_stream_dedup" -> streamDedupOracle,
+    "q243_txnlog_dedup" -> streamDedupOracle,
+
 
     // q112's shingle pipeline + q49's MD5 arrival order: a shingle is hot
     // for a doc iff its occurrence count over batches ≤ the doc's batch

@@ -215,6 +215,19 @@ class StreamingDedupSpec extends StreamingDedupContract {
   }
 }
 
+/** Delta/Iceberg-shaped transaction-log backend — the same end-to-end
+  * suite (brute-force equality, compaction bounds, crash-mid-compaction
+  * and crash-mid-batch resume) through snapshot/commit/OPTIMIZE/VACUUM
+  * mechanics instead of directory overwrites.
+  */
+class StreamingDedupTxnLogSpec extends StreamingDedupContract {
+  override def backend = "txnlog"
+  override def store = graft.streaming.TransactionLogDedupState.factory
+  override def retainsStateAfterSuccess = true
+  override def backendLive(stateDir: String): Seq[Long] =
+    graft.streaming.TransactionLogDedupState.liveBatches(stateDir)
+}
+
 /** In-memory commit-log backend — the same suite, unchanged. */
 class StreamingDedupInMemorySpec extends StreamingDedupContract {
   override def backend = "in-memory"
