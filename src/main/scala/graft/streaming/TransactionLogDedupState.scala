@@ -150,27 +150,44 @@ final class TransactionLogDedupState(
 
   // ---- data-file staging ----------------------------------------------
 
+  /** pb values that Spark's hash partitioning routes to each shuffle
+    * partition index — computed ONCE per (store, partition count) with one
+    * tiny local job over the pb domain, so per-file `pbs` stats come from
+    * the write LAYOUT instead of a per-append read-back job (measured
+    * ~4 s/batch on the q243 gate). The per-file set is a SUPERSET of the
+    * pbs actually present (file skipping stays correct, merely coarser —
+    * the trade a stats-collecting table makes when it clusters by hash).
+    */
+  private val pbDomainMax = 4096
+  private val partitionPbs = collection.mutable.Map[Int, Map[Int, Seq[Int]]]()
+  private def pbsOfPartition(numParts: Int): Map[Int, Seq[Int]] =
+    partitionPbs.getOrElseUpdate(numParts, {
+      import spark.implicits._
+      (0 until pbDomainMax).toDF("pb")
+        .select(col("pb"), pmod(hash(col("pb")), lit(numParts)).as("part"))
+        .collect()
+        .map(r => r.getInt(1) -> r.getInt(0)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    })
+
   /** Write `df` (fullSchema columns) as data files and return their log
-    * stats. Per-file `pbs` come from one increment-sized stats job — the
-    * write path of a stats-collecting transactional table.
+    * stats (per-file pb supersets from the hash-partition map).
     */
   private def stage(df: DataFrame): Seq[AddFile] = {
     val staging = Files.createTempDirectory(dataDir, ".staging-")
-    df.repartition(col("pb"))
+    val numParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(numParts, col("pb"))
       .write.mode("overwrite").parquet(staging.toString)
-    val stats = spark.read.schema(fullSchema).parquet(staging.toString)
-      .groupBy(input_file_name().as("f"))
-      .agg(collect_set(col("pb")).as("pbs"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val layout = pbsOfPartition(numParts)
     val moved = Files.list(staging).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
       .flatMap { p =>
-        val pbs = stats.collectFirst {
-          case (f, s) if f.endsWith(p.getFileName.toString) => s
-        }.getOrElse(Seq.empty)
-        if (pbs.isEmpty) { Files.delete(p); None } // empty split file
+        // part files are named part-<taskIndex>-…; the task index IS the
+        // shuffle partition the pb hash routed to
+        val idx = p.getFileName.toString.stripPrefix("part-").take(5).toInt
+        val pbs = layout.getOrElse(idx, Seq.empty)
+        if (pbs.isEmpty || Files.size(p) == 0L) { Files.delete(p); None }
         else {
           val name = s"f-${java.util.UUID.randomUUID().toString}.parquet"
           val bytes = Files.size(p)
