@@ -79,5 +79,5 @@ object BoundedCollects {
     "graft/streaming/StreamingSubstringDedup.scala" -> Seq(
       "distinct probe buckets: ≤ nBuckets"),
     "graft/streaming/TransactionLogDedupState.scala" -> Seq(
-      "per-staged-file pb stats: one row per written increment file (≤ shuffle partitions) — the log's file-statistics write path"))
+      "pb-domain→partition layout map: ≤ pbDomainMax (4096) rows, computed ONCE per partition count — per-file pbs stats derive from this layout, never from a read-back job"))
 }

@@ -356,8 +356,11 @@ object StreamingDedup {
 
       // ---- batchId-keyed idempotent effects: a retried batch REPLACES
       // its own output and state partitions (dynamic overwrite) ----
-      // dupOf holds only the docs that ARE duplicates — broadcast it so the
-      // decision join never shuffles the batch side; repartition(1) (not
+      // dupOf holds only the docs that ARE duplicates — usually small, but
+      // batch-sized in the worst case (every doc a dup), so the decision
+      // join carries NO broadcast hint: AQE's runtime stats pick broadcast
+      // when dupOf is truly small, and a high-duplication batch never
+      // forces an unbounded driver collect; repartition(1) (not
       // coalesce(1), which would drag the join itself through one task)
       // keeps one decision file per batch. The write is scoped to this
       // batch's own `batch=<id>` dir (partition value from the dir name on
@@ -374,7 +377,7 @@ object StreamingDedup {
       phase(batchId, "verify+out+appends") { ConcurrentEffects.all(
         () =>
           bToks.select(col("sid").as("x_id"))
-            .join(broadcast(dupOf), Seq("x_id"), "left")
+            .join(dupOf, Seq("x_id"), "left")
             .select(
               col("x_id").as("out_id"),
               coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
