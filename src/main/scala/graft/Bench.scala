@@ -27,7 +27,45 @@ object Bench {
     ()
   }
 
+  /** `Bench compare curA.json curB.json prevA.json prevB.json` — the
+    * close-report arithmetic, EMITTED instead of hand-computed (round-14
+    * verdict: a close note compared this round's min-of-two against last
+    * round's single run A and claimed −11 % where the honest min-of-two
+    * comparison was +1 %). Restricting to the queries common to all four
+    * files, it prints per-index (A-vs-A, B-vs-B) and min-of-two-vs-
+    * min-of-two totals plus the top movers, so no close note ever picks
+    * its own operands again.
+    */
+  private def runCompare(files: Seq[String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def queriesOf(path: String): Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      val node = mapper.readTree(new java.io.File(path)).get("queries")
+      node.fieldNames().asScala.map(k => k -> node.get(k).asDouble()).toMap
+    }
+    val Seq(curA, curB, prevA, prevB) = files.map(queriesOf)
+    val common = curA.keySet & curB.keySet & prevA.keySet & prevB.keySet
+    def sum(m: Map[String, Double]) = common.toSeq.map(m).sum
+    def pct(cur: Double, prev: Double) =
+      math.rint((cur / prev - 1) * 1000) / 10
+    val curMin = common.map(k => k -> math.min(curA(k), curB(k))).toMap
+    val prevMin = common.map(k => k -> math.min(prevA(k), prevB(k))).toMap
+    val movers = common.toSeq
+      .map(k => k -> (math.rint((curMin(k) - prevMin(k)) * 10) / 10))
+      .filter(kv => math.abs(kv._2) >= 0.5)
+      .sortBy { case (_, d) => (-math.abs(d), d) }.take(10)
+      .map { case (k, d) => s"\"$k\":$d" }.mkString("{", ",", "}")
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    println(
+      s"""{"metric":"close_compare","common_lines":${common.size},""" +
+        s""""min2_cur_sec":${r3(sum(curMin))},"min2_prev_sec":${r3(sum(prevMin))},""" +
+        s""""min2_delta_pct":${pct(sum(curMin), sum(prevMin))},""" +
+        s""""a_vs_a_pct":${pct(sum(curA), sum(prevA))},"b_vs_b_pct":${pct(sum(curB), sum(prevB))},""" +
+        s""""top_movers_min2":$movers}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("compare")) { runCompare(args.drop(1).toSeq); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -252,23 +290,41 @@ object Bench {
     // scale via SPARK_GRAFT_SOAK_BATCHES (default 24/16 keeps the bench
     // line ~1 min; a 30-min production soak is the same gates at a higher
     // count — they are batch-count-relative, not wall-clock-relative).
+    val soakBatches = sys.env.get("SPARK_GRAFT_SOAK_BATCHES").map(_.toInt)
+    def soakDocs = graft.core.Tables(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(4)) === 0)
     val soakRes: Option[graft.streaming.Soak.Result] =
       if (only.nonEmpty && !only.exists("soak_gate".startsWith)) None
       else try {
         spark.catalog.clearCache()
-        val soakBatches = sys.env.get("SPARK_GRAFT_SOAK_BATCHES").map(_.toInt)
-        val docs = graft.core.Tables(spark, sfDir, "documents")
-          .filter(pmod(col("doc_id"), lit(4)) === 0)
         val li = graft.core.Tables(spark, sfDir, "lineitem")
           .select(col("l_partkey").as("p_partkey"), col("l_orderkey"), col("l_quantity"))
         val part = graft.core.Tables(spark, sfDir, "part")
         Some(graft.streaming.Soak.run(
-          docs, li, part,
+          soakDocs, li, part,
           dedupBatches = soakBatches.getOrElse(24),
           joinBatches = soakBatches.map(_ * 2 / 3).getOrElse(16)))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] soak failed: ${e.getMessage}")
+          None
+      }
+
+    // TXNLOG SOAK (round-14 verdict task 2): the same many-batch dedup
+    // replay on the transaction-log backend — the log-checkpoint +
+    // cached-snapshot work is exactly what this gate certifies (per-batch
+    // cost must NOT grow with commit count). Join leg omitted: it
+    // exercises the cache runtime, not a DedupStateStore.
+    val soakTxn: Option[graft.streaming.Soak.DedupResult] =
+      if (only.nonEmpty && !only.exists("soak_txnlog".startsWith)) None
+      else try {
+        spark.catalog.clearCache()
+        Some(graft.streaming.Soak.dedupSoak(
+          soakDocs, soakBatches.getOrElse(24),
+          store = graft.streaming.TransactionLogDedupState.factory))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] txnlog soak failed: ${e.getMessage}")
           None
       }
 
@@ -286,7 +342,7 @@ object Bench {
       "q17_stream_semistream_join", "q41_stream_simjoin",
       "q45_simjoin_deletion", "q49_stream_dedup", "q50_containment",
       "q111_kv_pointfetch_join", "q112_repeated_spans", "q113_duplication_load",
-      "q114_span_removal", "q115_stream_spans")
+      "q114_span_removal", "q115_stream_spans", "q243_txnlog_dedup")
     val ScaleExpMax = 1.6
     val loDir = {
       val m = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
@@ -302,15 +358,24 @@ object Bench {
       else ScaleFamily.filter(n => selected.exists(_._1 == n)).flatMap { name =>
         (SparkEntry.queries.get(name), results.find(_._1 == name)) match {
           case (Some(fn), Some((_, hi))) if hi > 0 =>
-            spark.catalog.clearCache()
-            val t0 = System.nanoTime()
-            val ok = try { exhaust(fn(spark, loDir.get)); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] scale-gate $name@lo failed: ${e.getMessage}")
-              false
+            // min-of-2 lo runs (round-14 verdict task 6): the hi side is
+            // already min-of-2, and a single noisy lo draw can push an
+            // exponent over the gate on a healthy round
+            def loOnce(): Option[Double] = {
+              spark.catalog.clearCache()
+              val t0 = System.nanoTime()
+              val ok = try { exhaust(fn(spark, loDir.get)); true }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] scale-gate $name@lo failed: ${e.getMessage}")
+                false
+              }
+              val lo = (System.nanoTime() - t0) / 1e9
+              if (ok && lo > 0) Some(lo) else None
             }
-            val lo = (System.nanoTime() - t0) / 1e9
-            if (ok && lo > 0) Some(name -> math.log10(hi / lo)) else None
+            (loOnce(), loOnce()) match {
+              case (Some(a), Some(b)) => Some(name -> math.log10(hi / math.min(a, b)))
+              case (a, b)             => a.orElse(b).map(lo => name -> math.log10(hi / lo))
+            }
           case _ => None
         }
       }
@@ -366,7 +431,13 @@ object Bench {
     val soakGate = soakRes
       .map(s => if (s.pass) "\"pass\"" else "\"FAIL\"")
       .getOrElse("\"skipped\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"retried":$retriedJson,"failed":$failedJson,"stream_gate":$streamGate,"scale":$scaleJson,"scale_gate":$scaleGate,"soak":$soakJson,"soak_gate":$soakGate,"sf":"$sfName"}""")
+    val soakTxnJson = soakTxn
+      .map(s => s"""{"batches":${s.batches},"live_dirs_max":${s.liveDirsMax},"live_dirs_bound":${s.liveDirsBound},"bytes_ratio":${r3(s.bytesRatio)},"drift":${r3(s.drift)}}""")
+      .getOrElse("{}")
+    val soakTxnGate = soakTxn
+      .map(s => if (s.pass) "\"pass\"" else "\"FAIL\"")
+      .getOrElse("\"skipped\"")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_floor_sec":${r3(floor)},"sentinels":$sent,"retried":$retriedJson,"failed":$failedJson,"stream_gate":$streamGate,"scale":$scaleJson,"scale_gate":$scaleGate,"soak":$soakJson,"soak_gate":$soakGate,"soak_txnlog":$soakTxnJson,"soak_txnlog_gate":$soakTxnGate,"sf":"$sfName"}""")
     spark.stop()
     // spark.stop() does not end the JVM: streaming-harness non-daemon
     // threads (observed post-print in solo runs) keep it alive until the

@@ -17,6 +17,34 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Engine-level arming of the salted-shuffle regimes (round-14 verdict
+    * task 3: the knobs existed but every production entry point left them
+    * at 0, so a celebrity key funneled through one task unless the CALLER
+    * knew a default-off parameter). The streaming operators now resolve
+    * their salt knobs through these session confs, so one deployment-level
+    * setting arms the defense for every query in the session:
+    *
+    *   - `spark.graft.salt.threshold` — [[graft.streaming.StreamingDedup]]
+    *     per-batch probe: batch keys with count > threshold salt;
+    *   - `spark.graft.salt.hotAbove` —
+    *     [[graft.streaming.SemiStreamSimilarityJoin]]: index keys with
+    *     list length > this salt the cache-hit/fetched-miss joins.
+    *
+    * Both default OFF (unset/0) — plans are unchanged unless armed, and an
+    * explicit per-call argument always wins over the session conf.
+    */
+  val ThresholdKey = "spark.graft.salt.threshold"
+  val HotAboveKey = "spark.graft.salt.hotAbove"
+
+  /** Resolve a salt knob: explicit positive wins; the 0 default defers to
+    * the session conf (unset/non-positive = off); explicit negative forces
+    * off regardless of conf.
+    */
+  def armed(spark: org.apache.spark.sql.SparkSession, key: String, explicit: Long): Long =
+    if (explicit > 0L) explicit
+    else if (explicit < 0L) 0L
+    else spark.conf.getOption(key).map(_.trim.toLong).filter(_ > 0L).getOrElse(0L)
+
   /** Salt the skewed (probe) side: adds `__salt` from a deterministic hash
     * of the whole row (not the key — the point is to SPREAD identical
     * keys).

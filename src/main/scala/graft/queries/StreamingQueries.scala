@@ -247,6 +247,52 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // Skew defense ARMED through the engine-level session conf (round-14
+    // verdict task 3): q49's exact pipeline with
+    // `spark.graft.salt.threshold` set, so the per-batch state probe runs
+    // the salted-SHUFFLE regime — measured per-key factors from the
+    // batch's own (band, bsig) histogram, hot keys spread over their own
+    // salt sub-partitions — instead of the broadcast probe. Bag-equal by
+    // construction, so decisions are bit-identical: the oracle is q49's
+    // verbatim, and this gate is what certifies the conf wiring (a knob
+    // that silently failed to arm would still pass a spec that calls the
+    // parameter directly).
+    "q244_salted_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      s.conf.set(graft.operators.Salting.ThresholdKey, "4")
+      try
+        graft.streaming.StreamingDedup.run(docs, "doc_id", "text", tau = 0.8, chunks = 4,
+          compactEvery = 2)
+          .orderBy("doc_id")
+      finally s.conf.unset(graft.operators.Salting.ThresholdKey)
+    }),
+
+    // Transaction-log backend behind the SEMANTIC dedup tier (round-14
+    // verdict task 9: certify the remaining DedupStateStore consumers on
+    // the txnlog backend): q56's exact pipeline, embedding state on
+    // TransactionLogDedupState. Backend choice must be invisible — the
+    // oracle is q56's verbatim.
+    "q245_txnlog_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+      graft.streaming.StreamingSemanticDedup.run(emb, tau = 0.985, chunks = 4,
+        nCells = 64, compactEvery = 2,
+        store = graft.streaming.TransactionLogDedupState.factory)
+        .select(col("vid").as("vec_id"), col("dup_of"))
+        .orderBy("vec_id")
+    }),
+
+    // Transaction-log backend behind the SUM-fold state tier: q115's
+    // streaming substring dedup with (shingle-hash, count) increments on
+    // TransactionLogDedupState.sumFactory — compaction must SUM per key
+    // through the log's OPTIMIZE path, not keep an arbitrary row. Oracle =
+    // q115's verbatim.
+    "q246_txnlog_spans" -> ((s, dir) =>
+      graft.streaming.StreamingSubstringDedup
+        .run(t(s, dir, "documents"), "doc_id", "text", k = 5, minCount = 2, chunks = 4,
+          store = graft.streaming.TransactionLogDedupState.sumFactory)
+        .orderBy("doc_id", "start_tok")),
+
     // Streaming INCREMENTAL semantic dedup (SemDeDup's continuous-ingestion
     // form — the embedding-tier sibling of q49): vectors arrive in 4
     // MD5-assigned micro-batches; each is tested against every previously
@@ -556,7 +602,19 @@ object StreamingQueries {
         |FROM tt LEFT JOIN m ON tt.doc_id = m.doc_id
         |ORDER BY tt.doc_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oraclesBase is declared below (keeping the big literal where it
+  // always was) and object vals initialize in declaration order
+  lazy val oracles: Map[String, String] = oraclesBase ++ Map(
+    // q244 runs q49's pipeline with the salted-shuffle probe regime armed
+    // through the session conf — bag-equal to the broadcast probe, so the
+    // oracle is q49's verbatim. q245/q246 run q56's/q115's pipelines on
+    // the transaction-log state backend — backend choice must be
+    // invisible, so each shares its directory-backend sibling's oracle.
+    "q244_salted_dedup" -> streamDedupOracle,
+    "q245_txnlog_semantic_dedup" -> oraclesBase("q56_stream_semantic_dedup"),
+    "q246_txnlog_spans" -> oraclesBase("q115_stream_spans"))
+
+  private val oraclesBase: Map[String, String] = Map(
     // offset-provenance replay: the publish layout is a pure function of
     // the feed (partition = v mod 3, file = (k div 10) mod 2 + 1, line =
     // 0-based k-rank within the file), so the oracle reconstructs the

@@ -67,9 +67,13 @@ object SemiStreamSimilarityJoin {
       // sub-partitions (capped at 16) in the cache-hit and fetched-miss
       // joins. AQE is disabled under stateful streaming, so without this
       // a signature shared by half the corpus funnels its whole candidate
-      // product through one task. 0 = off (the default plan, unchanged).
+      // product through one task. 0 (default) defers to the session conf
+      // `spark.graft.salt.hotAbove` (off when unset) so the defense can be
+      // armed engine-wide; negative forces off. See Salting.armed.
       saltHotAbove: Long = 0L): Result = {
     val spark = docs.sparkSession
+    val saltArm = graft.operators.Salting.armed(
+      spark, graft.operators.Salting.HotAboveKey, saltHotAbove)
     graft.functions.ArrayIntersectSize.register(spark)
 
     // ---- static side (built once, like BuildSig's offline pass) ----
@@ -115,10 +119,10 @@ object SemiStreamSimilarityJoin {
     // (a hot signature is an index property): bounded ≤ 1024 rows,
     // broadcast into every batch's probe joins
     val saltFactors =
-      if (saltHotAbove <= 0L) None
+      if (saltArm <= 0L) None
       else {
         val f = graft.operators.Salting
-          .hotKeyFactors(indexP.select(key), key, saltHotAbove, maxSalts = 16)
+          .hotKeyFactors(indexP.select(key), key, saltArm, maxSalts = 16)
           .persist()
         f.count()
         Some(f)

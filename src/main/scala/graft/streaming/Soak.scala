@@ -42,6 +42,21 @@ object Soak {
         joinDrift <= 2.0
   }
 
+  /** The dedup half alone, for soaking an alternative state BACKEND (the
+    * round-14 verdict's txnlog ask — the join half exercises the cache
+    * runtime, not a [[DedupStateStore]], so a backend soak has no join
+    * leg). Same gates as [[Result]]'s dedup lines.
+    */
+  final case class DedupResult(
+      batches: Int,
+      liveDirsMax: Long,
+      liveDirsBound: Long,
+      bytesRatio: Double,
+      drift: Double) {
+    def pass: Boolean =
+      liveDirsMax <= liveDirsBound && bytesRatio <= 3.0 && drift <= 2.5
+  }
+
   private def quarterDrift(times: Seq[Double]): Double = {
     val q = math.max(times.size / 4, 1)
     val second = times.slice(q, 2 * q)
@@ -50,21 +65,21 @@ object Soak {
     else (last.sum / last.size) / (second.sum / second.size)
   }
 
-  def run(
+  /** Many-batch [[StreamingDedup]] replay with state telemetry on, under
+    * any [[DedupStateStore]] backend.
+    */
+  def dedupSoak(
       docs: DataFrame,
-      li: DataFrame,
-      part: DataFrame,
-      dedupBatches: Int = 24,
-      joinBatches: Int = 16): Result = {
-    // ---- StreamingDedup soak: growing durable state, telemetry on ----
-    val compactEvery = 4
+      batches: Int,
+      store: StreamingDedup.StateStoreFactory = StreamingDedup.parquetStore,
+      compactEvery: Int = 4): DedupResult = {
     val batchMs = collection.mutable.Buffer[Double]()
     StateTelemetry.enable()
     val (liveDirsMax, bytesRatio) =
       try {
         StreamingDedup.run(
-          docs, "doc_id", "text", tau = 0.8, chunks = dedupBatches,
-          compactEvery = compactEvery,
+          docs, "doc_id", "text", tau = 0.8, chunks = batches,
+          compactEvery = compactEvery, store = store,
           onBatch = (_, ms) => { batchMs += ms.toDouble; () })
           .count()
         val points = StateTelemetry.drain()
@@ -81,7 +96,18 @@ object Soak {
         (dirsMax, ratio)
       } finally StateTelemetry.disable()
     val dirsBound =
-      compactEvery + (math.log(dedupBatches.toDouble) / math.log(2.0)).ceil.toLong + 3
+      compactEvery + (math.log(batches.toDouble) / math.log(2.0)).ceil.toLong + 3
+    DedupResult(batches, liveDirsMax, dirsBound, bytesRatio, quarterDrift(batchMs.toSeq))
+  }
+
+  def run(
+      docs: DataFrame,
+      li: DataFrame,
+      part: DataFrame,
+      dedupBatches: Int = 24,
+      joinBatches: Int = 16): Result = {
+    // ---- StreamingDedup soak: growing durable state, telemetry on ----
+    val d = dedupSoak(docs, dedupBatches)
 
     // ---- semi-stream join soak: BOUNDED cache state, cost must flatten ----
     val cache = part.filter(pmod(col("p_partkey"), lit(10)) < 3)
@@ -92,7 +118,7 @@ object Soak {
     val joinTimes = stats.map(s => s.cogMs + s.fetchMs + s.cacheMs)
 
     Result(
-      dedupBatches, liveDirsMax, dirsBound, bytesRatio,
-      quarterDrift(batchMs.toSeq), joinBatches, quarterDrift(joinTimes))
+      d.batches, d.liveDirsMax, d.liveDirsBound, d.bytesRatio,
+      d.drift, joinBatches, quarterDrift(joinTimes))
   }
 }

@@ -191,9 +191,14 @@ object StreamingDedup {
       // the batch's own (band, bsig) histogram (bands whose batch list
       // exceeds the threshold spread over ceil(list/threshold) ≤ 16 salt
       // sub-partitions); AQE cannot re-split these joins under the
-      // streaming harness. 0 = the broadcast probe (default, unchanged).
+      // streaming harness. 0 (default) defers to the session conf
+      // `spark.graft.salt.threshold` (off when unset), so a deployment can
+      // arm the defense engine-wide without touching call sites; negative
+      // forces off. See graft.operators.Salting.armed.
       saltThreshold: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
+    val saltArm = graft.operators.Salting.armed(
+      spark, graft.operators.Salting.ThresholdKey, saltThreshold)
     graft.functions.ArrayIntersectSize.register(spark)
     graft.functions.MinHashBands.register(spark)
     val storage = StorageLevel.MEMORY_AND_DISK
@@ -313,7 +318,7 @@ object StreamingDedup {
       // 2.8× slower per batch at 10× scale)
       val stateSigs = sigState.read(batchId, sigPbs)
         .select(col("sid").as("y_id"), col("band"), col("bsig"))
-      val stateCand = (if (saltThreshold <= 0L)
+      val stateCand = (if (saltArm <= 0L)
         broadcast(xSigs).join(stateSigs, Seq("band", "bsig"))
       else {
         // shuffle probe with measured per-key salting: the state side is
@@ -321,7 +326,7 @@ object StreamingDedup {
         // replicates per factor — bag-equal to the broadcast join
         val factors = graft.operators.Salting.hotKeyFactors(
           bSigs.select("band", "bsig"), Seq("band", "bsig"),
-          saltThreshold, maxSalts = 16, topN = 1024)
+          saltArm, maxSalts = 16, topN = 1024)
         graft.operators.Salting
           .adaptiveSaltedJoin(stateSigs, xSigs, Seq("band", "bsig"), factors)
       })

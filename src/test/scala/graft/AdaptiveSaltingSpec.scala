@@ -62,4 +62,21 @@ class AdaptiveSaltingSpec extends SparkSpec {
     val want = batch2.join(build, "k")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("engine-level arming: session conf arms the knob, explicit wins, negative forces off") {
+    val key = Salting.ThresholdKey
+    spark.conf.unset(key)
+    // unset conf + default 0 = off
+    assert(Salting.armed(spark, key, 0L) == 0L)
+    // conf arms every default-knob call site in the session
+    spark.conf.set(key, "8")
+    try {
+      assert(Salting.armed(spark, key, 0L) == 8L)
+      // an explicit per-call value always wins over the conf
+      assert(Salting.armed(spark, key, 3L) == 3L)
+      // explicit negative forces OFF even when the session is armed
+      assert(Salting.armed(spark, key, -1L) == 0L)
+    } finally spark.conf.unset(key)
+    assert(Salting.armed(spark, key, 0L) == 0L)
+  }
 }
