@@ -43,7 +43,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *     `checkpointEvery` trailing commits instead of the whole log — the
   *     round-14 verdict's O(commits²) finding. Tombstone entries already
   *     vacuumed off disk are pruned at checkpoint time, bounding the
-  *     checkpoint by live + pending-vacuum files.
+  *     checkpoint by live + pending-vacuum files; commits the checkpoint
+  *     covers (and superseded checkpoints) are then DELETED, so the
+  *     `_log` listing itself stays O(checkpointEvery) over a long-lived
+  *     stream (our contract needs no time travel, so no Delta-style
+  *     retention window).
   *
   * Warm readers never replay at all: the instance keeps the resolved
   * snapshot in memory and folds ONLY log suffix commits in (a plain
@@ -102,13 +106,6 @@ final class TransactionLogDedupState(
     val s = Files.list(p)
     try f(s.iterator().asScala) finally s.close()
   }
-
-  private def versions(): Seq[Long] =
-    listDir(logDir)(_
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong)
-      .toSeq).sorted
 
   private def readCommit(v: Long): Commit = {
     val node = mapper.readTree(logDir.resolve(f"$v%012d.json").toFile)
@@ -205,17 +202,30 @@ final class TransactionLogDedupState(
     }
   }
 
+  /** One `_log` listing: (commit versions ascending, newest checkpoint
+    * version or 0).
+    */
+  private def logListing(): (Seq[Long], Long) = listDir(logDir) { it =>
+    val names = it.map(_.getFileName.toString).toSeq
+    val vs = names.filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong).sorted
+    val ck = names.filter(_.endsWith(".ckpt")).map(_.stripSuffix(".ckpt").toLong)
+      .sorted.lastOption.getOrElse(0L)
+    (vs, ck)
+  }
+
   /** Sync the cached state to the on-disk log: apply only the suffix
-    * commits a listing shows beyond `state.version`; a cold instance seeds
-    * from the newest checkpoint first. O(new commits) when warm.
+    * commits a listing shows beyond `state.version`; a cold instance (or
+    * one a concurrent writer checkpointed past — its covered commits may
+    * be truncated) seeds from the newest checkpoint first. O(new commits)
+    * when warm.
     */
   private def refresh(): TableState = {
-    val vs = versions()
-    val last = vs.lastOption.getOrElse(0L)
-    if (last < state.version) { // log vanished under us (fresh dir reuse)
+    val (vs, ckptMax) = logListing()
+    if (math.max(vs.lastOption.getOrElse(0L), ckptMax) < state.version) {
+      // log vanished under us (fresh dir reuse)
       state.version = 0L; state.live.clear(); state.tombstoned.clear()
     }
-    if (state.version == 0L && last > 0L) loadCheckpoint(last)
+    if (ckptMax > state.version) loadCheckpoint(ckptMax)
     vs.filter(_ > state.version).foreach { v => foldCommit(readCommit(v)); state.version = v }
     state
   }
@@ -241,31 +251,34 @@ final class TransactionLogDedupState(
     Files.write(tmp, mapper.writeValueAsBytes(root))
     Files.move(tmp, logDir.resolve(f"${state.version}%012d.ckpt"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // log retention: commits the checkpoint covers (and older checkpoints)
+    // are never replayed again — deleting them keeps the _log listing
+    // O(checkpointEvery), not O(commits), over a long-lived stream. A
+    // crash mid-delete just leaves extra covered commits (idempotent).
+    listDir(logDir)(_
+      .filter { p =>
+        val n = p.getFileName.toString
+        (n.endsWith(".json") && n.stripSuffix(".json").toLong <= state.version) ||
+          (n.endsWith(".ckpt") && n.stripSuffix(".ckpt").toLong < state.version)
+      }
+      .toSeq).foreach(p => Files.deleteIfExists(p))
   }
 
-  private def loadCheckpoint(upTo: Long): Unit = {
-    val ckpts = listDir(logDir)(_
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".ckpt"))
-      .map(_.stripSuffix(".ckpt").toLong)
-      .filter(_ <= upTo)
-      .toSeq)
-    ckpts.sorted.lastOption.foreach { v =>
-      val node = mapper.readTree(logDir.resolve(f"$v%012d.ckpt").toFile)
-      state.live.clear(); state.tombstoned.clear()
-      node.get("live").elements().asScala.foreach { n =>
-        val a = AddFile(
-          n.get("file").asText(),
-          n.get("pbs").elements().asScala.map(_.asInt()).toSeq,
-          n.get("bytes").asLong(),
-          Option(n.get("rows")).map(_.asLong()).getOrElse(-1L))
-        state.live(a.file) = n.get("batch").asLong() -> a
-      }
-      node.get("tombstoned").elements().asScala.foreach { n =>
-        state.tombstoned(n.get("file").asText()) = n.get("batch").asLong()
-      }
-      state.version = v
+  private def loadCheckpoint(v: Long): Unit = {
+    val node = mapper.readTree(logDir.resolve(f"$v%012d.ckpt").toFile)
+    state.live.clear(); state.tombstoned.clear()
+    node.get("live").elements().asScala.foreach { n =>
+      val a = AddFile(
+        n.get("file").asText(),
+        n.get("pbs").elements().asScala.map(_.asInt()).toSeq,
+        n.get("bytes").asLong(),
+        Option(n.get("rows")).map(_.asLong()).getOrElse(-1L))
+      state.live(a.file) = n.get("batch").asLong() -> a
     }
+    node.get("tombstoned").elements().asScala.foreach { n =>
+      state.tombstoned(n.get("file").asText()) = n.get("batch").asLong()
+    }
+    state.version = v
   }
 
   // ---- data-file staging ----------------------------------------------

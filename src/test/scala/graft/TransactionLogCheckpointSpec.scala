@@ -41,6 +41,12 @@ class TransactionLogCheckpointSpec extends SparkSpec {
     (0 until 12).foreach(b => st.append(rows(s"b$b-", 2, pb = b % 3), b.toLong))
     st.compact(10L)
     assert(logFiles(dir, ".ckpt").nonEmpty, "no checkpoint written after > 8 commits")
+    // retention: commits covered by the newest checkpoint are deleted, so
+    // the _log listing stays O(checkpointEvery) instead of O(commits)
+    val ckptV = logFiles(dir, ".ckpt").last.stripSuffix(".ckpt").toLong
+    val commitVs = logFiles(dir, ".json").map(_.stripSuffix(".json").toLong)
+    assert(commitVs.forall(_ > ckptV),
+      s"covered commits survived truncation: $commitVs vs ckpt $ckptV")
     val expected = keys(st.read(100L, Seq(0, 1, 2)))
     assert(expected.size == 24) // 12 batches × 2 keys, exactly once each
 
