@@ -92,6 +92,31 @@ class TransactionLogCheckpointSpec extends SparkSpec {
     assert(keys(st.read(10L, Seq(0))).isEmpty)
   }
 
+  test("leftover covered commits (crash between checkpoint and truncation) are harmless") {
+    val dir = freshDir(); val st = mk(dir)
+    (0 until 10).foreach(b => st.append(rows(s"b$b-", 2, pb = b % 2), b.toLong))
+    val expected = keys(st.read(100L, Seq(0, 1)))
+    // resurrect a covered commit alongside the checkpoint — exactly the
+    // state a crash between writeCheckpoint's move and its retention
+    // deletes leaves behind: the replay must SKIP commits ≤ the checkpoint
+    // version, not double-apply them
+    val ckptV = logFiles(dir, ".ckpt").last.stripSuffix(".ckpt").toLong
+    assert(ckptV >= 1L)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fake = mapper.createObjectNode()
+    fake.put("batch", 0L)
+    fake.putArray("adds"); fake.putArray("removes"); fake.putArray("folded")
+    // a duplicate of commit 1's slot: version 1 ≤ ckptV, content irrelevant
+    // (it must never be read) — but give it batch 0 with NO adds so a
+    // wrongly-applied replay would supersede batch 0's files and corrupt
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_log", f"${1L}%012d.json"),
+      mapper.writeValueAsBytes(fake))
+    val cold = mk(dir)
+    assert(keys(cold.read(100L, Seq(0, 1))) == expected,
+      "cold resume applied a checkpoint-covered commit")
+  }
+
   test("commits carry footer-derived row stats (telemetry without a count job)") {
     val dir = freshDir(); val st = mk(dir)
     st.append(rows("a", 5, pb = 1), 0L)
