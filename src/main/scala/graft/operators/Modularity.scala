@@ -38,11 +38,16 @@ object Modularity {
     * carry exactly one label (enforced by an inner join + count check).
     */
   def score(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val e = edges.select(
+    // materialize the canonical edge set once: it is consumed by the
+    // degree pass, the within-community join AND a separate m = count()
+    // ACTION — an unmaterialized upstream (e.g. a whole SimHash near-dup
+    // pipeline) re-executes per consumption (same effect Triangles /
+    // Truss measured; q227's plan carried 106 Exchange nodes before this)
+    val e = graft.core.Materialize(edges.select(
       least(col("a").cast("long"), col("b").cast("long")).as("x"),
       greatest(col("a").cast("long"), col("b").cast("long")).as("y"))
       .filter(col("x") =!= col("y"))
-      .distinct()
+      .distinct())
     val lab = labels.select(
       col("id").cast("long").as("id"),
       col("label").cast("string").as("label"))
