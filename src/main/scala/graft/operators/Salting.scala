@@ -141,6 +141,14 @@ object Salting {
         explode(sequence(lit(0), coalesce(col("__factor"), lit(1)) - 1)))
       .withColumn("__salt", col("__salt").cast("int"))
       .drop("__factor")
-    p.join(b, keys :+ "__salt").drop("__salt")
+    // SHUFFLE_HASH on the replicated (small) side: the default sort-merge
+    // join SORTS the probe side and buffers each key group — on the hot
+    // many-many keys this regime exists for, that re-concentrates the
+    // per-key product into the merge loop. A per-partition hash build of
+    // the replicated side streams the probe side through unsorted
+    // (guide §3.1); AQE is unavailable under the streaming harness, so
+    // the strategy must be pinned here. Measured on q244's batch-3 state
+    // probe: 16.5-31.7 s (SMJ) → see OPTIMIZATION_r15.md.
+    p.join(b.hint("shuffle_hash"), keys :+ "__salt").drop("__salt")
   }
 }
