@@ -344,15 +344,32 @@ final class TransactionLogDedupState(
     guarded.repartition(numParts, col("pb"))
       .write.mode("overwrite").parquet(staging.toString)
     val layout = pbsOfPartition(numParts)
-    val moved = listDir(staging)(_
+    val staged = listDir(staging)(_
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .toSeq).sortBy(_.getFileName.toString)
+    // footer reads are independent local metadata reads — do them in a
+    // bounded pool instead of one-by-one on the driver (one staged file
+    // per shuffle partition per store per batch: serially this was a
+    // visible slice of every append under the concurrent-effects phase)
+    val rowsOf: Map[Path, Long] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, math.max(1, staged.size)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(staged.map(p => Future(
+          p -> (if (Files.size(p) == 0L) 0L else footerRows(p))))),
+        Duration.Inf).toMap
+      finally pool.shutdown()
+    }
+    val moved = staged
       .flatMap { p =>
         // part files are named part-<taskIndex>-…; the task index IS the
         // shuffle partition the pb hash routed to
         val idx = p.getFileName.toString.stripPrefix("part-").take(5).toInt
         val pbs = layout.getOrElse(idx, Seq.empty)
-        val rows = if (Files.size(p) == 0L) 0L else footerRows(p)
+        val rows = rowsOf(p)
         if (rows == 0L) { Files.delete(p); None }
         else {
           val name = s"f-${java.util.UUID.randomUUID().toString}.parquet"
