@@ -346,8 +346,15 @@ object SimilarityJoin {
       index: DataFrame,
       gamma: Double,
       selfTable: Boolean = false): DataFrame = {
-    val freq = tokenFrequencies(index)
-    val pOrd = orderByFrequency(probe, freq)
+    // parallelism repair (core.Spread): the candidate join below explodes
+    // doc-grain relations and, with the prefix side broadcast, the whole
+    // produce stage otherwise runs inside the index side's (few-split)
+    // scan stage — measured on q50 as ONE task emitting 15.8 M pairs
+    val probe0 = graft.core.Spread.spread(probe, "sid")
+    val index0 = if (selfTable && (index eq probe)) probe0
+      else graft.core.Spread.spread(index, "sid")
+    val freq = tokenFrequencies(index0)
+    val pOrd = orderByFrequency(probe0, freq)
 
     val reqOverlap = ceil(col("x_len") * gamma - Eps)
     val px = pOrd.select(
@@ -358,7 +365,7 @@ object SimilarityJoin {
           col("otoks"),
           lit(1),
           (col("slen") - ceil(col("slen") * gamma - Eps) + 1).cast("int"))).as("tok"))
-    val iy = index.select(
+    val iy = index0.select(
       col("sid").as("y_id"),
       col("slen").as("y_len"),
       explode(col("toks")).as("tok"))
