@@ -28,3 +28,27 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// The full suite is ~35 min in ONE forked JVM (suites run sequentially) —
+// long enough that the round-15 driver's test budget killed it mid-run and
+// recorded `tests_ok: false` with zero failures visible. Suites are
+// independent (each gets its SparkSession via SparkSpec on local[4]; the
+// only warehouse writer, PartitioningSpec, lands in exactly one group), so
+// split them across parallel forked JVMs: 4 groups × local[4] fits the
+// 32-core box with headroom. Grouping is by stable name hash, so a suite
+// always lands in the same JVM across runs.
+val testJvmGroups = 4
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  (Test / definedTests).value
+    .groupBy(t => math.abs(t.name.hashCode) % testJvmGroups)
+    .toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(
+        s"jvm$i", ts,
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+    }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testJvmGroups),
+  Tags.limitAll(32))
