@@ -21,6 +21,28 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object SemiStreamRuntime {
 
+  /** Session clone with STATE-SIZED shuffle partitions for the bounded-key
+    * stateful streams (guide §2.5/§5; the q33 lesson, COVERAGE r6): the
+    * state store pays a per-partition cost EVERY trigger (provider open /
+    * commit / snapshot files), so the stateful exchange must track state
+    * SIZE, not core count — the r15 driver's 8-core run beat the 32-core
+    * run ~2× on every keyed-state query (BENCH_r15_c8, ratios 0.47-0.57)
+    * because 32 partitions × 4 triggers of tiny per-key state is pure
+    * scheduling/provider overhead. Resolution: the session conf
+    * `spark.graft.state.partitions` (a deployment whose per-batch keyed
+    * state is large sets it high) > the 8 default that the q33 A/B
+    * measured 2.2× faster at this state scale. The clone shares the
+    * SparkContext; the caller's session parallelism is never touched, and
+    * no failure path can leave an altered conf behind.
+    */
+  def stateSession(spark: SparkSession): SparkSession = {
+    val n = spark.conf.getOption("spark.graft.state.partitions")
+      .map(_.trim.toInt).filter(_ > 0).getOrElse(8)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s
+  }
+
   /** Spool `df` into `n` deterministic single-file parquet chunks under a
     * fresh temp dir, ordered chunk_00000…chunk_n; rows are assigned by
     * hash of `chunkKey` so replay order (file mtime = write order) is

@@ -58,7 +58,11 @@ object StatefulSessionizer {
     val name = s"sess_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt-").toString
 
-    val stream = spark.readStream
+    // state-sized shuffle partitions for the keyed-state exchange (see
+    // SemiStreamRuntime.stateSession): the memory sink registers in the
+    // clone, so every read of the result table goes through `sess`
+    val sess = SemiStreamRuntime.stateSession(spark)
+    val stream = sess.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
@@ -85,7 +89,7 @@ object StatefulSessionizer {
       .start()
     q.awaitTermination()
 
-    spark.table(name)
+    sess.table(name)
       .groupBy("user_id")
       .agg(max("n_sessions").as("n_sessions"))
   }

@@ -72,7 +72,11 @@ object StreamingBoilerplate {
 
     val name = s"bp_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-bp-ckpt-").toString
-    val stream = spark.readStream
+    // state-sized shuffle partitions for the keyed-state exchange (see
+    // SemiStreamRuntime.stateSession): the memory sink registers in the
+    // clone, so every read of the result table goes through `sess`
+    val sess = SemiStreamRuntime.stateSession(spark)
+    val stream = sess.readStream
       .schema(projected.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
@@ -96,6 +100,6 @@ object StreamingBoilerplate {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).select("batch", "source", "line", "n_docs")
+    sess.table(name).select("batch", "source", "line", "n_docs")
   }
 }

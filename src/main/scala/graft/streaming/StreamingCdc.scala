@@ -81,7 +81,11 @@ object StreamingCdc {
 
     val name = s"cdc_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt-").toString
-    val stream = spark.readStream
+    // state-sized shuffle partitions for the keyed-state exchange (see
+    // SemiStreamRuntime.stateSession): the memory sink registers in the
+    // clone, so every read of the result table goes through `sess`
+    val sess = SemiStreamRuntime.stateSession(spark)
+    val stream = sess.readStream
       .schema(projected.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
@@ -96,7 +100,7 @@ object StreamingCdc {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).select(
+    sess.table(name).select(
       col("key").as(keyCol), col("batch"), col("op"), col("value").as(valueCol))
   }
 

@@ -68,7 +68,11 @@ object StreamingCohorts {
 
     val name = s"cohorts_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cohort-ckpt-").toString
-    val stream = spark.readStream
+    // state-sized shuffle partitions for the keyed-state exchange (see
+    // SemiStreamRuntime.stateSession): the memory sink registers in the
+    // clone, so every read of the result table goes through `sess`
+    val sess = SemiStreamRuntime.stateSession(spark)
+    val stream = sess.readStream
       .schema(projected.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
@@ -84,7 +88,7 @@ object StreamingCohorts {
       .start()
     q.awaitTermination()
 
-    val counts = spark.table(name)
+    val counts = sess.table(name)
       .dropDuplicates("user_id", "period") // same (user, period) can recur across batches
       .groupBy(col("cohort").as("cohort_period"), (col("period") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("n_users"))

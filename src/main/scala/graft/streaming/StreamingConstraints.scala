@@ -80,7 +80,11 @@ object StreamingConstraints {
 
     val name = s"sconstr_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sconstr-ckpt-").toString
-    val stream = spark.readStream
+    // state-sized shuffle partitions for the keyed-state exchange (see
+    // SemiStreamRuntime.stateSession): the memory sink registers in the
+    // clone, so every read of the result table goes through `sess`
+    val sess = SemiStreamRuntime.stateSession(spark)
+    val stream = sess.readStream
       .schema(projected.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
@@ -101,7 +105,7 @@ object StreamingConstraints {
     val aggCols = (sum("n").as("n") +:
       flagChecks.indices.map(i => sum(expr(s"flagCounts[$i]")).as(s"__c$i"))) :+
       sum("newKeys").as("__new")
-    val perBatch = spark.table(name)
+    val perBatch = sess.table(name)
       .groupBy("batch")
       .agg(aggCols.head, aggCols.tail: _*)
     // cumulative sums via a triangular self-join over the ≤ `chunks`-row

@@ -72,7 +72,11 @@ object StreamingCusum {
 
     val name = s"scusum_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-scusum-ckpt-").toString
-    val q = spark.readStream
+    // state-sized shuffle partitions for the keyed-state exchange (see
+    // SemiStreamRuntime.stateSession): the memory sink registers in the
+    // clone, so every read of the result table goes through `sess`
+    val sess = SemiStreamRuntime.stateSession(spark)
+    val q = sess.readStream
       .schema(projected.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
@@ -89,7 +93,7 @@ object StreamingCusum {
       .start()
     q.awaitTermination()
 
-    val upds = spark.table(name)
+    val upds = sess.table(name)
     // calibration window: the first batch must carry data
     val refRow = upds.filter(col("batch") === 0)
       .agg(expr(s"($refNum * sum(dx)) div ($refDen * count(DISTINCT bucket))").as("ref"))
@@ -124,7 +128,7 @@ object StreamingCusum {
       // memory-sink table, checkpoint dir, and staged chunk dir can all be
       // released NOW instead of leaking for the session on repeated calls
       .transform(graft.core.Materialize.apply)
-    spark.catalog.dropTempView(name)
+    sess.catalog.dropTempView(name)
     SemiStreamRuntime.deleteRecursively(java.nio.file.Paths.get(ckpt))
     SemiStreamRuntime.deleteRecursively(staged)
     out

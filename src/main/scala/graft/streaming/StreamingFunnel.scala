@@ -102,7 +102,11 @@ object StreamingFunnel {
 
     val name = s"funnel_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel-ckpt-").toString
-    val stream = spark.readStream
+    // state-sized shuffle partitions for the keyed-state exchange (see
+    // SemiStreamRuntime.stateSession): the memory sink registers in the
+    // clone, so every read of the result table goes through `sess`
+    val sess = SemiStreamRuntime.stateSession(spark)
+    val stream = sess.readStream
       .schema(projected.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
@@ -122,7 +126,7 @@ object StreamingFunnel {
     // final snapshot per user = max reached (monotone state)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("reached").desc)
-    val last = spark.table(name)
+    val last = sess.table(name)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
     val tCols = (1 to k).map(i => element_at(col("times"), i).as(s"t$i"))

@@ -87,7 +87,11 @@ object StreamingIvmAggregate {
 
     val name = s"ivm_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ivm-ckpt-").toString
-    val stream = spark.readStream
+    // state-sized shuffle partitions for the keyed-state exchange (see
+    // SemiStreamRuntime.stateSession): the memory sink registers in the
+    // clone, so every read of the result table goes through `sess`
+    val sess = SemiStreamRuntime.stateSession(spark)
+    val stream = sess.readStream
       .schema(projected.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
@@ -102,7 +106,7 @@ object StreamingIvmAggregate {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    sess.table(name)
       .groupBy(col("batch"), col("dim").as(dimCol))
       .agg(sum("dSum").as("d_sum"), sum("dCnt").as("d_cnt"))
   }

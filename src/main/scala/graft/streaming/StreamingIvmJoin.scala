@@ -119,7 +119,11 @@ object StreamingIvmJoin {
 
     val name = s"ivmj_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ivmj-ckpt-").toString
-    val stream = spark.readStream
+    // state-sized shuffle partitions for the keyed-state exchange (see
+    // SemiStreamRuntime.stateSession): the memory sink registers in the
+    // clone, so every read of the result table goes through `sess`
+    val sess = SemiStreamRuntime.stateSession(spark)
+    val stream = sess.readStream
       .schema(projected.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
@@ -134,7 +138,7 @@ object StreamingIvmJoin {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    sess.table(name)
       .groupBy("batch", "jk", "a_pk", "b_pk", "a_val", "b_val")
       .agg(sum("sign").as("sign"))
       .filter(col("sign") =!= 0L)

@@ -88,7 +88,11 @@ object StreamingPacking {
 
     val name = s"pack_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-pack-ckpt-").toString
-    val stream = spark.readStream
+    // state-sized shuffle partitions for the keyed-state exchange (see
+    // SemiStreamRuntime.stateSession): the memory sink registers in the
+    // clone, so every read of the result table goes through `sess`
+    val sess = SemiStreamRuntime.stateSession(spark)
+    val stream = sess.readStream
       .schema(projected.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
@@ -107,6 +111,6 @@ object StreamingPacking {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    sess.table(name)
   }
 }

@@ -86,7 +86,11 @@ object StreamingScd {
 
     val name = s"scd_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-scd-ckpt-").toString
-    val stream = spark.readStream
+    // state-sized shuffle partitions for the keyed-state exchange (see
+    // SemiStreamRuntime.stateSession): the memory sink registers in the
+    // clone, so every read of the result table goes through `sess`
+    val sess = SemiStreamRuntime.stateSession(spark)
+    val stream = sess.readStream
       .schema(projected.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
@@ -104,7 +108,7 @@ object StreamingScd {
 
     // closed intervals are emitted once; of the open snapshots keep the
     // LAST per key (max valid_from — the state only moves forward)
-    val all = spark.table(name)
+    val all = sess.table(name)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy(col("valid_from").desc)
     val open = all.filter(col("is_current"))

@@ -85,7 +85,11 @@ object StreamingSrm {
 
     val name = s"ssrm_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ssrm-ckpt-").toString
-    val q = spark.readStream
+    // state-sized shuffle partitions for the keyed-state exchange (see
+    // SemiStreamRuntime.stateSession): the memory sink registers in the
+    // clone, so every read of the result table goes through `sess`
+    val sess = SemiStreamRuntime.stateSession(spark)
+    val q = sess.readStream
       .schema(projected.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
@@ -102,7 +106,7 @@ object StreamingSrm {
       .start()
     q.awaitTermination()
 
-    val upds = spark.table(name)
+    val upds = sess.table(name)
     val batches = upds.select(col("batch").as("b")).distinct()
     val cd = expectA + expectB
     val out = upds
@@ -126,7 +130,7 @@ object StreamingSrm {
       // bounded (batches rows): materialize so the harness artifacts
       // release now instead of leaking for the session
       .transform(graft.core.Materialize.apply)
-    spark.catalog.dropTempView(name)
+    sess.catalog.dropTempView(name)
     SemiStreamRuntime.deleteRecursively(java.nio.file.Paths.get(ckpt))
     SemiStreamRuntime.deleteRecursively(staged)
     out
