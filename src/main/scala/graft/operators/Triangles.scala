@@ -17,17 +17,36 @@ import org.apache.spark.sql.functions._
   * quadratic) — and each triangle materializes exactly once, closed by
   * one more equi-join. Three hash joins, no θ-join, no per-node
   * adjacency materialization.
+  *
+  * Normalization (cast/self-loop filter/canonical orientation/distinct)
+  * happens exactly ONCE per public entry point: the internal passes take
+  * the already-normalized edge set, because a nested `.distinct()` over
+  * an identical-but-not-shared subtree is a full extra Exchange +
+  * HashAggregate over the edge relation that ReuseExchange cannot elide
+  * (guide §2.4 — observed as back-to-back duplicate aggregates in the
+  * q100/q104/q221/q236 plans).
   */
 object Triangles {
+
+  /** Canonical undirected edge set: (a, b) longs, a < b, distinct, no
+    * self-loops. Idempotent; every public entry point applies it once.
+    */
+  private[operators] def normalize(edges: DataFrame): DataFrame =
+    edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
 
   /** Triangles as (x, y, z), x < y < z, one row each.
     * `edges`: undirected pairs (a, b), a ≠ b, duplicates tolerated.
     */
-  def enumerate(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
+  def enumerate(edges: DataFrame): DataFrame =
+    enumerateNormalized(normalize(edges))
+
+  /** [[enumerate]] over an ALREADY canonical edge set (a < b, distinct,
+    * no self-loops) — skips the redundant normalization pass.
+    */
+  private[operators] def enumerateNormalized(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("v"))
       .unionByName(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -65,14 +84,11 @@ object Triangles {
     * Output: (id, degree, n_triangles, cc_bp).
     */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
+    val und = normalize(edges)
     val deg = und.select(col("a").as("id"))
       .unionByName(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
-    val tri = enumerate(und)
+    val tri = enumerateNormalized(und)
     val triPerNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
     deg
@@ -92,12 +108,15 @@ object Triangles {
     * edges, one grouped count, one left join back so bridges report 0.
     * Output: (a, b, support), a < b, one row per distinct edge.
     */
-  def edgeSupport(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
-    val triEdges = enumerate(und)
+  def edgeSupport(edges: DataFrame): DataFrame =
+    edgeSupportNormalized(normalize(edges))
+
+  /** [[edgeSupport]] over an ALREADY canonical edge set — the form the
+    * [[Truss]] peel loop consumes (its survivor sets stay canonical by
+    * construction, so each round skips a full re-normalize + distinct).
+    */
+  private[operators] def edgeSupportNormalized(und: DataFrame): DataFrame = {
+    val triEdges = enumerateNormalized(und)
       .select(explode(array(
         struct(col("x").as("a"), col("y").as("b")),
         struct(col("x").as("a"), col("z").as("b")),

@@ -50,14 +50,18 @@ object Truss {
     // IS the final answer (peeling is monotone), so the run-to-converged
     // case pays r+1 support passes, not rounds+1 — identical output to
     // the unrolled fixed-round contract, one Σ-triangle pass cheaper
+    // `cur` is canonical (a < b, distinct) here and stays canonical across
+    // rounds (survivor sets are subsets), so each support pass skips the
+    // re-normalize + distinct Exchange that edgeSupport would re-apply
     for (_ <- 1 to rounds) {
-      val sup = Triangles.edgeSupport(cur).transform(graft.core.Materialize.apply)
+      val sup = Triangles.edgeSupportNormalized(cur)
+        .transform(graft.core.Materialize.apply)
       val next = sup.filter(col("support") >= k - 2).select("a", "b")
       val nextN = next.count()
       if (nextN == curN) return sup
       cur = next
       curN = nextN
     }
-    Triangles.edgeSupport(cur)
+    Triangles.edgeSupportNormalized(cur)
   }
 }

@@ -334,6 +334,18 @@ object StreamingDedup {
         .dropDuplicates("x_id", "y_id")
         .persist(storage)
 
+      // dev-only plan evidence (env-gated): dump the state-probe join's
+      // physical plan per batch — the artifact that proves which join
+      // strategy the salted/broadcast regime actually planned
+      sys.env.get("SPARK_GRAFT_DUMP_PLAN_DIR").foreach { d =>
+        val tag = if (saltArm > 0L) "salted" else "broadcast"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$d/stateprobe_${tag}_batch$batchId.txt"),
+          stateCand.queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode)
+            .getBytes("UTF-8"))
+      }
+
       // token fetch of just the candidate y-docs (S5 keyed-fetch
       // reduction) against a bucket-pruned scan
       val needed = stateCand.select("y_id").distinct().persist(storage)
