@@ -141,8 +141,12 @@ object SemiStreamSimilarityJoin {
     // stored-side verify tokens: pre-partitioned by the join key and
     // persisted IN THAT LAYOUT, so every micro-batch's verify join reuses
     // the stored side's distribution and shuffles only its own candidates
+    // count pinned like the verify exchange below: unpinned, AQE coalesces
+    // the byte-small token relation to 1-2 cached partitions and the
+    // layout alignment with the per-batch verify is lost
     val yT = toks.select(col("sid").as("y_id"), col("toks").as("y_toks"))
-      .repartition(col("y_id"))
+      .repartition(
+        spark.sessionState.conf.numShufflePartitions, col("y_id"))
       .persist()
 
     // a run where EVERY batch's output is empty writes no parquet data
@@ -219,8 +223,16 @@ object SemiStreamSimilarityJoin {
           // partitioning on y_id alone satisfies the pair-dedup's clustering
           // requirement (y_id ⊆ {x_id, y_id}), so the dedup aggregates
           // in-place and the verify join lines up with yT's layout instead
-          // of shuffling the candidates a second time
-          .repartition(col("y_id"))
+          // of shuffling the candidates a second time.
+          // The count is PINNED (an unpinned repartition is an AQE-
+          // coalescible exchange, and AQE coalesces by BYTES — a slim
+          // (x_id, y_id) pair relation of ~24 MB collapsed to 1-2
+          // partitions, so the CPU-bound intersect verify downstream ran
+          // ~2 tasks for ~2.5 s per batch while 30 cores idled; measured
+          // in the q41 event log, stage cpu≈wall with 2 tasks). Same
+          // §2.5 parallelism-pinning rationale as core.Spread.
+          .repartition(
+            spark.sessionState.conf.numShufflePartitions, col("y_id"))
           .dropDuplicates("x_id", "y_id")
           .join(xB, "x_id")
           .join(yT, "y_id")

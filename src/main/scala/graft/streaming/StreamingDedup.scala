@@ -392,7 +392,7 @@ object StreamingDedup {
       // a concurrent append is invisible to them even before the
       // batch<batchId visibility filter drops it
       phase(batchId, "verify+out+appends") { ConcurrentEffects.all(
-        () =>
+        () => phase(batchId, "effect:verify+out") {
           bToks.select(col("sid").as("x_id"))
             .join(dupOf, Seq("x_id"), "left")
             .select(
@@ -401,13 +401,16 @@ object StreamingDedup {
             .repartition(1)
             .write
             .mode("overwrite")
-            .parquet(s"$outDir/batch=$batchId"),
-        () =>
-          sigState.append(bSigs.select(col("sid"), col("band"), col("bsig"), col("pb")), batchId),
-        () =>
+            .parquet(s"$outDir/batch=$batchId")
+        },
+        () => phase(batchId, "effect:sigAppend") {
+          sigState.append(bSigs.select(col("sid"), col("band"), col("bsig"), col("pb")), batchId)
+        },
+        () => phase(batchId, "effect:tokAppend") {
           tokState.append(
             bVToks.select(col("sid"), col("toks"), bucketOf(nBuckets, col("sid")).as("pb")),
-            batchId))
+            batchId)
+        })
       }
 
       stateCand.unpersist(); needed.unpersist(); bToks.unpersist(); bSigs.unpersist()
