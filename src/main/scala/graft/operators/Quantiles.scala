@@ -40,10 +40,14 @@ object Quantiles {
       .agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy(groupCol).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(groupCol)
+    // group totals as a |groups|-row aggregate broadcast back in, NOT a
+    // second unordered window: the whole-partition window is another full
+    // buffered pass over the histogram at |groups|-task parallelism
+    // (guide §2.4 — same value, one histogram pass instead of two)
+    val totals = hist.groupBy(groupCol).agg(sum("__c").as("__n"))
     val ranked = hist
       .withColumn("__cum", sum("__c").over(w))
-      .withColumn("__n", sum("__c").over(wAll))
+      .join(broadcast(totals), Seq(groupCol))
     val aggs = qs.map { case (name, num, den) =>
       min(when(col("__cum") >= expr(s"(${num}L * __n + ${den}L - 1L) div ${den}L"), col("__v")))
         .as(name)
@@ -89,10 +93,12 @@ object Quantiles {
       .agg(sum("__w0").as("__c"))
     val w = Window.partitionBy(groupCol).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(groupCol)
+    // group totals via a tiny aggregate + broadcast join, not a second
+    // whole-partition window pass — see exactQuantiles
+    val totals = hist.groupBy(groupCol).agg(sum("__c").as("__n"))
     val ranked = hist
       .withColumn("__cum", sum("__c").over(w))
-      .withColumn("__n", sum("__c").over(wAll))
+      .join(broadcast(totals), Seq(groupCol))
     // __n = 0 (an all-zero-weight group) would make the ceil threshold 0
     // and '__cum >= 0' vacuously true — guard it so such a group reports
     // NULL quantiles instead of silently selecting its minimum value
